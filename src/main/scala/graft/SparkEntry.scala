@@ -1,13 +1,214 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.pipes.{CdcPipes, TpchPipes}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the engine's public API surface: one named entry per
+  * operator/endpoint from SURVEY.md §2 (the Spark analogue of the
+  * reference's published pipe endpoints, §2.10). `oracleSql` carries the
+  * DuckDB-equivalent SQL for the driver's differential correctness gate.
+  *
+  * Determinism contract shared by every query/oracle pair:
+  *  - rows globally ordered by a unique key in BOTH engines;
+  *  - fractional sums via integer-unit summation (ChFunctions.exactSum),
+  *    so results don't depend on partition merge order;
+  *  - `events.ts` nanos truncated to micros on the Spark side, matching
+  *    DuckDB's ns→µs read-time truncation;
+  *  - integer CASE-sums cast to BIGINT in DuckDB (its sum(int) is
+  *    HUGEINT, which pandas would widen to float).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    TpchPipes.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CDC / latest-state family (SURVEY §2.4) over `events`
+    "latest_event_per_user" -> (CdcPipes.latestEventPerUser _),
+    "users_latest_rmt"      -> (CdcPipes.usersLatestRmt _),
+    "users_api_batch"       -> (CdcPipes.usersApiBatch _),
+    // time-series endpoints (SURVEY §2.5 A10, §2.7 G1)
+    "active_users_per_hour" -> (CdcPipes.activeUsersPerHour _),
+    "error_pct_per_hour"    -> (CdcPipes.errorPctPerHour _),
+    "active_vs_errors"      -> (CdcPipes.activeVsErrors _),
+    "user_activity"         -> (CdcPipes.userActivity _),
+    "events_by_type_status" -> (CdcPipes.eventsByTypeStatus _),
+    "value_by_type_status"  -> (CdcPipes.valueByTypeStatus _),
+    // relational coverage (SURVEY §2.2/2.3/2.5/2.6/2.7)
+    "q1_pricing_summary"    -> (TpchPipes.q1PricingSummary _),
+    "mktsegment_revenue"    -> (TpchPipes.mktsegmentRevenue _),
+    "region_revenue"        -> (TpchPipes.regionRevenue _),
+    "top_customers"         -> (TpchPipes.topCustomers _),
+    "customers_without_orders" -> (TpchPipes.customersWithoutOrders _),
+    "customers_with_big_orders" -> (TpchPipes.customersWithBigOrders _),
+    "high_value_orders"     -> (TpchPipes.highValueOrders _),
+    "customer_order_stats"  -> (TpchPipes.customerOrderStats _),
+    "orders_status_matrix"  -> (TpchPipes.ordersStatusMatrix _),
+    "union_high_low_parts"  -> (TpchPipes.unionHighLowParts _),
+    "parts_except"          -> (TpchPipes.partsExcept _),
+    "regions_cross"         -> (TpchPipes.regionsCross _),
+    "scalar_functions"      -> (TpchPipes.scalarFunctions _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "latest_event_per_user" ->
+      """SELECT user_id, event_id, ts, event_type, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "users_latest_rmt" ->
+      """SELECT user_id, event_id, ts, event_type, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "users_api_batch" ->
+      """SELECT user_id, event_id, ts, event_type, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "active_users_per_hour" ->
+      """WITH anchor AS (SELECT max(ts) AS a FROM events)
+        |SELECT date_trunc('hour', ts) AS time_interval, count(DISTINCT user_id) AS active_users
+        |FROM events, anchor WHERE ts > a - INTERVAL 30 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "error_pct_per_hour" ->
+      """WITH agg AS (
+        |  SELECT date_trunc('hour', ts) AS h,
+        |         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+        |         count(*) AS total
+        |  FROM events GROUP BY 1),
+        |bounds AS (SELECT date_trunc('hour', min(ts)) AS s, date_trunc('hour', max(ts)) AS e FROM events),
+        |series AS (SELECT unnest(generate_series(s, e, INTERVAL 1 HOUR)) AS time_interval FROM bounds)
+        |SELECT series.time_interval,
+        |       COALESCE(errors, 0) AS errors,
+        |       COALESCE(total, 0) AS total,
+        |       COALESCE(floor(errors * 100.0 / nullif(total, 0) * 100 + 0.5) / 100.0, 0.0) AS error_pct
+        |FROM series LEFT JOIN agg ON series.time_interval = agg.h
+        |ORDER BY series.time_interval""".stripMargin,
+    "active_vs_errors" ->
+      """WITH anchor AS (SELECT max(ts) AS a FROM events),
+        |act AS (
+        |  SELECT date_trunc('hour', ts) AS time_interval, count(DISTINCT user_id) AS active_users
+        |  FROM events, anchor WHERE ts > a - INTERVAL 30 DAY GROUP BY 1),
+        |agg AS (
+        |  SELECT date_trunc('hour', ts) AS h,
+        |         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+        |         count(*) AS total
+        |  FROM events GROUP BY 1),
+        |bounds AS (SELECT date_trunc('hour', min(ts)) AS s, date_trunc('hour', max(ts)) AS e FROM events),
+        |series AS (SELECT unnest(generate_series(s, e, INTERVAL 1 HOUR)) AS time_interval FROM bounds),
+        |err AS (
+        |  SELECT series.time_interval,
+        |         COALESCE(errors, 0) AS errors,
+        |         COALESCE(total, 0) AS total,
+        |         COALESCE(floor(errors * 100.0 / nullif(total, 0) * 100 + 0.5) / 100.0, 0.0) AS error_pct
+        |  FROM series LEFT JOIN agg ON series.time_interval = agg.h)
+        |SELECT act.time_interval, act.active_users, err.errors, err.error_pct
+        |FROM act JOIN err ON act.time_interval = err.time_interval
+        |ORDER BY act.time_interval""".stripMargin,
+    "user_activity" ->
+      """WITH p AS (
+        |  SELECT date_trunc('day', ts) AS interval, count(DISTINCT user_id) AS purchasers
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |c AS (
+        |  SELECT date_trunc('day', ts) AS interval, count(DISTINCT user_id) AS clickers
+        |  FROM events WHERE event_type = 'click' GROUP BY 1)
+        |SELECT p.interval, p.purchasers, c.clickers
+        |FROM p JOIN c ON p.interval = c.interval ORDER BY p.interval""".stripMargin,
+    "events_by_type_status" ->
+      """SELECT event_type,
+        |  count(*) AS total,
+        |  CAST(sum(CASE WHEN value < 50 THEN 1 ELSE 0 END) AS BIGINT) AS low,
+        |  CAST(sum(CASE WHEN value >= 50 AND value < 150 THEN 1 ELSE 0 END) AS BIGINT) AS mid,
+        |  CAST(sum(CASE WHEN value >= 150 THEN 1 ELSE 0 END) AS BIGINT) AS high,
+        |  count(*) - CAST(sum(CASE WHEN value < 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |           - CAST(sum(CASE WHEN value >= 50 AND value < 150 THEN 1 ELSE 0 END) AS BIGINT)
+        |           - CAST(sum(CASE WHEN value >= 150 THEN 1 ELSE 0 END) AS BIGINT) AS unbanded
+        |FROM events GROUP BY event_type
+        |ORDER BY CASE event_type WHEN 'purchase' THEN 1 WHEN 'signup' THEN 2
+        |  WHEN 'click' THEN 3 WHEN 'view' THEN 4 WHEN 'error' THEN 5 ELSE 6 END, event_type""".stripMargin,
+    "value_by_type_status" ->
+      """SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+        |  CAST(sum(CAST(floor(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS purchase_value,
+        |  CAST(sum(CAST(floor(CASE WHEN event_type = 'click' THEN value ELSE 0 END * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS click_value,
+        |  CAST(sum(CAST(floor(CASE WHEN event_type = 'error' THEN value ELSE 0 END * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS error_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "mktsegment_revenue" ->
+      """SELECT c_mktsegment, count(*) AS order_count,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS total_revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "region_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "top_customers" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS total_spent,
+        |  count(*) AS order_count
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY total_spent DESC, c_custkey LIMIT 10""".stripMargin,
+    "customers_without_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "customers_with_big_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "high_value_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
+        |WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) * 0.9
+        |ORDER BY o_orderkey""".stripMargin,
+    "customer_order_stats" ->
+      """SELECT c_custkey, c_name, count(o_orderkey) AS order_count,
+        |  CAST(sum(CAST(floor(COALESCE(o_totalprice, 0) * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+    "orders_status_matrix" ->
+      """SELECT o_orderpriority, count(*) AS total,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS fulfilled,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS open,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS pending
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY CASE o_orderpriority WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+        |  WHEN '3-MEDIUM' THEN 3 ELSE 4 END, o_orderpriority""".stripMargin,
+    "union_high_low_parts" ->
+      """SELECT p_partkey, p_name, 'large' AS bucket FROM part WHERE p_size >= 40
+        |UNION ALL
+        |SELECT p_partkey, p_name, 'small' AS bucket FROM part WHERE p_size <= 5
+        |ORDER BY p_partkey""".stripMargin,
+    "parts_except" ->
+      """SELECT p_partkey, p_name, p_type, p_size FROM part
+        |WHERE p_size > 45 ORDER BY p_partkey""".stripMargin,
+    "regions_cross" ->
+      """SELECT r_regionkey, r_name, nation_total
+        |FROM region CROSS JOIN (SELECT count(*) AS nation_total FROM nation)
+        |ORDER BY r_regionkey""".stripMargin,
+    "scalar_functions" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  date_trunc('day', l_shipdate) AS ship_day,
+        |  l_shipdate + INTERVAL 12 HOUR AS ship_noon,
+        |  l_shipdate - INTERVAL 24 HOUR AS ship_prev,
+        |  CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT) AS ship_yyyymm,
+        |  floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100.0 AS net_price,
+        |  COALESCE(nullif(l_returnflag, 'N'), '~') AS flag_or_tilde,
+        |  rpad(l_linestatus, 2, ' ') AS status_fixed,
+        |  CASE WHEN l_quantity >= 25 THEN 'bulk' ELSE 'retail' END AS order_class
+        |FROM lineitem WHERE l_orderkey <= 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+  )
 }

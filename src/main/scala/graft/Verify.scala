@@ -12,6 +12,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // events.parquet stores TIMESTAMP(NANOS): read as Long nanos (Tables
+      // truncates to µs, matching DuckDB's read-time behavior)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // write µs-precision timestamps (not INT96) so the driver's reader
+      // sees the same logical type DuckDB produces
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

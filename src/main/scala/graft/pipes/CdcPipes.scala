@@ -1,0 +1,174 @@
+package graft.pipes
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.ChFunctions._
+import graft.operators.Dedup
+
+/** The reference's CDC/latest-state pipe family (SURVEY.md §2.4, §2.10),
+  * re-expressed over the harness `events` table, which plays the role of
+  * the Debezium change log: `user_id` = entity key, `ts` = version
+  * (updated_at), `event_type`/`value`/`props` = the row payload.
+  *
+  * Each public method is one endpoint: a pure (SparkSession, dir) =>
+  * DataFrame function, the Spark equivalent of a published `.pipe`.
+  * Cross-pipe references (active_vs_missed_flights.pipe:10-12) are plain
+  * function calls.
+  *
+  * All time-relative predicates ("past hour", now()) are anchored to
+  * max(ts) of the data instead of the wall clock — the deterministic
+  * analogue of the reference's `{% if defined(start) %}` template
+  * parameter defaults (flights_missed_pct_minute.pipe:31-32) — so the
+  * DuckDB oracle evaluates the same instant.
+  */
+object CdcPipes {
+
+  /** latest_*_info.pipe:6-9 — `ORDER BY id, __timestamp DESC LIMIT 1 BY id`
+    * (D1). Newest event per user by (ts, event_id). */
+  def latestEventPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    Dedup.latestByWindow(e, Seq(col("user_id")), Seq(col("ts"), col("event_id")))
+      .select("user_id", "event_id", "ts", "event_type", "value")
+      .orderBy("user_id")
+  }
+
+  /** users_api_rmt.pipe:6 — `SELECT * FROM users_latest FINAL ORDER BY id`
+    * (D2). argMax-per-key aggregation form: one shuffle, map-side partials. */
+  def usersLatestRmt(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    Dedup.latestByKey(e, Seq("user_id"),
+        version = struct(col("ts"), col("event_id")),
+        payload = Seq("event_id", "ts", "event_type", "value"))
+      .select("user_id", "event_id", "ts", "event_type", "value")
+      .orderBy("user_id")
+  }
+
+  /** users_api_batch.pipe:3-53 / users_batch_copy.pipe:8-70 (D3):
+    * incremental snapshot = argMax over events newer than the watermark,
+    * UNION ALL prior-snapshot rows not superseded (anti-join). The
+    * watermark here is max(ts) - 30 days; the "prior snapshot" is the
+    * collapsed state of everything at or before it — so the result must
+    * equal D2 on the full log (property-tested), while exercising the
+    * watermark + anti-join + union plan shape.
+    */
+  def usersApiBatch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    // scalar watermark as a 1-row broadcast frame — no driver-side collect
+    val wm = e.agg((max(col("ts")) - interval(days = lit(30))).as("__wm"))
+    val withWm = e.crossJoin(broadcast(wm))
+    val payload = Seq("event_id", "ts", "event_type", "value")
+    val prior = Dedup.latestByKey(
+      withWm.filter(col("ts") <= col("__wm")), Seq("user_id"),
+      struct(col("ts"), col("event_id")), payload)
+    val snapshot = Dedup.incrementalSnapshot(
+      prior = prior,
+      log = withWm.filter(col("ts") > col("__wm")).drop("__wm"),
+      keys = Seq("user_id"),
+      version = struct(col("ts"), col("event_id")), versionCol = "ts",
+      payload = payload,
+      watermark = lit(java.sql.Timestamp.valueOf("1970-01-01 00:00:00")))
+    snapshot.select("user_id", "event_id", "ts", "event_type", "value")
+      .orderBy("user_id")
+  }
+
+  /** active_flights_past_hour.pipe:6-13 — count(DISTINCT id) per time
+    * bucket over a trailing window (A2+A10+P8). Bucket = hour, trailing
+    * window = 30 days before max(ts). */
+  def activeUsersPerHour(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val asOf = e.agg(max(col("ts")).as("__asof"))
+    e.crossJoin(broadcast(asOf))
+      .filter(col("ts") > col("__asof") - interval(days = lit(30)))
+      .groupBy(toStartOfHour(col("ts")).as("time_interval"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy("time_interval")
+  }
+
+  /** flights_missed_pct_minute.pipe:3-60 — the 3-node chain: per-bucket
+    * ratio with null-guard (A8), gap-filled over a generated time series
+    * (G1/J6/J7). Analog: % of events that are errors per hour, zero-filled
+    * for hours with no events between min(ts) and max(ts). */
+  def errorPctPerHour(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    // node 1: per-hour counts
+    val agg = e.groupBy(toStartOfHour(col("ts")).as("h"))
+      .agg(
+        sum(when(col("event_type") === "error", 1).otherwise(0)).as("errors"),
+        count(lit(1)).as("total"))
+    // node 2: bounded hour series (CTE scalars cross-joined, G1+J7)
+    val bounds = e.agg(
+      toStartOfHour(min(col("ts"))).as("__start"),
+      toStartOfHour(max(col("ts"))).as("__end"))
+    val series = bounds.select(
+      explode(sequence(col("__start"), col("__end"), expr("INTERVAL 1 HOUR"))).as("time_interval"))
+    // node 3: gap-fill left join + zero-fill (J6)
+    series.join(agg, series("time_interval") === agg("h"), "left")
+      .select(
+        col("time_interval"),
+        ifNull(col("errors"), lit(0)).cast("long").as("errors"),
+        ifNull(col("total"), lit(0)).cast("long").as("total"),
+        ifNull(floorRound(col("errors") * 100.0 / nullIf(col("total"), lit(0)), 2), lit(0.0))
+          .as("error_pct"))
+      .orderBy("time_interval")
+  }
+
+  /** active_vs_missed_flights.pipe:6-12 — inner join of two *pipe results*
+    * on the time bucket (J2). */
+  def activeVsErrors(spark: SparkSession, dir: String): DataFrame = {
+    val act = activeUsersPerHour(spark, dir)
+    val err = errorPctPerHour(spark, dir)
+    act.join(err, Seq("time_interval"), "inner")
+      .select("time_interval", "active_users", "errors", "error_pct")
+      .orderBy("time_interval")
+  }
+
+  /** passenger_activity.pipe:3-47 — two aggregations over the same source
+    * with different predicates, joined on the bucket (J3). Analog:
+    * distinct purchasers vs distinct clickers per day. */
+  def userActivity(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    def byDay(t: String, as: String) =
+      e.filter(col("event_type") === t)
+        .groupBy(toStartOfDay(col("ts")).as("interval"))
+        .agg(countDistinct(col("user_id")).as(as))
+    byDay("purchase", "purchasers")
+      .join(byDay("click", "clickers"), Seq("interval"), "inner")
+      .orderBy("interval")
+  }
+
+  /** passengers_by_flight_status.pipe:3-38 — conditional counts (A6),
+    * derived-difference metric (A8), custom CASE ranking order (O3).
+    * Analog over events: per event_type, count of value bands; ordered by
+    * a hand-ranked event_type CASE then name. */
+  def eventsByTypeStatus(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("total"),
+        sum(when(col("value") < 50, 1).otherwise(0)).as("low"),
+        sum(when(col("value") >= 50 && col("value") < 150, 1).otherwise(0)).as("mid"),
+        sum(when(col("value") >= 150, 1).otherwise(0)).as("high"))
+      .withColumn("unbanded", col("total") - col("low") - col("mid") - col("high"))
+      .orderBy(
+        when(col("event_type") === "purchase", 1)
+          .when(col("event_type") === "signup", 2)
+          .when(col("event_type") === "click", 3)
+          .when(col("event_type") === "view", 4)
+          .when(col("event_type") === "error", 5)
+          .otherwise(6),
+        col("event_type"))
+  }
+
+  /** baggage_by_flight_status.pipe:3-26 — conditional rounded sums (A7)
+    * with CASE ordering (O3). Analog: value mass by event_type per day-of-week. */
+  def valueByTypeStatus(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(dayofweek(col("ts")).as("dow"))
+      .agg(
+        exactSum(when(col("event_type") === "purchase", col("value")).otherwise(0.0), 2).as("purchase_value"),
+        exactSum(when(col("event_type") === "click", col("value")).otherwise(0.0), 2).as("click_value"),
+        exactSum(when(col("event_type") === "error", col("value")).otherwise(0.0), 2).as("error_value"))
+      .orderBy("dow")
+  }
+}

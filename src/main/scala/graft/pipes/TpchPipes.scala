@@ -1,0 +1,184 @@
+package graft.pipes
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.ChFunctions._
+
+/** Relational operator coverage (SURVEY.md §2.2/2.3/2.5/2.6/2.7) over the
+  * harness star schema. Each query is shaped like one of the reference's
+  * pipe nodes but exercises it on tables large enough to matter for the
+  * bench (lineitem = 6 M rows at sf1).
+  *
+  * Scale notes inline; the common themes:
+  *  - dims (region/nation/supplier/part/customer) are broadcast — no
+  *    shuffle of the fact side for those joins;
+  *  - aggregates are declared so map-side partials apply (sum/count/min/max);
+  *  - fractional sums use ChFunctions.exactSum (integer-unit summation) so
+  *    results are independent of partition count / merge order.
+  */
+object TpchPipes {
+
+  /** TPC-H Q1 shape: multi-aggregate scan with group-by on two low-card
+    * columns (A1/A3/A8). Only a single shuffle of tiny partial-agg rows. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        exactSum(col("l_extendedprice"), 2).as("sum_base_price"),
+        exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** J1 inner equi-join fact⋈dim + group: revenue by market segment.
+    * customer is a dim → broadcast; orders never shuffles. */
+  def mktsegmentRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"), "inner")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        exactSum(col("o_totalprice"), 2).as("total_revenue"))
+      .orderBy(col("c_mktsegment"))
+
+  /** TPC-H Q5 shape: 5-way join lineitem⋈orders⋈customer⋈nation⋈region,
+    * revenue by nation. All dims broadcast; the only shuffle is
+    * lineitem⋈orders on orderkey (co-partitioned by AQE) + the final
+    * small agg. */
+  def regionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = broadcast(Tables.customer(spark, dir))
+    val n = broadcast(Tables.nation(spark, dir))
+    val r = broadcast(Tables.region(spark, dir))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Global top-k (O1 + limit): top 10 customers by order value. The sort
+    * after aggregation is on ~#customers rows, and Spark's Limit uses a
+    * TakeOrdered physical op — no full global sort materialization. */
+  def topCustomers(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(exactSum(col("o_totalprice"), 2).as("total_spent"),
+        count(lit(1)).as("order_count"))
+      .orderBy(col("total_spent").desc, col("c_custkey"))
+      .limit(10)
+
+  /** P10/J8 — `id NOT IN (subquery)` as a left-anti join
+    * (users_api_batch.pipe:33): customers with no orders. */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** J9 — semi-join: customers having at least one high-value order. */
+  def customersWithBigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_totalprice") > 400000)
+      .select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** P11/C1 — scalar-subquery predicate (users_api_batch.pipe:6,22):
+    * orders above 90% of the max order value. max is exact on doubles, so
+    * the threshold is bit-identical across engines. */
+  def highValueOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val mx = o.agg(max(col("o_totalprice")).as("__max"))
+    o.crossJoin(broadcast(mx))
+      .filter(col("o_totalprice") > col("__max") * 0.9)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      .orderBy("o_orderkey")
+  }
+
+  /** J4 left outer join + conditional aggregation: per-customer order
+    * stats including customers with no orders (count = 0). */
+  def customerOrderStats(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(
+        count(col("o_orderkey")).as("order_count"),
+        exactSum(coalesce(col("o_totalprice"), lit(0.0)), 2).as("total_spent"))
+      .orderBy("c_custkey")
+  }
+
+  /** A6/O3 — conditional-count matrix with custom CASE ranking
+    * (passengers_by_flight_status.pipe:8-17,29-38): order status counts
+    * per priority, ordered by hand-ranked priority. */
+  def ordersStatusMatrix(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("total"),
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("fulfilled"),
+        sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("open"),
+        sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("pending"))
+      .orderBy(
+        when(col("o_orderpriority") === "1-URGENT", 1)
+          .when(col("o_orderpriority") === "2-HIGH", 2)
+          .when(col("o_orderpriority") === "3-MEDIUM", 3)
+          .otherwise(4),
+        col("o_orderpriority"))
+
+  /** U1 — UNION ALL of two differently-filtered projections, unified
+    * by name (users_api_batch.pipe:40-44). */
+  def unionHighLowParts(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val high = p.filter(col("p_size") >= 40)
+      .select(col("p_partkey"), col("p_name"), lit("large").as("bucket"))
+    val low = p.filter(col("p_size") <= 5)
+      .select(col("p_partkey"), col("p_name"), lit("small").as("bucket"))
+    high.unionByName(low).orderBy("p_partkey")
+  }
+
+  /** P3 — `SELECT * EXCEPT (…)` as DataFrame drop (users_api_batch.pipe:40,43). */
+  def partsExcept(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .drop("p_retailprice", "p_brand")
+      .filter(col("p_size") > 45)
+      .orderBy("p_partkey")
+
+  /** J7 — CROSS JOIN as scalar-attach (flights_missed_pct_minute.pipe:53-55):
+    * each region with the global nation count. */
+  def regionsCross(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir)
+    val total = Tables.nation(spark, dir).agg(count(lit(1)).as("nation_total"))
+    r.crossJoin(broadcast(total)).select("r_regionkey", "r_name", "nation_total")
+      .orderBy("r_regionkey")
+  }
+
+  /** §2.8 scalar-function showcase over lineitem: date_trunc, interval
+    * arithmetic, coalesce/nullif, round, CASE, fixed-string padding. */
+  def scalarFunctions(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") <= 100)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        toStartOfDay(col("l_shipdate")).cast("timestamp_ntz").as("ship_day"),
+        (col("l_shipdate") + interval(hours = lit(12))).cast("timestamp_ntz").as("ship_noon"),
+        subtractHours(col("l_shipdate"), 24).cast("timestamp_ntz").as("ship_prev"),
+        toYYYYMM(col("l_shipdate")).as("ship_yyyymm"),
+        floorRound(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("net_price"),
+        coalesce(nullIf(col("l_returnflag"), lit("N")), lit("~")).as("flag_or_tilde"),
+        toFixedString(col("l_linestatus"), 2).as("status_fixed"),
+        when(col("l_quantity") >= 25, "bulk").otherwise("retail").as("order_class"))
+      .orderBy("l_orderkey", "l_linenumber")
+}
