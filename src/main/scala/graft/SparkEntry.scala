@@ -36,6 +36,9 @@ object SparkEntry {
     "user_activity"         -> (CdcPipes.userActivity _),
     "events_by_type_status" -> (CdcPipes.eventsByTypeStatus _),
     "value_by_type_status"  -> (CdcPipes.valueByTypeStatus _),
+    "events_ingest_normalize" -> (CdcPipes.eventsIngestNormalize _),
+    "events_quarantine"     -> (CdcPipes.eventsQuarantine _),
+    "events_in_window"      -> ((s, d) => CdcPipes.eventsInWindow(s, d)),
     // relational coverage (SURVEY §2.2/2.3/2.5/2.6/2.7)
     "q1_pricing_summary"    -> (TpchPipes.q1PricingSummary _),
     "mktsegment_revenue"    -> (TpchPipes.mktsegmentRevenue _),
@@ -50,6 +53,25 @@ object SparkEntry {
     "parts_except"          -> (TpchPipes.partsExcept _),
     "regions_cross"         -> (TpchPipes.regionsCross _),
     "scalar_functions"      -> (TpchPipes.scalarFunctions _),
+    // training-data pipeline: text analysis (SURVEY-beyond ops)
+    "docs_token_stats"      -> (operators.TextAnalysis.tokenStats _),
+    "docs_quality_score"    -> (operators.TextAnalysis.qualityScore _),
+    "docs_lang_id"          -> (operators.TextAnalysis.langId _),
+    "docs_fingerprint"      -> (operators.TextAnalysis.fingerprint _),
+    // training-data pipeline: dedup suite
+    "docs_exact_dedup"      -> (operators.TextDedup.exactDedup _),
+    "docs_near_dup_pairs"   -> ((s, d) => operators.TextDedup.nearDupPairs(s, d)),
+    "docs_minhash_bands"    -> (operators.TextDedup.minhashBands _),
+    "docs_minhash_lsh_pairs" -> ((s, d) => operators.TextDedup.minhashLshPairs(s, d)),
+    "docs_simhash"          -> (operators.TextDedup.simhash _),
+    // training-data pipeline: similarity search
+    "emb_norms"             -> (operators.VectorOps.norms _),
+    "emb_knn_bruteforce"    -> ((s, d) => operators.VectorOps.knnBruteForce(s, d)),
+    "emb_knn_lsh"           -> ((s, d) => operators.VectorOps.knnLsh(s, d)),
+    "emb_ivf_assign"        -> ((s, d) => operators.VectorOps.ivfAssign(s, d)),
+    // training-data pipeline: multimodal binary columns
+    "docs_binary_meta"      -> (operators.Multimodal.binaryMeta _),
+    "docs_decode_features"  -> (operators.Multimodal.decodeFeatures _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -132,6 +154,21 @@ object SparkEntry {
         |  CAST(sum(CAST(floor(CASE WHEN event_type = 'click' THEN value ELSE 0 END * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS click_value,
         |  CAST(sum(CAST(floor(CASE WHEN event_type = 'error' THEN value ELSE 0 END * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS error_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_ingest_normalize" ->
+      """SELECT event_id, user_id, ts,
+        |  CAST(json_extract(props, '$.k') AS INT) AS prop_k,
+        |  COALESCE(value, 0.0) AS value_filled,
+        |  rpad(event_type, 10, ' ') AS event_type_fixed
+        |FROM events ORDER BY event_id""".stripMargin,
+    "events_quarantine" ->
+      """SELECT event_id, user_id, props FROM events
+        |WHERE TRY_CAST(json_extract_string(props, '$.k') AS INT) IS NULL
+        |ORDER BY event_id""".stripMargin,
+    "events_in_window" ->
+      """WITH bounds AS (SELECT max(ts) - INTERVAL 7 DAY AS s, max(ts) AS e FROM events)
+        |SELECT date_trunc('day', ts) AS day, count(*) AS events, count(DISTINCT user_id) AS users
+        |FROM events, bounds WHERE ts >= s AND ts <= e
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
@@ -198,6 +235,87 @@ object SparkEntry {
       """SELECT r_regionkey, r_name, nation_total
         |FROM region CROSS JOIN (SELECT count(*) AS nation_total FROM nation)
         |ORDER BY r_regionkey""".stripMargin,
+    "docs_token_stats" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        |  floor(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |        / (length(text) - length(replace(text, ' ', '')) + 1) * 10000 + 0.5) / 10000.0 AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "docs_quality_score" ->
+      """SELECT doc_id, lang,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS BIGINT) AS n_stopwords,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        |  CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) AS n_vowels,
+        |  floor(CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS DOUBLE)
+        |        / (length(text) - length(replace(text, ' ', '')) + 1) * 10000 + 0.5) / 10000.0 AS stopword_ratio,
+        |  CASE WHEN floor(CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS DOUBLE)
+        |        / (length(text) - length(replace(text, ' ', '')) + 1) * 10000 + 0.5) / 10000.0 >= 0.08 THEN 'high'
+        |       WHEN floor(CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS DOUBLE)
+        |        / (length(text) - length(replace(text, ' ', '')) + 1) * 10000 + 0.5) / 10000.0 >= 0.03 THEN 'mid'
+        |       ELSE 'low' END AS quality_band
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "docs_lang_id" ->
+      """SELECT doc_id, lang,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS BIGINT) AS en_markers,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        |  CASE WHEN len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) * 20
+        |            >= length(text) - length(replace(text, ' ', '')) + 1 THEN 'en'
+        |       WHEN len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) > 0 THEN 'en_maybe'
+        |       ELSE 'und' END AS lang_pred
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "docs_fingerprint" ->
+      """SELECT doc_id, md5(text) AS digest, sha256(text) AS digest_sha256,
+        |  CAST(length(text) AS BIGINT) AS text_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "docs_exact_dedup" ->
+      """SELECT md5(text) AS digest, min(doc_id) AS canonical_doc_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY canonical_doc_id""".stripMargin,
+    "docs_near_dup_pairs" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, t[g] || ' ' || t[g+1] || ' ' || t[g+2] AS s
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS g)
+        |  WHERE len(t) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT doc_a, doc_b, c * 1.0 / (na.n + nb.n - c) AS jr
+        |  FROM inter JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id)
+        |SELECT doc_a, doc_b, floor(jr * 10000 + 0.5) / 10000.0 AS jaccard
+        |FROM j WHERE jr >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "emb_norms" ->
+      """SELECT vec_id, label,
+        |  floor(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 10000 + 0.5) / 10000.0 AS l2_norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "emb_knn_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+        |s AS (
+        |  SELECT query_id, e.vec_id AS neighbor_id,
+        |    floor(list_sum(list_transform(generate_series(1, len(qe)),
+        |      i -> CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) * 1000000 + 0.5) / 1000000.0 AS cosine
+        |  FROM q, embeddings e WHERE e.vec_id != q.query_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
+        |SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
+        |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+    "emb_ivf_assign" ->
+      """WITH anchors AS (SELECT vec_id AS list_id, embedding AS anchor FROM embeddings WHERE vec_id < 8),
+        |s AS (
+        |  SELECT e.vec_id, list_id,
+        |    floor(list_sum(list_transform(generate_series(1, len(anchor)),
+        |      i -> CAST(anchor[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) * 1000000 + 0.5) / 1000000.0 AS sim
+        |  FROM embeddings e, anchors),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, list_id) AS rn FROM s)
+        |SELECT list_id, count(*) AS n_vectors,
+        |  floor(CAST(sum(CAST(floor(sim * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+        |        / (count(*) * 1000000.0) * 10000 + 0.5) / 10000.0 AS avg_sim
+        |FROM r WHERE rn = 1 GROUP BY list_id ORDER BY list_id""".stripMargin,
+    "docs_binary_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS digest,
+        |  'text/plain;charset=utf-8' AS content_type, source
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "scalar_functions" ->
       """SELECT l_orderkey, l_linenumber,
         |  date_trunc('day', l_shipdate) AS ship_day,

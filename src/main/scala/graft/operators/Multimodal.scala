@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.ChFunctions._
+
+/** Multimodal-column plumbing: media (image/audio/video) as opaque
+  * `binary` payloads with typed metadata, processed by per-partition
+  * batch functions — the Scala analogue of `mapInPandas` batch UDFs.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked DETERMINISTIC STUB (see [[FakeDecode]]); everything
+  * around it — the binary column, the schema, the per-partition batch
+  * iteration, the partitioning — is real and is what matters for the
+  * 100 TB design: payloads stay distributed, only metadata/features
+  * shuffle, and the decode cost is linear per partition with no
+  * driver involvement.
+  */
+object Multimodal {
+
+  /** Typed rows for the per-partition decode path. */
+  case class MediaRow(doc_id: Long, payload: Array[Byte])
+  case class MediaFeatures(doc_id: Long, width: Int, height: Int,
+                           channels: Int, feature_sum: Long)
+
+  /** ===== STUB ===== Deterministic fake media decode: derives "image"
+    * metadata and a feature from the raw bytes. A real deployment swaps
+    * this single function for an actual codec (e.g. javax.imageio /
+    * ffmpeg bindings) — the Spark plumbing is unchanged. */
+  object FakeDecode {
+    def decode(r: MediaRow): MediaFeatures = {
+      val n = r.payload.length
+      val sum = r.payload.foldLeft(0L)((a, b) => a + (b & 0xff))
+      MediaFeatures(r.doc_id,
+        width = 64 + (sum % 512).toInt,
+        height = 64 + (n % 512),
+        channels = 3,
+        feature_sum = sum)
+    }
+  }
+
+  /** Binary-column metadata — the oracled plumbing query: documents
+    * carried as utf-8 binary payloads with byte-accurate metadata.
+    * Everything codegen'd; the binary never leaves the executor except
+    * as this projected metadata. */
+  def binaryMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        encode(col("text"), "utf-8").as("payload"),
+        col("source"))
+      .select(
+        col("doc_id"),
+        length(col("payload")).cast("long").as("byte_len"),
+        md5(col("payload")).as("digest"),
+        lit("text/plain;charset=utf-8").as("content_type"),
+        col("source"))
+      .orderBy("doc_id")
+
+  /** Per-partition batch decode over the binary column (mapPartitions =
+    * the batch-UDF shape: amortize codec init across a partition's rows).
+    * Output is deterministic because FakeDecode is. */
+  def decodeFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaRow] = Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .as[MediaRow]
+    media.mapPartitions { it =>
+      // real pipelines initialize the codec once per partition here
+      it.map(FakeDecode.decode)
+    }.toDF().orderBy("doc_id")
+  }
+}

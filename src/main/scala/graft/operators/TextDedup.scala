@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.ChFunctions._
+
+/** Document deduplication suite over `documents`: exact (digest),
+  * exact-similarity (n-gram Jaccard via inverted-index join), and the
+  * probabilistic scale path (MinHash + LSH banding), plus SimHash
+  * fingerprints.
+  *
+  * Scale design:
+  *  - Exact dedup shuffles 16-byte digests, not documents.
+  *  - The Jaccard path explodes word-3-gram shingles and self-joins on
+  *    the shingle (an inverted index): exact — it finds every pair with
+  *    jaccard > 0 — but the join fan-out is Σ c(s)² over shingle
+  *    frequencies, so it's the *verification* tool and the small-scale
+  *    oracle-checked truth.
+  *  - MinHash+LSH is the 100 TB path: constant-size signatures
+  *    (16 hashes → 4 bands), candidates only where a band collides;
+  *    cost is linear in docs + collisions, independent of pairwise
+  *    similarity structure. Recall vs the exact path is property-tested.
+  */
+object TextDedup {
+
+  /** Exact dedup via content digest (one row per distinct content with
+    * its canonical doc and multiplicity). */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("digest"))
+      .agg(min(col("doc_id")).as("canonical_doc_id"), count(lit(1)).as("dup_count"))
+      .orderBy("canonical_doc_id")
+
+  /** Distinct word-3-gram shingles per doc: (doc_id, shingle). */
+  private[operators] def shingles(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"))
+        .as("shingle"))
+      .distinct()
+
+  /** Exact near-dup pairs: 3-gram Jaccard >= `minJaccard` via the
+    * inverted-index join. Shingle-join fan-out is the scale hazard —
+    * hot shingles (boilerplate) explode; cap with a document-frequency
+    * filter like real pipelines do (a shingle in >maxDf docs can't
+    * witness a high-jaccard pair that rarer shingles won't also witness
+    * — only when maxDf is comfortably above corpus dup-cluster size). */
+  def nearDupPairs(spark: SparkSession, dir: String, minJaccard: Double = 0.5): DataFrame = {
+    val sh = shingles(Tables.documents(spark, dir)).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b,
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    val j = inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard_raw", col("c") * 1.0 / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard_raw") >= minJaccard)
+    j.select(col("doc_a"), col("doc_b"), floorRound(col("jaccard_raw"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val NumHashes = 16
+  private val Bands = 4 // 4 rows per band
+
+  /** MinHash signatures: one aggregation pass over exploded shingles,
+    * k independent hash functions as xxhash64 seeded by position. */
+  private[operators] def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs)
+    val mins = (0 until NumHashes).map(j =>
+      min(xxhash64(lit(j), col("shingle"))).as(s"h$j"))
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding of a signature frame: (doc_id, band, band_hash) — docs
+    * agreeing on all rows of any band land in the same bucket. */
+  private def bandsOf(sig: DataFrame): DataFrame = {
+    val rowsPerBand = NumHashes / Bands
+    val bandCols = (0 until Bands).map { b =>
+      val hs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(hs: _*).as("band_hash"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+  }
+
+  /** MinHash signature/band table as a queryable endpoint. */
+  def minhashBands(spark: SparkSession, dir: String): DataFrame =
+    bandsOf(minhashSignatures(Tables.documents(spark, dir)))
+      .orderBy("doc_id", "band")
+
+  /** MinHash+LSH candidate pairs with exact-Jaccard verification — the
+    * scale path: bucket-join on (band, band_hash), then verify only the
+    * candidates. Same output shape as nearDupPairs; recall is
+    * probabilistic (property-tested against the exact path). */
+  def minhashLshPairs(spark: SparkSession, dir: String, minJaccard: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bands = bandsOf(minhashSignatures(docs))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.band_hash") === col("y.band_hash") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // exact verification on candidates only: intersection via a join on
+    // (doc, shingle) against each side
+    val sh = shingles(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.toDF("doc_a", "shingle"), Seq("doc_a"))
+      .join(sh.toDF("doc_b", "shingle"), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
+      .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
+      .withColumn("jaccard_raw", col("c") * 1.0 / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard_raw") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), floorRound(col("jaccard_raw"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash: 64-bit similarity-preserving fingerprint. Entirely per-row
+    * (token hash → per-bit ±1 vote → sign), zero shuffle; near-dup
+    * detection then compares fingerprints by hamming distance. */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr(
+          """aggregate(
+            |  transform(array_distinct(split(text, ' ')), t -> xxhash64(t)),
+            |  array_repeat(cast(0 as bigint), 64),
+            |  (acc, h) -> zip_with(acc,
+            |      transform(sequence(0, 63), b -> if(((h >> b) & 1) = 1, 1L, -1L)),
+            |      (x, y) -> x + y),
+            |  acc -> aggregate(sequence(0, 63), cast(0 as bigint),
+            |      (s, b) -> if(acc[b] > 0, s | (1L << b), s)))""".stripMargin)
+          .as("simhash"))
+      .orderBy("doc_id")
+}

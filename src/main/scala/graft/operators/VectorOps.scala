@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.ChFunctions._
+
+/** Similarity search over the `embeddings` table (Array[Float], 64-dim,
+  * unit-normalized — so cosine similarity = dot product).
+  *
+  * Two tiers:
+  *  - brute-force top-k: exact, O(|Q|·|N|) dots — the baseline and the
+  *    verification truth. Queries are broadcast; the corpus is scanned
+  *    once; per-partition top-k via the ranking window on the (small)
+  *    |Q|·k candidate space after scoring.
+  *  - random-hyperplane LSH: the scale path — each vector hashed to a
+  *    bucket by the sign pattern of `NumPlanes` fixed hyperplane dots;
+  *    candidate neighbors share the bucket, so the join is an equi-join
+  *    on bucket id instead of a cross join. Recall is probabilistic
+  *    (property-tested against brute force); at 100 TB this is the
+  *    difference between a hash-partitioned equi-join and an unrunnable
+  *    cartesian.
+  *
+  * All dots computed with built-in higher-order functions
+  * (zip_with + aggregate) over double-cast elements — deterministic
+  * left-to-right summation, mirrored in the DuckDB oracle.
+  */
+object VectorOps {
+
+  /** dot(a, b) with double accumulation, left-to-right. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** L2 norms — plumbing validation for the vector column. */
+  def norms(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        floorRound(sqrt(dot(col("embedding"), col("embedding"))), 4).as("l2_norm"))
+      .orderBy("vec_id")
+
+  /** Exact brute-force cosine top-k for query vectors `vec_id < nQueries`.
+    * Cosine rounded to 6dp BEFORE ranking so ordering ties break on
+    * neighbor id identically in any engine. */
+  def knnBruteForce(spark: SparkSession, dir: String,
+                    nQueries: Int = 20, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        floorRound(dot(col("qe"), col("embedding")), 6).as("cosine"))
+    limitBy(scored, k, Seq(col("query_id")), Seq(col("cosine").desc, col("neighbor_id")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .orderBy("query_id", "rank")
+  }
+
+  private val NumPlanes = 8
+
+  /** Deterministic pseudo-random hyperplanes: NumPlanes × dim values in
+    * [-1, 1) derived from a seeded generator at plan-build time (driver
+    * side, literal arrays — broadcast implicitly with the plan). */
+  private def planes(dim: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(NumPlanes, dim)(rnd.nextDouble() * 2 - 1)
+  }
+
+  /** Bucket id: sign-bit pattern of the hyperplane dots. */
+  private def bucketCol(emb: Column, dim: Int): Column = {
+    val ps = planes(dim)
+    (0 until NumPlanes).map { p =>
+      val plane = array(ps(p).map(lit): _*)
+      when(dot(emb, plane) >= 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate top-k: same output shape as knnBruteForce,
+    * but candidates limited to the query's bucket. */
+  def knnLsh(spark: SparkSession, dir: String,
+             nQueries: Int = 20, k: Int = 5, dim: Int = 64): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("bucket", bucketCol(col("embedding"), dim))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
+    val scored = emb.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        floorRound(dot(col("qe"), col("embedding")), 6).as("cosine"))
+    limitBy(scored, k, Seq(col("query_id")), Seq(col("cosine").desc, col("neighbor_id")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF-style partition assignment: each vector assigned to its nearest
+    * of `nLists` anchor vectors (anchors = the first nLists corpus
+    * vectors — deterministic, data-derived). The cluster histogram is
+    * the queryable output; at scale the assignment is the partition key
+    * that turns ANN into per-list local search. */
+  def ivfAssign(spark: SparkSession, dir: String, nLists: Int = 8): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val anchors = emb.filter(col("vec_id") < nLists)
+      .select(col("vec_id").as("list_id"), col("embedding").as("anchor"))
+    val assigned = emb.join(broadcast(anchors))
+      .select(col("vec_id"), col("list_id"),
+        floorRound(dot(col("embedding"), col("anchor")), 6).as("sim"))
+    limitBy(assigned, 1, Seq(col("vec_id")), Seq(col("sim").desc, col("list_id")))
+      .groupBy("list_id")
+      .agg(count(lit(1)).as("n_vectors"),
+        // exact integer-unit average (sim is 6dp) — order-insensitive
+        floorRound(sum(floor(col("sim") * 1e6 + 0.5).cast("long")) / (count(lit(1)) * 1e6), 4)
+          .as("avg_sim"))
+      .orderBy("list_id")
+  }
+}

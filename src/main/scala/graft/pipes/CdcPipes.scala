@@ -160,6 +160,50 @@ object CdcPipes {
         col("event_type"))
   }
 
+  /** S1/P4 — the Kafka-ingest projection (users_mv.pipe:4-17 +
+    * users_raw.datasource:3-14): per-column JSONPath extraction from the
+    * raw message, coalesce defaults, fixed-string normalization. The µs
+    * decode (fromUnixTimestamp64Micro) happens at scan in Tables.events.
+    * get_json_object is a codegen'd Catalyst expression — the JSON parse
+    * stays inside whole-stage codegen, no UDF. */
+  def eventsIngestNormalize(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"), col("user_id"), col("ts"),
+        get_json_object(col("props"), "$.k").cast("int").as("prop_k"),
+        coalesce(col("value"), lit(0.0)).as("value_filled"),
+        toFixedString(col("event_type"), 10).as("event_type_fixed"))
+      .orderBy("event_id")
+
+  /** S8 — quarantine side-sink (tb_functions.py:141-142): rows whose raw
+    * payload fails schema extraction are routed aside instead of
+    * poisoning the table. Here: events whose props is not parseable JSON
+    * with an integer `k`. */
+  def eventsQuarantine(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(get_json_object(col("props"), "$.k").cast("int").isNull)
+      .select("event_id", "user_id", "props")
+      .orderBy("event_id")
+
+  /** §2.10 template parameters (flights_missed_pct_minute.pipe:22,31-32):
+    * `{% if defined(start) %} {{DateTime(start)}} {% else %} subtractHours(now(),1) {% end %}`
+    * becomes Option-typed Scala params with anchored defaults. The
+    * registered endpoint uses the defaults (last 7 days before max ts). */
+  def eventsInWindow(spark: SparkSession, dir: String,
+                     start: Option[java.sql.Timestamp] = None,
+                     end: Option[java.sql.Timestamp] = None): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val bounds = e.agg(max(col("ts")).as("__maxts"))
+      .select(
+        start.map(s => lit(s).cast("timestamp_ntz")).getOrElse(col("__maxts") - interval(days = lit(7))).as("__start"),
+        end.map(s => lit(s).cast("timestamp_ntz")).getOrElse(col("__maxts")).as("__end"))
+    e.crossJoin(broadcast(bounds))
+      .filter(col("ts") >= col("__start") && col("ts") <= col("__end"))
+      .groupBy(toStartOfDay(col("ts")).as("day"))
+      .agg(count(lit(1)).as("events"), countDistinct(col("user_id")).as("users"))
+      .orderBy("day")
+  }
+
   /** baggage_by_flight_status.pipe:3-26 — conditional rounded sums (A7)
     * with CASE ordering (O3). Analog: value mass by event_type per day-of-week. */
   def valueByTypeStatus(spark: SparkSession, dir: String): DataFrame = {
