@@ -60,37 +60,55 @@ object VectorOps {
       .orderBy("query_id", "rank")
   }
 
-  private val NumPlanes = 8
+  // Multi-table random-hyperplane LSH: L independent tables of b planes.
+  // Collision prob for a pair at angle θ is p=(1-θ/π) per plane, so a
+  // neighbor is found with prob 1-(1-p^b)^L — tunable recall without a
+  // cross join. b=3, L=6 targets ~0.8 recall at cosine≈0.4 (the top-1
+  // regime of uniform-random corpora, LSH's worst case; clustered real
+  // embeddings collide far more).
+  private val PlanesPerTable = 3
+  private val NumTables = 6
 
-  /** Deterministic pseudo-random hyperplanes: NumPlanes × dim values in
-    * [-1, 1) derived from a seeded generator at plan-build time (driver
-    * side, literal arrays — broadcast implicitly with the plan). */
-  private def planes(dim: Int): Array[Array[Double]] = {
+  /** Deterministic pseudo-random hyperplanes (seeded at plan-build on
+    * the driver; shipped as literal arrays with the plan). */
+  private def planes(dim: Int): Array[Array[Array[Double]]] = {
     val rnd = new scala.util.Random(42)
-    Array.fill(NumPlanes, dim)(rnd.nextDouble() * 2 - 1)
+    Array.fill(NumTables, PlanesPerTable, dim)(rnd.nextDouble() * 2 - 1)
   }
 
-  /** Bucket id: sign-bit pattern of the hyperplane dots. */
-  private def bucketCol(emb: Column, dim: Int): Column = {
+  /** (table, bucket) pairs for a vector: sign-bit pattern per table. */
+  private def tableBuckets(emb: Column, dim: Int): Column = {
     val ps = planes(dim)
-    (0 until NumPlanes).map { p =>
-      val plane = array(ps(p).map(lit): _*)
-      when(dot(emb, plane) >= 0, lit(1 << p)).otherwise(lit(0))
-    }.reduce(_ + _)
+    array((0 until NumTables).map { t =>
+      val bucket = (0 until PlanesPerTable).map { p =>
+        val plane = array(ps(t)(p).map(lit): _*)
+        when(dot(emb, plane) >= 0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), bucket.as("bucket"))
+    }: _*)
   }
 
-  /** LSH-bucketed approximate top-k: same output shape as knnBruteForce,
-    * but candidates limited to the query's bucket. */
+  /** Multi-table LSH approximate top-k: same output shape as
+    * knnBruteForce; candidates are vectors sharing any table's bucket
+    * with the query — an equi-join on (table, bucket) instead of a
+    * cross join. */
   def knnLsh(spark: SparkSession, dir: String,
              nQueries: Int = 20, k: Int = 5, dim: Int = 64): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-      .withColumn("bucket", bucketCol(col("embedding"), dim))
+      .select(col("vec_id"), col("embedding"),
+        explode(tableBuckets(col("embedding"), dim)).as("tb"))
+      .select(col("vec_id"), col("embedding"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val q = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
-    val scored = emb.join(broadcast(q), Seq("bucket"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("tbl"), col("bucket"))
+    val scored = emb.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+      // a pair can collide in several tables — collapse before ranking
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"),
         floorRound(dot(col("qe"), col("embedding")), 6).as("cosine"))
+      .agg(count(lit(1)).as("__collisions"))
+      .drop("__collisions")
     limitBy(scored, k, Seq(col("query_id")), Seq(col("cosine").desc, col("neighbor_id")))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window

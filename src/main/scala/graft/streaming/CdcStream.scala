@@ -1,0 +1,141 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import graft.operators.Dedup
+
+/** The reference's ingestion + materialization path (SURVEY.md §3.2),
+  * Spark-native: a raw CDC stream lands in an append-only log, a
+  * materialized-view stream normalizes each ingested block into the
+  * latest-state table's log, and readers apply the FINAL dedup view.
+  *
+  *   Kafka/file source → raw append (S1/S2)
+  *     → MV transform stream (S4, users_mv.pipe:1-20)
+  *       → versioned log (ReplacingMergeTree analogue, S3)
+  *         → FINAL view / hourly copy snapshot (D2/D3)
+  *
+  * Scale: the streaming path is stateless (projection only), so
+  * executors scale horizontally with source partitions and there is no
+  * state store to grow. Latest-state is resolved at read (dedup view)
+  * or by the scheduled compaction job — exactly the reference's
+  * ReplacingMergeTree + background-merge split. The optional
+  * flatMapGroupsWithState variant keeps per-key state in the stream
+  * instead; its memory is bounded by key cardinality, which the
+  * reference accepts too (its table IS that state).
+  */
+object CdcStream {
+
+  /** The CDC event schema (events-table shape; ts = version). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** S1 — streaming scan with declared schema (no inference, mirroring
+    * the fixed SCHEMA block of `.datasource` files). File source here;
+    * swap `.format("kafka")` + from_json for a broker deployment. */
+  def readEvents(spark: SparkSession, srcDir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(srcDir)
+
+  /** S4 — the materialized-view transform (users_mv.pipe:4-17 semantics):
+    * per-column extraction + defaults, applied to every ingested block. */
+  def materializedView(raw: DataFrame): DataFrame =
+    raw.select(
+      col("event_id"), col("user_id"), col("ts"),
+      col("event_type"),
+      coalesce(col("value"), lit(0.0)).as("value"),
+      get_json_object(col("props"), "$.k").cast("int").as("prop_k"))
+
+  /** Start the MV stream appending into the versioned log. */
+  def startMv(spark: SparkSession, srcDir: String, logDir: String,
+              checkpointDir: String): StreamingQuery =
+    materializedView(readEvents(spark, srcDir))
+      .writeStream
+      .format("parquet")
+      .option("path", logDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** D2 — FINAL read view over the materialized log. */
+  def finalView(spark: SparkSession, logDir: String): DataFrame =
+    Dedup.latestByKey(spark.read.parquet(logDir), Seq("user_id"),
+      version = struct(col("ts"), col("event_id")),
+      payload = Seq("event_id", "ts", "event_type", "value", "prop_k"))
+
+  /** S5/D3 — the scheduled copy job (users_batch_copy.pipe:8-70): read
+    * the snapshot's high-watermark, collapse newer log events per key,
+    * keep unsuperseded prior rows, append the new snapshot generation.
+    * Each generation is stamped so readers take max(generation). */
+  def runCopyJob(spark: SparkSession, logDir: String, snapDir: String): Unit = {
+    val log = spark.read.parquet(logDir)
+    val payload = Seq("event_id", "ts", "event_type", "value", "prop_k")
+    val snapExists = new java.io.File(snapDir).exists() &&
+      new java.io.File(snapDir).listFiles().exists(_.getName.endsWith(".parquet"))
+    val next: DataFrame = if (!snapExists) {
+      Dedup.latestByKey(log, Seq("user_id"),
+          struct(col("ts"), col("event_id")), payload)
+        .withColumn("generation", lit(1L))
+    } else {
+      val snap = spark.read.parquet(snapDir)
+      val gen = snap.agg(max(col("generation"))).first().getLong(0)
+      val prior = snap.filter(col("generation") === gen).drop("generation")
+      val wmRow = prior.agg(max(col("ts")).as("wm")).first()
+      val wm = wmRow.getAs[java.time.LocalDateTime]("wm")
+      Dedup.incrementalSnapshot(prior, log, Seq("user_id"),
+          struct(col("ts"), col("event_id")), "ts", payload, lit(wm))
+        .withColumn("generation", lit(gen + 1))
+    }
+    next.write.mode("append").parquet(snapDir)
+  }
+
+  /** Read the current snapshot (latest generation). */
+  def readSnapshot(spark: SparkSession, snapDir: String): DataFrame = {
+    val snap = spark.read.parquet(snapDir)
+    val gen = snap.agg(max(col("generation"))).first().getLong(0)
+    snap.filter(col("generation") === gen).drop("generation")
+  }
+
+  case class LatestState(event_id: Long, ts: java.time.LocalDateTime,
+                         event_type: String, value: Double)
+  case class LatestRow(user_id: Long, event_id: Long,
+                       ts: java.time.LocalDateTime,
+                       event_type: String, value: Double)
+
+  /** In-stream latest-per-key via flatMapGroupsWithState — the stateful
+    * alternative to dedup-on-read. Emits the new latest row for a key
+    * whenever it changes (Update mode). Late/out-of-order events are
+    * handled by version-max comparison, same guarantee as the views. */
+  def latestStateful(spark: SparkSession, raw: DataFrame): Dataset[LatestRow] = {
+    import spark.implicits._
+    raw.select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        coalesce(col("value"), lit(0.0)).as("value"))
+      .as[LatestRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LatestState, LatestRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[LatestRow], state: GroupState[LatestState]) =>
+          def moreRecent(ts: java.time.LocalDateTime, id: Long,
+                         ts2: java.time.LocalDateTime, id2: Long): Boolean = {
+            val c = ts.compareTo(ts2); c > 0 || (c == 0 && id > id2)
+          }
+          val newest = rows.reduceLeft((x, y) =>
+            if (moreRecent(y.ts, y.event_id, x.ts, x.event_id)) y else x)
+          val cur = state.getOption
+          val newer = cur.forall(c =>
+            moreRecent(newest.ts, newest.event_id, c.ts, c.event_id))
+          if (newer) {
+            state.update(LatestState(newest.event_id, newest.ts,
+              newest.event_type, newest.value))
+            Iterator(LatestRow(key, newest.event_id, newest.ts,
+              newest.event_type, newest.value))
+          } else Iterator.empty
+      }
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.ChFunctions._
+
+/** Unit coverage of the ClickHouse-function shim (SURVEY §2.8) —
+  * one place where every mapping decision is pinned. */
+class ChFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): Any =
+    Seq(1).toDF("x").select(c.as("r")).first().get(0)
+
+  test("toYYYYMM") {
+    assert(one(toYYYYMM(lit("2024-03-07 01:02:03").cast("timestamp"))) == 202403)
+  }
+
+  test("toStartOfMinute truncates and stays ntz") {
+    val df = Seq("2024-03-07 01:02:33").toDF("s")
+      .select(toStartOfMinute(col("s").cast("timestamp")).as("m"))
+    assert(df.schema("m").dataType.typeName == "timestamp_ntz")
+    assert(df.first().get(0).toString == "2024-03-07T01:02")
+  }
+
+  test("toFixedString pads and truncates") {
+    assert(one(toFixedString(lit("ab"), 4)) == "ab  ")
+    assert(one(toFixedString(lit("abcdef"), 4)) == "abcd")
+  }
+
+  test("nullIf / ifNull") {
+    assert(one(nullIf(lit(5), lit(5))) == null)
+    assert(one(ifNull(nullIf(lit(5), lit(5)), lit(9))) == 9)
+  }
+
+  test("exactSum is order-insensitive and exact on 2dp values") {
+    val vals = Seq(0.1, 0.2, 0.3, 8.1, 185.22, 99.99)
+    val a = vals.toDF("v").agg(exactSum(col("v"), 2).as("s")).first().getDouble(0)
+    val b = vals.reverse.toDF("v").repartition(3)
+      .agg(exactSum(col("v"), 2).as("s")).first().getDouble(0)
+    assert(a == b)
+    assert(a == 293.91)
+  }
+
+  test("floorRound half-up on exact binary") {
+    assert(one(floorRound(lit(1.005), 2)) == 1.0) // 1.005 binary is below .005
+    assert(one(floorRound(lit(2.5), 0)) == 3.0)
+    assert(one(floorRound(lit(1.23449), 2)) == 1.23)
+  }
+
+  test("limitBy n=2 keeps top 2 per key") {
+    val df = Seq((1, 3), (1, 1), (1, 2), (2, 9)).toDF("k", "v")
+    val r = limitBy(df, 2, Seq(col("k")), Seq(col("v").desc))
+      .orderBy("k", "v").as[(Int, Int)].collect().toSeq
+    assert(r == Seq((1, 2), (1, 3), (2, 9)))
+  }
+
+  test("argMax picks value at max version") {
+    val df = Seq((1L, "old"), (5L, "new"), (3L, "mid")).toDF("ver", "v")
+    assert(df.agg(argMax(col("v"), col("ver"))).first().getString(0) == "new")
+  }
+}

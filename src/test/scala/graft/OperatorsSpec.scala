@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{TextDedup, VectorOps}
+
+/** Scale-path operators vs their exact counterparts, plus smoke over
+  * the whole registry. */
+class OperatorsSpec extends SparkSpec {
+
+  test("MinHash+LSH recall >= 0.8 vs exact Jaccard pairs, no false positives") {
+    val exact = TextDedup.nearDupPairs(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TextDedup.minhashLshPairs(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH emitted a pair the exact path doesn't have")
+    if (exact.nonEmpty)
+      assert(lsh.size.toDouble / exact.size >= 0.8,
+        s"LSH recall ${lsh.size}/${exact.size}")
+  }
+
+  test("simhash: near-dup pairs have small hamming distance") {
+    val pairs = TextDedup.nearDupPairs(spark, sf).select("doc_a", "doc_b")
+    val sh = TextDedup.simhash(spark, sf)
+    val joined = pairs
+      .join(sh.toDF("doc_a", "sim_a"), "doc_a")
+      .join(sh.toDF("doc_b", "sim_b"), "doc_b")
+      .select(expr("bit_count(sim_a ^ sim_b)").as("hamming"))
+      .collect().map(_.getInt(0))
+    // jaccard>=0.5 dups should collide on most bits
+    joined.foreach(h => assert(h <= 16, s"hamming $h too large for a near-dup"))
+  }
+
+  test("multi-table LSH ANN: top-1 recall >= 0.5 on uniform corpus (worst case)") {
+    val lsh = VectorOps.knnLsh(spark, sf, nQueries = 20, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bfTop1 = VectorOps.knnBruteForce(spark, sf, nQueries = 20, k = 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // theory: b=3,L=6 at cosine≈0.4 → per-neighbor hit prob ≈ 0.8
+    val hit = bfTop1.count(lsh.contains)
+    assert(hit >= (bfTop1.size * 0.5).toInt,
+      s"LSH top-1 recall too low: $hit/${bfTop1.size}")
+  }
+
+  test("IVF assignment partitions the corpus completely") {
+    val total = VectorOps.ivfAssign(spark, sf)
+      .agg(sum("n_vectors")).first().getLong(0)
+    val n = Tables.embeddings(spark, sf).count()
+    assert(total == n)
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every registered query runs at sf0.001") {
+    val mayBeEmpty = Set("events_quarantine", "customers_without_orders",
+      "docs_near_dup_pairs", "docs_minhash_lsh_pairs", "emb_knn_lsh")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n >= 0)
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("oracle map keys are a subset of query keys") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}

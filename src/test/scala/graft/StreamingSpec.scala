@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import graft.streaming.CdcStream
+import graft.Tables
+
+/** E2E CDC replay (SURVEY §5 test plan #4): events streamed in chunks
+  * through the MV pipeline; the FINAL view over the materialized log
+  * must equal batch dedup of everything ingested; the copy job's
+  * snapshot must agree; the stateful stream must agree. Mirrors the
+  * reference's compare_source_to_dest oracle (demo_users.py:167-204)
+  * with its ≤15 s propagation budget. */
+class StreamingSpec extends SparkSpec {
+
+  private def tmp(): String = Files.createTempDirectory("graftstream").toString
+
+  test("file-replay MV pipeline: FINAL view equals batch dedup; within budget") {
+    val src = tmp(); val logDir = tmp() + "/log"; val ck = tmp() + "/ck"
+    val events = Tables.events(spark, sf) // 10k rows at sf0.001? (smallest)
+    // replay in 3 chunks, running the AvailableNow stream after each —
+    // incremental ingestion with checkpointed offsets
+    val chunks = Seq(
+      events.filter(col("event_id") % 3 === 0),
+      events.filter(col("event_id") % 3 === 1),
+      events.filter(col("event_id") % 3 === 2))
+    val t0 = System.nanoTime()
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      c.write.parquet(s"$src/chunk$i")
+      val q = CdcStream.startMv(spark, s"$src/chunk*", logDir, ck)
+      q.awaitTermination()
+    }
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    val streamed = CdcStream.finalView(spark, logDir)
+      .select("user_id", "event_id").orderBy("user_id")
+      .collect().toSeq
+    val batch = operators.Dedup.latestByKey(
+        CdcStream.materializedView(events), Seq("user_id"),
+        struct(col("ts"), col("event_id")),
+        Seq("event_id", "ts", "event_type", "value", "prop_k"))
+      .select("user_id", "event_id").orderBy("user_id")
+      .collect().toSeq
+    assert(streamed == batch)
+    assert(elapsed < 15.0, s"propagation budget exceeded: $elapsed s")
+  }
+
+  test("copy job: two generations; snapshot equals FINAL view") {
+    val logDir = tmp() + "/log"; val snapDir = tmp() + "/snap"
+    val events = Tables.events(spark, sf)
+    val mv = CdcStream.materializedView(events)
+    // generation 1 over the first half of time
+    val mid = expr("TIMESTAMP_NTZ '2024-07-01 00:00:00'")
+    mv.filter(col("ts") <= mid).write.parquet(logDir)
+    CdcStream.runCopyJob(spark, logDir, snapDir)
+    // more events arrive, generation 2
+    mv.filter(col("ts") > mid).write.mode("append").parquet(logDir)
+    CdcStream.runCopyJob(spark, logDir, snapDir)
+    val snap = CdcStream.readSnapshot(spark, snapDir)
+      .select("user_id", "event_id").orderBy("user_id").collect().toSeq
+    val fin = CdcStream.finalView(spark, logDir)
+      .select("user_id", "event_id").orderBy("user_id").collect().toSeq
+    assert(snap == fin)
+  }
+
+  test("stateful latest-per-key stream agrees with dedup view") {
+    val src = tmp(); val ck = tmp() + "/ck"
+    val events = Tables.events(spark, sf)
+    events.write.parquet(s"$src/all")
+    val raw = CdcStream.readEvents(spark, s"$src/*")
+    val q = CdcStream.latestStateful(spark, raw)
+      .writeStream.format("memory").queryName("latest_mem")
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // Update mode may emit several generations per key; last wins
+    val got = spark.sql(
+      """SELECT user_id, max_by(event_id, struct(ts, event_id)) AS event_id
+        |FROM latest_mem GROUP BY user_id""".stripMargin)
+      .orderBy("user_id").collect().toSeq
+    val want = pipes.CdcPipes.usersLatestRmt(spark, sf)
+      .select("user_id", "event_id").orderBy("user_id").collect().toSeq
+    assert(got == want)
+  }
+}
