@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.SparkSession
+
+/** Native Catalyst expression: dot product of two float-array columns
+  * with double accumulation, left-to-right — bit-identical to
+  * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0d, +)`
+  * but emitted as a tight fused loop inside whole-stage codegen instead
+  * of an interpreted higher-order-function chain (one virtual call per
+  * element). On brute-force KNN this is the hot inner loop: |Q|·|N|·dim
+  * multiply-adds.
+  *
+  * Preference order per the build rules: built-ins couldn't express this
+  * without leaving codegen, so a scalar Expression with doGenCode is the
+  * next step down — no UDF, no plan-level surgery needed.
+  */
+case class VectorDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vector_dot expects (array<float>, array<float>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      s"""
+         |int graftN = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double graftS = 0.0;
+         |for (int graftI = 0; graftI < graftN; graftI++) {
+         |  graftS += (double) $x.getFloat(graftI) * (double) $y.getFloat(graftI);
+         |}
+         |${ev.value} = graftS;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session registration for the engine's native functions, so they are
+  * usable from SQL text as well as the Column API. Idempotent. */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vector_dot", exprs => VectorDot(exprs(0), exprs(1)), "built-in")
+}

@@ -21,31 +21,35 @@ import graft.functions.ChFunctions._
   *    difference between a hash-partitioned equi-join and an unrunnable
   *    cartesian.
   *
-  * All dots computed with built-in higher-order functions
-  * (zip_with + aggregate) over double-cast elements — deterministic
-  * left-to-right summation, mirrored in the DuckDB oracle.
+  * All dots computed by the native codegen'd expression
+  * [[graft.functions.VectorDot]] — double accumulation, left-to-right,
+  * mirrored exactly by the DuckDB oracle's list arithmetic.
   */
 object VectorOps {
 
-  /** dot(a, b) with double accumulation, left-to-right. */
+  /** dot(a, b) with double accumulation, left-to-right — the native
+    * codegen'd expression (graft.functions.VectorDot, registered as
+    * `vector_dot` per session); semantically identical to the HOF chain
+    * aggregate(zip_with(a,b,(x,y)->double(x)*double(y)), 0d, +) but one
+    * fused loop per row instead of per-element interpreted calls. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+    call_function("vector_dot", a, b)
 
   /** L2 norms — plumbing validation for the vector column. */
-  def norms(spark: SparkSession, dir: String): DataFrame =
+  def norms(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
         floorRound(sqrt(dot(col("embedding"), col("embedding"))), 4).as("l2_norm"))
       .orderBy("vec_id")
+  }
 
   /** Exact brute-force cosine top-k for query vectors `vec_id < nQueries`.
     * Cosine rounded to 6dp BEFORE ranking so ordering ties break on
     * neighbor id identically in any engine. */
   def knnBruteForce(spark: SparkSession, dir: String,
                     nQueries: Int = 20, k: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, dir)
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
@@ -70,10 +74,11 @@ object VectorOps {
   private val NumTables = 6
 
   /** Deterministic pseudo-random hyperplanes (seeded at plan-build on
-    * the driver; shipped as literal arrays with the plan). */
-  private def planes(dim: Int): Array[Array[Array[Double]]] = {
+    * the driver; shipped as float literal arrays with the plan, matching
+    * the embedding element type for the native dot). */
+  private def planes(dim: Int): Array[Array[Array[Float]]] = {
     val rnd = new scala.util.Random(42)
-    Array.fill(NumTables, PlanesPerTable, dim)(rnd.nextDouble() * 2 - 1)
+    Array.fill(NumTables, PlanesPerTable, dim)((rnd.nextDouble() * 2 - 1).toFloat)
   }
 
   /** (table, bucket) pairs for a vector: sign-bit pattern per table. */
@@ -94,6 +99,7 @@ object VectorOps {
     * cross join. */
   def knnLsh(spark: SparkSession, dir: String,
              nQueries: Int = 20, k: Int = 5, dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         explode(tableBuckets(col("embedding"), dim)).as("tb"))
@@ -123,6 +129,7 @@ object VectorOps {
     * the queryable output; at scale the assignment is the partition key
     * that turns ANN into per-list local search. */
   def ivfAssign(spark: SparkSession, dir: String, nLists: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, dir)
     val anchors = emb.filter(col("vec_id") < nLists)
       .select(col("vec_id").as("list_id"), col("embedding").as("anchor"))
