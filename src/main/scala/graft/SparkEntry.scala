@@ -68,6 +68,7 @@ object SparkEntry {
     "emb_norms"             -> (operators.VectorOps.norms _),
     "emb_knn_bruteforce"    -> ((s, d) => operators.VectorOps.knnBruteForce(s, d)),
     "emb_knn_lsh"           -> ((s, d) => operators.VectorOps.knnLsh(s, d)),
+    "emb_near_dup_pairs"    -> ((s, d) => operators.VectorOps.nearDupPairs(s, d)),
     "emb_ivf_assign"        -> ((s, d) => operators.VectorOps.ivfAssign(s, d)),
     // training-data pipeline: multimodal binary columns
     "docs_binary_meta"      -> (operators.Multimodal.binaryMeta _),
@@ -238,9 +239,18 @@ object SparkEntry {
     "docs_token_stats" ->
       """SELECT doc_id, n_chars,
         |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_word_runs,
+        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est,
         |  floor(CAST(length(replace(text, ' ', '')) AS DOUBLE)
         |        / (length(text) - length(replace(text, ' ', '')) + 1) * 10000 + 0.5) / 10000.0 AS avg_token_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "emb_near_dup_pairs" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    floor(list_sum(list_transform(generate_series(1, len(a.embedding)),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) * 1000000 + 0.5) / 1000000.0 AS cosine
+        |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
     "docs_quality_score" ->
       """SELECT doc_id, lang,
         |  CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS BIGINT) AS n_stopwords,

@@ -21,13 +21,18 @@ object TextAnalysis {
   private def tokenCount(c: org.apache.spark.sql.Column) =
     length(c) - length(regexp_replace(c, " ", "")) + 1
 
-  /** Per-doc token statistics: counts, char counts, average token length. */
+  /** Per-doc token statistics: whitespace tokens, a BPE-ish subword
+    * estimate (letter-run regex count + chars/4 blend — the standard
+    * fast proxy when the real tokenizer is too hot for a scan), char
+    * counts, average token length. */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
         col("n_chars"),
         tokenCount(col("text")).cast("long").as("n_tokens"),
+        regexp_count(col("text"), lit("[a-z]+")).cast("long").as("n_word_runs"),
+        ceil(length(col("text")) / 4.0).cast("long").as("n_bpe_est"),
         floorRound(length(regexp_replace(col("text"), " ", "")).cast("double")
           / tokenCount(col("text")), 4).as("avg_token_len"))
       .orderBy("doc_id")

@@ -123,6 +123,24 @@ object VectorOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Embedding-cosine near-duplicate pairs (the vector analogue of
+    * docs_near_dup_pairs): all pairs with cosine >= minCosine. Exact
+    * (triangular cross join) — the verification truth; the LSH/IVF
+    * buckets above are how the candidate set shrinks at 100 TB. The
+    * threshold is data-relative: this corpus is uniform-random, so
+    * "near" means the top of the cosine distribution, not 0.99. */
+  def nearDupPairs(spark: SparkSession, dir: String, minCosine: Double = 0.4): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        floorRound(dot(col("ea"), col("eb")), 6).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** IVF-style partition assignment: each vector assigned to its nearest
     * of `nLists` anchor vectors (anchors = the first nLists corpus
     * vectors — deterministic, data-derived). The cluster histogram is

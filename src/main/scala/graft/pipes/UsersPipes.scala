@@ -1,0 +1,141 @@
+package graft.pipes
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.ChFunctions._
+import graft.operators.Dedup
+
+/** The reference's `users` kit (PG dialect), pipe-for-pipe, on a CDC log
+  * directory produced by [[graft.fixtures.CdcFixtures]] (or a real
+  * Kafka→parquet landing). Every method cites the `.pipe` file it
+  * re-expresses; endpoint semantics (column names, filters, ordering)
+  * are kept verbatim so a reference user can switch engines and keep
+  * their dashboards.
+  */
+object UsersPipes {
+
+  /** users_raw MergeTree scan (kits/users/pg/datasources/users_raw.datasource). */
+  def usersRaw(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/users_raw")
+
+  /** users_mv.pipe:4-17 — the materialized projection into users_latest:
+    * coalesce defaults, µs decode, CHAR(2) lang, event_timestamp meta. */
+  def usersMv(raw: DataFrame): DataFrame =
+    raw.select(
+      col("id"),
+      coalesce(col("name"), lit("")).as("name"),
+      coalesce(col("email"), lit("")).as("email"),
+      coalesce(col("address"), lit("")).as("address"),
+      coalesce(col("phone_number"), lit("")).as("phone_number"),
+      coalesce(col("email_verified"), lit(0)).as("email_verified"),
+      coalesce(col("onboarded"), lit(0)).as("onboarded"),
+      coalesce(col("deleted"), lit(0)).as("deleted"),
+      col("__timestamp").as("event_timestamp"),
+      toFixedString(coalesce(col("lang"), lit("")), 2).as("lang"),
+      fromUnixTimestamp64Micro(coalesce(col("created_at"), lit(0L)))
+        .cast("timestamp_ntz").as("created_at"),
+      coalesce(fromUnixTimestamp64Micro(col("updated_at")).cast("timestamp_ntz"),
+        col("__timestamp")).as("updated_at"))
+
+  /** users_latest FINAL (users_latest.datasource ENGINE_VER updated_at +
+    * users_api_rmt.pipe:6-7): collapse to max updated_at per id, order by id. */
+  def usersApiRmt(spark: SparkSession, dir: String): DataFrame = {
+    val latestLog = usersMv(usersRaw(spark, dir))
+    Dedup.latestByKey(latestLog, Seq("id"), col("updated_at"),
+        payload = latestLog.columns.filter(_ != "id").toSeq)
+      .select("id", "name", "email", "address", "phone_number",
+        "email_verified", "onboarded", "deleted", "event_timestamp", "lang",
+        "created_at", "updated_at")
+      .orderBy("id")
+  }
+
+  /** users_batch_copy.pipe:8-70 — the hourly copy job: watermark from the
+    * target, coalesce-wrapped argMax collapse of newer raw events,
+    * backfill of unsuperseded prior rows, restamped batch_max_updated;
+    * appended to users_batch. */
+  def usersBatchCopy(spark: SparkSession, dir: String, batchDir: String): Unit = {
+    val raw = usersRaw(spark, dir)
+    val exists = new java.io.File(batchDir).exists() &&
+      new java.io.File(batchDir).listFiles().exists(_.getName.endsWith(".parquet"))
+    val lastBatchTs: Long =
+      if (!exists) 0L
+      else spark.read.parquet(batchDir)
+        .agg(max(col("batch_max_updated"))).first().getLong(0)
+
+    // get_new_events (users_batch_copy.pipe:8-27)
+    val newEvents = raw.filter(col("updated_at") > lastBatchTs)
+      .groupBy(col("id"))
+      .agg(
+        coalesce(argMax(col("name"), col("updated_at")), lit("")).as("name"),
+        coalesce(argMax(col("email"), col("updated_at")), lit("")).as("email"),
+        coalesce(argMax(col("address"), col("updated_at")), lit("")).as("address"),
+        coalesce(argMax(col("phone_number"), col("updated_at")), lit("")).as("phone_number"),
+        coalesce(argMax(col("email_verified"), col("updated_at")), lit(0)).as("email_verified"),
+        coalesce(argMax(col("onboarded"), col("updated_at")), lit(0)).as("onboarded"),
+        coalesce(argMax(col("deleted"), col("updated_at")), lit(0)).as("deleted"),
+        coalesce(argMax(col("__timestamp"), col("updated_at")),
+          lit("1970-01-01 00:00:00").cast("timestamp_ntz")).as("event_timestamp"),
+        coalesce(argMax(toFixedString(col("lang"), 2), col("updated_at")),
+          toFixedString(lit(""), 2)).as("lang"),
+        coalesce(argMax(fromUnixTimestamp64Micro(col("created_at"))
+            .cast("timestamp_ntz"), col("updated_at")),
+          fromUnixTimestamp64Micro(lit(0L)).cast("timestamp_ntz")).as("created_at"),
+        coalesce(max(col("updated_at")), lit(0L)).as("updated_at_unix"),
+        max(col("updated_at")).as("batch_max_updated"))
+
+    val batch: DataFrame = if (!exists) {
+      newEvents
+    } else {
+      // backfill_last_batch (:36-42) — prior batch rows not superseded
+      val prior = spark.read.parquet(batchDir)
+        .filter(col("batch_max_updated") === lastBatchTs)
+        .join(newEvents.select("id"), Seq("id"), "left_anti")
+      // produce_new_batch (:50-54)
+      prior.unionByName(newEvents)
+    }
+    // update_batch_max_ts (:63-66): restamp with the batch's new high watermark
+    val hw = batch.agg(coalesce(max(col("updated_at_unix")), lit(0L))).first().getLong(0)
+    batch.withColumn("batch_max_updated", lit(hw))
+      .write.mode("append").parquet(batchDir)
+  }
+
+  /** users_api_batch.pipe:3-53 — the ad-hoc read variant of the copy
+    * shape: fresh events since the batch watermark ∪ unsuperseded batch
+    * rows, decoded updated_at, `deleted = false` filter, ordered by id. */
+  def usersApiBatch(spark: SparkSession, dir: String, batchDir: String): DataFrame = {
+    val raw = usersRaw(spark, dir)
+    val batchTbl = spark.read.parquet(batchDir)
+    val lastBatchTs = batchTbl.agg(max(col("batch_max_updated"))).first().getLong(0)
+
+    val newEvents = raw.filter(col("updated_at") > lastBatchTs)
+      .groupBy(col("id"))
+      .agg(
+        argMax(col("name"), col("updated_at")).as("name"),
+        argMax(col("email"), col("updated_at")).as("email"),
+        argMax(col("address"), col("updated_at")).as("address"),
+        argMax(col("phone_number"), col("updated_at")).as("phone_number"),
+        argMax(col("email_verified"), col("updated_at")).as("email_verified"),
+        argMax(col("onboarded"), col("updated_at")).as("onboarded"),
+        argMax(col("deleted"), col("updated_at")).as("deleted"),
+        argMax(col("__timestamp"), col("updated_at")).as("event_timestamp"),
+        argMax(toFixedString(col("lang"), 2), col("updated_at")).as("lang"),
+        argMax(fromUnixTimestamp64Micro(col("created_at")).cast("timestamp_ntz"),
+          col("updated_at")).as("created_at"),
+        max(col("updated_at")).as("updated_at_unix"),
+        max(col("updated_at")).as("batch_max_updated"))
+
+    val backfill = batchTbl
+      .filter(col("batch_max_updated") === lastBatchTs)
+      .join(newEvents.select("id"), Seq("id"), "left_anti")
+
+    // produce_api (:38-44): * EXCEPT (batch_max_updated, updated_at_unix)
+    // + decoded updated_at; api_publish (:50-53): deleted=false, order by id
+    def shape(df: DataFrame): DataFrame =
+      df.withColumn("updated_at",
+          fromUnixTimestamp64Micro(col("updated_at_unix")).cast("timestamp_ntz"))
+        .drop("batch_max_updated", "updated_at_unix")
+    shape(backfill).unionByName(shape(newEvents))
+      .filter(col("deleted") === 0)
+      .orderBy("id")
+  }
+}
