@@ -24,6 +24,24 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     TpchPipes.q1PricingSummary(spark, "/root/testdata/sf0.001")
 
+  /** One-time deterministic CDC fixture set (seed 42) for the
+    * pipe-for-pipe reference endpoints (`ref_*` queries below) — the
+    * reference tables (users/flights/passengers/baggage) don't exist in
+    * the harness star schema, so these endpoints run on the generated
+    * Debezium-style logs and are covered by the differential specs
+    * (ReferencePipesSpec) rather than the DuckDB oracle. */
+  private def fixtureDir(spark: SparkSession): String = synchronized {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_cdc_fixtures_s42")
+    val marker = new java.io.File(dir, "_DONE")
+    if (!marker.exists()) {
+      val g = graft.fixtures.CdcFixtures.generate()
+      graft.fixtures.CdcFixtures.writeAll(spark, g, dir.toString)
+      graft.pipes.UsersPipes.usersBatchCopy(spark, dir.toString, s"$dir/users_batch")
+      marker.createNewFile()
+    }
+    dir.toString
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // CDC / latest-state family (SURVEY §2.4) over `events`
     "latest_event_per_user" -> (CdcPipes.latestEventPerUser _),
@@ -73,6 +91,32 @@ object SparkEntry {
     // training-data pipeline: multimodal binary columns
     "docs_binary_meta"      -> (operators.Multimodal.binaryMeta _),
     "docs_decode_features"  -> (operators.Multimodal.decodeFeatures _),
+    // pipe-for-pipe reference endpoints over generated CDC fixtures
+    // (differential-tested in ReferencePipesSpec; no DuckDB oracle —
+    // their source tables aren't part of the harness star schema)
+    "ref_users_api_rmt" -> ((s, _) => pipes.UsersPipes.usersApiRmt(s, fixtureDir(s))),
+    "ref_users_api_batch" -> ((s, _) => {
+      val d = fixtureDir(s)
+      pipes.UsersPipes.usersApiBatch(s, d, s"$d/users_batch")
+    }),
+    "ref_latest_flight_info" -> ((s, _) =>
+      pipes.AirportPipes.latestFlightInfo(s, fixtureDir(s)).orderBy("id")),
+    "ref_latest_passenger_info" -> ((s, _) =>
+      pipes.AirportPipes.latestPassengerInfo(s, fixtureDir(s)).orderBy("id")),
+    "ref_latest_baggage_info" -> ((s, _) =>
+      pipes.AirportPipes.latestBaggageInfo(s, fixtureDir(s)).orderBy("id")),
+    "ref_active_flights_past_hour" -> ((s, _) =>
+      pipes.AirportPipes.activeFlightsPastHour(s, fixtureDir(s))),
+    "ref_flights_missed_pct_minute" -> ((s, _) =>
+      pipes.AirportPipes.flightsMissedPctMinute(s, fixtureDir(s))),
+    "ref_active_vs_missed_flights" -> ((s, _) =>
+      pipes.AirportPipes.activeVsMissedFlights(s, fixtureDir(s))),
+    "ref_passenger_activity" -> ((s, _) =>
+      pipes.AirportPipes.passengerActivity(s, fixtureDir(s))),
+    "ref_passengers_by_flight_status" -> ((s, _) =>
+      pipes.AirportPipes.passengersByFlightStatus(s, fixtureDir(s))),
+    "ref_baggage_by_flight_status" -> ((s, _) =>
+      pipes.AirportPipes.baggageByFlightStatus(s, fixtureDir(s))),
   )
 
   def oracleSql: Map[String, String] = Map(
