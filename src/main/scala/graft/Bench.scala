@@ -10,9 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: pay one-time session/codegen/scan-setup costs outside the
-    // measured window so the first measured query isn't skewed
+    // warmup: pay one-time session/codegen/scan-setup and CDC-fixture
+    // generation costs outside the measured window so the first measured
+    // query isn't skewed
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    try SparkEntry.queries("ref_latest_flight_info")(spark, sfDir).count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -49,7 +49,9 @@ object TextDedup {
     * witness a high-jaccard pair that rarer shingles won't also witness
     * — only when maxDf is comfortably above corpus dup-cluster size). */
   def nearDupPairs(spark: SparkSession, dir: String, minJaccard: Double = 0.5): DataFrame = {
-    val sh = shingles(Tables.documents(spark, dir)).cache()
+    // no .cache(): identical scan subtrees reuse the shuffle exchange,
+    // and a pinned cache would outlive the query in a shared session
+    val sh = shingles(Tables.documents(spark, dir))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.as("a"); val b = sh.as("b")
     val inter = a.join(b,

@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.ChFunctions._
+import graft.operators.Dedup
+
+/** Storage layout — the Spark mapping of the reference's MergeTree
+  * physical design (SURVEY §2.1 S2/S3, §4):
+  *
+  *   ENGINE_PARTITION_KEY "toYYYYMM(__timestamp)"  → partitionBy(yyyymm)
+  *   ENGINE_SORTING_KEY   "id, __timestamp"        → sortWithinPartitions
+  *
+  * Partition pruning then happens in Catalyst for free: a predicate on
+  * the partition column skips whole directories (visible as
+  * PartitionFilters in explain), and the within-partition sort gives
+  * parquet row-group min/max skipping on the sort key — the two physical
+  * decisions that make a 100 TB log queryable.
+  */
+object Layout {
+
+  /** Write `df` as an append-only MergeTree-style table: partitioned by
+    * yyyymm of `tsCol`, sorted inside partitions by `sortCols`. */
+  def writeAppendLog(df: DataFrame, tsCol: String, sortCols: Seq[String],
+                     path: String, mode: String = "append"): Unit =
+    df.withColumn("yyyymm", toYYYYMM(col(tsCol)))
+      .repartition(col("yyyymm"))
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(mode).partitionBy("yyyymm").parquet(path)
+
+  /** Read a partitioned log; predicates on `yyyymm` prune directories. */
+  def readLog(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** The ReplacingMergeTree background merge (users_latest.datasource:
+    * 16-19): rewrite the log keeping only the max-version row per key,
+    * preserving the partition layout. Run periodically, it bounds the
+    * dedup-on-read cost exactly like ClickHouse part merges do; readers
+    * keep using the same FINAL view semantics before/after. */
+  def compact(spark: SparkSession, path: String, keys: Seq[String],
+              version: org.apache.spark.sql.Column, tsCol: String,
+              sortCols: Seq[String]): Unit = {
+    val cur = readLog(spark, path).drop("yyyymm")
+    val latest = Dedup.latestByKey(cur, keys, version,
+      payload = cur.columns.filterNot(keys.contains).toSeq)
+    val tmp = path + "_compacting"
+    writeAppendLog(latest, tsCol, sortCols, tmp, mode = "overwrite")
+    // atomic-ish swap (single-FS rename; a lake-format table commit in prod)
+    val fs = new java.io.File(path)
+    val bak = new java.io.File(path + "_old")
+    new java.io.File(tmp).renameTo({ fs.renameTo(bak); fs })
+    bak.listFiles().foreach(deleteRec)
+    bak.delete()
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRec)
+    f.delete()
+  }
+}

@@ -63,6 +63,35 @@ object CdcStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** S8 — schema-validity predicate for the ingest path: rows whose raw
+    * payload fails per-column extraction are quarantined, not ingested
+    * (tb_functions.py:141-142's `<ds>_quarantine` side table). */
+  private def isValid = col("user_id").isNotNull && col("ts").isNotNull &&
+    (col("props").isNull || get_json_object(col("props"), "$.k").cast("int").isNotNull)
+
+  /** S4 + S8 — the MV stream with a quarantine side-sink: each micro
+    * batch is split once; good rows are normalized into the log, bad
+    * rows land in the quarantine table with a rejection timestamp.
+    * foreachBatch gives the two-sink write the streaming engine's
+    * exactly-once batch id semantics. */
+  def startMvWithQuarantine(spark: SparkSession, srcDir: String, logDir: String,
+                            quarantineDir: String, checkpointDir: String): StreamingQuery =
+    readEvents(spark, srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val tagged = batch.withColumn("__ok", isValid).cache()
+        try {
+          materializedView(tagged.filter(col("__ok")).drop("__ok"))
+            .write.mode("append").parquet(logDir)
+          tagged.filter(!col("__ok")).drop("__ok")
+            .withColumn("__quarantined_batch", lit(batchId))
+            .write.mode("append").parquet(quarantineDir)
+        } finally tagged.unpersist()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** D2 — FINAL read view over the materialized log. */
   def finalView(spark: SparkSession, logDir: String): DataFrame =
     Dedup.latestByKey(spark.read.parquet(logDir), Seq("user_id"),

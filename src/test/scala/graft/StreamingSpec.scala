@@ -63,6 +63,30 @@ class StreamingSpec extends SparkSpec {
     assert(snap == fin)
   }
 
+  test("quarantine side-sink splits malformed rows from the ingest path") {
+    import spark.implicits._
+    val src = tmp(); val logDir = tmp() + "/log"
+    val qDir = tmp() + "/quarantine"; val ck = tmp() + "/ck"
+    val good = Seq(
+      (1L, java.time.LocalDateTime.parse("2024-05-01T00:00:01"), 10L, "click", 1.0, """{"k": 3}"""),
+      (2L, java.time.LocalDateTime.parse("2024-05-01T00:00:02"), 11L, "view", 2.0, """{"k": 4}"""))
+    val bad = Seq(
+      (3L, java.time.LocalDateTime.parse("2024-05-01T00:00:03"), 12L, "click", 3.0, "not-json"),
+      (4L, java.time.LocalDateTime.parse("2024-05-01T00:00:04"), 13L, "view", 4.0, """{"k": 5}"""))
+    (good ++ bad)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("user_id", when(col("event_id") === 4, lit(null)).otherwise(col("user_id")))
+      .write.parquet(s"$src/data")
+    val q = CdcStream.startMvWithQuarantine(spark, s"$src/*", logDir, qDir, ck)
+    q.awaitTermination()
+    val ingested = spark.read.parquet(logDir).select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    val quarantined = spark.read.parquet(qDir).select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ingested == Set(1L, 2L))
+    assert(quarantined == Set(3L, 4L))
+  }
+
   test("stateful latest-per-key stream agrees with dedup view") {
     val src = tmp(); val ck = tmp() + "/ck"
     val events = Tables.events(spark, sf)
