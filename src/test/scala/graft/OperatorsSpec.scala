@@ -67,4 +67,12 @@ class OperatorsSpec extends SparkSpec {
   test("oracle map keys are a subset of query keys") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("endpoint JSON payload has the reference shape") {
+    val payload = sources.Endpoints.toJsonPayload(
+      pipes.TpchPipes.q1PricingSummary(spark, sf), limit = 3)
+    assert(payload.startsWith("""{"meta":[{"name":"l_returnflag","type":"string"}"""))
+    assert(payload.contains(""""data":[{"""))
+    assert(payload.contains(""""rows":3"""))
+  }
 }
