@@ -63,6 +63,50 @@ object CdcStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** S1 — the generic per-column JSONPath ingest projection for a parsed
+    * `.datasource` (users_raw.datasource:3-14): each declared column is
+    * extracted from the raw message by its `json:$.path` and cast to the
+    * declared type; meta-columns are bound from the transport layer —
+    * `__value` ← the raw message (KAFKA_STORE_RAW_VALUE),
+    * `__timestamp` ← the Kafka record timestamp (ingest time).
+    * get_json_object is codegen'd, so ingest is one fused projection.
+    * Extraction failures yield nulls → route by [[startMvWithQuarantine]]'s
+    * validity split (S8). */
+  def jsonPathProjection(raw: DataFrame,
+                         ds: graft.sources.KitParser.DatasourceDef): DataFrame = {
+    val cols = ds.columns.map { c =>
+      c.jsonPath match {
+        case Some(path) =>
+          get_json_object(col("__raw_value"), path).cast(c.dataType).as(c.name)
+        case None if c.name == "__value" => col("__raw_value").as("__value")
+        case None => lit(null).cast(c.dataType).as(c.name)
+      }
+    } :+ col("__kafka_timestamp").cast("timestamp_ntz").as("__timestamp")
+    raw.select(cols: _*)
+  }
+
+  /** S1 — Kafka streaming scan for a parsed datasource definition: topic,
+    * group id and offset reset come from the KAFKA_* binding
+    * (users_raw.datasource:20-27). Not exercisable in this container
+    * (no broker); the projection itself is covered in batch by
+    * StreamingSpec via [[jsonPathProjection]]. */
+  def readKafkaDatasource(spark: SparkSession, brokers: String,
+                          ds: graft.sources.KitParser.DatasourceDef): DataFrame = {
+    val stream = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", ds.kafkaTopic.getOrElse(
+        throw new IllegalArgumentException(s"${ds.name} has no KAFKA_TOPIC")))
+      .option("startingOffsets",
+        ds.kafkaAutoOffsetReset.getOrElse("latest") match {
+          case "earliest" => "earliest"; case _ => "latest"
+        })
+      .option("kafka.group.id", ds.kafkaGroupId.getOrElse(s"graft-${ds.name}"))
+      .load()
+      .select(col("value").cast("string").as("__raw_value"),
+        col("timestamp").as("__kafka_timestamp"))
+    jsonPathProjection(stream, ds)
+  }
+
   /** S8 — schema-validity predicate for the ingest path: rows whose raw
     * payload fails per-column extraction are quarantined, not ingested
     * (tb_functions.py:141-142's `<ds>_quarantine` side table). */

@@ -87,6 +87,32 @@ class StreamingSpec extends SparkSpec {
     assert(quarantined == Set(3L, 4L))
   }
 
+  test("JSONPath projection from a real parsed datasource ingests CDC messages") {
+    import spark.implicits._
+    val ds = graft.sources.KitParser.parseDatasource("users_raw",
+      new String(java.nio.file.Files.readAllBytes(new java.io.File(
+        "/root/reference/kits/users/pg/datasources/users_raw.datasource").toPath), "UTF-8"))
+    // flattened Debezium after-image, PG dialect: unix-µs ints, __deleted
+    val msg =
+      """{"id": 7, "name": "n7", "email": "e7@x.com", "address": "a", "phone_number": "p",
+        | "email_verified": 1, "onboarded": 0, "deleted": 0, "lang": "EN",
+        | "created_at": 1714521600000000, "updated_at": 1714521660000000,
+        | "__deleted": "false"}""".stripMargin.replace("\n", "")
+    val raw = Seq((msg, java.time.LocalDateTime.parse("2024-05-01T00:01:05")))
+      .toDF("__raw_value", "__kafka_timestamp")
+    val row = CdcStream.jsonPathProjection(raw, ds).first()
+    assert(row.getAs[Short]("id") == 7)
+    assert(row.getAs[String]("name") == "n7")
+    assert(row.getAs[Long]("updated_at") == 1714521660000000L)
+    assert(row.getAs[String]("__deleted") == "false")
+    assert(row.getAs[java.time.LocalDateTime]("__timestamp").toString == "2024-05-01T00:01:05")
+    // malformed message → nulls (quarantine-routable), not a crash
+    val bad = Seq(("{oops", java.time.LocalDateTime.parse("2024-05-01T00:01:06")))
+      .toDF("__raw_value", "__kafka_timestamp")
+    val badRow = CdcStream.jsonPathProjection(bad, ds).first()
+    assert(badRow.isNullAt(badRow.fieldIndex("id")))
+  }
+
   test("stateful latest-per-key stream agrees with dedup view") {
     val src = tmp(); val ck = tmp() + "/ck"
     val events = Tables.events(spark, sf)
