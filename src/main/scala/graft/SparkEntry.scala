@@ -55,6 +55,9 @@ object SparkEntry {
     "events_by_type_status" -> (CdcPipes.eventsByTypeStatus _),
     "value_by_type_status"  -> (CdcPipes.valueByTypeStatus _),
     "events_ingest_normalize" -> (CdcPipes.eventsIngestNormalize _),
+    "events_sessionization" -> (CdcPipes.eventsSessionization _),
+    "events_value_quantiles" -> (CdcPipes.eventsValueQuantiles _),
+    "orders_rollup"         -> (TpchPipes.ordersRollup _),
     "events_quarantine"     -> (CdcPipes.eventsQuarantine _),
     "events_in_window"      -> ((s, d) => CdcPipes.eventsInWindow(s, d)),
     // relational coverage (SURVEY §2.2/2.3/2.5/2.6/2.7)
@@ -205,6 +208,36 @@ object SparkEntry {
         |  COALESCE(value, 0.0) AS value_filled,
         |  rpad(event_type, 10, ' ') AS event_type_fixed
         |FROM events ORDER BY event_id""".stripMargin,
+    "events_sessionization" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |t AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM s)
+        |SELECT user_id, session_id,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS session_value
+        |FROM t GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "events_value_quantiles" ->
+      """SELECT event_type,
+        |  floor(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000.0 AS p50,
+        |  floor(quantile_cont(value, 0.95) * 10000 + 0.5) / 10000.0 AS p95,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "orders_rollup" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+        |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
     "events_quarantine" ->
       """SELECT event_id, user_id, props FROM events
         |WHERE TRY_CAST(json_extract_string(props, '$.k') AS INT) IS NULL

@@ -204,6 +204,45 @@ object CdcPipes {
       .orderBy("day")
   }
 
+  /** Sessionization — the classic event-stream analytic a training-data
+    * pipeline needs (and the full OVER() window surface the reference
+    * never exercises): lag() to detect gaps > 30 min, a running sum to
+    * assign session ids, then per-session aggregates. One shuffle on
+    * user_id; both windows share the same partitioning. */
+  def eventsSessionization(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sess = e
+      .withColumn("prev_us", lag(unix_micros(col("ts").cast("timestamp")), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts").cast("timestamp")) - col("prev_us") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    sess.groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        exactSum(col("value"), 2).as("session_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Exact interpolated quantiles of the value distribution per event
+    * type (p50/p95): the percentile() exact aggregate, not the sketch —
+    * DuckDB's quantile_cont shares the interpolation definition. */
+  def eventsValueQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(col("event_type"))
+      .agg(
+        floorRound(expr("percentile(value, 0.5)"), 4).as("p50"),
+        floorRound(expr("percentile(value, 0.95)"), 4).as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
   /** baggage_by_flight_status.pipe:3-26 — conditional rounded sums (A7)
     * with CASE ordering (O3). Analog: value mass by event_type per day-of-week. */
   def valueByTypeStatus(spark: SparkSession, dir: String): DataFrame = {

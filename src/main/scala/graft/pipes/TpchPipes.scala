@@ -165,6 +165,17 @@ object TpchPipes {
       .orderBy("r_regionkey")
   }
 
+  /** GROUP BY ROLLUP — subtotal/grand-total lattice over two dims (not
+    * in the reference's surface; part of a complete analytics engine).
+    * Null ordering pinned to NULLS FIRST on both engines. */
+  def ordersRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        exactSum(col("o_totalprice"), 2).as("revenue"))
+      .orderBy(col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+
   /** §2.8 scalar-function showcase over lineitem: date_trunc, interval
     * arithmetic, coalesce/nullif, round, CASE, fixed-string padding. */
   def scalarFunctions(spark: SparkSession, dir: String): DataFrame =
