@@ -1,0 +1,175 @@
+package graft.sql
+
+/** Source-to-source translator from the reference's ClickHouse SQL
+  * dialect (the `.pipe` node SQL under /root/reference/kits) to Spark
+  * SQL. Covers exactly the constructs the 13 reference pipes use —
+  * a dialect front-end, not a general CH parser:
+  *
+  *  - Tinybird templates: `{% if defined(p) %} … {% else %} … {% end %}`
+  *    and `{{DateTime(p)}}` (flights_missed_pct_minute.pipe:22,31-32)
+  *  - scalar CTE `WITH (SELECT …) as name` (users_api_batch.pipe:6,30)
+  *  - `LIMIT 1 BY key` → ranking-window rewrite (latest_flight_info.pipe:9)
+  *  - `FROM <t> FINAL` → `<t>__final` view (users_api_rmt.pipe:6)
+  *  - function signature maps: toStartOfMinute, subtractHours,
+  *    addMinutes, fromUnixTimestamp64Micro, toFixedString, toDateTime,
+  *    now/now64, numbers(n), argMax (§2.8 table)
+  *  - CH tolerances: trailing comma before FROM
+  *    (latest_passenger_info.pipe:6)
+  *
+  * Everything else (ifNull/nullIf/coalesce/round/CASE/INTERVAL/joins/
+  * group by/order by) is shared syntax and passes through.
+  */
+object ChSqlTranslator {
+
+  /** Translate one node's SQL. `params`: template parameters; `asOf`:
+    * the literal substituted for now()/now64() (determinism contract). */
+  def translate(sql: String, params: Map[String, String] = Map.empty,
+                asOf: Option[String] = None): String = {
+    var s = sql
+    s = stripTemplateMarker(s)
+    s = expandTemplates(s, params)
+    s = rewriteScalarWith(s)
+    s = s.replaceAll("(?i),\\s*\\n?\\s*FROM\\b", " FROM") // trailing comma
+    asOf.foreach { ts =>
+      s = s.replaceAll("(?i)\\bnow64\\(\\)", s"TIMESTAMP_NTZ '$ts'")
+      s = s.replaceAll("(?i)\\bnow\\(\\)", s"TIMESTAMP_NTZ '$ts'")
+    }
+    s = s.replaceAll("(?i)\\bFROM\\s+(\\w+)\\s+FINAL\\b", "FROM $1__final")
+    // CH Bool IS UInt8: `deleted = false` compares an Int8/UInt8 column
+    // to a boolean literal (users_api_batch.pipe:52). Spark is strict —
+    // map the literals to their UInt8 values.
+    s = s.replaceAll("(?i)=\\s*false\\b", "= 0")
+    s = s.replaceAll("(?i)=\\s*true\\b", "= 1")
+    s = s.replaceAll("(?i)\\bnumbers\\((\\d+)\\)",
+      "(SELECT id AS number FROM range($1))")
+    // count (distinct → count(distinct (CH tolerates the space; Spark too,
+    // left as-is). Function signature rewrites, innermost-first:
+    s = rewriteFunctions(s)
+    s = rewriteLimitBy(s)
+    s.trim
+  }
+
+  private def stripTemplateMarker(s: String): String =
+    s.linesIterator.filterNot(_.trim == "%").mkString("\n")
+
+  /** `{% if defined(p) %} A {% else %} B {% end %}` → A (p bound) or B;
+    * `{{Type(p)}}` → typed literal from params. */
+  private def expandTemplates(s: String, params: Map[String, String]): String = {
+    val ifRe = ("""(?s)\{%\s*if\s+defined\((\w+)\)\s*%\}(.*?)""" +
+      """\{%\s*else\s*%\}(.*?)\{%\s*end\s*%\}""").r
+    val expanded = ifRe.replaceAllIn(s, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        if (params.contains(m.group(1))) m.group(2) else m.group(3)))
+    val valRe = """\{\{\s*(\w+)\((\w+)\)\s*\}\}""".r
+    valRe.replaceAllIn(expanded, m => {
+      val v = params.getOrElse(m.group(2),
+        throw new IllegalArgumentException(s"unbound template param ${m.group(2)}"))
+      m.group(1) match {
+        case "DateTime" => s"TIMESTAMP_NTZ '$v'"
+        case "String" => s"'$v'"
+        case _ => v
+      }
+    })
+  }
+
+  /** CH scalar CTE: `WITH (SELECT …) as name <rest>` — inline the
+    * subquery at every use of `name` in <rest>. */
+  private def rewriteScalarWith(s: String): String = {
+    val re = """(?is)^\s*WITH\s*\((SELECT.*?)\)\s+as\s+(\w+)\s+(.*)$""".r
+    s match {
+      case re(sub, name, rest) =>
+        rewriteScalarWith( // there may be several in sequence
+          rest.replaceAll("\\b" + name + "\\b",
+            java.util.regex.Matcher.quoteReplacement(s"($sub)")))
+      case _ => s
+    }
+  }
+
+  /** Balanced-paren function rewriting for signature-changing maps. */
+  private val fnMaps: Seq[(String, Seq[String] => String)] = Seq(
+    "toStartOfMinute" -> (a => s"cast(date_trunc('minute', ${a(0)}) as timestamp_ntz)"),
+    "toStartOfHour" -> (a => s"cast(date_trunc('hour', ${a(0)}) as timestamp_ntz)"),
+    "toStartOfDay" -> (a => s"cast(date_trunc('day', ${a(0)}) as timestamp_ntz)"),
+    "subtractHours" -> (a => s"(${a(0)} - make_interval(0,0,0,0,${a(1)},0,0))"),
+    "addMinutes" -> (a => s"(${a(0)} + make_interval(0,0,0,0,0,${a(1)},0))"),
+    "fromUnixTimestamp64Micro" -> (a => s"cast(timestamp_micros(${a(0)}) as timestamp_ntz)"),
+    "toFixedString" -> (a => s"rpad(${a(0)}, ${a(1)}, ' ')"),
+    "toDateTime" -> (a => s"cast(timestamp_seconds(${a(0)}) as timestamp_ntz)"),
+    "toYYYYMM" -> (a => s"cast(date_format(${a(0)}, 'yyyyMM') as int)"),
+    "argMax" -> (a => s"max_by(${a(0)}, ${a(1)})"),
+    "argMin" -> (a => s"min_by(${a(0)}, ${a(1)})"))
+
+  private def rewriteFunctions(sql: String): String = {
+    var s = sql
+    var changed = true
+    while (changed) {
+      changed = false
+      for ((name, map) <- fnMaps) {
+        val idx = indexOfCall(s, name)
+        if (idx >= 0) {
+          val open = s.indexOf('(', idx + name.length)
+          val close = matchParen(s, open)
+          val args = splitArgs(s.substring(open + 1, close))
+          s = s.substring(0, idx) + map(args.map(_.trim)) + s.substring(close + 1)
+          changed = true
+        }
+      }
+    }
+    s
+  }
+
+  /** Find `name(` as a whole word (case-insensitive). */
+  private def indexOfCall(s: String, name: String): Int = {
+    val re = ("(?i)\\b" + name + "\\s*\\(").r
+    re.findFirstMatchIn(s).map(_.start).getOrElse(-1)
+  }
+
+  private def matchParen(s: String, open: Int): Int = {
+    var depth = 0; var i = open
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case '\'' => i += 1; while (i < s.length && s.charAt(i) != '\'') i += 1
+        case _ => ()
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"unbalanced parens at $open in: $s")
+  }
+
+  private def splitArgs(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var start = 0; var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case '\'' => i += 1; while (i < s.length && s.charAt(i) != '\'') i += 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result()
+  }
+
+  /** `SELECT … FROM t ORDER BY o LIMIT 1 BY k` → ranking-window
+    * subquery. The per-group ordering is the ORDER BY list minus the
+    * LIMIT BY key. */
+  private def rewriteLimitBy(sql: String): String = {
+    val re = """(?is)^\s*SELECT\s+(.*?)\s+FROM\s+(\w+)\s+ORDER\s+BY\s+(.*?)\s+LIMIT\s+1\s+BY\s+(\w+)\s*$""".r
+    sql match {
+      case re(cols, table, order, key) =>
+        val perGroupOrder = order.split(",").map(_.trim)
+          .filterNot(o => o.equalsIgnoreCase(key) ||
+            o.toLowerCase.startsWith(key.toLowerCase + " "))
+          .mkString(", ")
+        s"""SELECT $cols FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY $key ORDER BY $perGroupOrder) AS __rn
+           |  FROM $table) WHERE __rn = 1""".stripMargin
+      case _ => sql
+    }
+  }
+}

@@ -1,0 +1,141 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.fixtures.CdcFixtures
+import graft.pipes.{AirportPipes, UsersPipes}
+import graft.sql.{ChSqlTranslator, PipeRunner}
+
+/** The strongest fidelity check available: execute the reference's OWN
+  * `.pipe` files (read-only checkout) through the CH-SQL→Spark-SQL
+  * translator against fixture CDC logs, and require identical results
+  * to the hand-built DataFrame pipes for every endpoint. */
+class TranslatorSpec extends SparkSpec {
+
+  private val kits = "/root/reference/kits"
+  private lazy val gen = CdcFixtures.generate()
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graftsql").toString
+    CdcFixtures.writeAll(spark, gen, d)
+    // register raw CDC logs as the datasource tables
+    for (t <- Seq("flights_raw", "passengers_raw", "baggage_raw", "users_raw"))
+      spark.read.parquet(s"$d/$t").createOrReplaceTempView(t)
+    // users_latest FINAL view (ReplacingMergeTree read path)
+    val mv = UsersPipes.usersMv(UsersPipes.usersRaw(spark, d))
+    operators.Dedup.latestByKey(mv, Seq("id"), col("updated_at"),
+        mv.columns.filter(_ != "id").toSeq)
+      .select("id", "name", "email", "address", "phone_number",
+        "email_verified", "onboarded", "deleted", "event_timestamp", "lang",
+        "created_at", "updated_at")
+      .createOrReplaceTempView("users_latest__final")
+    // users_batch from the copy job
+    UsersPipes.usersBatchCopy(spark, d, s"$d/users_batch")
+    spark.read.parquet(s"$d/users_batch").createOrReplaceTempView("users_batch")
+    d
+  }
+  private lazy val asOf = gen.endTime.toString.replace("T", " ")
+
+  private def runPipe(kit: String, name: String,
+                      params: Map[String, String] = Map.empty): DataFrame =
+    PipeRunner.run(spark, new File(s"$kits/$kit/pipes/$name.pipe"),
+      params, Some(asOf))
+
+  private def rows(df: DataFrame): Seq[String] = {
+    val cols = df.columns.sorted.toIndexedSeq
+    df.select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+  }
+
+  private def assertSame(translated: DataFrame, handBuilt: DataFrame): Unit = {
+    assert(translated.columns.sorted.toSeq == handBuilt.columns.sorted.toSeq,
+      s"columns: ${translated.columns.toSeq} vs ${handBuilt.columns.toSeq}")
+    assert(rows(translated) == rows(handBuilt))
+  }
+
+  test("latest_*_info pipes translate and match the hand-built endpoints") {
+    dir // force setup
+    assertSame(runPipe("airport/mysql", "latest_flight_info"),
+      AirportPipes.latestFlightInfo(spark, dir))
+    // note: latest_passenger_info.pipe has CH's tolerated trailing comma
+    assertSame(runPipe("airport/mysql", "latest_passenger_info"),
+      AirportPipes.latestPassengerInfo(spark, dir))
+    assertSame(runPipe("airport/mysql", "latest_baggage_info"),
+      AirportPipes.latestBaggageInfo(spark, dir))
+  }
+
+  test("active_flights_past_hour translates (now() → asOf literal)") {
+    dir
+    assertSame(runPipe("airport/mysql", "active_flights_past_hour"),
+      AirportPipes.activeFlightsPastHour(spark, dir, Some(gen.endTime)))
+  }
+
+  test("flights_missed_pct_minute: 3-node chain with cross-pipe refs and gap-fill") {
+    dir
+    runPipe("airport/mysql", "latest_flight_info")
+      .createOrReplaceTempView("latest_flight_info")
+    runPipe("airport/mysql", "latest_passenger_info")
+      .createOrReplaceTempView("latest_passenger_info")
+    assertSame(runPipe("airport/mysql", "flights_missed_pct_minute"),
+      AirportPipes.flightsMissedPctMinute(spark, dir, Some(gen.endTime)))
+  }
+
+  test("template parameters: defined(start)/defined(end) branch") {
+    dir
+    runPipe("airport/mysql", "latest_flight_info")
+      .createOrReplaceTempView("latest_flight_info")
+    runPipe("airport/mysql", "latest_passenger_info")
+      .createOrReplaceTempView("latest_passenger_info")
+    val start = gen.endTime.minusMinutes(30).toString.replace("T", " ")
+    val translated = runPipe("airport/mysql", "flights_missed_pct_minute",
+      Map("start" -> start, "end" -> asOf))
+    val handBuilt = AirportPipes.flightsMissedPctMinute(spark, dir,
+      Some(gen.endTime), start = Some(gen.endTime.minusMinutes(30)),
+      end = Some(gen.endTime))
+    assertSame(translated, handBuilt)
+  }
+
+  test("passengers_by_flight_status and baggage_by_flight_status translate") {
+    dir
+    runPipe("airport/mysql", "latest_flight_info")
+      .createOrReplaceTempView("latest_flight_info")
+    runPipe("airport/mysql", "latest_passenger_info")
+      .createOrReplaceTempView("latest_passenger_info")
+    runPipe("airport/mysql", "latest_baggage_info")
+      .createOrReplaceTempView("latest_baggage_info")
+    assertSame(runPipe("airport/mysql", "passengers_by_flight_status"),
+      AirportPipes.passengersByFlightStatus(spark, dir, Some(gen.endTime)))
+    assertSame(runPipe("airport/mysql", "baggage_by_flight_status"),
+      AirportPipes.baggageByFlightStatus(spark, dir, Some(gen.endTime)))
+  }
+
+  test("passenger_activity and active_vs_missed_flights translate") {
+    dir
+    assertSame(runPipe("airport/mysql", "passenger_activity"),
+      AirportPipes.passengerActivity(spark, dir, Some(gen.endTime)))
+    runPipe("airport/mysql", "active_flights_past_hour")
+      .createOrReplaceTempView("active_flights_past_hour")
+    runPipe("airport/mysql", "latest_flight_info")
+      .createOrReplaceTempView("latest_flight_info")
+    runPipe("airport/mysql", "latest_passenger_info")
+      .createOrReplaceTempView("latest_passenger_info")
+    runPipe("airport/mysql", "flights_missed_pct_minute")
+      .createOrReplaceTempView("flights_missed_pct_minute")
+    assertSame(runPipe("airport/mysql", "active_vs_missed_flights"),
+      AirportPipes.activeVsMissedFlights(spark, dir, Some(gen.endTime)))
+  }
+
+  test("users_mv and users_api_rmt (FINAL) translate") {
+    dir
+    assertSame(runPipe("users/pg", "users_mv"),
+      UsersPipes.usersMv(UsersPipes.usersRaw(spark, dir)))
+    assertSame(runPipe("users/pg", "users_api_rmt"),
+      UsersPipes.usersApiRmt(spark, dir))
+  }
+
+  test("users_api_batch (scalar WITH + NOT IN + * EXCEPT + UNION ALL) translates") {
+    dir
+    assertSame(runPipe("users/pg", "users_api_batch"),
+      UsersPipes.usersApiBatch(spark, dir, s"$dir/users_batch"))
+  }
+}
