@@ -180,6 +180,21 @@ object CdcFixtures {
         "__timestamp", "__deleted")
       .write.mode("overwrite").parquet(s"$dir/users_raw")
 
+    // MySQL-dialect users log: same change stream, DateTime timestamps
+    // (second precision like MySQL DATETIME), __value raw payload, no
+    // __deleted (kits/users/mysql/datasources/users_raw.datasource)
+    g.userEvents.map { case (u, ts, _) =>
+      val created = LocalDateTime.parse("1970-01-01T00:00:00")
+        .plusSeconds(u.createdUs / 1000000)
+      val updated = LocalDateTime.parse("1970-01-01T00:00:00")
+        .plusSeconds(u.updatedUs / 1000000)
+      (s"""{"id": ${u.id}}""", u.id, u.name, u.email, u.address, u.phone,
+        u.emailVerified, u.onboarded, u.deleted, u.lang, created, updated, ts)
+    }.toDF("__value", "id", "name", "email", "address", "phone_number",
+        "email_verified", "onboarded", "deleted", "lang", "created_at",
+        "updated_at", "__timestamp")
+      .write.mode("overwrite").parquet(s"$dir/users_raw_mysql")
+
     g.flightEvents.map { case (f, ts) =>
       (f.id, f.flightNumber, f.passengerCount, f.status,
         f.closedAt.orNull, f.boardingAt.orNull, f.boardedAt.orNull,

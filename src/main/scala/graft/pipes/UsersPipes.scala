@@ -49,6 +49,28 @@ object UsersPipes {
       .orderBy("id")
   }
 
+  /** MySQL-dialect variant (kits/users/mysql): timestamps arrive as
+    * DateTime (no µs decode), no __deleted meta, __value raw message
+    * stored. users_mv.pipe (mysql) is a plain projection + CHAR(2). */
+  def usersMvMysql(raw: DataFrame): DataFrame =
+    raw.select(
+      col("id"), col("name"), col("email"), col("address"),
+      col("phone_number"), col("email_verified"), col("onboarded"),
+      col("deleted"), col("created_at"), col("updated_at"),
+      col("__timestamp").as("event_timestamp"),
+      toFixedString(col("lang"), 2).as("lang"))
+
+  /** users_api.pipe (mysql): SELECT * FROM users_latest FINAL ORDER BY id. */
+  def usersApiMysql(spark: SparkSession, dir: String): DataFrame = {
+    val mv = usersMvMysql(spark.read.parquet(s"$dir/users_raw_mysql"))
+    Dedup.latestByKey(mv, Seq("id"), col("updated_at"),
+        payload = mv.columns.filter(_ != "id").toSeq)
+      .select("id", "name", "email", "address", "phone_number",
+        "email_verified", "onboarded", "deleted", "created_at", "updated_at",
+        "event_timestamp", "lang")
+      .orderBy("id")
+  }
+
   /** users_batch_copy.pipe:8-70 — the hourly copy job: watermark from the
     * target, coalesce-wrapped argMax collapse of newer raw events,
     * backfill of unsuperseded prior rows, restamped batch_max_updated;

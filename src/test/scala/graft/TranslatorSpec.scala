@@ -138,4 +138,28 @@ class TranslatorSpec extends SparkSpec {
     assertSame(runPipe("users/pg", "users_api_batch"),
       UsersPipes.usersApiBatch(spark, dir, s"$dir/users_batch"))
   }
+
+  // keep last: rebinds the users_raw / users_latest__final views to the
+  // MySQL-dialect log (DateTime timestamps, __value, no __deleted)
+  test("mysql dialect: users_mv and users_api translate and match") {
+    dir
+    spark.read.parquet(s"$dir/users_raw_mysql").createOrReplaceTempView("users_raw")
+    val mv = UsersPipes.usersMvMysql(spark.read.parquet(s"$dir/users_raw_mysql"))
+    operators.Dedup.latestByKey(mv, Seq("id"), col("updated_at"),
+        mv.columns.filter(_ != "id").toSeq)
+      .select("id", "name", "email", "address", "phone_number",
+        "email_verified", "onboarded", "deleted", "created_at", "updated_at",
+        "event_timestamp", "lang")
+      .createOrReplaceTempView("users_latest__final")
+    assertSame(runPipe("users/mysql", "users_mv"),
+      UsersPipes.usersMvMysql(spark.read.parquet(s"$dir/users_raw_mysql")))
+    assertSame(runPipe("users/mysql", "users_api"),
+      UsersPipes.usersApiMysql(spark, dir))
+    // both dialects must reconstruct the same source state
+    val pg = UsersPipes.usersApiRmt(spark, dir)
+      .select("id", "email", "deleted").collect().map(_.toString).toSeq
+    val my = UsersPipes.usersApiMysql(spark, dir)
+      .select("id", "email", "deleted").collect().map(_.toString).toSeq
+    assert(pg == my)
+  }
 }
