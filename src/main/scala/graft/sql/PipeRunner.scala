@@ -49,9 +49,27 @@ object PipeRunner {
     val nodes = parse(text)
     require(nodes.nonEmpty, s"no SQL nodes in ${pipeFile.getName}")
     nodes.map { n =>
-      val df = spark.sql(ChSqlTranslator.translate(n.sql, params, asOf))
+      val df = dedupColumns(spark.sql(ChSqlTranslator.translate(n.sql, params, asOf)))
       df.createOrReplaceTempView(n.name)
       df
     }.last
+  }
+
+  /** CH tolerates duplicate result-column names and the reference's copy
+    * pipe uses that to restamp a column (`SELECT *, x AS batch_max_updated`,
+    * users_batch_copy.pipe:66 — the target table is written by name and
+    * the last occurrence wins). Mirror it: keep the LAST occurrence of
+    * each duplicated name. */
+  private def dedupColumns(df: DataFrame): DataFrame = {
+    val cols = df.columns
+    if (cols.distinct.length == cols.length) df
+    else {
+      val keep = cols.zipWithIndex.groupBy(_._1).map(_._2.last._2).toSet
+      val tmp = df.toDF(cols.indices.map(i => s"__c$i"): _*)
+      import org.apache.spark.sql.functions.col
+      tmp.select(cols.zipWithIndex.collect {
+        case (n, i) if keep(i) => col(s"__c$i").as(n)
+      }.toIndexedSeq: _*)
+    }
   }
 }

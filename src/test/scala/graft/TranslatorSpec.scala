@@ -139,6 +139,30 @@ class TranslatorSpec extends SparkSpec {
       UsersPipes.usersApiBatch(spark, dir, s"$dir/users_batch"))
   }
 
+  test("users_batch_copy (the copy pipe) translates; output equals the hand-built job") {
+    dir
+    // build a mid-stream batch state: copy job over a 60% prefix of the
+    // log, so the next copy genuinely has new events + backfill
+    val all = UsersPipes.usersRaw(spark, dir)
+    val cut = all.agg(expr("percentile_approx(updated_at, 0.6)")).first().getLong(0)
+    val prefixDir = Files.createTempDirectory("graftpfx").toString
+    all.filter(col("updated_at") <= cut).write.parquet(s"$prefixDir/users_raw")
+    val batchMid = Files.createTempDirectory("graftbm").toString + "/users_batch"
+    UsersPipes.usersBatchCopy(spark, prefixDir, batchMid)
+    // translated pipe sees the mid-stream batch + the full raw log
+    spark.read.parquet(batchMid).createOrReplaceTempView("users_batch")
+    val translated = runPipe("users/pg", "users_batch_copy")
+    // hand-built job appends its generation to a copy of the same state
+    val batch2 = Files.createTempDirectory("graftb2").toString + "/users_batch"
+    spark.read.parquet(batchMid).write.parquet(batch2)
+    UsersPipes.usersBatchCopy(spark, dir, batch2)
+    val appended = spark.read.parquet(batch2)
+    val hw = appended.agg(max(col("batch_max_updated"))).first().getLong(0)
+    assertSame(translated, appended.filter(col("batch_max_updated") === hw))
+    // restore the full-log batch view for any later test
+    spark.read.parquet(s"$dir/users_batch").createOrReplaceTempView("users_batch")
+  }
+
   // keep last: rebinds the users_raw / users_latest__final views to the
   // MySQL-dialect log (DateTime timestamps, __value, no __deleted)
   test("mysql dialect: users_mv and users_api translate and match") {
