@@ -105,10 +105,18 @@ object VectorOps {
         explode(tableBuckets(col("embedding"), dim)).as("tb"))
       .select(col("vec_id"), col("embedding"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    // multi-probe: the query also visits every bucket at hamming
+    // distance 1 in each table (flip one plane's sign bit) — per-table
+    // hit prob rises from p^b to p^b + b·p^(b-1)(1-p) at no extra cost
+    // on the corpus side (only the broadcast query side fans out)
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("tbl"), col("bucket"))
-    val scored = emb.join(broadcast(q), Seq("tbl", "bucket"))
+        col("tbl").as("qtbl"), col("bucket").as("qbucket"))
+      .withColumn("probe", explode(array(
+        (col("qbucket") +: (0 until PlanesPerTable).map(p =>
+          col("qbucket").bitwiseXOR(lit(1 << p)))): _*)))
+    val scored = emb.join(broadcast(q),
+        col("tbl") === col("qtbl") && col("bucket") === col("probe"))
       .filter(col("vec_id") =!= col("query_id"))
       // a pair can collide in several tables — collapse before ranking
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"),

@@ -175,6 +175,23 @@ object CdcStream {
     snap.filter(col("generation") === gen).drop("generation")
   }
 
+  /** Watermarked tumbling-window aggregation — the standard streaming
+    * time-series op (the reference computes its buckets at query time
+    * over storage, SURVEY §2.9; this is the in-stream variant for
+    * pipelines that want the aggregate maintained incrementally). Append
+    * mode emits a window only once its watermark passes — state is
+    * bounded by (windows in flight × groups), not history. */
+  def windowedCounts(raw: DataFrame, windowMinutes: Int = 5,
+                     watermarkMinutes: Int = 10): DataFrame =
+    raw
+      .withColumn("ts_ltz", col("ts").cast("timestamp"))
+      .withWatermark("ts_ltz", s"$watermarkMinutes minutes")
+      .groupBy(window(col("ts_ltz"), s"$windowMinutes minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(
+        col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+
   case class LatestState(event_id: Long, ts: java.time.LocalDateTime,
                          event_type: String, value: Double)
   case class LatestRow(user_id: Long, event_id: Long,

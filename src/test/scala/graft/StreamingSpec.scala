@@ -113,6 +113,33 @@ class StreamingSpec extends SparkSpec {
     assert(badRow.isNullAt(badRow.fieldIndex("id")))
   }
 
+  test("watermarked windowed aggregation: closed windows equal batch buckets") {
+    val src = tmp(); val ck = tmp() + "/ck"
+    val events = Tables.events(spark, sf)
+    events.write.parquet(s"$src/all")
+    val q = CdcStream.windowedCounts(CdcStream.readEvents(spark, s"$src/*"))
+      .writeStream.format("memory").queryName("win_mem")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.sql(
+        "SELECT window_start, event_type, n FROM win_mem")
+      .collect().map(r => ((r.get(0).toString, r.getString(1)), r.getLong(2))).toMap
+    // batch truth: 5-minute buckets over the same data; append mode only
+    // emits windows older than the final watermark (max ts - 10 min)
+    val batch = events
+      .groupBy(expr("cast(date_trunc('minute', ts) - " +
+        "make_interval(0,0,0,0,0, minute(ts) % 5, 0) as timestamp_ntz)").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.get(0).toString, r.getString(1)), r.getLong(2))).toMap
+    assert(streamed.nonEmpty)
+    // every emitted window must match the batch bucket exactly
+    streamed.foreach { case (k, n) => assert(batch(k) == n, s"window $k") }
+  }
+
   test("stateful latest-per-key stream agrees with dedup view") {
     val src = tmp(); val ck = tmp() + "/ck"
     val events = Tables.events(spark, sf)
