@@ -30,8 +30,13 @@ object SparkEntry {
     * the harness star schema, so these endpoints run on the generated
     * Debezium-style logs and are covered by the differential specs
     * (ReferencePipesSpec) rather than the DuckDB oracle. */
+  /** Bump when CdcFixtures generation changes — the fixture cache in
+    * java.io.tmpdir outlives code changes within a container. */
+  private val FixtureVersion = 2
+
   private def fixtureDir(spark: SparkSession): String = synchronized {
-    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_cdc_fixtures_s42")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_cdc_fixtures_s42_v$FixtureVersion")
     val marker = new java.io.File(dir, "_DONE")
     if (!marker.exists()) {
       val g = graft.fixtures.CdcFixtures.generate()
@@ -49,6 +54,7 @@ object SparkEntry {
     "users_api_batch"       -> (CdcPipes.usersApiBatch _),
     // time-series endpoints (SURVEY §2.5 A10, §2.7 G1)
     "active_users_per_hour" -> (CdcPipes.activeUsersPerHour _),
+    "active_users_per_hour_salted" -> (CdcPipes.activeUsersPerHourSalted _),
     "error_pct_per_hour"    -> (CdcPipes.errorPctPerHour _),
     "active_vs_errors"      -> (CdcPipes.activeVsErrors _),
     "user_activity"         -> (CdcPipes.userActivity _),
@@ -136,6 +142,11 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "active_users_per_hour" ->
+      """WITH anchor AS (SELECT max(ts) AS a FROM events)
+        |SELECT date_trunc('hour', ts) AS time_interval, count(DISTINCT user_id) AS active_users
+        |FROM events, anchor WHERE ts > a - INTERVAL 30 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "active_users_per_hour_salted" ->
       """WITH anchor AS (SELECT max(ts) AS a FROM events)
         |SELECT date_trunc('hour', ts) AS time_interval, count(DISTINCT user_id) AS active_users
         |FROM events, anchor WHERE ts > a - INTERVAL 30 DAY

@@ -50,20 +50,23 @@ object TextDedup {
     * — only when maxDf is comfortably above corpus dup-cluster size). */
   def nearDupPairs(spark: SparkSession, dir: String, minJaccard: Double = 0.5): DataFrame = {
     // no .cache(): identical scan subtrees reuse the shuffle exchange,
-    // and a pinned cache would outlive the query in a shared session
+    // and a pinned cache would outlive the query in a shared session.
+    // Set sizes ride along on each shingle row (a window count over the
+    // distinct-shingle exchange, no extra shuffle) so the self-join
+    // carries |A| and |B| and no post-join on sizes is needed.
     val sh = shingles(Tables.documents(spark, dir))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.as("a"); val b = sh.as("b")
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+    val a = sh.toDF("doc_a", "shingle", "na")
+    val b = sh.toDF("doc_b", "shingle_b", "nb")
     val inter = a.join(b,
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        col("shingle") === col("shingle_b") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("c"))
-    val j = inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+    inter
       .withColumn("jaccard_raw", col("c") * 1.0 / (col("na") + col("nb") - col("c")))
       .filter(col("jaccard_raw") >= minJaccard)
-    j.select(col("doc_a"), col("doc_b"), floorRound(col("jaccard_raw"), 4).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), floorRound(col("jaccard_raw"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 

@@ -85,6 +85,22 @@ object CdcPipes {
       .orderBy("time_interval")
   }
 
+  /** The skew-safe variant of [[activeUsersPerHour]]: same result, but
+    * the distinct-user state per bucket is spread over value-hash salts
+    * (operators.Skew) — the form that survives a hot key at 100 TB.
+    * Registered under the SAME oracle as the plain variant: salting is a
+    * plan rewrite, not a semantics change. */
+  def activeUsersPerHourSalted(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val asOf = e.agg(max(col("ts")).as("__asof"))
+    val windowed = e.crossJoin(broadcast(asOf))
+      .filter(col("ts") > col("__asof") - interval(days = lit(30)))
+      .withColumn("time_interval", toStartOfHour(col("ts")))
+    graft.operators.Skew.saltedCountDistinct(windowed,
+        Seq(col("time_interval")), col("user_id"), buckets = 8, as = "active_users")
+      .orderBy("time_interval")
+  }
+
   /** flights_missed_pct_minute.pipe:3-60 — the 3-node chain: per-bucket
     * ratio with null-guard (A8), gap-filled over a generated time series
     * (G1/J6/J7). Analog: % of events that are errors per hour, zero-filled
