@@ -63,6 +63,7 @@ object SparkEntry {
     "events_ingest_normalize" -> (CdcPipes.eventsIngestNormalize _),
     "events_sessionization" -> (CdcPipes.eventsSessionization _),
     "events_value_quantiles" -> (CdcPipes.eventsValueQuantiles _),
+    "events_retention"      -> (CdcPipes.eventsRetention _),
     "orders_rollup"         -> (TpchPipes.ordersRollup _),
     "events_quarantine"     -> (CdcPipes.eventsQuarantine _),
     "events_in_window"      -> ((s, d) => CdcPipes.eventsInWindow(s, d)),
@@ -238,6 +239,24 @@ object SparkEntry {
         |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS session_value
         |FROM t GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "events_retention" ->
+      """WITH first_seen AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM events GROUP BY user_id),
+        |activity AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events),
+        |sizes AS (
+        |  SELECT cohort_week, count(DISTINCT user_id) AS cohort_size
+        |  FROM first_seen GROUP BY cohort_week),
+        |r AS (
+        |  SELECT f.cohort_week, CAST(date_diff('day', f.cohort_week, a.week) / 7 AS INT) AS weeks_since,
+        |         count(DISTINCT a.user_id) AS active_users
+        |  FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+        |  GROUP BY 1, 2)
+        |SELECT r.cohort_week, r.weeks_since, r.active_users, sizes.cohort_size,
+        |  floor(r.active_users * 100.0 / sizes.cohort_size * 100 + 0.5) / 100.0 AS retention_pct
+        |FROM r JOIN sizes ON r.cohort_week = sizes.cohort_week
+        |ORDER BY r.cohort_week, r.weeks_since""".stripMargin,
     "events_value_quantiles" ->
       """SELECT event_type,
         |  floor(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000.0 AS p50,

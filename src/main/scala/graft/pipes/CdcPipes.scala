@@ -246,6 +246,32 @@ object CdcPipes {
       .orderBy("user_id", "session_id")
   }
 
+  /** Cohort retention — users bucketed by first-seen week, tracked by
+    * weeks-since-cohort activity. Two aggregations over the same scan
+    * (first-seen per user, distinct user-weeks) joined on user: both
+    * shuffle on user_id, so AQE co-locates them; the retention matrix
+    * itself is tiny. */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val firstSeen = e.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).cast("timestamp_ntz").as("cohort_week"))
+    val activity = e.select(col("user_id"),
+        date_trunc("week", col("ts")).cast("timestamp_ntz").as("week"))
+      .distinct()
+    val cohortSizes = firstSeen.groupBy(col("cohort_week"))
+      .agg(countDistinct(col("user_id")).as("cohort_size"))
+    activity.join(firstSeen, "user_id")
+      .withColumn("weeks_since",
+        (datediff(col("week"), col("cohort_week")) / 7).cast("int"))
+      .groupBy(col("cohort_week"), col("weeks_since"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .join(broadcast(cohortSizes), "cohort_week")
+      .withColumn("retention_pct",
+        floorRound(col("active_users") * 100.0 / col("cohort_size"), 2))
+      .select("cohort_week", "weeks_since", "active_users", "cohort_size", "retention_pct")
+      .orderBy("cohort_week", "weeks_since")
+  }
+
   /** Exact interpolated quantiles of the value distribution per event
     * type (p50/p95): the percentile() exact aggregate, not the sketch —
     * DuckDB's quantile_cont shares the interpolation definition. */
