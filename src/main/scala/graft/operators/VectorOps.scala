@@ -86,7 +86,7 @@ object VectorOps {
     val ps = planes(dim)
     array((0 until NumTables).map { t =>
       val bucket = (0 until PlanesPerTable).map { p =>
-        val plane = array(ps(t)(p).map(lit): _*)
+        val plane = array(ps(t)(p).toIndexedSeq.map(lit): _*)
         when(dot(emb, plane) >= 0, lit(1 << p)).otherwise(lit(0))
       }.reduce(_ + _)
       struct(lit(t).as("tbl"), bucket.as("bucket"))
