@@ -65,6 +65,8 @@ object SparkEntry {
     "events_value_quantiles" -> (CdcPipes.eventsValueQuantiles _),
     "events_retention"      -> (CdcPipes.eventsRetention _),
     "orders_rollup"         -> (TpchPipes.ordersRollup _),
+    "lineitem_cube"         -> (TpchPipes.lineitemCube _),
+    "top3_orders_per_segment" -> (TpchPipes.top3OrdersPerSegment _),
     "events_quarantine"     -> (CdcPipes.eventsQuarantine _),
     "events_in_window"      -> ((s, d) => CdcPipes.eventsInWindow(s, d)),
     // relational coverage (SURVEY §2.2/2.3/2.5/2.6/2.7)
@@ -268,6 +270,18 @@ object SparkEntry {
         |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
         |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
         |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+    "lineitem_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "top3_orders_per_segment" ->
+      """SELECT c_mktsegment, o_orderkey, o_totalprice
+        |FROM (SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY c_mktsegment
+        |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE rn <= 3
+        |ORDER BY c_mktsegment, o_totalprice DESC, o_orderkey""".stripMargin,
     "events_quarantine" ->
       """SELECT event_id, user_id, props FROM events
         |WHERE TRY_CAST(json_extract_string(props, '$.k') AS INT) IS NULL

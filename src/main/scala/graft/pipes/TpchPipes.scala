@@ -176,6 +176,26 @@ object TpchPipes {
       .orderBy(col("o_orderpriority").asc_nulls_first,
         col("o_orderstatus").asc_nulls_first)
 
+  /** GROUP BY CUBE — the full subtotal lattice (rollup's sibling). */
+  def lineitemCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Per-group top-k (LIMIT n BY with n>1 — the general form of the
+    * reference's LIMIT 1 BY): top 3 orders by value per market segment. */
+  def top3OrdersPerSegment(spark: SparkSession, dir: String): DataFrame = {
+    val joined = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+    limitBy(joined, 3, Seq(col("c_mktsegment")),
+        Seq(col("o_totalprice").desc, col("o_orderkey")))
+      .orderBy(col("c_mktsegment"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
   /** §2.8 scalar-function showcase over lineitem: date_trunc, interval
     * arithmetic, coalesce/nullif, round, CASE, fixed-string padding. */
   def scalarFunctions(spark: SparkSession, dir: String): DataFrame =
