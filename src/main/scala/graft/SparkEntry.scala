@@ -39,6 +39,16 @@ object SparkEntry {
       s"graft_cdc_fixtures_s42_v$FixtureVersion")
     val marker = new java.io.File(dir, "_DONE")
     if (!marker.exists()) {
+      // a dir without the marker is a half-finished previous attempt
+      // (crash between generation and marker): rebuild from scratch so
+      // the append-mode users_batch can't accumulate duplicate
+      // generations. (Verify/Bench never run concurrently.)
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+        }
+        rm(dir)
+      }
       val g = graft.fixtures.CdcFixtures.generate()
       graft.fixtures.CdcFixtures.writeAll(spark, g, dir.toString)
       graft.pipes.UsersPipes.usersBatchCopy(spark, dir.toString, s"$dir/users_batch")

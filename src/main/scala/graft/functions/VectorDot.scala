@@ -40,7 +40,10 @@ case class VectorDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"vector_dot: dimension mismatch ($n vs ${y.numElements()})")
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -53,7 +56,11 @@ case class VectorDot(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
       s"""
-         |int graftN = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int graftN = $x.numElements();
+         |if ($y.numElements() != graftN) {
+         |  throw new IllegalArgumentException(
+         |    "vector_dot: dimension mismatch (" + graftN + " vs " + $y.numElements() + ")");
+         |}
          |double graftS = 0.0;
          |for (int graftI = 0; graftI < graftN; graftI++) {
          |  graftS += (double) $x.getFloat(graftI) * (double) $y.getFloat(graftI);

@@ -50,8 +50,16 @@ object Dedup {
     */
   def incrementalSnapshot(prior: DataFrame, log: DataFrame, keys: Seq[String],
                           version: Column, versionCol: String,
-                          payload: Seq[String], watermark: Column): DataFrame = {
-    val fresh = latestByKey(log.filter(col(versionCol) > watermark), keys, version, payload)
+                          payload: Seq[String], watermark: Column,
+                          inclusive: Boolean = false): DataFrame = {
+    // `inclusive` re-collapses events AT the watermark: required when the
+    // version has a tie-break beyond versionCol (e.g. struct(ts, id)) —
+    // a late event sharing the prior snapshot's max ts would otherwise
+    // be invisible to every future generation
+    val freshLog =
+      if (inclusive) log.filter(col(versionCol) >= watermark)
+      else log.filter(col(versionCol) > watermark)
+    val fresh = latestByKey(freshLog, keys, version, payload)
     val backfill = prior.join(fresh.select(keys.map(col): _*), keys, "left_anti")
     fresh.select((keys ++ payload).map(col): _*)
       .unionByName(backfill.select((keys ++ payload).map(col): _*))

@@ -56,13 +56,19 @@ object VectorOps {
     val scored = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         floorRound(dot(col("qe"), col("embedding")), 6).as("cosine"))
-    limitBy(scored, k, Seq(col("query_id")), Seq(col("cosine").desc, col("neighbor_id")))
-      .withColumn("rank", row_number().over(
+    topK(scored, k)
+  }
+
+  /** One ranking window evaluation: row_number IS the rank — computing
+    * it via limitBy and then a second identical window would double the
+    * window work on the hot scored set. */
+  private def topK(scored: DataFrame, k: Int): DataFrame =
+    scored.withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("query_id"))
           .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
       .orderBy("query_id", "rank")
-  }
 
   // Multi-table random-hyperplane LSH: L independent tables of b planes.
   // Collision prob for a pair at angle θ is p=(1-θ/π) per plane, so a
@@ -123,12 +129,7 @@ object VectorOps {
         floorRound(dot(col("qe"), col("embedding")), 6).as("cosine"))
       .agg(count(lit(1)).as("__collisions"))
       .drop("__collisions")
-    limitBy(scored, k, Seq(col("query_id")), Seq(col("cosine").desc, col("neighbor_id")))
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("query_id"))
-          .orderBy(col("cosine").desc, col("neighbor_id"))))
-      .orderBy("query_id", "rank")
+    topK(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs (the vector analogue of

@@ -82,7 +82,8 @@ object UsersPipes {
     val lastBatchTs: Long =
       if (!exists) 0L
       else spark.read.parquet(batchDir)
-        .agg(max(col("batch_max_updated"))).first().getLong(0)
+        // coalesce: an empty batch table yields a null max, not an NPE
+        .agg(coalesce(max(col("batch_max_updated")), lit(0L))).first().getLong(0)
 
     // get_new_events (users_batch_copy.pipe:8-27)
     val newEvents = raw.filter(col("updated_at") > lastBatchTs)
@@ -127,7 +128,8 @@ object UsersPipes {
   def usersApiBatch(spark: SparkSession, dir: String, batchDir: String): DataFrame = {
     val raw = usersRaw(spark, dir)
     val batchTbl = spark.read.parquet(batchDir)
-    val lastBatchTs = batchTbl.agg(max(col("batch_max_updated"))).first().getLong(0)
+    val lastBatchTs = batchTbl
+      .agg(coalesce(max(col("batch_max_updated")), lit(0L))).first().getLong(0)
 
     val newEvents = raw.filter(col("updated_at") > lastBatchTs)
       .groupBy(col("id"))

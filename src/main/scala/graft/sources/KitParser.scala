@@ -106,14 +106,20 @@ object KitParser {
       kafkaAutoOffsetReset = settings.get("KAFKA_AUTO_OFFSET_RESET"))
   }
 
-  /** Parse every `.datasource` under a kit directory into a catalog. */
+  /** Parse every `.datasource` under a kit directory into a catalog.
+    * Keys are kit-relative paths (e.g. `users/pg/users_raw`) — the pg
+    * and mysql kits declare DIFFERENT schemas under the same basename
+    * (unix-µs Int64 + __deleted vs DateTime + __value), so basename
+    * keys would collapse them in filesystem-listing order. */
   def parseKit(dir: java.io.File): Map[String, DatasourceDef] = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
       else if (f.getName.endsWith(".datasource")) Seq(f) else Nil
     walk(dir).map { f =>
       val name = f.getName.stripSuffix(".datasource")
-      name -> parseDatasource(name,
+      val rel = dir.toPath.relativize(f.toPath).toString
+        .stripSuffix(".datasource").replace("/datasources/", "/")
+      rel -> parseDatasource(name,
         new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
     }.toMap
   }

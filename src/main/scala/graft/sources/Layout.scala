@@ -45,10 +45,18 @@ object Layout {
       payload = cur.columns.filterNot(keys.contains).toSeq)
     val tmp = path + "_compacting"
     writeAppendLog(latest, tsCol, sortCols, tmp, mode = "overwrite")
-    // atomic-ish swap (single-FS rename; a lake-format table commit in prod)
+    // two-step swap (single-FS renames; a lake-format table commit in
+    // prod). Every rename is checked; the backup is deleted only after
+    // the new table is in place, so a failure at any step leaves either
+    // the old table or the backup recoverable on disk.
     val fs = new java.io.File(path)
     val bak = new java.io.File(path + "_old")
-    new java.io.File(tmp).renameTo({ fs.renameTo(bak); fs })
+    if (!fs.renameTo(bak))
+      throw new java.io.IOException(s"compact: could not move $path aside")
+    if (!new java.io.File(tmp).renameTo(fs)) {
+      bak.renameTo(fs) // roll back
+      throw new java.io.IOException(s"compact: could not install $tmp at $path")
+    }
     bak.listFiles().foreach(deleteRec)
     bak.delete()
   }

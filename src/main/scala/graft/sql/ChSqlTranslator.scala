@@ -166,9 +166,11 @@ object ChSqlTranslator {
           .filterNot(o => o.equalsIgnoreCase(key) ||
             o.toLowerCase.startsWith(key.toLowerCase + " "))
           .mkString(", ")
+        // keep the query's own ORDER BY on the outside — CH returns the
+        // LIMIT BY result in that order and endpoint consumers rely on it
         s"""SELECT $cols FROM (
            |  SELECT *, row_number() OVER (PARTITION BY $key ORDER BY $perGroupOrder) AS __rn
-           |  FROM $table) WHERE __rn = 1""".stripMargin
+           |  FROM $table) WHERE __rn = 1 ORDER BY $order""".stripMargin
       case _ => sql
     }
   }

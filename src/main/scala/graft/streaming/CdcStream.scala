@@ -157,22 +157,36 @@ object CdcStream {
         .withColumn("generation", lit(1L))
     } else {
       val snap = spark.read.parquet(snapDir)
-      val gen = snap.agg(max(col("generation"))).first().getLong(0)
-      val prior = snap.filter(col("generation") === gen).drop("generation")
-      val wmRow = prior.agg(max(col("ts")).as("wm")).first()
-      val wm = wmRow.getAs[java.time.LocalDateTime]("wm")
-      Dedup.incrementalSnapshot(prior, log, Seq("user_id"),
-          struct(col("ts"), col("event_id")), "ts", payload, lit(wm))
-        .withColumn("generation", lit(gen + 1))
+      val genRow = snap.agg(max(col("generation"))).first()
+      if (genRow.isNullAt(0)) {
+        // empty snapshot table (e.g. a zero-row first generation):
+        // behave like the bootstrap path
+        Dedup.latestByKey(log, Seq("user_id"),
+            struct(col("ts"), col("event_id")), payload)
+          .withColumn("generation", lit(1L))
+      } else {
+        val gen = genRow.getLong(0)
+        val prior = snap.filter(col("generation") === gen).drop("generation")
+        val wmRow = prior.agg(max(col("ts")).as("wm")).first()
+        val wm = wmRow.getAs[java.time.LocalDateTime]("wm")
+        // inclusive: a late event with ts == wm but a higher event_id
+        // tie-break must still supersede the prior row
+        Dedup.incrementalSnapshot(prior, log, Seq("user_id"),
+            struct(col("ts"), col("event_id")), "ts", payload, lit(wm),
+            inclusive = true)
+          .withColumn("generation", lit(gen + 1))
+      }
     }
     next.write.mode("append").parquet(snapDir)
   }
 
-  /** Read the current snapshot (latest generation). */
+  /** Read the current snapshot (latest generation); empty table → empty
+    * frame rather than an NPE on the null max. */
   def readSnapshot(spark: SparkSession, snapDir: String): DataFrame = {
     val snap = spark.read.parquet(snapDir)
-    val gen = snap.agg(max(col("generation"))).first().getLong(0)
-    snap.filter(col("generation") === gen).drop("generation")
+    val genRow = snap.agg(max(col("generation"))).first()
+    if (genRow.isNullAt(0)) snap.limit(0).drop("generation")
+    else snap.filter(col("generation") === genRow.getLong(0)).drop("generation")
   }
 
   /** Watermarked tumbling-window aggregation — the standard streaming

@@ -10,13 +10,19 @@ class KitParserSpec extends SparkSpec {
 
   private val kits = new java.io.File("/root/reference/kits")
 
-  test("all 10 reference datasource files parse") {
+  test("all 10 reference datasource files parse under kit-relative keys") {
     val cat = KitParser.parseKit(kits)
-    // users pg+mysql: users_raw/users_latest (+pg users_batch); airport:
-    // flights/passengers/baggage raws — name-keyed map collapses the
-    // pg/mysql duplicates of users_raw/users_latest
-    assert(cat.keySet == Set("users_raw", "users_latest", "users_batch",
-      "flights_raw", "passengers_raw", "baggage_raw"))
+    // kit-relative keys keep the pg and mysql dialects distinct (their
+    // schemas differ under the same basename)
+    assert(cat.keySet == Set(
+      "users/pg/users_raw", "users/pg/users_latest", "users/pg/users_batch",
+      "users/mysql/users_raw", "users/mysql/users_latest",
+      "airport/mysql/flights_raw", "airport/mysql/passengers_raw",
+      "airport/mysql/baggage_raw"))
+    assert(cat.size == 8)
+    // the two dialects of users_raw must carry their own schemas
+    assert(cat("users/pg/users_raw").schema("updated_at").dataType == LongType)
+    assert(cat("users/mysql/users_raw").schema("updated_at").dataType == TimestampNTZType)
   }
 
   test("users_raw (pg): JSONPaths, nullable unix-micros, MergeTree layout") {

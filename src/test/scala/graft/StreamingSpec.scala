@@ -63,6 +63,43 @@ class StreamingSpec extends SparkSpec {
     assert(snap == fin)
   }
 
+  test("copy job: late event tying the watermark ts still supersedes (regression)") {
+    import spark.implicits._
+    val logDir = tmp() + "/log"; val snapDir = tmp() + "/snap"
+    val t = java.time.LocalDateTime.parse("2024-05-01T10:00:00")
+    def row(eventId: Long, ts: java.time.LocalDateTime) =
+      (eventId, 1L, ts, "click", 1.0, 1)
+    Seq(row(1, t)).toDF("event_id", "user_id", "ts", "event_type", "value", "prop_k")
+      .write.parquet(logDir)
+    CdcStream.runCopyJob(spark, logDir, snapDir)
+    // a late event arrives with the SAME ts as the snapshot's max but a
+    // higher event_id tie-break — version order says it wins
+    Seq(row(2, t)).toDF("event_id", "user_id", "ts", "event_type", "value", "prop_k")
+      .write.mode("append").parquet(logDir)
+    CdcStream.runCopyJob(spark, logDir, snapDir)
+    val snap = CdcStream.readSnapshot(spark, snapDir)
+      .select("user_id", "event_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(snap.toSeq == Seq((1L, 2L)), s"late tie-break event lost: ${snap.toSeq}")
+  }
+
+  test("copy job over an empty batch table does not NPE (regression)") {
+    val logDir = tmp() + "/log"; val batchDir = tmp() + "/users_batch"
+    val d = tmp()
+    val gen = graft.fixtures.CdcFixtures.generate(seed = 7, userOps = 30, airportTicks = 1)
+    graft.fixtures.CdcFixtures.writeAll(spark, gen, d)
+    // first copy over an EMPTY raw prefix → writes an empty batch table
+    val emptyPrefix = tmp()
+    graft.pipes.UsersPipes.usersRaw(spark, d).limit(0)
+      .write.parquet(s"$emptyPrefix/users_raw")
+    graft.pipes.UsersPipes.usersBatchCopy(spark, emptyPrefix, batchDir)
+    // second copy over the real log must read the null watermark as 0
+    graft.pipes.UsersPipes.usersBatchCopy(spark, d, batchDir)
+    val api = graft.pipes.UsersPipes.usersApiBatch(spark, d, batchDir)
+    val rmt = graft.pipes.UsersPipes.usersApiRmt(spark, d)
+      .filter(org.apache.spark.sql.functions.col("deleted") === 0)
+    assert(api.select("id").collect().toSeq == rmt.select("id").collect().toSeq)
+  }
+
   test("quarantine side-sink splits malformed rows from the ingest path") {
     import spark.implicits._
     val src = tmp(); val logDir = tmp() + "/log"
