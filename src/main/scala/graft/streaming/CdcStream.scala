@@ -189,6 +189,19 @@ object CdcStream {
     else snap.filter(col("generation") === genRow.getLong(0)).drop("generation")
   }
 
+  /** At-least-once delivery dedup in the stream itself:
+    * dropDuplicatesWithinWatermark keeps state only for the watermark
+    * horizon, so redelivered events (Kafka consumer restarts, §2.9's
+    * offset caveat) are dropped without unbounded state. Downstream
+    * latest-state views are already duplicate-idempotent (DedupProps);
+    * this bounds the LOG's growth too. */
+  def dedupedStream(raw: DataFrame, watermarkMinutes: Int = 10): DataFrame =
+    raw
+      .withColumn("ts_ltz", col("ts").cast("timestamp"))
+      .withWatermark("ts_ltz", s"$watermarkMinutes minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .drop("ts_ltz")
+
   /** Watermarked tumbling-window aggregation — the standard streaming
     * time-series op (the reference computes its buckets at query time
     * over storage, SURVEY §2.9; this is the in-stream variant for

@@ -150,6 +150,27 @@ class StreamingSpec extends SparkSpec {
     assert(badRow.isNullAt(badRow.fieldIndex("id")))
   }
 
+  test("in-stream dedup drops redelivered events within the watermark") {
+    import spark.implicits._
+    val src = tmp(); val ck = tmp() + "/ck"
+    val rows = Seq(
+      (1L, java.time.LocalDateTime.parse("2024-05-01T00:00:01"), 10L, "click", 1.0, """{"k": 1}"""),
+      (2L, java.time.LocalDateTime.parse("2024-05-01T00:01:00"), 11L, "view", 2.0, """{"k": 2}"""))
+    // the same batch written twice = at-least-once redelivery
+    (rows ++ rows).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$src/data")
+    val q = CdcStream.dedupedStream(CdcStream.readEvents(spark, s"$src/*"))
+      .writeStream.format("memory").queryName("dedup_mem")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.sql("SELECT event_id FROM dedup_mem")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L), s"duplicates survived: $got")
+  }
+
   test("watermarked windowed aggregation: closed windows equal batch buckets") {
     val src = tmp(); val ck = tmp() + "/ck"
     val events = Tables.events(spark, sf)
