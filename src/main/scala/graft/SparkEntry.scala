@@ -98,6 +98,7 @@ object SparkEntry {
     "docs_quality_score"    -> (operators.TextAnalysis.qualityScore _),
     "docs_lang_id"          -> (operators.TextAnalysis.langId _),
     "docs_fingerprint"      -> (operators.TextAnalysis.fingerprint _),
+    "docs_rolling_fingerprints" -> ((s, d) => operators.TextAnalysis.rollingFingerprints(s, d)),
     // training-data pipeline: dedup suite
     "docs_exact_dedup"      -> (operators.TextDedup.exactDedup _),
     "docs_near_dup_pairs"   -> ((s, d) => operators.TextDedup.nearDupPairs(s, d)),
@@ -408,6 +409,21 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS digest, sha256(text) AS digest_sha256,
         |  CAST(length(text) AS BIGINT) AS text_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "docs_rolling_fingerprints" ->
+      """WITH rh AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, greatest(length(text)-7, 1)),
+        |      i -> list_reduce(
+        |             list_prepend(CAST(0 AS BIGINT),
+        |               list_transform(generate_series(0, 7), j -> CAST(ascii(substring(text, i+j, 1)) AS BIGINT))),
+        |             (acc, c) -> (acc*31 + c) % 1073741824)) AS h
+        |  FROM documents),
+        |fp AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(h)-15, 1)),
+        |      i -> list_min(h[i:i+15]))) AS fps
+        |  FROM rh)
+        |SELECT doc_id, unnest(fps) AS fingerprint FROM fp ORDER BY doc_id, fingerprint""".stripMargin,
     "docs_exact_dedup" ->
       """SELECT md5(text) AS digest, min(doc_id) AS canonical_doc_id, count(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY canonical_doc_id""".stripMargin,

@@ -73,6 +73,28 @@ object TextAnalysis {
           .otherwise("und"))
       .orderBy("doc_id")
 
+  /** Rolling-hash chunk fingerprints (winnowing): a polynomial rolling
+    * hash over every k-char window, then the minimum hash of each
+    * w-window of those (the winnowing guarantee: any shared substring of
+    * length >= k+w-1 yields a shared fingerprint) — the content-defined
+    * chunking used for partial-overlap dedup, where digests only catch
+    * exact duplicates. Entirely per-row; the fingerprint explosion is
+    * the only row growth. */
+  def rollingFingerprints(spark: SparkSession, dir: String,
+                          k: Int = 8, w: Int = 16): DataFrame = {
+    val rolling =
+      s"""transform(sequence(1, greatest(length(text) - ${k - 1}, 1)),
+         |  i -> aggregate(sequence(0, ${k - 1}), 0L,
+         |         (acc, j) -> (acc * 31 + ascii(substring(text, i + j, 1))) % 1073741824))""".stripMargin
+    val winnowed =
+      s"""array_distinct(transform(sequence(1, greatest(size(__rh) - ${w - 1}, 1)),
+         |  i -> array_min(slice(__rh, i, $w))))""".stripMargin
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), expr(rolling).as("__rh"))
+      .select(col("doc_id"), explode(expr(winnowed)).as("fingerprint"))
+      .orderBy("doc_id", "fingerprint")
+  }
+
   /** Content fingerprinting: normalized digest for exact-dup detection at
     * scale (dedup on the 16-byte digest, never on the raw text — the
     * shuffle moves digests, not documents). */

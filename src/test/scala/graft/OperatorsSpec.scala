@@ -43,6 +43,19 @@ class OperatorsSpec extends SparkSpec {
       s"LSH top-1 recall too low: $hit/${bfTop1.size}")
   }
 
+  test("rolling fingerprints: near-dup docs share chunks, distinct docs share few") {
+    val fps = operators.TextAnalysis.rollingFingerprints(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val pairs = TextDedup.nearDupPairs(spark, sf).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      val overlap = (fps(a) & fps(b)).size.toDouble / math.min(fps(a).size, fps(b).size)
+      assert(overlap >= 0.5, s"near-dup pair ($a,$b) shares only $overlap of chunks")
+    }
+  }
+
   test("IVF assignment partitions the corpus completely") {
     val total = VectorOps.ivfAssign(spark, sf)
       .agg(sum("n_vectors")).first().getLong(0)
