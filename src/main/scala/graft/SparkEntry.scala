@@ -65,6 +65,7 @@ object SparkEntry {
     // time-series endpoints (SURVEY §2.5 A10, §2.7 G1)
     "active_users_per_hour" -> (CdcPipes.activeUsersPerHour _),
     "active_users_per_hour_salted" -> (CdcPipes.activeUsersPerHourSalted _),
+    "active_users_per_hour_approx" -> (CdcPipes.activeUsersPerHourApprox _),
     "error_pct_per_hour"    -> (CdcPipes.errorPctPerHour _),
     "active_vs_errors"      -> (CdcPipes.activeVsErrors _),
     "user_activity"         -> (CdcPipes.userActivity _),

@@ -246,6 +246,21 @@ object CdcPipes {
       .orderBy("user_id", "session_id")
   }
 
+  /** Sketch-based distinct counting (approx_count_distinct / HLL++):
+    * the perf alternative to the exact variants when ±2% error buys an
+    * order of magnitude less aggregation state at 100 TB. Rows-only
+    * check (sketch estimates are engine-specific); the spec bounds its
+    * error against the exact query. */
+  def activeUsersPerHourApprox(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val asOf = e.agg(max(col("ts")).as("__asof"))
+    e.crossJoin(broadcast(asOf))
+      .filter(col("ts") > col("__asof") - interval(days = lit(30)))
+      .groupBy(toStartOfHour(col("ts")).as("time_interval"))
+      .agg(approx_count_distinct(col("user_id")).as("active_users_approx"))
+      .orderBy("time_interval")
+  }
+
   /** Cohort retention — users bucketed by first-seen week, tracked by
     * weeks-since-cohort activity. Two aggregations over the same scan
     * (first-seen per user, distinct user-weeks) joined on user: both

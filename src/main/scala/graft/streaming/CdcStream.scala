@@ -51,17 +51,26 @@ object CdcStream {
       coalesce(col("value"), lit(0.0)).as("value"),
       get_json_object(col("props"), "$.k").cast("int").as("prop_k"))
 
-  /** Start the MV stream appending into the versioned log. */
+  /** Start the MV stream appending into the versioned log. With
+    * `partitioned`, the sink lays out the log MergeTree-style
+    * (ENGINE_PARTITION_KEY "toYYYYMM(...)", users_raw.datasource:17):
+    * yyyymm directories that partition-prune incremental readers. */
   def startMv(spark: SparkSession, srcDir: String, logDir: String,
-              checkpointDir: String): StreamingQuery =
-    materializedView(readEvents(spark, srcDir))
-      .writeStream
+              checkpointDir: String, partitioned: Boolean = false): StreamingQuery = {
+    val mv = materializedView(readEvents(spark, srcDir))
+    val writer =
+      if (partitioned)
+        mv.withColumn("yyyymm", graft.functions.ChFunctions.toYYYYMM(col("ts")))
+          .writeStream.partitionBy("yyyymm")
+      else mv.writeStream
+    writer
       .format("parquet")
       .option("path", logDir)
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 
   /** S1 — the generic per-column JSONPath ingest projection for a parsed
     * `.datasource` (users_raw.datasource:3-14): each declared column is
@@ -136,11 +145,15 @@ object CdcStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
-  /** D2 — FINAL read view over the materialized log. */
-  def finalView(spark: SparkSession, logDir: String): DataFrame =
-    Dedup.latestByKey(spark.read.parquet(logDir), Seq("user_id"),
+  /** D2 — FINAL read view over the materialized log (partitioned or
+    * not — the yyyymm layout column is not part of the row payload). */
+  def finalView(spark: SparkSession, logDir: String): DataFrame = {
+    val log = spark.read.parquet(logDir)
+    val base = if (log.columns.contains("yyyymm")) log.drop("yyyymm") else log
+    Dedup.latestByKey(base, Seq("user_id"),
       version = struct(col("ts"), col("event_id")),
       payload = Seq("event_id", "ts", "event_type", "value", "prop_k"))
+  }
 
   /** S5/D3 — the scheduled copy job (users_batch_copy.pipe:8-70): read
     * the snapshot's high-watermark, collapse newer log events per key,

@@ -63,6 +63,18 @@ class OperatorsSpec extends SparkSpec {
     assert(total == n)
   }
 
+  test("approx distinct stays within 5% of exact per bucket") {
+    val exact = pipes.CdcPipes.activeUsersPerHour(spark, sf)
+      .collect().map(r => (r.get(0).toString, r.getLong(1))).toMap
+    val approx = pipes.CdcPipes.activeUsersPerHourApprox(spark, sf)
+      .collect().map(r => (r.get(0).toString, r.getLong(1))).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (k, a) =>
+      val e = exact(k)
+      assert(math.abs(a - e) <= math.max(1L, (e * 0.05).toLong), s"$k: $a vs $e")
+    }
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

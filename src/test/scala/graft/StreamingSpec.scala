@@ -150,6 +150,28 @@ class StreamingSpec extends SparkSpec {
     assert(badRow.isNullAt(badRow.fieldIndex("id")))
   }
 
+  test("partitioned streaming sink lays out yyyymm directories; FINAL view unchanged") {
+    val src = tmp(); val logDir = tmp() + "/log"; val ck = tmp() + "/ck"
+    val events = Tables.events(spark, sf)
+    events.write.parquet(s"$src/all")
+    val q = CdcStream.startMv(spark, s"$src/*", logDir, ck, partitioned = true)
+    q.awaitTermination()
+    val dirs = new java.io.File(logDir).listFiles()
+      .filter(_.getName.startsWith("yyyymm=")).map(_.getName).sorted
+    val expectedMonths = events
+      .select(graft.functions.ChFunctions.toYYYYMM(col("ts"))).distinct().count()
+    assert(dirs.length == expectedMonths,
+      s"one directory per month: got ${dirs.toSeq}, want $expectedMonths")
+    val streamed = CdcStream.finalView(spark, logDir)
+      .select("user_id", "event_id").orderBy("user_id").collect().toSeq
+    val batch = operators.Dedup.latestByKey(
+        CdcStream.materializedView(events), Seq("user_id"),
+        struct(col("ts"), col("event_id")),
+        Seq("event_id", "ts", "event_type", "value", "prop_k"))
+      .select("user_id", "event_id").orderBy("user_id").collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("in-stream dedup drops redelivered events within the watermark") {
     import spark.implicits._
     val src = tmp(); val ck = tmp() + "/ck"
