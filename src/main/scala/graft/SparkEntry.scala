@@ -43,12 +43,7 @@ object SparkEntry {
       // (crash between generation and marker): rebuild from scratch so
       // the append-mode users_batch can't accumulate duplicate
       // generations. (Verify/Bench never run concurrently.)
-      if (dir.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
-        }
-        rm(dir)
-      }
+      if (dir.exists()) graft.sources.Layout.deleteRec(dir)
       val g = graft.fixtures.CdcFixtures.generate()
       graft.fixtures.CdcFixtures.writeAll(spark, g, dir.toString)
       graft.pipes.UsersPipes.usersBatchCopy(spark, dir.toString, s"$dir/users_batch")
@@ -143,6 +138,14 @@ object SparkEntry {
       pipes.AirportPipes.baggageByFlightStatus(s, fixtureDir(s))),
   )
 
+  /** Shared by the exact and salted variants: salting is a plan
+    * rewrite, not a semantics change — one oracle states that in code. */
+  private val activeUsersOracle =
+    """WITH anchor AS (SELECT max(ts) AS a FROM events)
+      |SELECT date_trunc('hour', ts) AS time_interval, count(DISTINCT user_id) AS active_users
+      |FROM events, anchor WHERE ts > a - INTERVAL 30 DAY
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "latest_event_per_user" ->
       """SELECT user_id, event_id, ts, event_type, value
@@ -156,16 +159,8 @@ object SparkEntry {
       """SELECT user_id, event_id, ts, event_type, value
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
-    "active_users_per_hour" ->
-      """WITH anchor AS (SELECT max(ts) AS a FROM events)
-        |SELECT date_trunc('hour', ts) AS time_interval, count(DISTINCT user_id) AS active_users
-        |FROM events, anchor WHERE ts > a - INTERVAL 30 DAY
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "active_users_per_hour_salted" ->
-      """WITH anchor AS (SELECT max(ts) AS a FROM events)
-        |SELECT date_trunc('hour', ts) AS time_interval, count(DISTINCT user_id) AS active_users
-        |FROM events, anchor WHERE ts > a - INTERVAL 30 DAY
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "active_users_per_hour" -> activeUsersOracle,
+    "active_users_per_hour_salted" -> activeUsersOracle,
     "error_pct_per_hour" ->
       """WITH agg AS (
         |  SELECT date_trunc('hour', ts) AS h,

