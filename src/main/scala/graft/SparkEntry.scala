@@ -24,14 +24,14 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     TpchPipes.q1PricingSummary(spark, "/root/testdata/sf0.001")
 
-  /** One-time deterministic CDC fixture set (seed 42) for the
-    * pipe-for-pipe reference endpoints (`ref_*` queries below) — the
-    * reference tables (users/flights/passengers/baggage) don't exist in
-    * the harness star schema, so these endpoints run on the generated
-    * Debezium-style logs and are covered by the differential specs
-    * (ReferencePipesSpec) rather than the DuckDB oracle. */
-  /** Bump when CdcFixtures generation changes — the fixture cache in
-    * java.io.tmpdir outlives code changes within a container. */
+  /** Version of the one-time deterministic CDC fixture set (seed 42)
+    * used by the pipe-for-pipe reference endpoints (`ref_*` queries
+    * below) — the reference tables (users/flights/passengers/baggage)
+    * don't exist in the harness star schema, so those endpoints run on
+    * generated Debezium-style logs and are covered by the differential
+    * specs (ReferencePipesSpec) rather than the DuckDB oracle. Bump when
+    * CdcFixtures generation changes: the cache in java.io.tmpdir
+    * outlives code changes within a container. */
   private val FixtureVersion = 2
 
   private def fixtureDir(spark: SparkSession): String = synchronized {
@@ -395,10 +395,14 @@ object SparkEntry {
     "docs_lang_id" ->
       """SELECT doc_id, lang,
         |  CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS BIGINT) AS en_markers,
+        |  CAST((length(text) - length(replace(text, 'th', ''))) / 2 AS BIGINT) AS ngram_th,
+        |  CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS BIGINT) AS ngram_the,
         |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
         |  CASE WHEN len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) * 20
-        |            >= length(text) - length(replace(text, ' ', '')) + 1 THEN 'en'
-        |       WHEN len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) > 0 THEN 'en_maybe'
+        |            >= length(text) - length(replace(text, ' ', '')) + 1
+        |            AND (length(text) - length(replace(text, 'th', ''))) / 2 > 0 THEN 'en'
+        |       WHEN len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a')))
+        |            + (length(text) - length(replace(text, 'the', ''))) / 3 > 0 THEN 'en_maybe'
         |       ELSE 'und' END AS lang_pred
         |FROM documents ORDER BY doc_id""".stripMargin,
     "docs_fingerprint" ->

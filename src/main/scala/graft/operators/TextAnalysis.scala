@@ -57,19 +57,26 @@ object TextAnalysis {
           .otherwise("low"))
       .orderBy("doc_id")
 
-  /** Language-ID heuristic: marker-token scoring (the n-gram/stopword
-    * counting shape of real langid; markers chosen for the synthetic
-    * corpus). Deterministic and replicated verbatim in the oracle. */
+  /** Language-ID heuristic: character-n-gram + marker-token scoring
+    * (the profile-counting shape of real langid — char bigram 'th' and
+    * trigram 'the' frequencies plus stopword tokens; markers chosen for
+    * the synthetic corpus). Deterministic and replicated verbatim in
+    * the oracle. */
   def langId(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(
         col("doc_id"), col("lang"),
         expr("size(filter(split(text, ' '), x -> x IN ('the', 'a')))")
           .cast("long").as("en_markers"),
+        // char-n-gram counts by length arithmetic (replace is exact)
+        ((length(col("text")) - length(regexp_replace(col("text"), "th", ""))) / 2)
+          .cast("long").as("ngram_th"),
+        ((length(col("text")) - length(regexp_replace(col("text"), "the", ""))) / 3)
+          .cast("long").as("ngram_the"),
         tokenCount(col("text")).cast("long").as("n_tokens"))
       .withColumn("lang_pred",
-        when(col("en_markers") * 20 >= col("n_tokens"), "en")
-          .when(col("en_markers") > 0, "en_maybe")
+        when(col("en_markers") * 20 >= col("n_tokens") && col("ngram_th") > 0, "en")
+          .when(col("en_markers") + col("ngram_the") > 0, "en_maybe")
           .otherwise("und"))
       .orderBy("doc_id")
 
