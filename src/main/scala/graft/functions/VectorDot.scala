@@ -77,9 +77,14 @@ case class VectorDot(left: Expression, right: Expression)
 /** Session registration for the engine's native functions, so they are
   * usable from SQL text as well as the Column API. Idempotent. */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vector_dot", exprs => VectorDot(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_fingerprints", exprs => WinnowFingerprints(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
+  }
 }
 
 /** Library packaging: register the engine's functions through the

@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native winnowing fingerprints: polynomial rolling hash
+  * `(acc*31 + char) % 2^30` over every k-char window, minimum of each
+  * w-window of those, first-occurrence-distinct — bit-identical to the
+  * higher-order-function formulation
+  *   array_distinct(transform(seq, i -> array_min(slice(rolling, i, w))))
+  * and to the DuckDB list_reduce oracle, but a compiled loop instead of
+  * ~n·k interpreted lambda invocations per document (measured ~50× on
+  * the sf0.1 corpus). CodegenFallback: the per-row work IS the loop, so
+  * codegen would only inline the call, and the surrounding stage stays
+  * codegen'd.
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = s.length
+    val M = 1073741824L // 2^30
+    // rolling hashes: windows start at 0 .. max(n-k, 0)
+    val nh = math.max(n - k + 1, 1)
+    val rh = new Array[Long](nh)
+    var i = 0
+    while (i < nh) {
+      var acc = 0L
+      var j = 0
+      while (j < k) {
+        val c = if (i + j < n) s.charAt(i + j).toLong else 0L
+        acc = (acc * 31 + c) % M
+        j += 1
+      }
+      rh(i) = acc
+      i += 1
+    }
+    // winnow: min of each w-window, keep first occurrence
+    val nw = math.max(nh - w + 1, 1)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    i = 0
+    while (i < nw) {
+      var m = Long.MaxValue
+      var j = 0
+      while (j < w) {
+        val idx = i + j
+        if (idx < nh && rh(idx) < m) m = rh(idx)
+        j += 1
+      }
+      seen.add(m)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = it.next().longValue(); p += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
