@@ -92,11 +92,20 @@ object GraftFunctions {
   *   spark.sql.extensions=graft.functions.GraftExtensions
   * instead of per-session calls. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("vector_dot"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[VectorDot].getName, "vector_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VectorDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("winnow_fingerprints"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WinnowFingerprints(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue(),
+          exprs(2).eval().asInstanceOf[Number].intValue())))
+  }
 }
