@@ -107,6 +107,7 @@ object SparkEntry {
     "emb_knn_lsh"           -> ((s, d) => operators.VectorOps.knnLsh(s, d)),
     "emb_near_dup_pairs"    -> ((s, d) => operators.VectorOps.nearDupPairs(s, d)),
     "emb_ivf_assign"        -> ((s, d) => operators.VectorOps.ivfAssign(s, d)),
+    "emb_knn_ivf"           -> ((s, d) => operators.VectorOps.knnIvf(s, d)),
     // training-data pipeline: multimodal binary columns
     "docs_binary_meta"      -> (operators.Multimodal.binaryMeta _),
     "docs_decode_features"  -> (operators.Multimodal.decodeFeatures _),

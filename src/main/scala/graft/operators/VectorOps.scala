@@ -150,6 +150,40 @@ object VectorOps {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** IVF search: the corpus is partitioned by nearest-anchor list (the
+    * ivfAssign layout); a query scores only the vectors in its `nprobe`
+    * closest lists — at scale, list_id is the partition key and this is
+    * partition-pruned local search instead of a full scan. Recall rises
+    * with nprobe (nprobe = nLists degenerates to brute force). */
+  def knnIvf(spark: SparkSession, dir: String, nQueries: Int = 20, k: Int = 5,
+             nLists: Int = 8, nprobe: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val anchors = emb.filter(col("vec_id") < nLists)
+      .select(col("vec_id").as("list_id"), col("embedding").as("anchor"))
+    // corpus side: nearest list per vector (the stored IVF layout)
+    val assigned = limitBy(
+      emb.join(broadcast(anchors))
+        .select(col("vec_id"), col("embedding"), col("list_id"),
+          dot(col("embedding"), col("anchor")).as("__sim")),
+      1, Seq(col("vec_id")), Seq(col("__sim").desc, col("list_id")))
+      .drop("__sim")
+    // query side: top-nprobe lists per query (tiny, broadcast)
+    val probes = limitBy(
+      emb.filter(col("vec_id") < nQueries)
+        .join(broadcast(anchors))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("list_id"), dot(col("embedding"), col("anchor")).as("__sim")),
+      nprobe, Seq(col("query_id")), Seq(col("__sim").desc, col("list_id")))
+      .drop("__sim")
+    val scored = assigned.join(broadcast(probes), Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        floorRound(dot(col("qe"), col("embedding")), 6).as("cosine"))
+    // no dedup needed: each corpus vector lives in exactly one list
+    topK(scored, k)
+  }
+
   /** IVF-style partition assignment: each vector assigned to its nearest
     * of `nLists` anchor vectors (anchors = the first nLists corpus
     * vectors — deterministic, data-derived). The cluster histogram is

@@ -56,6 +56,23 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("IVF search: nprobe=all equals brute force; nprobe=3 has useful recall") {
+    val bf = VectorOps.knnBruteForce(spark, sf, nQueries = 20, k = 5)
+      .select("query_id", "neighbor_id", "cosine").collect().map(_.toString).toSeq
+    val full = VectorOps.knnIvf(spark, sf, nQueries = 20, k = 5, nLists = 8, nprobe = 8)
+      .select("query_id", "neighbor_id", "cosine").collect().map(_.toString).toSeq
+    assert(full == bf, "probing every list must degenerate to brute force")
+    val bfTop1 = VectorOps.knnBruteForce(spark, sf, nQueries = 20, k = 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf3 = VectorOps.knnIvf(spark, sf, nQueries = 20, k = 5, nLists = 8, nprobe = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hit = bfTop1.count(ivf3.contains)
+    // measured 15/20 at nprobe=3 on this corpus; floor at 50%
+    assert(hit >= bfTop1.size / 2, s"IVF nprobe=3 top-1 recall: $hit/${bfTop1.size}")
+  }
+
   test("IVF assignment partitions the corpus completely") {
     val total = VectorOps.ivfAssign(spark, sf)
       .agg(sum("n_vectors")).first().getLong(0)
