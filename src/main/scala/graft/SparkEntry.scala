@@ -32,7 +32,7 @@ object SparkEntry {
     * specs (ReferencePipesSpec) rather than the DuckDB oracle. Bump when
     * CdcFixtures generation changes: the cache in java.io.tmpdir
     * outlives code changes within a container. */
-  private val FixtureVersion = 2
+  private val FixtureVersion = 3
 
   private def fixtureDir(spark: SparkSession): String = synchronized {
     val dir = new java.io.File(sys.props("java.io.tmpdir"),

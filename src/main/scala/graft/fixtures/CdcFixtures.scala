@@ -131,8 +131,14 @@ object CdcFixtures {
           }
         }
       }
-      // advance one flight state per tick
-      val advancing = flights.values.filter(_.status != "departed").toSeq
+      // advance one flight state per tick — excluding any flight already
+      // touched at this clock value (i.e. created this tick): the
+      // generator's contract is at most one change per entity per tick,
+      // so (id, __timestamp) is unique and every LIMIT 1 BY / latest-by
+      // query over the log has a single deterministic winner in any
+      // engine, independent of sort stability or storage order.
+      val advancing = flights.values
+        .filter(f => f.status != "departed" && f.updatedAt != clock).toSeq
       if (advancing.nonEmpty) {
         val f = advancing(rnd.nextInt(advancing.size))
         f.status match {

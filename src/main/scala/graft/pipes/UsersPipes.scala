@@ -124,14 +124,20 @@ object UsersPipes {
 
   /** users_api_batch.pipe:3-53 — the ad-hoc read variant of the copy
     * shape: fresh events since the batch watermark ∪ unsuperseded batch
-    * rows, decoded updated_at, `deleted = false` filter, ordered by id. */
+    * rows, decoded updated_at, `deleted = false` filter, ordered by id.
+    *
+    * The watermark is a 1-row broadcast frame cross-joined into both
+    * branches — a READ endpoint must not run driver-side `.first()`
+    * scalar jobs per call (the copy job above may: it is a scheduled
+    * write, not a query). */
   def usersApiBatch(spark: SparkSession, dir: String, batchDir: String): DataFrame = {
     val raw = usersRaw(spark, dir)
     val batchTbl = spark.read.parquet(batchDir)
-    val lastBatchTs = batchTbl
-      .agg(coalesce(max(col("batch_max_updated")), lit(0L))).first().getLong(0)
+    val wmF = broadcast(batchTbl
+      .agg(coalesce(max(col("batch_max_updated")), lit(0L)).as("__wm")))
 
-    val newEvents = raw.filter(col("updated_at") > lastBatchTs)
+    val newEvents = raw.crossJoin(wmF)
+      .filter(col("updated_at") > col("__wm")).drop("__wm")
       .groupBy(col("id"))
       .agg(
         argMax(col("name"), col("updated_at")).as("name"),
@@ -148,8 +154,8 @@ object UsersPipes {
         max(col("updated_at")).as("updated_at_unix"),
         max(col("updated_at")).as("batch_max_updated"))
 
-    val backfill = batchTbl
-      .filter(col("batch_max_updated") === lastBatchTs)
+    val backfill = batchTbl.crossJoin(wmF)
+      .filter(col("batch_max_updated") === col("__wm")).drop("__wm")
       .join(newEvents.select("id"), Seq("id"), "left_anti")
 
     // produce_api (:38-44): * EXCEPT (batch_max_updated, updated_at_unix)

@@ -16,8 +16,16 @@ package graft.sql
   *  - CH tolerances: trailing comma before FROM
   *    (latest_passenger_info.pipe:6)
   *
-  * Everything else (ifNull/nullIf/coalesce/round/CASE/INTERVAL/joins/
+  * Everything else (ifNull/nullIf/coalesce/CASE/INTERVAL/joins/
   * group by/order by) is shared syntax and passes through.
+  *
+  * Dialect decision: `round(x, n)` maps to the engine's canonical
+  * deterministic half-up floor-rounding `floor(x*10^n + 0.5)/10^n`
+  * (see ChFunctions.floorRound) rather than passing through to Spark's
+  * `round` — Spark rounds the shortest-decimal string of the double,
+  * ClickHouse rounds half-even, and both disagree with pure-IEEE
+  * engines on .xx5 boundaries; the floor form is bit-identical
+  * everywhere, which the correctness gate requires.
   */
 object ChSqlTranslator {
 
@@ -115,7 +123,21 @@ object ChSqlTranslator {
     "toDateTime" -> (a => s"cast(timestamp_seconds(${a(0)}) as timestamp_ntz)"),
     "toYYYYMM" -> (a => s"cast(date_format(${a(0)}, 'yyyyMM') as int)"),
     "argMax" -> (a => s"max_by(${a(0)}, ${a(1)})"),
-    "argMin" -> (a => s"min_by(${a(0)}, ${a(1)})"))
+    "argMin" -> (a => s"min_by(${a(0)}, ${a(1)})"),
+    "round" -> (a => {
+      val factor =
+        if (a.length < 2) 1L
+        else {
+          val n = a(1).trim
+          require(n.matches("\\d+"),
+            s"round(): only integer-literal decimals supported, got '$n'")
+          math.pow(10, n.toInt).toLong
+        }
+      // divisor cast to DOUBLE: a bare `100.0` literal is DECIMAL in
+      // Spark SQL (unlike the DataFrame API) and would decimal-type the
+      // whole expression
+      s"(floor((${a(0)}) * $factor + 0.5) / cast($factor as double))"
+    }))
 
   private def rewriteFunctions(sql: String): String = {
     var s = sql

@@ -138,4 +138,18 @@ class ReferencePipesSpec extends SparkSpec {
       assert(r.getLong(1) >= 0 && r.getLong(2) >= 0)
     }
   }
+
+  test("generator invariant: (id, __timestamp) unique in every CDC log") {
+    // This is what makes every latest-by / LIMIT 1 BY query over the
+    // logs single-winner deterministic in ANY engine (and lets the
+    // DuckDB oracle use a plain row_number window): no entity changes
+    // twice at the same clock value.
+    for (t <- Seq("users_raw", "users_raw_mysql", "flights_raw",
+        "passengers_raw", "baggage_raw")) {
+      val dupes = spark.read.parquet(s"$dir/$t")
+        .groupBy("id", "__timestamp").count()
+        .filter(col("count") > 1).count()
+      assert(dupes == 0, s"$t has $dupes (id, __timestamp) tie groups")
+    }
+  }
 }
