@@ -28,11 +28,23 @@ object SparkEntry {
     * used by the pipe-for-pipe reference endpoints (`ref_*` queries
     * below) — the reference tables (users/flights/passengers/baggage)
     * don't exist in the harness star schema, so those endpoints run on
-    * generated Debezium-style logs and are covered by the differential
-    * specs (ReferencePipesSpec) rather than the DuckDB oracle. Bump when
-    * CdcFixtures generation changes: the cache in java.io.tmpdir
+    * generated Debezium-style logs written to a deterministic tmpdir
+    * path. The DuckDB oracle reads the same parquet via read_parquet()
+    * (see [[fixtureSqlPath]]), so the driver gate covers the literal
+    * reference surface; ReferencePipesSpec additionally checks the
+    * endpoints against the generator's in-memory source-of-truth. Bump
+    * when CdcFixtures generation changes: the cache in java.io.tmpdir
     * outlives code changes within a container. */
   private val FixtureVersion = 3
+
+  /** Absolute fixture location as embedded in oracle SQL. Verify runs
+    * the queries (which materialize the fixtures here) before dumping
+    * oracle_sql.json, so the oracle always reads what the engine read. */
+  private def fixtureSqlPath(table: String): String = {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_cdc_fixtures_s42_v$FixtureVersion")
+    s"read_parquet('${dir.getAbsolutePath}/$table/*.parquet')"
+  }
 
   private def fixtureDir(spark: SparkSession): String = synchronized {
     val dir = new java.io.File(sys.props("java.io.tmpdir"),
@@ -112,9 +124,10 @@ object SparkEntry {
     "docs_binary_meta"      -> (operators.Multimodal.binaryMeta _),
     "docs_decode_features"  -> (operators.Multimodal.decodeFeatures _),
     // pipe-for-pipe reference endpoints over generated CDC fixtures
-    // (differential-tested in ReferencePipesSpec; no DuckDB oracle —
-    // their source tables aren't part of the harness star schema)
+    // (oracled against the same fixture parquet via read_parquet, and
+    // differential-tested against generator truth in ReferencePipesSpec)
     "ref_users_api_rmt" -> ((s, _) => pipes.UsersPipes.usersApiRmt(s, fixtureDir(s))),
+    "ref_users_api_mysql" -> ((s, _) => pipes.UsersPipes.usersApiMysql(s, fixtureDir(s))),
     "ref_users_api_batch" -> ((s, _) => {
       val d = fixtureDir(s)
       pipes.UsersPipes.usersApiBatch(s, d, s"$d/users_batch")
@@ -130,7 +143,9 @@ object SparkEntry {
     "ref_flights_missed_pct_minute" -> ((s, _) =>
       pipes.AirportPipes.flightsMissedPctMinute(s, fixtureDir(s))),
     "ref_active_vs_missed_flights" -> ((s, _) =>
-      pipes.AirportPipes.activeVsMissedFlights(s, fixtureDir(s))),
+      // the reference pipe has no ORDER BY; pin one for the hash gate
+      pipes.AirportPipes.activeVsMissedFlights(s, fixtureDir(s))
+        .orderBy("time_interval")),
     "ref_passenger_activity" -> ((s, _) =>
       pipes.AirportPipes.passengerActivity(s, fixtureDir(s))),
     "ref_passengers_by_flight_status" -> ((s, _) =>
@@ -486,5 +501,194 @@ object SparkEntry {
         |  CASE WHEN l_quantity >= 25 THEN 'bulk' ELSE 'retail' END AS order_class
         |FROM lineitem WHERE l_orderkey <= 100
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+  ) ++ refOracleSql
+
+  // ---- DuckDB oracles for the pipe-for-pipe reference endpoints -----
+  // Each re-expresses a reference `.pipe` in DuckDB SQL over the SAME
+  // deterministic fixture parquet the engine reads (absolute tmpdir
+  // path; Verify materializes the fixtures before dumping
+  // oracle_sql.json). The fixture generator guarantees (id,
+  // __timestamp) unique per log, so the latest-by row_number windows
+  // below are single-winner deterministic.
+
+  /** `LIMIT 1 BY id ORDER BY __timestamp DESC` as a DuckDB subquery. */
+  private def latestBy(src: String): String =
+    s"""(SELECT * FROM (SELECT *, row_number()
+       |  OVER (PARTITION BY id ORDER BY __timestamp DESC) __rn FROM $src)
+       |  WHERE __rn = 1)""".stripMargin
+
+  /** Shared CTE prologue of the airport pipes: now() anchor + latest
+    * flight/passenger state (flights_missed_pct_minute.pipe:3-20). */
+  private def airportProlog: String = {
+    val fl = fixtureSqlPath("flights_raw")
+    s"""WITH nf AS (SELECT max(__timestamp) AS now_ts FROM $fl),
+       |f AS ${latestBy(fl)},
+       |p AS ${latestBy(fixtureSqlPath("passengers_raw"))}""".stripMargin
+  }
+
+  /** flights_missed_pct_minute.pipe:3-60 as DuckDB CTEs (minus the
+    * final SELECT): per-closed-flight missed counts, per-minute pct,
+    * gap-filling minute series. */
+  private def missedPctCtes: String =
+    s"""$airportProlog,
+       |node0 AS (
+       |  SELECT f.closed_at, f.passenger_count AS booked_passengers,
+       |         count(p.id) AS missed_passengers
+       |  FROM f JOIN p ON p.flight_id = f.id
+       |  WHERE f.closed_at IS NOT NULL AND p.status = 'notboarded'
+       |  GROUP BY f.id, f.closed_at, f.passenger_count),
+       |node1 AS (
+       |  SELECT date_trunc('minute', closed_at) AS w,
+       |    floor(coalesce(CAST(sum(missed_passengers) AS DOUBLE) * 100
+       |      / nullif(CAST(sum(booked_passengers) AS BIGINT), 0), 0) * 100 + 0.5) / 100 AS pct
+       |  FROM node0 CROSS JOIN nf
+       |  WHERE closed_at >= now_ts - INTERVAL 1 HOUR AND closed_at <= now_ts
+       |  GROUP BY 1),
+       |series AS (
+       |  SELECT date_trunc('minute', now_ts) - INTERVAL 1 HOUR
+       |           + x * (INTERVAL 1 MINUTE) AS series_time, now_ts
+       |  FROM nf CROSS JOIN range(61) t(x)),
+       |missed AS (
+       |  SELECT series_time AS time_interval, coalesce(pct, 0) AS flights_missed_pct
+       |  FROM series LEFT JOIN node1 ON series_time = w
+       |  WHERE series_time <= now_ts),
+       |act AS (
+       |  SELECT date_trunc('minute', updated_at) AS time_interval,
+       |         count(DISTINCT id) AS active_flights
+       |  FROM ${fixtureSqlPath("flights_raw")} CROSS JOIN nf
+       |  WHERE created_at > now_ts - INTERVAL 1 HOUR AND departed_at IS NULL
+       |  GROUP BY 1)""".stripMargin
+
+  private val flightRankSql =
+    """CASE flight_status WHEN 'departed' THEN 5 WHEN 'boarded' THEN 4
+      |  WHEN 'boarding' THEN 3 WHEN 'closed' THEN 2 WHEN 'open' THEN 1
+      |  ELSE 6 END""".stripMargin
+
+  private def refOracleSql: Map[String, String] = Map(
+    // users_api_rmt.pipe:6 over users_mv.pipe:4-17 (PG dialect)
+    "ref_users_api_rmt" ->
+      s"""WITH mv AS (
+         |  SELECT id, coalesce(name, '') AS name, coalesce(email, '') AS email,
+         |    coalesce(address, '') AS address,
+         |    coalesce(phone_number, '') AS phone_number,
+         |    coalesce(email_verified, 0) AS email_verified,
+         |    coalesce(onboarded, 0) AS onboarded, coalesce(deleted, 0) AS deleted,
+         |    __timestamp AS event_timestamp,
+         |    rpad(coalesce(lang, ''), 2, ' ') AS lang,
+         |    make_timestamp(coalesce(created_at, 0)) AS created_at,
+         |    coalesce(make_timestamp(updated_at), __timestamp) AS updated_at
+         |  FROM ${fixtureSqlPath("users_raw")})
+         |SELECT id, name, email, address, phone_number, email_verified,
+         |       onboarded, deleted, event_timestamp, lang, created_at, updated_at
+         |FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY updated_at DESC) rn FROM mv)
+         |WHERE rn = 1 ORDER BY id""".stripMargin,
+    // users_api.pipe (mysql): SELECT * FROM users_latest FINAL ORDER BY id
+    "ref_users_api_mysql" ->
+      s"""SELECT id, name, email, address, phone_number, email_verified,
+         |       onboarded, deleted, created_at, updated_at,
+         |       __timestamp AS event_timestamp, rpad(lang, 2, ' ') AS lang
+         |FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY updated_at DESC) rn
+         |      FROM ${fixtureSqlPath("users_raw_mysql")})
+         |WHERE rn = 1 ORDER BY id""".stripMargin,
+    // users_api_batch.pipe:3-53 — after a full-log copy generation the
+    // snapshot is the per-id latest row with the MV's coalesce defaults
+    "ref_users_api_batch" ->
+      s"""WITH latest AS (
+         |  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY updated_at DESC) rn
+         |                 FROM ${fixtureSqlPath("users_raw")}) WHERE rn = 1)
+         |SELECT id, coalesce(name, '') AS name, coalesce(email, '') AS email,
+         |  coalesce(address, '') AS address,
+         |  coalesce(phone_number, '') AS phone_number,
+         |  coalesce(email_verified, 0) AS email_verified,
+         |  coalesce(onboarded, 0) AS onboarded, coalesce(deleted, 0) AS deleted,
+         |  __timestamp AS event_timestamp,
+         |  rpad(coalesce(lang, ''), 2, ' ') AS lang,
+         |  make_timestamp(coalesce(created_at, 0)) AS created_at,
+         |  make_timestamp(updated_at) AS updated_at
+         |FROM latest WHERE coalesce(deleted, 0) = 0 ORDER BY id""".stripMargin,
+    // latest_*_info.pipe:6-9
+    "ref_latest_flight_info" ->
+      s"""SELECT id, flight_number, status, passenger_count, departed_at, closed_at
+         |FROM ${latestBy(fixtureSqlPath("flights_raw"))} ORDER BY id""".stripMargin,
+    "ref_latest_passenger_info" ->
+      s"""SELECT id, flight_id, status
+         |FROM ${latestBy(fixtureSqlPath("passengers_raw"))} ORDER BY id""".stripMargin,
+    "ref_latest_baggage_info" ->
+      s"""SELECT id, flight_id, status, weight
+         |FROM ${latestBy(fixtureSqlPath("baggage_raw"))} ORDER BY id""".stripMargin,
+    // active_flights_past_hour.pipe:6-13
+    "ref_active_flights_past_hour" ->
+      s"""WITH nf AS (SELECT max(__timestamp) AS now_ts FROM ${fixtureSqlPath("flights_raw")})
+         |SELECT date_trunc('minute', updated_at) AS time_interval,
+         |       count(DISTINCT id) AS active_flights
+         |FROM ${fixtureSqlPath("flights_raw")} CROSS JOIN nf
+         |WHERE created_at > now_ts - INTERVAL 1 HOUR AND departed_at IS NULL
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // flights_missed_pct_minute.pipe:3-60
+    "ref_flights_missed_pct_minute" ->
+      s"""$missedPctCtes
+         |SELECT time_interval, flights_missed_pct FROM missed ORDER BY 1""".stripMargin,
+    // active_vs_missed_flights.pipe:6-12
+    "ref_active_vs_missed_flights" ->
+      s"""$missedPctCtes
+         |SELECT m.time_interval, m.flights_missed_pct, a.active_flights
+         |FROM missed m JOIN act a ON m.time_interval = a.time_interval
+         |ORDER BY 1""".stripMargin,
+    // passenger_activity.pipe:3-47
+    "ref_passenger_activity" ->
+      s"""WITH nf AS (SELECT max(__timestamp) AS now_ts FROM ${fixtureSqlPath("flights_raw")}),
+         |node0 AS (
+         |  SELECT id, date_trunc('minute', checkedin_at) AS started_at,
+         |         date_trunc('minute', coalesce(onboarded_at, notboarded_at)) AS completed_at
+         |  FROM ${fixtureSqlPath("passengers_raw")} CROSS JOIN nf
+         |  WHERE updated_at > now_ts - INTERVAL 1 HOUR),
+         |n1 AS (SELECT started_at AS iv, count(DISTINCT id) AS passengers_checkedin
+         |       FROM node0 GROUP BY 1),
+         |n2 AS (SELECT completed_at AS iv, count(DISTINCT id) AS passengers_completed
+         |       FROM node0 GROUP BY 1)
+         |SELECT n1.iv AS "interval", passengers_checkedin, passengers_completed
+         |FROM n1 JOIN n2 ON n1.iv = n2.iv ORDER BY n1.iv""".stripMargin,
+    // passengers_by_flight_status.pipe:3-38
+    "ref_passengers_by_flight_status" ->
+      s"""$airportProlog,
+         |j AS (
+         |  SELECT f.flight_number, f.passenger_count, f.status AS flight_status,
+         |         p.status AS pstatus
+         |  FROM f LEFT JOIN p ON p.flight_id = f.id CROSS JOIN nf
+         |  WHERE f.status != 'departed' OR
+         |        (f.status = 'departed' AND f.departed_at > now_ts - INTERVAL 20 SECOND))
+         |SELECT flight_number, flight_status, passenger_count AS booked,
+         |  count(CASE WHEN pstatus = 'checkedin' AND flight_status IN ('open', 'closed') THEN 1 END) AS checkedin,
+         |  count(CASE WHEN pstatus = 'checkedin' AND flight_status = 'boarding' THEN 1 END) AS boarding,
+         |  count(CASE WHEN pstatus = 'onboarded' AND flight_status IN ('boarding', 'boarded', 'departed') THEN 1 END) AS onboarded,
+         |  count(CASE WHEN pstatus = 'notboarded' AND flight_status IN ('boarded', 'departed') THEN 1 END) AS notboarded,
+         |  passenger_count
+         |    - (count(CASE WHEN pstatus = 'checkedin' AND flight_status IN ('open', 'closed') THEN 1 END)
+         |       + count(CASE WHEN pstatus = 'checkedin' AND flight_status = 'boarding' THEN 1 END)
+         |       + count(CASE WHEN pstatus = 'onboarded' AND flight_status IN ('boarding', 'boarded', 'departed') THEN 1 END)
+         |       + count(CASE WHEN pstatus = 'notboarded' AND flight_status IN ('boarded', 'departed') THEN 1 END)) AS notcheckedin
+         |FROM j GROUP BY flight_number, passenger_count, flight_status
+         |ORDER BY $flightRankSql, flight_number""".stripMargin,
+    // baggage_by_flight_status.pipe:3-26 (integer-cent exact sums,
+    // mirroring the engine's exactSum canon)
+    "ref_baggage_by_flight_status" -> {
+      def wsum(status: String, as: String) =
+        s"""CAST(sum(CAST(floor((CASE WHEN bstatus = '$status' THEN weight
+           |  ELSE CAST(0 AS DOUBLE) END) * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS $as""".stripMargin
+      s"""WITH nf AS (SELECT max(__timestamp) AS now_ts FROM ${fixtureSqlPath("flights_raw")}),
+         |f AS ${latestBy(fixtureSqlPath("flights_raw"))},
+         |b AS ${latestBy(fixtureSqlPath("baggage_raw"))},
+         |j AS (
+         |  SELECT f.flight_number, f.departed_at AS f_departed,
+         |         f.status AS flight_status, b.status AS bstatus, b.weight
+         |  FROM f LEFT JOIN b ON b.flight_id = f.id CROSS JOIN nf
+         |  WHERE f.departed_at IS NULL OR f.departed_at > now_ts - INTERVAL 30 SECOND)
+         |SELECT flight_number, flight_status,
+         |  ${wsum("checkedin", "baggage_checkedin")},
+         |  ${wsum("loaded", "baggage_loaded")},
+         |  ${wsum("offloaded", "baggage_offloaded")}
+         |FROM j GROUP BY flight_number, f_departed, flight_status
+         |ORDER BY $flightRankSql, flight_number""".stripMargin
+    },
   )
 }
