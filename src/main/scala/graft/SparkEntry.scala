@@ -389,11 +389,25 @@ object SparkEntry {
         |        / (length(text) - length(replace(text, ' ', '')) + 1) * 10000 + 0.5) / 10000.0 AS avg_token_len
         |FROM documents ORDER BY doc_id""".stripMargin,
     "emb_near_dup_pairs" ->
-      """WITH p AS (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |    floor(list_sum(list_transform(generate_series(1, len(a.embedding)),
-        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) * 1000000 + 0.5) / 1000000.0 AS cosine
-        |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+      """WITH anchors AS (SELECT vec_id AS list_id, embedding AS anchor FROM embeddings WHERE vec_id < 8),
+        |sims AS (
+        |  SELECT e.vec_id, list_id,
+        |    floor(list_sum(list_transform(generate_series(1, len(anchor)),
+        |      i -> CAST(anchor[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) * 1000000 + 0.5) / 1000000.0 AS sim
+        |  FROM embeddings e, anchors),
+        |probes AS (
+        |  SELECT vec_id, list_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, list_id) rn FROM sims)
+        |  WHERE rn <= 3),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM probes a JOIN probes b ON a.list_id = b.list_id AND a.vec_id < b.vec_id),
+        |p AS (
+        |  SELECT vec_a, vec_b,
+        |    floor(list_sum(list_transform(generate_series(1, len(x.embedding)),
+        |      i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))) * 1000000 + 0.5) / 1000000.0 AS cosine
+        |  FROM cand JOIN embeddings x ON x.vec_id = cand.vec_a
+        |            JOIN embeddings y ON y.vec_id = cand.vec_b)
         |SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
     "docs_quality_score" ->
       """SELECT doc_id, lang,
@@ -449,10 +463,17 @@ object SparkEntry {
         |  SELECT DISTINCT doc_id, t[g] || ' ' || t[g+1] || ' ' || t[g+2] AS s
         |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS g)
         |  WHERE len(t) >= 3),
+        |dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+        |rare AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfreq USING (s) WHERE df <= 100),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  SELECT doc_a, doc_b, count(*) AS c
+        |  FROM cand
+        |  JOIN sh x ON x.doc_id = doc_a
+        |  JOIN sh y ON y.doc_id = doc_b AND y.s = x.s
         |  GROUP BY 1, 2),
         |j AS (
         |  SELECT doc_a, doc_b, c * 1.0 / (na.n + nb.n - c) AS jr

@@ -42,19 +42,67 @@ object TextDedup {
         .as("shingle"))
       .distinct()
 
-  /** Exact near-dup pairs: 3-gram Jaccard >= `minJaccard` via the
-    * inverted-index join. Shingle-join fan-out is the scale hazard —
-    * hot shingles (boilerplate) explode; cap with a document-frequency
-    * filter like real pipelines do (a shingle in >maxDf docs can't
-    * witness a high-jaccard pair that rarer shingles won't also witness
-    * — only when maxDf is comfortably above corpus dup-cluster size). */
-  def nearDupPairs(spark: SparkSession, dir: String, minJaccard: Double = 0.5): DataFrame = {
+  /** Exact-verify of candidate pairs against FULL shingle sets:
+    * intersection count via a (doc, shingle) join on each side, sizes,
+    * Jaccard threshold. Shared by the df-capped inverted index and the
+    * MinHash+LSH candidate generators — at scale, verification cost is
+    * linear in (candidates × shingles of candidate docs), never in
+    * corpus pairs. */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame,
+                            minJaccard: Double): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.toDF("doc_a", "shingle"), Seq("doc_a"))
+      .join(sh.toDF("doc_b", "shingle"), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
+      .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
+      .withColumn("jaccard_raw", col("c") * 1.0 / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard_raw") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), floorRound(col("jaccard_raw"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Near-dup pairs: 3-gram Jaccard >= `minJaccard`, candidates from a
+    * document-frequency-capped inverted index, verified against full
+    * shingle sets.
+    *
+    * The cap is what makes the inverted-index join survive 100 TB: the
+    * join fan-out is Σ df(s)² over shingle frequencies, and one hot
+    * boilerplate shingle (df in the millions) is an unbounded
+    * quadratic. Dropping shingles with df > maxDf bounds every group at
+    * maxDf² while keeping recall: a pair with jaccard >= 0.5 shares
+    * many shingles, and with maxDf (100) comfortably above the dup-
+    * cluster size, at least one shared shingle is rare. Verification
+    * then uses the UNCAPPED sets, so reported jaccard values are exact
+    * (capping only candidate generation, like production dedup
+    * pipelines). At the test SFs max df < maxDf, so the result is
+    * bit-identical to [[nearDupPairsExact]] (asserted in
+    * OperatorsSpec).
+    */
+  def nearDupPairs(spark: SparkSession, dir: String, minJaccard: Double = 0.5,
+                   maxDf: Int = 100): DataFrame = {
     // no .cache(): identical scan subtrees reuse the shuffle exchange,
-    // and a pinned cache would outlive the query in a shared session.
-    // Set sizes ride along on each shingle row via a doc_id window (this
-    // does re-partition: distinct's (doc_id, shingle) hash layout does
-    // not satisfy the window's doc_id clustering — but measured it still
-    // beats the two post-joins on a separate sizes aggregate by ~30%).
+    // and a pinned cache would outlive the query in a shared session
+    val sh = shingles(Tables.documents(spark, dir))
+    val rare = sh.withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+      .filter(col("__df") <= maxDf).drop("__df")
+    val cand = rare.toDF("doc_a", "shingle")
+      .join(rare.toDF("doc_b", "shingle_b"),
+        col("shingle") === col("shingle_b") && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    verifyJaccard(cand, sh, minJaccard)
+  }
+
+  /** The uncapped all-pairs truth (spec-only; NOT a registered
+    * endpoint): inverted-index join without the df cap, with set sizes
+    * riding along on each shingle row via a doc_id window. Exact — it
+    * finds every pair with jaccard > 0 — but the fan-out is unbounded,
+    * so it exists to verify the scale paths at small SF. */
+  def nearDupPairsExact(spark: SparkSession, dir: String,
+                        minJaccard: Double = 0.5): DataFrame = {
     val sh = shingles(Tables.documents(spark, dir))
       .withColumn("n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
@@ -120,21 +168,7 @@ object TextDedup {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // exact verification on candidates only: intersection via a join on
-    // (doc, shingle) against each side
-    val sh = shingles(docs)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.toDF("doc_a", "shingle"), Seq("doc_a"))
-      .join(sh.toDF("doc_b", "shingle"), Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
-      .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
-      .withColumn("jaccard_raw", col("c") * 1.0 / (col("na") + col("nb") - col("c")))
-      .filter(col("jaccard_raw") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"), floorRound(col("jaccard_raw"), 4).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+    verifyJaccard(cand, shingles(docs), minJaccard)
   }
 
   /** SimHash: 64-bit similarity-preserving fingerprint. Entirely per-row

@@ -133,12 +133,52 @@ object VectorOps {
   }
 
   /** Embedding-cosine near-duplicate pairs (the vector analogue of
-    * docs_near_dup_pairs): all pairs with cosine >= minCosine. Exact
-    * (triangular cross join) — the verification truth; the LSH/IVF
-    * buckets above are how the candidate set shrinks at 100 TB. The
-    * threshold is data-relative: this corpus is uniform-random, so
-    * "near" means the top of the cosine distribution, not 0.99. */
-  def nearDupPairs(spark: SparkSession, dir: String, minCosine: Double = 0.4): DataFrame = {
+    * docs_near_dup_pairs): pairs with cosine >= minCosine, candidates
+    * from multi-probe IVF assignment, exact-verified.
+    *
+    * Each vector joins its `nprobe` nearest anchor lists; candidate
+    * pairs share a list, so the join is an equi-join on list_id — hash-
+    * partitionable, pair fan-out bounded by Σ (nprobe·|list|)² over
+    * lists instead of corpus², and at 100 TB list_id is the partition
+    * key (per-list local self-join, no global shuffle of pairs). The
+    * cosine reported for surviving candidates is exact (same rounding
+    * as the brute-force truth). Recall is probabilistic — a pair split
+    * across disjoint probe sets is missed — and property-tested against
+    * [[nearDupPairsExact]]; the threshold is data-relative (uniform-
+    * random corpus, so "near" is the top of the cosine distribution).
+    */
+  def nearDupPairs(spark: SparkSession, dir: String, minCosine: Double = 0.4,
+                   nLists: Int = 8, nprobe: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val anchors = emb.filter(col("vec_id") < nLists)
+      .select(col("vec_id").as("list_id"), col("embedding").as("anchor"))
+    // top-nprobe lists per vector (6dp-rounded sim, list_id tie-break:
+    // deterministic in any engine, mirrored by the DuckDB oracle)
+    val probes = limitBy(
+      emb.join(broadcast(anchors))
+        .select(col("vec_id"), col("embedding"), col("list_id"),
+          floorRound(dot(col("embedding"), col("anchor")), 6).as("__sim")),
+      nprobe, Seq(col("vec_id")), Seq(col("__sim").desc, col("list_id")))
+      .select("vec_id", "embedding", "list_id")
+    val a = probes.toDF("vec_a", "ea", "list_id")
+    val b = probes.toDF("vec_b", "eb", "list_id")
+    a.join(b, Seq("list_id"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        floorRound(dot(col("ea"), col("eb")), 6).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      // a pair can share several probed lists — collapse after scoring
+      // (duplicates carry identical cosines, so distinct is exact)
+      .distinct()
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** The all-pairs truth (spec-only; NOT a registered endpoint): the
+    * triangular cross join is O(n²) dots — unrunnable at scale, kept to
+    * verify the IVF/LSH candidate paths at small SF. */
+  def nearDupPairsExact(spark: SparkSession, dir: String,
+                        minCosine: Double = 0.4): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, dir)
     val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))

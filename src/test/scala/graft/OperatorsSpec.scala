@@ -8,7 +8,7 @@ import graft.operators.{TextDedup, VectorOps}
 class OperatorsSpec extends SparkSpec {
 
   test("MinHash+LSH recall >= 0.8 vs exact Jaccard pairs, no false positives") {
-    val exact = TextDedup.nearDupPairs(spark, sf)
+    val exact = TextDedup.nearDupPairsExact(spark, sf)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = TextDedup.minhashLshPairs(spark, sf)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -16,6 +16,27 @@ class OperatorsSpec extends SparkSpec {
     if (exact.nonEmpty)
       assert(lsh.size.toDouble / exact.size >= 0.8,
         s"LSH recall ${lsh.size}/${exact.size}")
+  }
+
+  test("df-capped near-dup pairs are bit-identical to the exact path at test SF") {
+    // max shingle df < maxDf here, so candidate generation loses nothing
+    // and verification reports the same exact jaccards
+    val capped = TextDedup.nearDupPairs(spark, sf).collect().map(_.toString).toSeq
+    val exact = TextDedup.nearDupPairsExact(spark, sf).collect().map(_.toString).toSeq
+    assert(capped == exact)
+  }
+
+  test("IVF near-dup pairs: subset of exact truth, recall >= 0.8, exact cosines") {
+    val exact = VectorOps.nearDupPairsExact(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = VectorOps.nearDupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ivf.keySet.subsetOf(exact.keySet),
+      "IVF candidates emitted a pair the exact path doesn't have")
+    ivf.foreach { case (k, c) => assert(c == exact(k), s"cosine mismatch at $k") }
+    if (exact.nonEmpty)
+      assert(ivf.size.toDouble / exact.size >= 0.8,
+        s"IVF near-dup recall ${ivf.size}/${exact.size}")
   }
 
   test("simhash: near-dup pairs have small hamming distance") {

@@ -48,4 +48,35 @@ class PlanSpec extends SparkSpec {
     val p = plan("emb_knn_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(2000))
   }
+
+  test("near-dup endpoints are candidate-join shaped: no cartesian, no corpus BNLJ") {
+    // The registered near-dup queries must be the bucketed scale paths —
+    // an all-pairs BroadcastNestedLoopJoin/CartesianProduct over the
+    // corpus is the plan that falls over at 100 TB (the exact all-pairs
+    // forms live on as nearDupPairsExact, spec-only).
+    val docs = plan("docs_near_dup_pairs")
+    assert(!docs.contains("CartesianProduct"))
+    assert(!docs.contains("BroadcastNestedLoopJoin"),
+      "docs near-dup should be a pure equi-join pipeline")
+    val emb = plan("emb_near_dup_pairs")
+    assert(!emb.contains("CartesianProduct"))
+    // exactly TWO nested-loop joins are expected: corpus × the 8-row
+    // broadcast anchor frame (bounded build side — constant at any
+    // corpus size), once per side of the candidate self-join; the pair
+    // join itself must be a hash/merge equi-join on list_id
+    assert("BroadcastNestedLoopJoin".r.findAllIn(emb).size == 2,
+      "emb near-dup: only the anchor-scoring broadcasts may nest-loop")
+    assert(emb.contains("SortMergeJoin") || emb.contains("ShuffledHashJoin") ||
+      emb.contains("BroadcastHashJoin"),
+      "emb near-dup: the candidate pair join must be an equi-join")
+  }
+
+  test("no registered query plans a cartesian product") {
+    // BNLJ is allowed only for 1-row scalar-anchor crossJoins and the
+    // broadcast-query brute-force scorer; a true cartesian never is.
+    SparkEntry.queries.keys.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+    }
+  }
 }
