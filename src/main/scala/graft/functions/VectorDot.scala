@@ -84,6 +84,8 @@ object GraftFunctions {
       "winnow_fingerprints", exprs => WinnowFingerprints(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs(0)), "built-in")
   }
 }
 
@@ -107,5 +109,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         WinnowFingerprints(exprs(0),
           exprs(1).eval().asInstanceOf[Number].intValue(),
           exprs(2).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHash64(exprs(0))))
   }
 }

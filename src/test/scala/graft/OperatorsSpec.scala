@@ -39,6 +39,25 @@ class OperatorsSpec extends SparkSpec {
         s"IVF near-dup recall ${ivf.size}/${exact.size}")
   }
 
+  test("native simhash64 is bit-identical to the interpreted HOF chain") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, sf)
+    val both = docs.select(
+        col("doc_id"),
+        call_function("simhash64", expr("array_distinct(split(text, ' '))")).as("native"),
+        expr(
+          """aggregate(
+            |  transform(array_distinct(split(text, ' ')), t -> xxhash64(t)),
+            |  array_repeat(cast(0 as bigint), 64),
+            |  (acc, h) -> zip_with(acc,
+            |      transform(sequence(0, 63), b -> if(((h >> b) & 1) = 1, 1L, -1L)),
+            |      (x, y) -> x + y),
+            |  acc -> aggregate(sequence(0, 63), cast(0 as bigint),
+            |      (s, b) -> if(acc[b] > 0, s | (1L << b), s)))""".stripMargin).as("hof"))
+      .collect()
+    both.foreach(r => assert(r.getLong(1) == r.getLong(2), s"doc ${r.getLong(0)}"))
+  }
+
   test("simhash: near-dup pairs have small hamming distance") {
     val pairs = TextDedup.nearDupPairs(spark, sf).select("doc_a", "doc_b")
     val sh = TextDedup.simhash(spark, sf)
