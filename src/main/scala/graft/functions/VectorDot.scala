@@ -89,12 +89,18 @@ object GraftFunctions {
   }
 }
 
-/** Library packaging: register the engine's functions through the
-  * SparkSessionExtensions mechanism, so a deployment enables them with
+/** Library packaging: register the engine's functions AND the
+  * ClickHouse-dialect parser front door through the
+  * SparkSessionExtensions mechanism, so a deployment enables the whole
+  * surface with
   *   spark.sql.extensions=graft.functions.GraftExtensions
-  * instead of per-session calls. */
+  * instead of per-session calls. With the extension active,
+  * `spark.sql` accepts the reference's pipe SQL verbatim
+  * (`FROM t FINAL`, `LIMIT 1 BY k`, toStartOfMinute, argMax, …) —
+  * see [[graft.sql.ChDialectParser]]. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    e.injectParser((_, delegate) => new graft.sql.ChDialectParser(delegate))
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("vector_dot"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

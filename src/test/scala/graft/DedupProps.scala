@@ -10,10 +10,16 @@ import graft.operators.Dedup
   * strategies agree on arbitrary logs. */
 object DedupProps extends Properties("Dedup") {
 
+  // same config as SparkSpec: whichever suite wins the getOrCreate race
+  // must produce the session every other suite expects (incl. the
+  // GraftExtensions parser/functions)
   private lazy val spark = org.apache.spark.sql.SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .getOrCreate()
 
   private val eventGen = for {

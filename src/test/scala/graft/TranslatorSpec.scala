@@ -193,4 +193,25 @@ class TranslatorSpec extends SparkSpec {
         pgMv.columns.filter(_ != "id").toSeq)
       .createOrReplaceTempView("users_latest__final")
   }
+
+  test("CH dialect runs through spark.sql directly via the injected parser") {
+    dir // force view setup
+    // LIMIT 1 BY — not Spark syntax at all; the parser front door
+    // routes it through the translator
+    val direct = spark.sql(
+      """SELECT id, flight_number, status, passenger_count, departed_at, closed_at
+        |FROM flights_raw
+        |ORDER BY id, __timestamp desc
+        |LIMIT 1 BY id""".stripMargin)
+    assertSame(direct, AirportPipes.latestFlightInfo(spark, dir))
+    // FROM t FINAL — VALID Spark syntax (alias!), so only marker-based
+    // detection catches it; users_api_rmt.pipe:6 verbatim
+    val fin = spark.sql("SELECT * FROM users_latest FINAL ORDER BY id")
+    assertSame(fin, UsersPipes.usersApiRmt(spark, dir))
+    // CH scalar signatures route through the function maps
+    assert(spark.sql("SELECT toStartOfMinute(TIMESTAMP_NTZ '2024-05-01 10:30:45') AS m")
+      .first().get(0).toString == "2024-05-01T10:30")
+    // plain Spark SQL must be untouched: Spark's own round survives
+    assert(spark.sql("SELECT round(2.345, 2) AS r").first().get(0).toString == "2.35")
+  }
 }
