@@ -506,6 +506,31 @@ object SparkEntry {
         |  floor(CAST(sum(CAST(floor(sim * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
         |        / (count(*) * 1000000.0) * 10000 + 0.5) / 10000.0 AS avg_sim
         |FROM r WHERE rn = 1 GROUP BY list_id ORDER BY list_id""".stripMargin,
+    "emb_knn_ivf" ->
+      """WITH anchors AS (SELECT vec_id AS list_id, embedding AS anchor FROM embeddings WHERE vec_id < 8),
+        |sims AS (
+        |  SELECT e.vec_id, e.embedding, list_id,
+        |    list_sum(list_transform(generate_series(1, len(anchor)),
+        |      i -> CAST(anchor[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS sim
+        |  FROM embeddings e, anchors),
+        |assigned AS (
+        |  SELECT vec_id, embedding, list_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, list_id) rn FROM sims)
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, embedding AS qe, list_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, list_id) rn
+        |    FROM sims WHERE vec_id < 20)
+        |  WHERE rn <= 3),
+        |scored AS (
+        |  SELECT query_id, a.vec_id AS neighbor_id,
+        |    floor(list_sum(list_transform(generate_series(1, len(qe)),
+        |      i -> CAST(qe[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))) * 1000000 + 0.5) / 1000000.0 AS cosine
+        |  FROM assigned a JOIN probes p ON a.list_id = p.list_id
+        |  WHERE a.vec_id != p.query_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) rn FROM scored)
+        |SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
+        |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
     "docs_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS digest,
         |  'text/plain;charset=utf-8' AS content_type, source
