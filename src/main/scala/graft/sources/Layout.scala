@@ -32,6 +32,30 @@ object Layout {
   def readLog(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Hash-bucketed table layout: persist `df` clustered (and sorted)
+    * by `key` into `buckets` files per partition, as a catalog table at
+    * an explicit `path`.
+    *
+    * This is the co-located-join story at 100 TB: the bucket id IS a
+    * hash partitioning, so a scan of the table reports
+    * `outputPartitioning = HashPartitioning(key, buckets)` and Catalyst
+    * plans joins and aggregations ON THE BUCKET KEY with no Exchange of
+    * the bucketed side — the every-query shuffle of the big fact table
+    * (the single largest cost in a shuffle-bound cluster) is paid once
+    * at write time instead. Two tables bucketed the same way join
+    * mapper-locally (asserted in LayoutSpec). The ClickHouse analogue
+    * is the MergeTree sharding key; the Spark-native mechanism is
+    * `bucketBy` + `saveAsTable`, which needs a catalog entry (plain
+    * `.parquet(path)` writes would lose the bucket metadata). */
+  def writeBucketed(df: DataFrame, key: String, buckets: Int,
+                    table: String, path: String): Unit =
+    df.write.mode("overwrite")
+      .format("parquet")
+      .option("path", path)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
   /** The ReplacingMergeTree background merge (users_latest.datasource:
     * 16-19): rewrite the log keeping only the max-version row per key,
     * preserving the partition layout. Run periodically, it bounds the

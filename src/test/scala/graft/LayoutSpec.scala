@@ -22,6 +22,42 @@ class LayoutSpec extends SparkSpec {
     assert(pruned.count() == want)
   }
 
+  test("bucketed tables: join and aggregation on the bucket key plan no exchange") {
+    val base = Files.createTempDirectory("graftbucket").toString
+    spark.sql("DROP TABLE IF EXISTS events_bucketed")
+    spark.sql("DROP TABLE IF EXISTS users_bucketed")
+    val e = Tables.events(spark, sf).select("event_id", "user_id", "value")
+    Layout.writeBucketed(e, "user_id", 8, "events_bucketed", s"$base/events_b")
+    val dim = e.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    Layout.writeBucketed(dim, "user_id", 8, "users_bucketed", s"$base/users_b")
+
+    // co-located join: both sides bucketed by user_id × 8 — the merge
+    // join consumes the bucket layout directly, no hash exchange of
+    // either side (hint forces SMJ so a broadcast doesn't mask the
+    // property being tested)
+    val joined = spark.table("events_bucketed")
+      .join(spark.table("users_bucketed").hint("merge"), "user_id")
+    joined.collect() // finalize the AQE plan before inspecting it
+    val jp = joined.queryExecution.executedPlan.toString
+    assert(jp.contains("SortMergeJoin"), jp.take(1500))
+    assert(!jp.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle either side:\n${jp.take(2000)}")
+
+    // aggregation on the bucket key: single HashAggregate stage, the
+    // scan's HashPartitioning already satisfies the distribution
+    val agg = spark.table("events_bucketed")
+      .groupBy("user_id").agg(sum(col("value")).as("v"))
+    agg.collect()
+    val ap = agg.queryExecution.executedPlan.toString
+    assert(!ap.contains("Exchange hashpartitioning"),
+      s"bucketed aggregation should not shuffle:\n${ap.take(2000)}")
+
+    // and the result is still correct
+    assert(spark.table("events_bucketed").count() == e.count())
+    spark.sql("DROP TABLE IF EXISTS events_bucketed")
+    spark.sql("DROP TABLE IF EXISTS users_bucketed")
+  }
+
   test("compaction preserves FINAL-view semantics and shrinks the log") {
     val path = Files.createTempDirectory("graftcompact").toString + "/log"
     val events = Tables.events(spark, sf)
