@@ -107,6 +107,9 @@ object SparkEntry {
     "docs_lang_id"          -> (operators.TextAnalysis.langId _),
     "docs_fingerprint"      -> (operators.TextAnalysis.fingerprint _),
     "docs_rolling_fingerprints" -> ((s, d) => operators.TextAnalysis.rollingFingerprints(s, d)),
+    "docs_chunks"           -> ((s, d) => operators.TextAnalysis.chunks(s, d)),
+    "docs_split_assign"     -> (operators.TextAnalysis.splitAssign _),
+    "docs_top_bigrams"      -> ((s, d) => operators.TextAnalysis.topBigrams(s, d)),
     // training-data pipeline: dedup suite
     "docs_exact_dedup"      -> (operators.TextDedup.exactDedup _),
     "docs_near_dup_pairs"   -> ((s, d) => operators.TextDedup.nearDupPairs(s, d)),
@@ -120,6 +123,7 @@ object SparkEntry {
     "emb_near_dup_pairs"    -> ((s, d) => operators.VectorOps.nearDupPairs(s, d)),
     "emb_ivf_assign"        -> ((s, d) => operators.VectorOps.ivfAssign(s, d)),
     "emb_knn_ivf"           -> ((s, d) => operators.VectorOps.knnIvf(s, d)),
+    "emb_quantize"          -> (operators.VectorOps.quantize _),
     // training-data pipeline: multimodal binary columns
     "docs_binary_meta"      -> (operators.Multimodal.binaryMeta _),
     "docs_decode_features"  -> (operators.Multimodal.decodeFeatures _),
@@ -454,6 +458,45 @@ object SparkEntry {
         |      i -> list_min(h[i:i+15]))) AS fps
         |  FROM rh)
         |SELECT doc_id, unnest(fps) AS fingerprint FROM fp ORDER BY doc_id, fingerprint""".stripMargin,
+    "docs_chunks" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |c AS (
+        |  SELECT doc_id, CAST((s - 1) // 24 AS INT) AS chunk_id, CAST(s AS INT) AS chunk_start,
+        |         t[s : s + 31] AS toks
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 31, 1), 24)) AS s))
+        |SELECT doc_id, chunk_id, chunk_start, CAST(len(toks) AS INT) AS n_tokens,
+        |       array_to_string(toks, ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "docs_split_assign" ->
+      """SELECT doc_id, substr(md5(text), 1, 2) AS bucket_hex,
+        |  CASE WHEN substr(md5(text), 1, 2) < 'cd' THEN 'train'
+        |       WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "docs_top_bigrams" ->
+      """WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |ng AS (
+        |  SELECT t[g] || ' ' || t[g+1] AS ngram
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS g)
+        |  WHERE len(t) >= 2)
+        |SELECT ngram, count(*) AS n FROM ng GROUP BY 1
+        |ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
+    "emb_quantize" ->
+      """WITH m AS (
+        |  SELECT vec_id,
+        |    embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, CAST(127 AS DOUBLE) / max_abs AS scale_f,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * (CAST(127 AS DOUBLE) / max_abs) + 0.5) AS BIGINT)) AS q
+        |  FROM m)
+        |SELECT vec_id, floor(scale_f * 1000000 + 0.5) / 1000000.0 AS scale,
+        |  CAST(list_min(q) AS BIGINT) AS q_min,
+        |  CAST(list_max(q) AS BIGINT) AS q_max,
+        |  CAST(list_sum(q) AS BIGINT) AS q_sum
+        |FROM s ORDER BY vec_id""".stripMargin,
     "docs_exact_dedup" ->
       """SELECT md5(text) AS digest, min(doc_id) AS canonical_doc_id, count(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY canonical_doc_id""".stripMargin,

@@ -112,4 +112,57 @@ object TextAnalysis {
         sha2(col("text"), 256).as("digest_sha256"),
         length(col("text")).cast("long").as("text_len"))
       .orderBy("doc_id")
+
+  /** Token-window chunking: split each document into fixed-size token
+    * windows with overlap (`chunkTokens`=32, `stride`=24 → 8-token
+    * overlap) — the unit-of-training preparation step every LLM corpus
+    * pipeline runs before tokenization. Per-row explode, no shuffle;
+    * row growth is bounded by tokens/stride. */
+  def chunks(spark: SparkSession, dir: String,
+             chunkTokens: Int = 32, stride: Int = 24): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, greatest(size(t) - ${chunkTokens - 1}, 1), $stride)," +
+          s" s -> slice(t, s, $chunkTokens))")))
+      .select(
+        col("doc_id"),
+        col("pos").as("chunk_id"),
+        (col("pos") * stride + 1).as("chunk_start"),
+        size(col("col")).as("n_tokens"),
+        concat_ws(" ", col("col")).as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+
+  /** Deterministic train/val/test assignment by content digest: the
+    * first md5 hex byte buckets each document 0x00–0xff, split
+    * 80/10/10 at 0xcd/0xe6 by plain string comparison (identical in
+    * any engine, stable under re-partitioning and re-runs — the
+    * property a reproducible corpus split needs; doc-id splits break
+    * the moment ids are reassigned). */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        substring(md5(col("text")), 1, 2).as("bucket_hex"))
+      .withColumn("split",
+        when(col("bucket_hex") < "cd", "train")
+          .when(col("bucket_hex") < "e6", "val")
+          .otherwise("test"))
+      .orderBy("doc_id")
+
+  /** Corpus-level top-k bigrams by total occurrence count — the exact
+    * heavy-hitter query (vocabulary building, contamination checks).
+    * Map-side partial counts shuffle one row per (mapper, ngram);
+    * the top-k is TakeOrderedAndProject (per-partition top-k, then a
+    * driver merge of k·partitions rows — never a global sort of the
+    * ngram table). */
+  def topBigrams(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    Tables.documents(spark, dir)
+      .select(split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> concat_ws(' ', t[i-1], t[i]))"))
+        .as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram"))
+      .limit(k)
 }

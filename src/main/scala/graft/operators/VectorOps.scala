@@ -224,6 +224,28 @@ object VectorOps {
     topK(scored, k)
   }
 
+  /** Symmetric int8 quantization summary per vector: scale =
+    * 127/max(|x|), q_i = floor(x·scale + 0.5) — the compression step
+    * before shipping embeddings to an ANN index (4× smaller, dot
+    * products in int arithmetic). Registered as the per-vector summary
+    * (scale + q min/max/sum) so the oracle compares scalars; the q
+    * array itself stays on the executors. Pure projection, no
+    * shuffle. */
+  def quantize(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .withColumn("max_abs",
+        expr("array_max(transform(embedding, x -> abs(cast(x as double))))"))
+      .withColumn("scale_f", lit(127.0) / col("max_abs"))
+      .withColumn("q", expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) * scale_f + 0.5) as bigint))"))
+      .select(
+        col("vec_id"),
+        floorRound(col("scale_f"), 6).as("scale"),
+        expr("array_min(q)").as("q_min"),
+        expr("array_max(q)").as("q_max"),
+        expr("aggregate(q, cast(0 as bigint), (s, x) -> s + x)").as("q_sum"))
+      .orderBy("vec_id")
+
   /** IVF-style partition assignment: each vector assigned to its nearest
     * of `nLists` anchor vectors (anchors = the first nLists corpus
     * vectors — deterministic, data-derived). The cluster histogram is
