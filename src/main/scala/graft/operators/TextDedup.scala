@@ -82,10 +82,18 @@ object TextDedup {
     * OperatorsSpec).
     */
   def nearDupPairs(spark: SparkSession, dir: String, minJaccard: Double = 0.5,
-                   maxDf: Int = 100): DataFrame = {
+                   maxDf: Int = 100): DataFrame =
     // no .cache(): identical scan subtrees reuse the shuffle exchange,
     // and a pinned cache would outlive the query in a shared session
-    val sh = shingles(Tables.documents(spark, dir))
+    nearDupFrom(shingles(Tables.documents(spark, dir)), minJaccard, maxDf)
+
+  /** The candidate+verify pipeline over a given (doc_id, shingle)
+    * frame. The self-contained query above re-derives the shingle
+    * frame per consumer (~8 corpus scans in the executed plan — only
+    * the distinct-exchanges get reused); fine at test scale, but at
+    * 100 TB the pipeline stages this table once instead — see
+    * [[stageShingles]] / [[nearDupPairsStaged]]. */
+  private def nearDupFrom(sh: DataFrame, minJaccard: Double, maxDf: Int): DataFrame = {
     val rare = sh.withColumn("__df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
       .filter(col("__df") <= maxDf).drop("__df")
@@ -95,6 +103,23 @@ object TextDedup {
       .select("doc_a", "doc_b").distinct()
     verifyJaccard(cand, sh, minJaccard)
   }
+
+  /** Materialize the distinct (doc_id, shingle) inverted index once.
+    * At 100 TB this is a staging write the dedup pipeline pays a
+    * single time; every consumer (df-cap candidate generation, both
+    * verification joins, set sizes) then scans the compact staged
+    * parquet instead of re-tokenizing the text corpus — turning the
+    * near-dup query's ~8 corpus scans into reads of a table that is a
+    * fraction of the corpus size (shingles, no documents). */
+  def stageShingles(spark: SparkSession, dir: String, path: String): Unit =
+    shingles(Tables.documents(spark, dir))
+      .write.mode("overwrite").parquet(path)
+
+  /** [[nearDupPairs]] over a staged shingle table (result-identical to
+    * the self-contained form; asserted in OperatorsSpec). */
+  def nearDupPairsStaged(spark: SparkSession, stagedPath: String,
+                         minJaccard: Double = 0.5, maxDf: Int = 100): DataFrame =
+    nearDupFrom(spark.read.parquet(stagedPath), minJaccard, maxDf)
 
   /** The uncapped all-pairs truth (spec-only; NOT a registered
     * endpoint): inverted-index join without the df cap, with set sizes

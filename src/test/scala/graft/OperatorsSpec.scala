@@ -26,6 +26,18 @@ class OperatorsSpec extends SparkSpec {
     assert(capped == exact)
   }
 
+  test("staged-shingle near-dup equals the self-contained query, no text scans") {
+    val staged = java.nio.file.Files.createTempDirectory("graftshingle").toString + "/sh"
+    TextDedup.stageShingles(spark, sf, staged)
+    val viaStage = TextDedup.nearDupPairsStaged(spark, staged)
+    assert(viaStage.collect().map(_.toString).toSeq ==
+      TextDedup.nearDupPairs(spark, sf).collect().map(_.toString).toSeq)
+    // the staged plan must read ONLY the staged table — zero scans of
+    // the documents corpus (the point of paying the staging write once)
+    val p = viaStage.queryExecution.executedPlan.toString
+    assert(!p.contains("documents.parquet"), p.take(1500))
+  }
+
   test("IVF near-dup pairs: subset of exact truth, recall >= 0.8, exact cosines") {
     val exact = VectorOps.nearDupPairsExact(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
