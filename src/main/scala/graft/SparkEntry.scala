@@ -37,18 +37,22 @@ object SparkEntry {
     * outlives code changes within a container. */
   private val FixtureVersion = 3
 
+  /** THE fixture location — single source for both the engine reads
+    * (fixtureDir) and the oracle SQL (fixtureSqlPath); deriving the
+    * path twice would let a rename silently point the oracle at stale
+    * parquet. */
+  private def fixtureFile: java.io.File =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_cdc_fixtures_s42_v$FixtureVersion")
+
   /** Absolute fixture location as embedded in oracle SQL. Verify runs
     * the queries (which materialize the fixtures here) before dumping
     * oracle_sql.json, so the oracle always reads what the engine read. */
-  private def fixtureSqlPath(table: String): String = {
-    val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_cdc_fixtures_s42_v$FixtureVersion")
-    s"read_parquet('${dir.getAbsolutePath}/$table/*.parquet')"
-  }
+  private def fixtureSqlPath(table: String): String =
+    s"read_parquet('${fixtureFile.getAbsolutePath}/$table/*.parquet')"
 
   private def fixtureDir(spark: SparkSession): String = synchronized {
-    val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_cdc_fixtures_s42_v$FixtureVersion")
+    val dir = fixtureFile
     val marker = new java.io.File(dir, "_DONE")
     if (!marker.exists()) {
       // a dir without the marker is a half-finished previous attempt
@@ -461,9 +465,9 @@ object SparkEntry {
     "docs_chunks" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |c AS (
-        |  SELECT doc_id, CAST((s - 1) // 24 AS INT) AS chunk_id, CAST(s AS INT) AS chunk_start,
-        |         t[s : s + 31] AS toks
-        |  FROM tok, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 31, 1), 24)) AS s))
+        |  SELECT doc_id, CAST(i AS INT) AS chunk_id, CAST(i * 24 + 1 AS INT) AS chunk_start,
+        |         t[(i * 24 + 1) : (i * 24 + 32)] AS toks
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(0, greatest((len(t) - 9) // 24, 0))) AS i))
         |SELECT doc_id, chunk_id, chunk_start, CAST(len(toks) AS INT) AS n_tokens,
         |       array_to_string(toks, ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,

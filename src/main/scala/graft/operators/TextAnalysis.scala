@@ -116,15 +116,22 @@ object TextAnalysis {
   /** Token-window chunking: split each document into fixed-size token
     * windows with overlap (`chunkTokens`=32, `stride`=24 → 8-token
     * overlap) — the unit-of-training preparation step every LLM corpus
-    * pipeline runs before tokenization. Per-row explode, no shuffle;
-    * row growth is bounded by tokens/stride. */
+    * pipeline runs before tokenization. EVERY token lands in at least
+    * one chunk: the chunk count is ceil((n - chunk)/stride) + 1 (via
+    * integer arithmetic valid in any engine), so the last window is a
+    * partial chunk covering the tail rather than the tail being
+    * silently dropped. Per-row explode, no shuffle; row growth is
+    * bounded by tokens/stride. */
   def chunks(spark: SparkSession, dir: String,
-             chunkTokens: Int = 32, stride: Int = 24): DataFrame =
+             chunkTokens: Int = 32, stride: Int = 24): DataFrame = {
+    // ceil((n - chunk)/stride) = (n - chunk + stride - 1) div stride
+    val lastIdx =
+      s"greatest((size(t) - ${chunkTokens - stride + 1}) div $stride, 0)"
     Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, greatest(size(t) - ${chunkTokens - 1}, 1), $stride)," +
-          s" s -> slice(t, s, $chunkTokens))")))
+        s"transform(sequence(0, $lastIdx)," +
+          s" i -> slice(t, i * $stride + 1, $chunkTokens))")))
       .select(
         col("doc_id"),
         col("pos").as("chunk_id"),
@@ -132,6 +139,7 @@ object TextAnalysis {
         size(col("col")).as("n_tokens"),
         concat_ws(" ", col("col")).as("chunk_text"))
       .orderBy("doc_id", "chunk_id")
+  }
 
   /** Deterministic train/val/test assignment by content digest: the
     * first md5 hex byte buckets each document 0x00–0xff, split

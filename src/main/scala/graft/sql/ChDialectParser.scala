@@ -29,25 +29,31 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 class ChDialectParser(delegate: ParserInterface) extends ParserInterface {
 
-  private def translate(sqlText: String): String = ChSqlTranslator.translate(sqlText)
+  /** now()/now64() get Spark's wall clock (ClickHouse-faithful) in this
+    * ad-hoc path; deterministic pipelines inject an asOf via PipeRunner
+    * instead and never reach this default. */
+  private def translate(sqlText: String): String =
+    ChSqlTranslator.translate(sqlText,
+      asOf = None, nowFallbackToWallClock = true)
+
+  /** Marker hit → translate (a translator error is then a genuine
+    * dialect error and propagates). No marker → delegate; if the
+    * delegate rejects, retry once through the translator, but NEVER let
+    * a translator failure mask the original ParseException. */
+  private def viaDialect(sqlText: String, parse: String => LogicalPlan): LogicalPlan =
+    if (ChDialectParser.looksChDialect(sqlText)) parse(translate(sqlText))
+    else try parse(sqlText) catch {
+      case e: ParseException =>
+        val t = try translate(sqlText) catch { case _: Throwable => throw e }
+        if (t == sqlText.trim) throw e
+        else try parse(t) catch { case _: Throwable => throw e }
+    }
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    if (ChDialectParser.looksChDialect(sqlText)) delegate.parsePlan(translate(sqlText))
-    else try delegate.parsePlan(sqlText) catch {
-      case e: ParseException =>
-        val t = translate(sqlText)
-        if (t == sqlText.trim) throw e
-        else try delegate.parsePlan(t) catch { case _: ParseException => throw e }
-    }
+    viaDialect(sqlText, delegate.parsePlan)
 
   override def parseQuery(sqlText: String): LogicalPlan =
-    if (ChDialectParser.looksChDialect(sqlText)) delegate.parseQuery(translate(sqlText))
-    else try delegate.parseQuery(sqlText) catch {
-      case e: ParseException =>
-        val t = translate(sqlText)
-        if (t == sqlText.trim) throw e
-        else try delegate.parseQuery(t) catch { case _: ParseException => throw e }
-    }
+    viaDialect(sqlText, delegate.parseQuery)
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -67,15 +73,19 @@ class ChDialectParser(delegate: ParserInterface) extends ParserInterface {
 
 object ChDialectParser {
 
-  /** CH-only constructs the reference pipes use; `\b…\b` word
+  /** CH-only constructs the reference pipes use. `\b…\b` word
     * boundaries keep identifiers like `users_latest__final` (already-
-    * translated SQL) from matching. */
+    * translated SQL) from matching, and the function/FINAL markers are
+    * CASE-SENSITIVE on the ClickHouse canonical spelling — a Spark
+    * table alias `final`, or a user function named `argmax`, must NOT
+    * reroute a plain statement (LIMIT n BY stays case-insensitive: it
+    * is never valid Spark SQL, so there is nothing to collide with). */
   private val markers = Seq(
     """(?is)\bLIMIT\s+\d+\s+BY\b""",
-    """(?is)\bFROM\s+\w+\s+FINAL\b""",
+    """(?s)\bFROM\s+\w+\s+FINAL\b""",
     """(?s)\{%""", // Tinybird template block
-    """(?is)\bnumbers\s*\(""",
-    """(?is)\b(toStartOfMinute|toStartOfHour|toStartOfDay|subtractHours|
+    """(?s)\bnumbers\s*\(""",
+    """(?s)\b(toStartOfMinute|toStartOfHour|toStartOfDay|subtractHours|
       |addMinutes|fromUnixTimestamp64Micro|toFixedString|toDateTime|toYYYYMM|
       |argMax|argMin|now64)\s*\(""".stripMargin.replace("\n", "")
   ).map(_.r)

@@ -30,18 +30,26 @@ package graft.sql
 object ChSqlTranslator {
 
   /** Translate one node's SQL. `params`: template parameters; `asOf`:
-    * the literal substituted for now()/now64() (determinism contract). */
+    * the literal substituted for now()/now64() (determinism contract).
+    * `nowFallbackToWallClock`: with no asOf, map now()/now64() to
+    * Spark's wall clock (cast ntz) instead of leaving them unresolved —
+    * ClickHouse-faithful for the ad-hoc ChDialectParser path; pipeline
+    * runs (PipeRunner) always inject asOf. */
   def translate(sql: String, params: Map[String, String] = Map.empty,
-                asOf: Option[String] = None): String = {
+                asOf: Option[String] = None,
+                nowFallbackToWallClock: Boolean = false): String = {
     var s = sql
     s = stripTemplateMarker(s)
     s = stripLineComments(s)
     s = expandTemplates(s, params)
     s = rewriteScalarWith(s)
     s = s.replaceAll("(?i),\\s*\\n?\\s*FROM\\b", " FROM") // trailing comma
-    asOf.foreach { ts =>
-      s = s.replaceAll("(?i)\\bnow64\\(\\)", s"TIMESTAMP_NTZ '$ts'")
-      s = s.replaceAll("(?i)\\bnow\\(\\)", s"TIMESTAMP_NTZ '$ts'")
+    val nowSql = asOf.map(ts => s"TIMESTAMP_NTZ '$ts'")
+      .orElse(if (nowFallbackToWallClock)
+        Some("cast(current_timestamp() as timestamp_ntz)") else None)
+    nowSql.foreach { ts =>
+      s = s.replaceAll("(?i)\\bnow64\\(\\)", java.util.regex.Matcher.quoteReplacement(ts))
+      s = s.replaceAll("(?i)\\bnow\\(\\)", java.util.regex.Matcher.quoteReplacement(ts))
     }
     s = s.replaceAll("(?i)\\bFROM\\s+(\\w+)\\s+FINAL\\b", "FROM $1__final")
     // CH Bool IS UInt8: `deleted = false` compares an Int8/UInt8 column
@@ -125,18 +133,24 @@ object ChSqlTranslator {
     "argMax" -> (a => s"max_by(${a(0)}, ${a(1)})"),
     "argMin" -> (a => s"min_by(${a(0)}, ${a(1)})"),
     "round" -> (a => {
-      val factor =
-        if (a.length < 2) 1L
+      val n =
+        if (a.length < 2) 0
         else {
-          val n = a(1).trim
-          require(n.matches("\\d+"),
-            s"round(): only integer-literal decimals supported, got '$n'")
-          math.pow(10, n.toInt).toLong
+          val raw = a(1).trim
+          require(raw.matches("-?\\d+"),
+            s"round(): unsupported non-integer-literal precision '$raw' — " +
+              "the dialect maps round to deterministic floor-rounding, which " +
+              "needs the precision at translation time")
+          raw.toInt
         }
-      // divisor cast to DOUBLE: a bare `100.0` literal is DECIMAL in
-      // Spark SQL (unlike the DataFrame API) and would decimal-type the
-      // whole expression
-      s"(floor((${a(0)}) * $factor + 0.5) / cast($factor as double))"
+      val factor = math.pow(10, math.abs(n)).toLong
+      // divisor/multiplier cast to DOUBLE: a bare `100.0` literal is
+      // DECIMAL in Spark SQL (unlike the DataFrame API) and would
+      // decimal-type the whole expression
+      if (n >= 0)
+        s"(floor((${a(0)}) * $factor + 0.5) / cast($factor as double))"
+      else // CH round(x, -2): round to hundreds
+        s"(floor((${a(0)}) / cast($factor as double) + 0.5) * $factor)"
     }))
 
   private def rewriteFunctions(sql: String): String = {
@@ -158,10 +172,23 @@ object ChSqlTranslator {
     s
   }
 
-  /** Find `name(` as a whole word (case-insensitive). */
+  /** Find `name(` as a whole word (case-insensitive), skipping matches
+    * inside single-quoted string literals — a literal like
+    * `'argMax(a,b)'` is data, not a call to rewrite. */
   private def indexOfCall(s: String, name: String): Int = {
     val re = ("(?i)\\b" + name + "\\s*\\(").r
-    re.findFirstMatchIn(s).map(_.start).getOrElse(-1)
+    val inString = {
+      val m = new Array[Boolean](s.length)
+      var in = false
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == '\'') in = !in
+        m(i) = in
+        i += 1
+      }
+      m
+    }
+    re.findAllMatchIn(s).map(_.start).find(p => !inString(p)).getOrElse(-1)
   }
 
   private def matchParen(s: String, open: Int): Int = {

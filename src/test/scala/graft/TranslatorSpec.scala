@@ -214,4 +214,31 @@ class TranslatorSpec extends SparkSpec {
     // plain Spark SQL must be untouched: Spark's own round survives
     assert(spark.sql("SELECT round(2.345, 2) AS r").first().get(0).toString == "2.35")
   }
+
+  test("dialect front door: no false positives, literals safe, errors preserved") {
+    // a lowercase `final` table alias is plain Spark SQL — not the CH
+    // keyword (markers are case-sensitive on the CH canonical spelling)
+    spark.range(3).toDF("x").createOrReplaceTempView("results")
+    assert(spark.sql("SELECT final.x FROM results final").count() == 3)
+    // a genuine marker routes the statement, but a string literal that
+    // LOOKS like a CH call is data and must survive verbatim
+    val row = spark.sql(
+      "SELECT toStartOfMinute(TIMESTAMP_NTZ '2024-05-01 10:30:45') AS m, 'argMax(a,b)' AS tag")
+      .first()
+    assert(row.get(0).toString == "2024-05-01T10:30")
+    assert(row.getString(1) == "argMax(a,b)")
+    // malformed SQL containing a mapped function name keeps Spark's own
+    // ParseException (the translator retry must not mask it)
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      spark.sql("SELECT round(x FROM t")
+    }
+    // CH negative precision: round(x, -2) rounds to hundreds
+    val neg = ChSqlTranslator.translate("SELECT round(v, -2) AS r FROM x")
+    assert(neg.contains("floor((v) / cast(100 as double) + 0.5) * 100"), neg)
+    // ad-hoc path maps now()/now64() to the wall clock instead of
+    // leaving an unresolvable function
+    val nowT = ChSqlTranslator.translate("SELECT now64() AS ts",
+      nowFallbackToWallClock = true)
+    assert(nowT.contains("current_timestamp"), nowT)
+  }
 }
