@@ -511,20 +511,35 @@ object SparkEntry {
         |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS g)
         |  WHERE len(t) >= 3),
         |dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
-        |rare AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfreq USING (s) WHERE df <= 100),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
+        |marked AS (SELECT sh.doc_id, sh.s, df FROM sh JOIN dfreq USING (s)),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT doc_a, doc_b, count(*) AS c
-        |  FROM cand
-        |  JOIN sh x ON x.doc_id = doc_a
-        |  JOIN sh y ON y.doc_id = doc_b AND y.s = x.s
+        |rare AS (SELECT doc_id, s FROM marked WHERE df <= 100),
+        |rsizes AS (SELECT doc_id, count(*) AS n_rare FROM rare GROUP BY 1),
+        |docs2 AS (
+        |  SELECT sizes.doc_id, n, n - coalesce(n_rare, 0) AS n_common
+        |  FROM sizes LEFT JOIN rsizes ON sizes.doc_id = rsizes.doc_id),
+        |counts AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c_rare
+        |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |ub AS (
+        |  SELECT doc_a, doc_b, c_rare, da.n AS na, db.n AS nb,
+        |         c_rare + least(da.n_common, db.n_common) AS ub_c
+        |  FROM counts JOIN docs2 da ON doc_a = da.doc_id
+        |              JOIN docs2 db ON doc_b = db.doc_id
+        |  WHERE (c_rare + least(da.n_common, db.n_common)) * 1.0 /
+        |        (da.n + db.n - c_rare - least(da.n_common, db.n_common)) >= 0.5),
+        |common AS (SELECT doc_id, s FROM marked WHERE df > 100),
+        |corr AS (
+        |  SELECT u.doc_a, u.doc_b, count(*) AS c_common
+        |  FROM ub u JOIN common x ON x.doc_id = u.doc_a
+        |            JOIN common y ON y.doc_id = u.doc_b AND y.s = x.s
         |  GROUP BY 1, 2),
         |j AS (
-        |  SELECT doc_a, doc_b, c * 1.0 / (na.n + nb.n - c) AS jr
-        |  FROM inter JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id)
+        |  SELECT ub.doc_a, ub.doc_b,
+        |         (c_rare + coalesce(c_common, 0)) * 1.0 /
+        |         (na + nb - c_rare - coalesce(c_common, 0)) AS jr
+        |  FROM ub LEFT JOIN corr ON ub.doc_a = corr.doc_a AND ub.doc_b = corr.doc_b)
         |SELECT doc_a, doc_b, floor(jr * 10000 + 0.5) / 10000.0 AS jaccard
         |FROM j WHERE jr >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
     "emb_norms" ->

@@ -87,21 +87,62 @@ object TextDedup {
     // and a pinned cache would outlive the query in a shared session
     nearDupFrom(shingles(Tables.documents(spark, dir)), minJaccard, maxDf)
 
-  /** The candidate+verify pipeline over a given (doc_id, shingle)
-    * frame. The self-contained query above re-derives the shingle
-    * frame per consumer (~8 corpus scans in the executed plan — only
-    * the distinct-exchanges get reused); fine at test scale, but at
-    * 100 TB the pipeline stages this table once instead — see
-    * [[stageShingles]] / [[nearDupPairsStaged]]. */
+  /** The df-capped near-dup pipeline over a given (doc_id, shingle)
+    * frame: ONE counting self-join over the capped (rare) inverted
+    * index — fan-out bounded at maxDf² per shingle — then an exact
+    * intersection correction for the capped-out (common) shingles,
+    * computed only for pairs whose OPTIMISTIC jaccard upper bound
+    * (every common shingle assumed shared) clears the threshold. The
+    * result is the exact jaccard for every emitted pair.
+    *
+    * Earlier shape, measured and rejected: generate candidate pairs
+    * from the capped index, then re-join each candidate against the
+    * full shingle sets to count intersections — the candidate set
+    * ("shares ≥1 shingle") is quadratically over-generated on a random
+    * corpus, and multiplying it by per-doc shingle lists cost 4-7× the
+    * single-pass counting join at sf0.1 (10 s vs ~2.5 s).
+    *
+    * Boundary (documented, inherent to df-capping): a pair whose EVERY
+    * shared shingle is capped-out never enters the counting join —
+    * that is a boilerplate cluster wider than maxDf, which digest
+    * dedup (exact copies) and maxDf tuning handle. At the test SFs
+    * max df < maxDf, so the output equals [[nearDupPairsExact]]
+    * (asserted). The self-contained query re-derives the shingle frame
+    * per consumer; at 100 TB stage it once — see [[stageShingles]] /
+    * [[nearDupPairsStaged]]. */
   private def nearDupFrom(sh: DataFrame, minJaccard: Double, maxDf: Int): DataFrame = {
-    val rare = sh.withColumn("__df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
-      .filter(col("__df") <= maxDf).drop("__df")
-    val cand = rare.toDF("doc_a", "shingle")
-      .join(rare.toDF("doc_b", "shingle_b"),
+    import org.apache.spark.sql.expressions.Window
+    val marked = sh
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("shingle")))
+    val rare = marked.filter(col("__df") <= maxDf)
+      .withColumn("n_rare", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .select(col("doc_id"), col("shingle"), col("n"),
+        (col("n") - col("n_rare")).as("n_common"))
+    val a = rare.toDF("doc_a", "shingle", "na", "ca")
+    val b = rare.toDF("doc_b", "shingle_b", "nb", "cb")
+    val counts = a.join(b,
         col("shingle") === col("shingle_b") && col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    verifyJaccard(cand, sh, minJaccard)
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"), col("ca"), col("cb"))
+      .agg(count(lit(1)).as("c_rare"))
+    // optimistic bound: all capped-out shingles of the smaller side
+    // intersect; pairs that still miss the threshold are exact misses
+    val ub = counts
+      .withColumn("ub_c", col("c_rare") + least(col("ca"), col("cb")))
+      .filter(col("ub_c") * 1.0 / (col("na") + col("nb") - col("ub_c")) >= minJaccard)
+    // exact correction for the surviving few: intersections among
+    // capped-out shingles only
+    val common = marked.filter(col("__df") > maxDf).select("doc_id", "shingle")
+    val corr = ub.select("doc_a", "doc_b")
+      .join(common.toDF("doc_a", "shingle"), Seq("doc_a"))
+      .join(common.toDF("doc_b", "shingle"), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c_common"))
+    ub.join(corr, Seq("doc_a", "doc_b"), "left")
+      .withColumn("c", col("c_rare") + coalesce(col("c_common"), lit(0L)))
+      .withColumn("jaccard_raw", col("c") * 1.0 / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard_raw") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), floorRound(col("jaccard_raw"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Materialize the distinct (doc_id, shingle) inverted index once.
