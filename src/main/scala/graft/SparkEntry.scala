@@ -77,6 +77,7 @@ object SparkEntry {
     "active_users_per_hour" -> (CdcPipes.activeUsersPerHour _),
     "active_users_per_hour_salted" -> (CdcPipes.activeUsersPerHourSalted _),
     "active_users_per_hour_approx" -> (CdcPipes.activeUsersPerHourApprox _),
+    "active_users_sketch_rollup" -> (CdcPipes.activeUsersSketchRollup _),
     "error_pct_per_hour"    -> (CdcPipes.errorPctPerHour _),
     "active_vs_errors"      -> (CdcPipes.activeVsErrors _),
     "user_activity"         -> (CdcPipes.userActivity _),

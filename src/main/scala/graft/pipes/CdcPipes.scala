@@ -261,6 +261,41 @@ object CdcPipes {
       .orderBy("time_interval")
   }
 
+  /** Mergeable pre-aggregation — the Spark analogue of ClickHouse's
+    * AggregatingMergeTree + `-State`/`-Merge` combinators: store ONE
+    * DataSketches HLL binary per (day) once, then answer any coarser
+    * distinct-count rollup (week, month, whole range) by MERGING
+    * sketches — never re-scanning the event log. At 100 TB this is the
+    * difference between a daily incremental job over yesterday's
+    * partition and a 30-day full scan per dashboard refresh; sketches
+    * are a few KB per group and merge associatively, so the rollup is
+    * a tiny shuffle regardless of event volume.
+    *
+    * Registered as the week-level rollup from day-level sketches.
+    * Sketch estimates are engine-specific → rows-only for the DuckDB
+    * gate; OperatorsSpec asserts (a) merge-invariance: merging daily
+    * sketches equals sketching the whole range directly, and (b) the
+    * estimate stays within 5% of the exact distinct count. */
+  def activeUsersSketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyUserSketches(spark, dir)
+    daily
+      .groupBy(date_trunc("week", col("day")).cast("timestamp_ntz").as("week"))
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("user_sketch"))).as("active_users_est"),
+        sum(col("events")).as("events"))
+      .orderBy("week")
+  }
+
+  /** The stored day-level sketch table (one write per day in
+    * production; here derived on the fly). */
+  def dailyUserSketches(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(toStartOfDay(col("ts")).as("day"))
+      .agg(
+        hll_sketch_agg(col("user_id")).as("user_sketch"),
+        count(lit(1)).as("events"))
+  }
+
   /** Cohort retention — users bucketed by first-seen week, tracked by
     * weeks-since-cohort activity. Two aggregations over the same scan
     * (first-seen per user, distinct user-weeks) joined on user: both

@@ -132,6 +132,28 @@ class OperatorsSpec extends SparkSpec {
     assert(total == n)
   }
 
+  test("sketch rollup: merge-invariant and within 5% of exact distincts") {
+    // merging day-level sketches must equal sketching the range directly
+    // (associative merge — the property that makes incremental rollup
+    // tables correct), and the estimate must track the exact count
+    val viaMerge = pipes.CdcPipes.activeUsersSketchRollup(spark, sf)
+      .collect().map(r => (r.get(0).toString, r.getLong(1))).toMap
+    val direct = Tables.events(spark, sf)
+      .groupBy(date_trunc("week", col("ts")).cast("timestamp_ntz").as("week"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .collect().map(r => (r.get(0).toString, r.getLong(1))).toMap
+    assert(viaMerge.keySet == direct.keySet)
+    viaMerge.foreach { case (k, v) => assert(v == direct(k), s"week $k: $v vs ${direct(k)}") }
+    val exact = Tables.events(spark, sf)
+      .groupBy(date_trunc("week", col("ts")).cast("timestamp_ntz").as("week"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => (r.get(0).toString, r.getLong(1))).toMap
+    viaMerge.foreach { case (k, v) =>
+      val e = exact(k)
+      assert(math.abs(v - e) <= math.max(1L, (e * 0.05).toLong), s"$k: est $v vs exact $e")
+    }
+  }
+
   test("approx distinct stays within 5% of exact per bucket") {
     val exact = pipes.CdcPipes.activeUsersPerHour(spark, sf)
       .collect().map(r => (r.get(0).toString, r.getLong(1))).toMap
