@@ -221,6 +221,27 @@ object TextDedup {
     bandsOf(minhashSignatures(Tables.documents(spark, dir)))
       .orderBy("doc_id", "band")
 
+  /** Per-row MinHash band signature: array of (band, band_hash)
+    * structs, value-identical to the exploded-groupBy batch path but
+    * computed with NO shuffle — the form a stateless streaming MV
+    * needs (per-document work bounded by document length; the batch
+    * path's groupBy is the faster choice for full-corpus scans, the
+    * per-row form is the only choice inside a streaming projection).
+    * Equality with the batch path asserted in StreamingSpec. */
+  def minhashBandsPerRow(textCol: Column): Column = {
+    val t = split(textCol, " ")
+    val sh = array_distinct(transform(
+      sequence(lit(1), size(t) - 2),
+      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+    val mins = (0 until NumHashes).map(j =>
+      array_min(transform(sh, s => xxhash64(lit(j), s))))
+    val rowsPerBand = NumHashes / Bands
+    array((0 until Bands).map { b =>
+      val hs = (0 until rowsPerBand).map(r => mins(b * rowsPerBand + r))
+      struct(lit(b).as("band"), xxhash64(hs: _*).as("band_hash"))
+    }: _*)
+  }
+
   /** MinHash+LSH candidate pairs with exact-Jaccard verification — the
     * scale path: bucket-join on (band, band_hash), then verify only the
     * candidates. Same output shape as nearDupPairs; recall is

@@ -72,6 +72,37 @@ object CdcStream {
       .start()
   }
 
+  /** The `documents` table shape for streaming corpus ingest. */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming near-dup signature maintenance — the dedup MV: each
+    * arriving document's MinHash band signature is computed IN ROW
+    * (stateless projection, [[graft.operators.TextDedup.minhashBandsPerRow]])
+    * and appended to the bands log; dedup-on-read then bucket-joins the
+    * log exactly like the batch path. This is how the 100 TB corpus
+    * keeps its dedup index current incrementally: signature cost is
+    * paid once per document at ingest, never re-paid per dedup query,
+    * and the stream holds no state. */
+  def startMinhashMv(spark: SparkSession, srcDir: String, bandsDir: String,
+                     checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(docSchema).parquet(srcDir)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"),
+        explode(graft.operators.TextDedup.minhashBandsPerRow(col("text"))).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+      .writeStream
+      .format("parquet")
+      .option("path", bandsDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** S1 — the generic per-column JSONPath ingest projection for a parsed
     * `.datasource` (users_raw.datasource:3-14): each declared column is
     * extracted from the raw message by its `json:$.path` and cast to the

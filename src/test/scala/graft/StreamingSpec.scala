@@ -241,4 +241,26 @@ class StreamingSpec extends SparkSpec {
       .select("user_id", "event_id").orderBy("user_id").collect().toSeq
     assert(got == want)
   }
+
+  test("streaming minhash MV: incremental bands log equals the batch band table") {
+    val src = tmp(); val bandsDir = tmp() + "/bands"; val ck = tmp() + "/ck"
+    val docs = Tables.documents(spark, sf)
+    // replay the corpus in two chunks — the dedup index grows
+    // incrementally with checkpointed offsets, no recompute of chunk 1
+    val chunks = Seq(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1))
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      c.write.parquet(s"$src/chunk$i")
+      val q = CdcStream.startMinhashMv(spark, s"$src/chunk*", bandsDir, ck)
+      q.awaitTermination()
+    }
+    val streamed = spark.read.parquet(bandsDir)
+      .select("doc_id", "band", "band_hash")
+      .collect().map(_.toString).sorted.toSeq
+    val batch = operators.TextDedup.minhashBands(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch,
+      s"streamed ${streamed.size} rows vs batch ${batch.size}")
+  }
 }
