@@ -21,10 +21,16 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal seconds: the driver tail-captures ~3 KB of stdout, and
+    // full-precision doubles pushed the one-line JSON past that window
+    // (BENCH_r02 arrived front-truncated → parsed:null)
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // The JSON line goes out FIRST (before Spark's shutdown chatter can
     // interleave) AND to a file: the round-1 driver tail-capture truncated
     // the stdout line, leaving the bench artifact unparseable.

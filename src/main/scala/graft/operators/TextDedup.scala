@@ -110,7 +110,7 @@ object TextDedup {
     * (asserted). The self-contained query re-derives the shingle frame
     * per consumer; at 100 TB stage it once — see [[stageShingles]] /
     * [[nearDupPairsStaged]]. */
-  private def nearDupFrom(sh: DataFrame, minJaccard: Double, maxDf: Int): DataFrame = {
+  private[graft] def nearDupFrom(sh: DataFrame, minJaccard: Double, maxDf: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val marked = sh
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
@@ -168,8 +168,15 @@ object TextDedup {
     * finds every pair with jaccard > 0 — but the fan-out is unbounded,
     * so it exists to verify the scale paths at small SF. */
   def nearDupPairsExact(spark: SparkSession, dir: String,
-                        minJaccard: Double = 0.5): DataFrame = {
-    val sh = shingles(Tables.documents(spark, dir))
+                        minJaccard: Double = 0.5): DataFrame =
+    nearDupExactFrom(shingles(Tables.documents(spark, dir)), minJaccard)
+
+  /** The uncapped truth over a given (doc_id, shingle) frame — the
+    * comparison target for [[nearDupFrom]]'s df-cap correction branch
+    * in tests with synthetic boilerplate corpora. */
+  private[graft] def nearDupExactFrom(shFrame: DataFrame,
+                                          minJaccard: Double): DataFrame = {
+    val sh = shFrame
       .withColumn("n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
     val a = sh.toDF("doc_a", "shingle", "na")
@@ -236,10 +243,16 @@ object TextDedup {
     val mins = (0 until NumHashes).map(j =>
       array_min(transform(sh, s => xxhash64(lit(j), s))))
     val rowsPerBand = NumHashes / Bands
-    array((0 until Bands).map { b =>
+    val bands = array((0 until Bands).map { b =>
       val hs = (0 until rowsPerBand).map(r => mins(b * rowsPerBand + r))
       struct(lit(b).as("band"), xxhash64(hs: _*).as("band_hash"))
     }: _*)
+    // guard INSIDE the helper: <3 tokens makes sequence(1, size-2)
+    // descend ([1,0]) and element_at(t, 0) throw — one malformed row
+    // in a streaming MV would kill the whole query. Short docs yield
+    // empty bands, mirroring the batch path's size>=3 filter (no row).
+    when(size(t) >= 3, bands)
+      .otherwise(array().cast("array<struct<band:int,band_hash:bigint>>"))
   }
 
   /** MinHash+LSH candidate pairs with exact-Jaccard verification — the

@@ -75,14 +75,18 @@ object ChDialectParser {
 
   /** CH-only constructs the reference pipes use. `\b…\b` word
     * boundaries keep identifiers like `users_latest__final` (already-
-    * translated SQL) from matching, and the function/FINAL markers are
-    * CASE-SENSITIVE on the ClickHouse canonical spelling — a Spark
-    * table alias `final`, or a user function named `argmax`, must NOT
-    * reroute a plain statement (LIMIT n BY stays case-insensitive: it
-    * is never valid Spark SQL, so there is nothing to collide with). */
+    * translated SQL) from matching. Function markers are CASE-SENSITIVE
+    * — ClickHouse function names themselves are case-sensitive, and a
+    * user function named `argmax` must NOT reroute a plain statement.
+    * Keywords (`LIMIT n BY`, `FINAL`) are case-insensitive like every
+    * CH keyword; for FINAL the alias collision is resolved by usage: a
+    * qualifier reference `final.col` anywhere in the statement proves
+    * `final` is a real alias, so the marker stands down. A bare
+    * unreferenced alias literally named `final` is indistinguishable
+    * from the CH modifier and reads as CH dialect here — documented
+    * boundary of sharing one front door. */
   private val markers = Seq(
     """(?is)\bLIMIT\s+\d+\s+BY\b""",
-    """(?s)\bFROM\s+\w+\s+FINAL\b""",
     """(?s)\{%""", // Tinybird template block
     """(?s)\bnumbers\s*\(""",
     """(?s)\b(toStartOfMinute|toStartOfHour|toStartOfDay|subtractHours|
@@ -90,6 +94,28 @@ object ChDialectParser {
       |argMax|argMin|now64)\s*\(""".stripMargin.replace("\n", "")
   ).map(_.r)
 
-  def looksChDialect(sqlText: String): Boolean =
-    markers.exists(_.findFirstIn(sqlText).isDefined)
+  private val finalMarker = """(?is)\bFROM\s+\w+\s+FINAL\b""".r
+  private val finalQualifier = """(?is)\bFINAL\s*\.\s*[\w`]""".r
+
+  /** Markers match against a copy with string-literal CONTENTS blanked:
+    * `WHERE note = 'use argMax(a,b)'` is a plain Spark statement, and a
+    * phantom marker hit would route it through the translator (whose
+    * round() rewrite is a real semantic change). */
+  private def maskLiterals(s: String): String = {
+    val mask = ChSqlTranslator.inStringMask(s)
+    val out = s.toCharArray
+    var i = 0
+    while (i < out.length) {
+      if (mask(i)) out(i) = ' '
+      i += 1
+    }
+    new String(out)
+  }
+
+  def looksChDialect(sqlText: String): Boolean = {
+    val t = maskLiterals(sqlText)
+    markers.exists(_.findFirstIn(t).isDefined) ||
+      (finalMarker.findFirstIn(t).isDefined &&
+        finalQualifier.findFirstIn(t).isEmpty)
+  }
 }

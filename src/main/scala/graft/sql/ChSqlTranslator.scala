@@ -43,22 +43,26 @@ object ChSqlTranslator {
     s = stripLineComments(s)
     s = expandTemplates(s, params)
     s = rewriteScalarWith(s)
-    s = s.replaceAll("(?i),\\s*\\n?\\s*FROM\\b", " FROM") // trailing comma
+    // all regex passes below are string-literal aware (the same mask
+    // indexOfCall uses): a literal like 'deleted = false' or 'now()'
+    // is data, not syntax to rewrite
+    s = replaceOutsideStrings(s, "(?i),\\s*\\n?\\s*FROM\\b")(_ => " FROM") // trailing comma
     val nowSql = asOf.map(ts => s"TIMESTAMP_NTZ '$ts'")
       .orElse(if (nowFallbackToWallClock)
         Some("cast(current_timestamp() as timestamp_ntz)") else None)
     nowSql.foreach { ts =>
-      s = s.replaceAll("(?i)\\bnow64\\(\\)", java.util.regex.Matcher.quoteReplacement(ts))
-      s = s.replaceAll("(?i)\\bnow\\(\\)", java.util.regex.Matcher.quoteReplacement(ts))
+      s = replaceOutsideStrings(s, "(?i)\\bnow64\\(\\)")(_ => ts)
+      s = replaceOutsideStrings(s, "(?i)\\bnow\\(\\)")(_ => ts)
     }
-    s = s.replaceAll("(?i)\\bFROM\\s+(\\w+)\\s+FINAL\\b", "FROM $1__final")
+    s = replaceOutsideStrings(s, "(?i)\\bFROM\\s+(\\w+)\\s+FINAL\\b")(m =>
+      s"FROM ${m.group(1)}__final")
     // CH Bool IS UInt8: `deleted = false` compares an Int8/UInt8 column
     // to a boolean literal (users_api_batch.pipe:52). Spark is strict —
     // map the literals to their UInt8 values.
-    s = s.replaceAll("(?i)=\\s*false\\b", "= 0")
-    s = s.replaceAll("(?i)=\\s*true\\b", "= 1")
-    s = s.replaceAll("(?i)\\bnumbers\\((\\d+)\\)",
-      "(SELECT id AS number FROM range($1))")
+    s = replaceOutsideStrings(s, "(?i)=\\s*false\\b")(_ => "= 0")
+    s = replaceOutsideStrings(s, "(?i)=\\s*true\\b")(_ => "= 1")
+    s = replaceOutsideStrings(s, "(?i)\\bnumbers\\((\\d+)\\)")(m =>
+      s"(SELECT id AS number FROM range(${m.group(1)}))")
     // LIMIT BY first, while the ORDER BY list is still raw CH syntax
     // (function rewrites introduce commas inside calls that a list split
     // must not cut through); then the signature rewrites.
@@ -113,10 +117,35 @@ object ChSqlTranslator {
     s match {
       case re(sub, name, rest) =>
         rewriteScalarWith( // there may be several in sequence
-          rest.replaceAll("\\b" + name + "\\b",
-            java.util.regex.Matcher.quoteReplacement(s"($sub)")))
+          replaceOutsideStrings(rest, "\\b" + name + "\\b")(_ => s"($sub)"))
       case _ => s
     }
+  }
+
+  /** Per-char mask: true where the char sits inside a single-quoted
+    * string literal. */
+  private[sql] def inStringMask(s: String): Array[Boolean] = {
+    val m = new Array[Boolean](s.length)
+    var in = false
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\'') in = !in
+      m(i) = in
+      i += 1
+    }
+    m
+  }
+
+  /** `replaceAll` that leaves matches starting inside string literals
+    * untouched. Match positions are taken against the ORIGINAL string
+    * (replaceAllIn walks the source left-to-right), so one mask per
+    * pass is exact. */
+  private def replaceOutsideStrings(s: String, pattern: String)
+                                   (f: scala.util.matching.Regex.Match => String): String = {
+    val mask = inStringMask(s)
+    pattern.r.replaceAllIn(s, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        if (mask(m.start)) m.matched else f(m)))
   }
 
   /** Balanced-paren function rewriting for signature-changing maps. */

@@ -26,6 +26,49 @@ class OperatorsSpec extends SparkSpec {
     assert(capped == exact)
   }
 
+  test("df-cap correction branch: capped boilerplate shingle, exact jaccards preserved") {
+    import spark.implicits._
+    // "B"/"D"/"E" are boilerplate (df > maxDf=2 → capped out of candidate
+    // generation); r*/x*/m*/e*/C are rare. Exercises all three capped-path
+    // stages: counting join over rare shingles, optimistic upper bound,
+    // exact correction over capped-out shingles.
+    val sh = Seq(
+      1L -> "B", 1L -> "r1", 1L -> "r2", 1L -> "r3",
+      2L -> "B", 2L -> "r1", 2L -> "r2", 2L -> "r3",
+      3L -> "B", 3L -> "r4", 3L -> "r5", 3L -> "x1",
+      4L -> "B", 4L -> "r4", 4L -> "r5", 4L -> "x2",
+      7L -> "B", 7L -> "E", 7L -> "D",
+      8L -> "B", 8L -> "E", 8L -> "D",
+      13L -> "B", 13L -> "D", 13L -> "C", 13L -> "m4",
+      14L -> "B", 14L -> "E", 14L -> "m4", 14L -> "e1"
+    ).toDF("doc_id", "shingle")
+    val capped = TextDedup.nearDupFrom(sh, 0.5, maxDf = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val exact = TextDedup.nearDupExactFrom(sh, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // every pair sharing >=1 rare shingle comes out with its EXACT
+    // jaccard: (1,2) needs the correction to lift 3/5 back to 4/4, and
+    // (13,14) passes the optimistic bound (3/5) but the correction
+    // drops it (true jaccard 2/6) — the correction join is load-bearing
+    // in both directions
+    assert(capped == Seq((1L, 2L, 1.0), (3L, 4L, 0.6)))
+    // the exact truth additionally holds the all-capped pair (7,8):
+    // the documented df-cap boundary (boilerplate cluster wider than
+    // maxDf shares no rare shingle)
+    assert(exact == Seq((1L, 2L, 1.0), (3L, 4L, 0.6), (7L, 8L, 1.0)))
+  }
+
+  test("per-row minhash bands: short docs yield empty bands instead of crashing") {
+    import spark.implicits._
+    val df = Seq((1L, "only two"), (2L, "a"), (3L, ""), (4L, "one two three four"))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextDedup.minhashBandsPerRow(col("text")).as("bands"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    assert(out(1L).isEmpty && out(2L).isEmpty && out(3L).isEmpty)
+    assert(out(4L).size == 4)
+  }
+
   test("staged-shingle near-dup equals the self-contained query, no text scans") {
     val staged = java.nio.file.Files.createTempDirectory("graftshingle").toString + "/sh"
     TextDedup.stageShingles(spark, sf, staged)

@@ -215,9 +215,36 @@ class TranslatorSpec extends SparkSpec {
     assert(spark.sql("SELECT round(2.345, 2) AS r").first().get(0).toString == "2.35")
   }
 
+  test("FINAL keyword is case-insensitive; qualified alias usage still wins") {
+    dir // force view setup
+    // CH keywords are case-insensitive: a lowercase `final` from a
+    // ported dashboard must collapse to latest rows, not silently parse
+    // as a Spark table alias over the full CDC log
+    assertSame(spark.sql("SELECT * FROM users_latest final ORDER BY id"),
+      UsersPipes.usersApiRmt(spark, dir))
+    // markers are masked inside string literals: a phantom FINAL in a
+    // literal must not reroute a plain statement (the dialect round()
+    // rewrite would change Spark semantics)
+    val r = spark.sql("SELECT round(2.345, 2) AS r, 'FROM t FINAL' AS tag").first()
+    assert(r.get(0).toString == "2.35")
+    assert(r.getString(1) == "FROM t FINAL")
+  }
+
+  test("translate regex passes are string-literal aware") {
+    val sql = "SELECT 'deleted = false' AS a, 'now()' AS b, 'numbers(3)' AS c, " +
+      "' , FROM phantom' AS d FROM users_latest FINAL WHERE deleted = false"
+    val t = ChSqlTranslator.translate(sql, asOf = Some("2024-05-01 00:00:00"))
+    assert(t.contains("'deleted = false'"), t)
+    assert(t.contains("'now()'"), t)
+    assert(t.contains("'numbers(3)'"), t)
+    assert(t.contains("' , FROM phantom'"), t)
+    assert(t.contains("users_latest__final"), t)
+    assert(t.endsWith("deleted = 0"), t)
+  }
+
   test("dialect front door: no false positives, literals safe, errors preserved") {
-    // a lowercase `final` table alias is plain Spark SQL — not the CH
-    // keyword (markers are case-sensitive on the CH canonical spelling)
+    // `final` used as a REAL alias: the qualifier reference final.x
+    // proves it, so the case-insensitive FINAL marker stands down
     spark.range(3).toDF("x").createOrReplaceTempView("results")
     assert(spark.sql("SELECT final.x FROM results final").count() == 3)
     // a genuine marker routes the statement, but a string literal that
