@@ -115,9 +115,14 @@ object SparkEntry {
     "docs_chunks"           -> ((s, d) => operators.TextAnalysis.chunks(s, d)),
     "docs_split_assign"     -> (operators.TextAnalysis.splitAssign _),
     "docs_top_bigrams"      -> ((s, d) => operators.TextAnalysis.topBigrams(s, d)),
+    "docs_top_terms"        -> ((s, d) => operators.TextAnalysis.topTermsPerDoc(s, d)),
+    // training-data pipeline: mix construction
+    "docs_sample_stratified" -> (operators.TrainingMix.stratifiedSample _),
+    "docs_pack_sequences"   -> ((s, d) => operators.TrainingMix.packSequences(s, d)),
     // training-data pipeline: dedup suite
     "docs_exact_dedup"      -> (operators.TextDedup.exactDedup _),
     "docs_near_dup_pairs"   -> ((s, d) => operators.TextDedup.nearDupPairs(s, d)),
+    "docs_dup_clusters"     -> (operators.TextDedup.dupClusters _),
     "docs_minhash_bands"    -> (operators.TextDedup.minhashBands _),
     "docs_minhash_lsh_pairs" -> ((s, d) => operators.TextDedup.minhashLshPairs(s, d)),
     "docs_simhash"          -> (operators.TextDedup.simhash _),
@@ -170,6 +175,48 @@ object SparkEntry {
       |SELECT date_trunc('hour', ts) AS time_interval, count(DISTINCT user_id) AS active_users
       |FROM events, anchor WHERE ts > a - INTERVAL 30 DAY
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The df-capped near-dup pipeline as a DuckDB CTE chain (mirrors
+    * TextDedup.nearDupFrom stage for stage), ending in `j(doc_a, doc_b,
+    * jr)` — shared by the pair endpoint and the dup-cluster closure so
+    * the two oracles can't drift apart. No `WITH` prefix: the cluster
+    * oracle needs `WITH RECURSIVE`. */
+  private val nearDupCtes =
+    """tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, t[g] || ' ' || t[g+1] || ' ' || t[g+2] AS s
+      |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS g)
+      |  WHERE len(t) >= 3),
+      |dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+      |marked AS (SELECT sh.doc_id, sh.s, df FROM sh JOIN dfreq USING (s)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |rare AS (SELECT doc_id, s FROM marked WHERE df <= 100),
+      |rsizes AS (SELECT doc_id, count(*) AS n_rare FROM rare GROUP BY 1),
+      |docs2 AS (
+      |  SELECT sizes.doc_id, n, n - coalesce(n_rare, 0) AS n_common
+      |  FROM sizes LEFT JOIN rsizes ON sizes.doc_id = rsizes.doc_id),
+      |counts AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c_rare
+      |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |ub AS (
+      |  SELECT doc_a, doc_b, c_rare, da.n AS na, db.n AS nb,
+      |         c_rare + least(da.n_common, db.n_common) AS ub_c
+      |  FROM counts JOIN docs2 da ON doc_a = da.doc_id
+      |              JOIN docs2 db ON doc_b = db.doc_id
+      |  WHERE (c_rare + least(da.n_common, db.n_common)) * 1.0 /
+      |        (da.n + db.n - c_rare - least(da.n_common, db.n_common)) >= 0.5),
+      |common AS (SELECT doc_id, s FROM marked WHERE df > 100),
+      |corr AS (
+      |  SELECT u.doc_a, u.doc_b, count(*) AS c_common
+      |  FROM ub u JOIN common x ON x.doc_id = u.doc_a
+      |            JOIN common y ON y.doc_id = u.doc_b AND y.s = x.s
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT ub.doc_a, ub.doc_b,
+      |         (c_rare + coalesce(c_common, 0)) * 1.0 /
+      |         (na + nb - c_rare - coalesce(c_common, 0)) AS jr
+      |  FROM ub LEFT JOIN corr ON ub.doc_a = corr.doc_a AND ub.doc_b = corr.doc_b)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "latest_event_per_user" ->
@@ -506,43 +553,59 @@ object SparkEntry {
       """SELECT md5(text) AS digest, min(doc_id) AS canonical_doc_id, count(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY canonical_doc_id""".stripMargin,
     "docs_near_dup_pairs" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, t[g] || ' ' || t[g+1] || ' ' || t[g+2] AS s
-        |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS g)
-        |  WHERE len(t) >= 3),
-        |dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
-        |marked AS (SELECT sh.doc_id, sh.s, df FROM sh JOIN dfreq USING (s)),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |rare AS (SELECT doc_id, s FROM marked WHERE df <= 100),
-        |rsizes AS (SELECT doc_id, count(*) AS n_rare FROM rare GROUP BY 1),
-        |docs2 AS (
-        |  SELECT sizes.doc_id, n, n - coalesce(n_rare, 0) AS n_common
-        |  FROM sizes LEFT JOIN rsizes ON sizes.doc_id = rsizes.doc_id),
-        |counts AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c_rare
-        |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |ub AS (
-        |  SELECT doc_a, doc_b, c_rare, da.n AS na, db.n AS nb,
-        |         c_rare + least(da.n_common, db.n_common) AS ub_c
-        |  FROM counts JOIN docs2 da ON doc_a = da.doc_id
-        |              JOIN docs2 db ON doc_b = db.doc_id
-        |  WHERE (c_rare + least(da.n_common, db.n_common)) * 1.0 /
-        |        (da.n + db.n - c_rare - least(da.n_common, db.n_common)) >= 0.5),
-        |common AS (SELECT doc_id, s FROM marked WHERE df > 100),
-        |corr AS (
-        |  SELECT u.doc_a, u.doc_b, count(*) AS c_common
-        |  FROM ub u JOIN common x ON x.doc_id = u.doc_a
-        |            JOIN common y ON y.doc_id = u.doc_b AND y.s = x.s
-        |  GROUP BY 1, 2),
-        |j AS (
-        |  SELECT ub.doc_a, ub.doc_b,
-        |         (c_rare + coalesce(c_common, 0)) * 1.0 /
-        |         (na + nb - c_rare - coalesce(c_common, 0)) AS jr
-        |  FROM ub LEFT JOIN corr ON ub.doc_a = corr.doc_a AND ub.doc_b = corr.doc_b)
+      s"""WITH $nearDupCtes
         |SELECT doc_a, doc_b, floor(jr * 10000 + 0.5) / 10000.0 AS jaccard
         |FROM j WHERE jr >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    // connected components over the near-dup pair graph: transitive
+    // closure via a recursive CTE (fine at oracle SF; the engine side
+    // is iterative min-label propagation)
+    "docs_dup_clusters" ->
+      s"""WITH RECURSIVE $nearDupCtes,
+        |pairs AS (SELECT doc_a, doc_b FROM j WHERE jr >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT src AS doc_id, src AS r FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id),
+        |lab AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
+        |SELECT doc_id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM lab ORDER BY cluster_id, doc_id""".stripMargin,
+    "docs_top_terms" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT doc_id, term, tf, df,
+        |    tf * (n_docs + CAST(1 AS DOUBLE)) / (df + CAST(1 AS DOUBLE)) AS wr
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY wr DESC, term) AS term_rank FROM s)
+        |SELECT doc_id, term, tf, df,
+        |  floor(wr * 1000000 + 0.5) / 1000000.0 AS weight, CAST(term_rank AS INT) AS term_rank
+        |FROM r WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin,
+    "docs_sample_stratified" ->
+      """SELECT doc_id, lang, source,
+        |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS sample_key,
+        |  CASE WHEN lang = 'en' THEN CAST(2 AS DOUBLE) ELSE CAST(5 AS DOUBLE) END AS weight
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+        |      < CASE WHEN lang = 'en' THEN '8000' ELSE '3333' END
+        |ORDER BY doc_id""".stripMargin,
+    "docs_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, CAST(doc_id % 4 AS INT) AS shard,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, lang, shard, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+        |  FROM t)
+        |SELECT doc_id, lang, shard, n_tokens, tokens_before,
+        |  CAST(floor(tokens_before / 256.0) AS BIGINT) AS pack_id
+        |FROM p ORDER BY doc_id""".stripMargin,
     "emb_norms" ->
       """SELECT vec_id, label,
         |  floor(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 10000 + 0.5) / 10000.0 AS l2_norm

@@ -173,4 +173,38 @@ object TextAnalysis {
       .groupBy("ngram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("ngram"))
       .limit(k)
+
+  /** Top-k distinguishing terms per document by inverse-document-
+    * frequency weight: tf × (N+1)/(df+1). The weight is the RATIONAL
+    * idf form, not log-idf, deliberately: every operation (integer
+    * counts, one multiply, one divide) is IEEE-exact-rounded and thus
+    * bit-identical across engines, where transcendental log
+    * implementations may differ in the last ulp — the determinism the
+    * hash-based correctness gate requires. Ranking uses the raw double
+    * (deterministic), term-asc tie-break; the reported weight is
+    * floor-rounded for display.
+    *
+    * Scale: tf is one shuffle on (doc, term) with map-side combine; the
+    * df table is the VOCABULARY (tiny vs corpus) and broadcast, as is
+    * the 1-row corpus count — no driver-side scalar, no second shuffle
+    * of the corpus. Per-doc top-k is a bounded window over each doc's
+    * own terms. */
+  def topTermsPerDoc(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("weight_raw").desc, col("term"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("weight_raw",
+        col("tf") * (col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)))
+      .withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        floorRound(col("weight_raw"), 6).as("weight"), col("term_rank"))
+      .orderBy("doc_id", "term_rank")
+  }
 }

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-mix construction over `documents`: deterministic stratified
+  * sampling and sequence packing — the steps between "cleaned corpus"
+  * and "training batches" in a large-scale training-data pipeline.
+  *
+  * Both operators are deterministic functions of row CONTENT, never of
+  * partitioning, seeds, or visit order: re-runs, repartitions, and
+  * incremental appends reproduce (and extend) prior decisions — the
+  * property that makes the outputs cacheable/resumable at 100 TB and
+  * lets the DuckDB oracle check them bit-for-bit.
+  */
+object TrainingMix {
+
+  /** Keep thresholds as 4-hex-digit strings: a doc survives when the
+    * first 4 md5 hex chars of its id string are lexicographically
+    * below the stratum threshold (rate × 0x10000 rendered as hex).
+    * Pure string compare on lowercase hex — identical in every engine;
+    * no float hash, no engine-specific hash function. */
+  private val EnThreshold = "8000" // 0x8000 / 0x10000 = 50%
+  private val RestThreshold = "3333" // 0x3333 / 0x10000 ≈ 20%
+
+  /** Deterministic stratified sample of the corpus: `en` kept at 50%,
+    * every other language at 20%, each surviving row carrying its
+    * inverse-rate weight for downstream weighted aggregation.
+    *
+    * Scale: per-row hash + filter — zero shuffles (the trailing sort is
+    * the endpoint's presentation contract); sampling a 100 TB corpus is
+    * one codegen'd scan with the filter applied before any wide plan. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("sample_key", substring(md5(col("doc_id").cast("string")), 1, 4))
+      .filter(col("sample_key") <
+        when(col("lang") === "en", EnThreshold).otherwise(RestThreshold))
+      .select(col("doc_id"), col("lang"), col("source"), col("sample_key"),
+        when(col("lang") === "en", lit(2.0)).otherwise(lit(5.0)).as("weight"))
+      .orderBy("doc_id")
+
+  /** Sequence packing: assign each document to a fixed-token-budget
+    * training pack using concat-then-chunk semantics — documents are
+    * conceptually concatenated in doc_id order within a stratum and cut
+    * every `budget` tokens, so a doc's pack is `tokens_before / budget`
+    * (a doc straddling a boundary belongs to the pack it starts in).
+    *
+    * Scale: the running sum is a window per (lang, shard) where shard =
+    * doc_id % nShards — packing is embarrassingly parallel across
+    * shards, so no stratum needs a global sort; widen nShards with the
+    * cluster. One shuffle on the (lang, shard) key, then codegen'd
+    * window arithmetic. */
+  def packSequences(spark: SparkSession, dir: String,
+                    budget: Int = 256, nShards: Int = 4): DataFrame = {
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        pmod(col("doc_id"), lit(nShards)).cast("int").as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("tokens_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("tokens_before") / lit(budget.toDouble)))
+      .select("doc_id", "lang", "shard", "n_tokens", "tokens_before", "pack_id")
+      .orderBy("doc_id")
+  }
+}

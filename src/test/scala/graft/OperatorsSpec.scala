@@ -94,6 +94,92 @@ class OperatorsSpec extends SparkSpec {
         s"IVF near-dup recall ${ivf.size}/${exact.size}")
   }
 
+  test("dup clusters equal an independent union-find over the pair graph") {
+    val pairs = TextDedup.nearDupPairs(spark, sf).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // independent truth: driver-side union-find (not the propagation
+    // algorithm under test, not the oracle's recursive closure)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(d => d -> find(d)).toMap
+    val wantSizes = want.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val got = TextDedup.dupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSet == want.keySet)
+    got.foreach { case (doc, cl, sz) =>
+      assert(cl == want(doc), s"doc $doc: cluster $cl vs ${want(doc)}")
+      assert(sz == wantSizes(want(doc)), s"doc $doc: size $sz")
+    }
+  }
+
+  test("stratified sample: md5-threshold keep rule verified row by row") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def key(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 4)
+    }
+    val want = docs.filter { case (id, lang) =>
+      key(id) < (if (lang == "en") "8000" else "3333")
+    }.map(_._1).toSet
+    val got = operators.TrainingMix.stratifiedSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(3), r.getDouble(4)))
+    assert(got.map(_._1).toSet == want)
+    got.foreach { case (id, lang, k, w) =>
+      assert(k == key(id))
+      assert(w == (if (lang == "en") 2.0 else 5.0))
+    }
+  }
+
+  test("sequence packing matches a sequential per-shard recomputation") {
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2).toLong))
+    val want = toks.groupBy(t => (t._2, t._1 % 4)).toSeq.flatMap { case (_, ds) =>
+      var cum = 0L
+      ds.sortBy(_._1).toSeq.map { case (id, _, n) =>
+        val before = cum; cum += n; id -> ((before, before / 256))
+      }
+    }.toMap
+    val got = operators.TrainingMix.packSequences(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(5)))
+    assert(got.length == toks.length)
+    got.foreach { case (id, before, pack) =>
+      assert((before, pack) == want(id), s"doc $id")
+    }
+  }
+
+  test("top terms per doc match a full driver-side recomputation") {
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val nDocs = texts.length
+    val df = texts.flatMap { case (_, t) => t.split(" ").distinct }
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val want = texts.map { case (id, t) =>
+      val tf = t.split(" ").groupBy(identity).view.mapValues(_.length)
+      val top = tf.toSeq.map { case (term, f) =>
+        (term, f.toLong, f * (nDocs + 1.0) / (df(term) + 1.0))
+      }.sortBy { case (term, _, w) => (-w, term) }.take(3)
+      id -> top.zipWithIndex.map { case ((term, f, w), i) =>
+        (term, f, df(term).toLong, math.floor(w * 1e6 + 0.5) / 1e6, i + 1)
+      }
+    }.toMap
+    val got = operators.TextAnalysis.topTermsPerDoc(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getInt(5))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, rows) => assert(rows == want(id), s"doc $id") }
+  }
+
   test("native simhash64 is bit-identical to the interpreted HOF chain") {
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, sf)

@@ -71,6 +71,26 @@ class PlanSpec extends SparkSpec {
       "emb near-dup: the candidate pair join must be an equi-join")
   }
 
+  test("top terms: vocabulary and corpus-count join as broadcast, one tf shuffle") {
+    val p = plan("docs_top_terms")
+    assert(!p.contains("SortMergeJoin"),
+      "df (vocabulary) and n_docs (1 row) must broadcast, never shuffle the tf table for a join")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("stratified sample: a pure scan+filter, no exchange before the presentation sort") {
+    val p = plan("docs_sample_stratified")
+    // the only acceptable exchange is the global orderBy at the end
+    assert("Exchange".r.findAllIn(p).size == 1, p.take(2000))
+    assert(!p.contains("Join"), "sampling must not join anything")
+  }
+
+  test("sequence packing: one hash exchange on the stratum key feeds the window") {
+    val p = plan("docs_pack_sequences")
+    assert(p.contains("hashpartitioning(lang"), p.take(2000))
+    assert(p.contains("Window"), p.take(2000))
+  }
+
   test("no registered query plans a cartesian product") {
     // BNLJ is allowed only for 1-row scalar-anchor crossJoins and the
     // broadcast-query brute-force scorer; a true cartesian never is.
