@@ -92,6 +92,7 @@ object SparkEntry {
     "top3_orders_per_segment" -> (TpchPipes.top3OrdersPerSegment _),
     "events_quarantine"     -> (CdcPipes.eventsQuarantine _),
     "events_in_window"      -> ((s, d) => CdcPipes.eventsInWindow(s, d)),
+    "events_asof_join"      -> (operators.AsOfJoin.eventsAsOfJoin _),
     // relational coverage (SURVEY §2.2/2.3/2.5/2.6/2.7)
     "q1_pricing_summary"    -> (TpchPipes.q1PricingSummary _),
     "mktsegment_revenue"    -> (TpchPipes.mktsegmentRevenue _),
@@ -370,6 +371,19 @@ object SparkEntry {
         |SELECT date_trunc('day', ts) AS day, count(*) AS events, count(DISTINCT user_id) AS users
         |FROM events, bounds WHERE ts >= s AND ts <= e
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // DuckDB's native ASOF JOIN is the oracle for the union+window
+    // as-of implementation — two entirely different algorithms, one
+    // contract
+    "events_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, max(event_id) AS click_event_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts, p.value,
+        |  c.click_event_id, c.ts AS click_ts,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

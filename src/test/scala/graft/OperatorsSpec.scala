@@ -180,6 +180,42 @@ class OperatorsSpec extends SparkSpec {
     got.foreach { case (id, rows) => assert(rows == want(id), s"doc $id") }
   }
 
+  test("as-of join matches a per-row scan of the click timeline") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("tus"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // one click per (user, instant): max event_id, like the operator
+    val clicks = ev.filter(_._4 == "click")
+      .groupBy(e => (e._2, e._3)).view.mapValues(_.map(_._1).max)
+      .toSeq.map { case ((u, t), id) => (u, t, id) }
+    val want = ev.filter(_._4 == "purchase").map { case (id, u, t, _) =>
+      val prior = clicks.filter(c => c._1 == u && c._2 <= t)
+      id -> (if (prior.isEmpty) None
+             else Some(prior.maxBy(c => (c._2, c._3))._3))
+    }.toMap
+    val got = operators.AsOfJoin.eventsAsOfJoin(spark, sf).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, click) => assert(click == want(id), s"purchase $id") }
+  }
+
+  test("as-of join edges: equal-instant match is inclusive, no-prior rows null") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, "s10"), (1L, 15L, "s15"), (3L, 1L, "zz"))
+      .toDF("k", "t", "state")
+    val out = operators.AsOfJoin.asOfJoin(left, right, Seq("k"), "t", Seq("state"))
+      .orderBy("k", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(3))))
+    assert(out.toSeq == Seq(
+      (1L, 10L, Some("s10")), // same instant: right row visible
+      (1L, 20L, Some("s15")),
+      (2L, 5L, None)))        // key with no right history
+  }
+
   test("native simhash64 is bit-identical to the interpreted HOF chain") {
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, sf)

@@ -91,6 +91,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p.take(2000))
   }
 
+  test("as-of join plans as union+window: no join operator at all") {
+    val p = plan("events_asof_join")
+    assert(!p.contains("Join"),
+      "as-of must be the single-shuffle windowed merge, not a range join")
+    assert(p.contains("Window") && p.contains("Union"), p.take(2000))
+  }
+
   test("no registered query plans a cartesian product") {
     // BNLJ is allowed only for 1-row scalar-anchor crossJoins and the
     // broadcast-query brute-force scorer; a true cartesian never is.
