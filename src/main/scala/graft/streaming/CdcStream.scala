@@ -103,6 +103,70 @@ object CdcStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  case class BandRow(doc_id: Long, band: Int, band_hash: Long)
+  case class BandPair(band: Int, doc_a: Long, doc_b: Long)
+
+  /** Streaming near-dup CANDIDATE emission — one step past maintaining
+    * the band index: a stateful stream keyed by LSH bucket (band,
+    * band_hash) whose state is the bucket's member docs; each arriving
+    * doc emits a candidate pair with every previously-seen member,
+    * exactly once per bucket (the pair carries its band, so downstream
+    * verify/cluster stages dedup across bands exactly like the batch
+    * path's `.distinct()`). The accumulated pair log equals the batch
+    * LSH candidate join over the same corpus (asserted in
+    * StreamingSpec).
+    *
+    * Scale: state per bucket is its member list, and emission cost is
+    * the collision count — identical to the batch candidate join's
+    * output, paid incrementally. `maxBucket` bounds both against hot
+    * boilerplate buckets (the streaming analogue of the df cap): docs
+    * arriving at a full bucket are dropped from pairing, deterministic
+    * by arrival order. */
+  def incrementalCandidatePairs(spark: SparkSession, bands: DataFrame,
+                                maxBucket: Int = 64): Dataset[BandPair] = {
+    import spark.implicits._
+    bands.select(col("doc_id"), col("band").cast("int").as("band"), col("band_hash"))
+      .as[BandRow]
+      .groupByKey(r => (r.band, r.band_hash))
+      .flatMapGroupsWithState[Seq[Long], BandPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long), rows: Iterator[BandRow], state: GroupState[Seq[Long]]) =>
+          val seen = state.getOption.getOrElse(Seq.empty)
+          val seenSet = seen.toSet
+          val fresh = rows.map(_.doc_id).toSeq.distinct
+            .filterNot(seenSet).sorted
+          val out = Seq.newBuilder[BandPair]
+          var acc = seen
+          for (d <- fresh if acc.size < maxBucket) {
+            acc.foreach(o =>
+              out += BandPair(key._1, math.min(o, d), math.max(o, d)))
+            acc = acc :+ d
+          }
+          state.update(acc)
+          out.result().iterator
+      }
+  }
+
+  /** The candidate-pair MV end to end: per-row band signatures
+    * (stateless) feeding the stateful bucket pairing, appended to a
+    * pair log — the dedup index AND its collision pairs both kept
+    * current at ingest time. */
+  def startCandidatePairsMv(spark: SparkSession, srcDir: String,
+                            pairsDir: String, checkpointDir: String): StreamingQuery =
+    incrementalCandidatePairs(spark,
+      spark.readStream.schema(docSchema).parquet(srcDir)
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"),
+          explode(graft.operators.TextDedup.minhashBandsPerRow(col("text"))).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash")))
+      .writeStream
+      .format("parquet")
+      .option("path", pairsDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** S1 — the generic per-column JSONPath ingest projection for a parsed
     * `.datasource` (users_raw.datasource:3-14): each declared column is
     * extracted from the raw message by its `json:$.path` and cast to the

@@ -35,6 +35,36 @@ class SkewSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("AQE splits the skewed join partition at runtime (the non-salted path)") {
+    // the complement of saltedJoin: when neither side is replicable,
+    // the engine's answer to a hot key is AQE's runtime skew split.
+    // Thresholds are scaled down so the tiny test shuffle triggers the
+    // same machinery a 100 TB hot key would.
+    val overrides = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2")
+    val saved = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = (1 to 50000).map(i => ("hot", i)) ++
+        (1 to 2000).map(i => (s"k${i % 40}", i))
+      val dim = ("hot" +: (0 until 40).map(i => s"k$i")).map(k => (k, k.length))
+      val joined = fact.toDF("k", "n").join(dim.toDF("k", "attr"), Seq("k"))
+      // collect THIS frame (count() would plan separately and leave this
+      // AQE plan unfinalized)
+      assert(joined.collect().length == 52000) // every fact row matches one dim row
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n${p.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("vector_dot is callable from SQL after registration") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(

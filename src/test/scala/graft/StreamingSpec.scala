@@ -242,6 +242,38 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming candidate pairs: exactly-once per bucket, equals batch LSH candidates") {
+    val src = tmp(); val pairsDir = tmp() + "/pairs"; val ck = tmp() + "/ck"
+    val docs = Tables.documents(spark, sf)
+    val chunks = Seq(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1))
+    var afterChunk1 = 0L
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      c.write.parquet(s"$src/chunk$i")
+      val q = CdcStream.startCandidatePairsMv(spark, s"$src/chunk*", pairsDir, ck)
+      q.awaitTermination()
+      if (i == 0) afterChunk1 = spark.read.parquet(pairsDir).count()
+    }
+    val emitted = spark.read.parquet(pairsDir)
+      .select("band", "doc_a", "doc_b").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    // exactly-once per (band, pair): the second increment must emit only
+    // NEW collisions, never re-emit chunk-1 pairs
+    assert(emitted.distinct.size == emitted.size,
+      "a (band, pair) was emitted twice across increments")
+    assert(emitted.size > afterChunk1, "second increment emitted nothing new")
+    // accumulated candidates equal the batch LSH candidate join
+    val bands = operators.TextDedup.minhashBands(spark, sf)
+    val batch = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.band_hash") === col("y.band_hash") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(emitted.map(p => (p._2, p._3)).toSet == batch)
+  }
+
   test("streaming minhash MV: incremental bands log equals the batch band table") {
     val src = tmp(); val bandsDir = tmp() + "/bands"; val ck = tmp() + "/ck"
     val docs = Tables.documents(spark, sf)
