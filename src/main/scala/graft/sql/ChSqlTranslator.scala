@@ -8,7 +8,8 @@ package graft.sql
   *  - Tinybird templates: `{% if defined(p) %} … {% else %} … {% end %}`
   *    and `{{DateTime(p)}}` (flights_missed_pct_minute.pipe:22,31-32)
   *  - scalar CTE `WITH (SELECT …) as name` (users_api_batch.pipe:6,30)
-  *  - `LIMIT 1 BY key` → ranking-window rewrite (latest_flight_info.pipe:9)
+  *  - `LIMIT n BY k1[, k2…]` → ranking-window rewrite (latest_flight_info.pipe:9
+  *    uses `LIMIT 1 BY id`; the general form is supported)
   *  - `FROM <t> FINAL` → `<t>__final` view (users_api_rmt.pipe:6)
   *  - function signature maps: toStartOfMinute, subtractHours,
   *    addMinutes, fromUnixTimestamp64Micro, toFixedString, toDateTime,
@@ -251,26 +252,30 @@ object ChSqlTranslator {
     out.result()
   }
 
-  /** `SELECT … FROM t ORDER BY o LIMIT 1 BY k` → ranking-window
-    * subquery. The per-group ordering is the ORDER BY list minus the
-    * LIMIT BY key. */
+  /** `SELECT … FROM t ORDER BY o LIMIT n BY k1[, k2…]` → ranking-window
+    * subquery (`row_number() <= n` partitioned by the LIMIT BY keys).
+    * The per-group ordering is the ORDER BY list minus the keys. */
   private def rewriteLimitBy(sql: String): String = {
-    val re = """(?is)^\s*SELECT\s+(.*?)\s+FROM\s+(\w+)\s+ORDER\s+BY\s+(.*?)\s+LIMIT\s+1\s+BY\s+(\w+)\s*$""".r
+    val re = """(?is)^\s*SELECT\s+(.*?)\s+FROM\s+(\w+)\s+ORDER\s+BY\s+(.*?)\s+LIMIT\s+(\d+)\s+BY\s+([\w\s,]+?)\s*$""".r
     sql match {
-      case re(cols, table, order, key) =>
+      case re(cols, table, order, n, keyList) =>
+        val keys = keyList.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         // split at TOP-LEVEL commas only (order entries may be calls)
         val entries = splitArgs(order).map(_.trim)
-        val perGroup = entries.filterNot(o => o.equalsIgnoreCase(key) ||
-          o.toLowerCase.startsWith(key.toLowerCase + " "))
-        // ORDER BY == just the key → any row of the group is "the" row
-        // in CH; pin a deterministic choice instead
+        def isKey(o: String) = keys.exists(k => o.equalsIgnoreCase(k) ||
+          o.toLowerCase.startsWith(k.toLowerCase + " "))
+        val perGroup = entries.filterNot(isKey)
+        // ORDER BY ⊆ keys → any row of the group is "the" row in CH;
+        // pin a deterministic choice instead
         val perGroupOrder =
-          if (perGroup.isEmpty) s"$key ASC" else perGroup.mkString(", ")
+          if (perGroup.isEmpty) keys.map(k => s"$k ASC").mkString(", ")
+          else perGroup.mkString(", ")
         // keep the query's own ORDER BY on the outside — CH returns the
         // LIMIT BY result in that order and endpoint consumers rely on it
         s"""SELECT $cols FROM (
-           |  SELECT *, row_number() OVER (PARTITION BY $key ORDER BY $perGroupOrder) AS __rn
-           |  FROM $table) WHERE __rn = 1 ORDER BY $order""".stripMargin
+           |  SELECT *, row_number() OVER (PARTITION BY ${keys.mkString(", ")}
+           |    ORDER BY $perGroupOrder) AS __rn
+           |  FROM $table) WHERE __rn <= $n ORDER BY $order""".stripMargin
       case _ => sql
     }
   }

@@ -215,6 +215,37 @@ class TranslatorSpec extends SparkSpec {
     assert(spark.sql("SELECT round(2.345, 2) AS r").first().get(0).toString == "2.35")
   }
 
+  test("LIMIT n BY generalizes: n>1 and multi-key partitions") {
+    dir
+    import org.apache.spark.sql.expressions.Window
+    val raw = spark.read.parquet(s"$dir/flights_raw")
+    // n = 2, single key
+    val two = spark.sql(
+      """SELECT id, flight_number, status FROM flights_raw
+        |ORDER BY id, __timestamp desc
+        |LIMIT 2 BY id""".stripMargin)
+    val w2 = Window.partitionBy("id").orderBy(col("__timestamp").desc)
+    val want2 = raw.withColumn("__rn", row_number().over(w2))
+      .filter(col("__rn") <= 2)
+      .orderBy(col("id"), col("__timestamp").desc)
+      .select("id", "flight_number", "status")
+    assert(two.collect().map(_.toString).toSeq ==
+      want2.collect().map(_.toString).toSeq)
+    // n = 1, two keys
+    val multi = spark.sql(
+      """SELECT flight_number, status, id FROM flights_raw
+        |ORDER BY flight_number, status, __timestamp desc
+        |LIMIT 1 BY flight_number, status""".stripMargin)
+    val wm = Window.partitionBy("flight_number", "status")
+      .orderBy(col("__timestamp").desc)
+    val wantM = raw.withColumn("__rn", row_number().over(wm))
+      .filter(col("__rn") === 1)
+      .orderBy(col("flight_number"), col("status"), col("__timestamp").desc)
+      .select("flight_number", "status", "id")
+    assert(multi.collect().map(_.toString).toSeq ==
+      wantM.collect().map(_.toString).toSeq)
+  }
+
   test("FINAL keyword is case-insensitive; qualified alias usage still wins") {
     dir // force view setup
     // CH keywords are case-insensitive: a lowercase `final` from a
