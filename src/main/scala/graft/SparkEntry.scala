@@ -119,6 +119,7 @@ object SparkEntry {
     "docs_top_terms"        -> ((s, d) => operators.TextAnalysis.topTermsPerDoc(s, d)),
     // training-data pipeline: mix construction
     "docs_sample_stratified" -> (operators.TrainingMix.stratifiedSample _),
+    "docs_sample_weighted_stats" -> (operators.TrainingMix.sampleWeightedStats _),
     "docs_pack_sequences"   -> ((s, d) => operators.TrainingMix.packSequences(s, d)),
     // training-data pipeline: dedup suite
     "docs_exact_dedup"      -> (operators.TextDedup.exactDedup _),
@@ -133,6 +134,7 @@ object SparkEntry {
     "emb_knn_lsh"           -> ((s, d) => operators.VectorOps.knnLsh(s, d)),
     "emb_near_dup_pairs"    -> ((s, d) => operators.VectorOps.nearDupPairs(s, d)),
     "emb_ivf_assign"        -> ((s, d) => operators.VectorOps.ivfAssign(s, d)),
+    "emb_centroid_update"   -> ((s, d) => operators.VectorOps.centroidUpdate(s, d)),
     "emb_knn_ivf"           -> ((s, d) => operators.VectorOps.knnIvf(s, d)),
     "emb_quantize"          -> (operators.VectorOps.quantize _),
     // training-data pipeline: multimodal binary columns
@@ -607,6 +609,35 @@ object SparkEntry {
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
         |      < CASE WHEN lang = 'en' THEN '8000' ELSE '3333' END
         |ORDER BY doc_id""".stripMargin,
+    "docs_sample_weighted_stats" ->
+      """WITH s AS (
+        |  SELECT lang, CASE WHEN lang = 'en' THEN 2 ELSE 5 END AS w,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+        |        < CASE WHEN lang = 'en' THEN '8000' ELSE '3333' END)
+        |SELECT lang, count(*) AS n_sampled,
+        |  CAST(sum(w) AS BIGINT) AS est_docs,
+        |  CAST(sum(w * n_tokens) AS BIGINT) AS est_tokens
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+    "emb_centroid_update" ->
+      """WITH anchors AS (SELECT vec_id AS list_id, embedding AS anchor FROM embeddings WHERE vec_id < 8),
+        |sims AS (
+        |  SELECT e.vec_id, e.embedding, list_id,
+        |    floor(list_sum(list_transform(generate_series(1, len(anchor)),
+        |      i -> CAST(anchor[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) * 1000000 + 0.5) / 1000000.0 AS sim
+        |  FROM embeddings e, anchors),
+        |assigned AS (
+        |  SELECT embedding, list_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, list_id) rn FROM sims)
+        |  WHERE rn = 1),
+        |ex AS (
+        |  SELECT list_id, CAST(g - 1 AS INT) AS dim,
+        |    CAST(floor(CAST(embedding[g] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xs
+        |  FROM assigned, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS g))
+        |SELECT list_id, dim, count(*) AS n_vectors,
+        |  floor(CAST(sum(xs) AS BIGINT) / (count(*) * 1000000.0) * 1000000 + 0.5) / 1000000.0 AS centroid
+        |FROM ex GROUP BY list_id, dim ORDER BY list_id, dim""".stripMargin,
     "docs_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, lang, CAST(doc_id % 4 AS INT) AS shard,

@@ -32,14 +32,38 @@ object TrainingMix {
     * Scale: per-row hash + filter — zero shuffles (the trailing sort is
     * the endpoint's presentation contract); sampling a 100 TB corpus is
     * one codegen'd scan with the filter applied before any wide plan. */
-  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+  /** The sampled corpus with its key and weight, full row retained —
+    * shared by the sample endpoint and the weighted-aggregation
+    * consumer so the keep rule can't drift between them. */
+  private def sampledDocs(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("sample_key", substring(md5(col("doc_id").cast("string")), 1, 4))
       .filter(col("sample_key") <
         when(col("lang") === "en", EnThreshold).otherwise(RestThreshold))
-      .select(col("doc_id"), col("lang"), col("source"), col("sample_key"),
-        when(col("lang") === "en", lit(2.0)).otherwise(lit(5.0)).as("weight"))
+      .withColumn("weight",
+        when(col("lang") === "en", lit(2.0)).otherwise(lit(5.0)))
+
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    sampledDocs(spark, dir)
+      .select("doc_id", "lang", "source", "sample_key", "weight")
       .orderBy("doc_id")
+
+  /** Horvitz-Thompson corpus estimates from the sample: per language,
+    * the inverse-rate weights blow the sampled counts back up to
+    * corpus-scale estimates (docs, tokens). The weights are exact
+    * integers (2, 5), so every sum is integer arithmetic — associative,
+    * partition-order-invariant, engine-identical — and downstream mix
+    * planning can budget tokens per language from the sample alone.
+    * Scale: sampling filter then one tiny groupBy(lang). */
+  def sampleWeightedStats(spark: SparkSession, dir: String): DataFrame =
+    sampledDocs(spark, dir)
+      .select(col("lang"), col("weight").cast("long").as("w"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("w")).as("est_docs"),
+        sum(col("w") * col("n_tokens")).as("est_tokens"))
+      .orderBy("lang")
 
   /** Sequence packing: assign each document to a fixed-token-budget
     * training pack using concat-then-chunk semantics — documents are

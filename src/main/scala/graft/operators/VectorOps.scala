@@ -246,6 +246,41 @@ object VectorOps {
         expr("aggregate(q, cast(0 as bigint), (s, x) -> s + x)").as("q_sum"))
       .orderBy("vec_id")
 
+  /** One k-means update step for the IVF anchors: every vector joins
+    * its nearest-anchor list (the ivfAssign layout, same 6dp-sim +
+    * list_id tie-break canon), then the new centroid is the
+    * per-dimension mean of the members. The mean runs on integer units
+    * (each component floor-scaled to 1e-6 before summing as Long), so
+    * the result is invariant to partition/merge order — the property
+    * that lets a 1000-executor run reproduce the centroids bit-for-bit,
+    * and lets DuckDB verify them.
+    *
+    * Scale: one broadcast of the nLists anchors, one shuffle of
+    * (list_id, dim) partial sums with map-side combine — the exchange
+    * carries nLists × dims rows per mapper, independent of corpus
+    * size. This IS the k-means train loop body for IVF index building;
+    * iterate by feeding the output back as the next anchor set. */
+  def centroidUpdate(spark: SparkSession, dir: String, nLists: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val anchors = emb.filter(col("vec_id") < nLists)
+      .select(col("vec_id").as("list_id"), col("embedding").as("anchor"))
+    val assigned = limitBy(
+      emb.join(broadcast(anchors))
+        .select(col("vec_id"), col("embedding"), col("list_id"),
+          floorRound(dot(col("embedding"), col("anchor")), 6).as("__sim")),
+      1, Seq(col("vec_id")), Seq(col("__sim").desc, col("list_id")))
+      .select("embedding", "list_id")
+    assigned
+      .select(col("list_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("list_id", "dim")
+      .agg(count(lit(1)).as("n_vectors"),
+        floorRound(
+          sum(floor(col("x").cast("double") * 1e6 + 0.5).cast("long")) /
+            (count(lit(1)) * 1e6), 6).as("centroid"))
+      .orderBy("list_id", "dim")
+  }
+
   /** IVF-style partition assignment: each vector assigned to its nearest
     * of `nLists` anchor vectors (anchors = the first nLists corpus
     * vectors — deterministic, data-derived). The cluster histogram is

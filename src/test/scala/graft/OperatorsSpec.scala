@@ -180,6 +180,49 @@ class OperatorsSpec extends SparkSpec {
     got.foreach { case (id, rows) => assert(rows == want(id), s"doc $id") }
   }
 
+  test("centroid update matches a driver-side k-means step") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val anchors = vecs.filter(_._1 < 8).sortBy(_._1)
+    def simTo(v: Array[Float], a: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * a(i).toDouble; i += 1 }
+      math.floor(s * 1e6 + 0.5) / 1e6
+    }
+    val assigned = vecs.map { case (_, v) =>
+      val best = anchors.map { case (lid, a) => (lid, simTo(v, a)) }
+        .maxBy { case (lid, s) => (s, -lid) }._1
+      (best, v)
+    }
+    val want = assigned.groupBy(_._1).flatMap { case (lid, members) =>
+      val n = members.length
+      (0 until members.head._2.length).map { d =>
+        val s = members.map(m => math.floor(m._2(d).toDouble * 1e6 + 0.5).toLong).sum
+        val c = math.floor(s / (n * 1e6) * 1e6 + 0.5) / 1e6
+        (lid, d) -> ((n.toLong, c))
+      }
+    }
+    val got = operators.VectorOps.centroidUpdate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) => assert(v == want(k), s"list/dim $k") }
+  }
+
+  test("weighted sample stats aggregate the sample exactly") {
+    val tokens = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2).toLong))).toMap
+    val sample = operators.TrainingMix.stratifiedSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(4).toLong))
+    val want = sample.groupBy(_._2).view.mapValues { rows =>
+      (rows.length.toLong, rows.map(_._3).sum,
+        rows.map(r => r._3 * tokens(r._1)._2).sum)
+    }.toMap
+    val got = operators.TrainingMix.sampleWeightedStats(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want)
+  }
+
   test("as-of join matches a per-row scan of the click timeline") {
     val ev = Tables.events(spark, sf)
       .select(col("event_id"), col("user_id"),
