@@ -167,6 +167,57 @@ object CdcStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  case class AsOfEvent(user_id: Long, is_left: Boolean, ts: java.time.LocalDateTime,
+                       event_id: Long, value: Double)
+  case class AsOfState(ts: java.time.LocalDateTime, event_id: Long)
+  case class AsOfMatch(event_id: Long, user_id: Long, ts: java.time.LocalDateTime,
+                       value: Double, click_event_id: Option[Long],
+                       click_ts: Option[java.time.LocalDateTime])
+
+  /** Streaming as-of enrichment — the stateful stream form of
+    * [[graft.operators.AsOfJoin]]: both sides arrive as one keyed
+    * stream; per key the state is the latest right-side version seen,
+    * right rows advance it, left rows emit enriched with it. Within a
+    * micro-batch rows are processed in (ts, side, id) order — identical
+    * to the batch window's sort — so as long as batches respect event
+    * time ACROSS batch boundaries (CDC logs replayed in order, the
+    * reference's topic contract), the incremental output equals the
+    * batch as-of join (asserted in StreamingSpec).
+    *
+    * Scale: state is ONE version per key (the same bound as the
+    * reference's latest-state table), emission is per left row; no
+    * timeline is ever re-scanned. */
+  def streamingAsOf(spark: SparkSession, events: DataFrame): Dataset[AsOfMatch] = {
+    import spark.implicits._
+    events
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("user_id"), (col("event_type") === "purchase").as("is_left"),
+        col("ts"), col("event_id"), coalesce(col("value"), lit(0.0)).as("value"))
+      .as[AsOfEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfState, AsOfMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[AsOfEvent], state: GroupState[AsOfState]) =>
+          var cur = state.getOption
+          val out = Seq.newBuilder[AsOfMatch]
+          // (ts, right-before-left, id): the batch window's exact order
+          val ordered = rows.toSeq.sortBy(e =>
+            (e.ts.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+              e.ts.getNano / 1000, e.is_left, e.event_id))
+          for (e <- ordered) {
+            if (!e.is_left) {
+              if (cur.forall(c => c.ts.isBefore(e.ts) ||
+                  (c.ts == e.ts && c.event_id < e.event_id)))
+                cur = Some(AsOfState(e.ts, e.event_id))
+            } else
+              out += AsOfMatch(e.event_id, key, e.ts, e.value,
+                cur.map(_.event_id), cur.map(_.ts))
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** S1 — the generic per-column JSONPath ingest projection for a parsed
     * `.datasource` (users_raw.datasource:3-14): each declared column is
     * extracted from the raw message by its `json:$.path` and cast to the

@@ -274,6 +274,37 @@ class StreamingSpec extends SparkSpec {
     assert(emitted.map(p => (p._2, p._3)).toSet == batch)
   }
 
+  test("streaming as-of enrichment equals the batch as-of join under ordered replay") {
+    val src = tmp(); val ck = tmp() + "/ck"
+    val events = Tables.events(spark, sf)
+    // two chunks split by TIME (the CDC topic's ordering contract);
+    // within-batch order is arbitrary and resorted by the operator
+    val mid = expr("TIMESTAMP_NTZ '2024-07-01 00:00:00'")
+    val outDir = tmp() + "/asof"
+    Seq(events.filter(col("ts") <= mid), events.filter(col("ts") > mid))
+      .zipWithIndex.foreach { case (c, i) =>
+        c.write.parquet(s"$src/chunk$i")
+        val q = CdcStream.streamingAsOf(spark,
+            CdcStream.readEvents(spark, s"$src/chunk*"))
+          .writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ck)
+          .outputMode(OutputMode.Append)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    val streamed = spark.read.parquet(outDir)
+      .select("event_id", "click_event_id").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val batch = operators.AsOfJoin.eventsAsOfJoin(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(streamed.size == batch.size)
+    assert(streamed == batch)
+  }
+
   test("streaming minhash MV: incremental bands log equals the batch band table") {
     val src = tmp(); val bandsDir = tmp() + "/bands"; val ck = tmp() + "/ck"
     val docs = Tables.documents(spark, sf)
