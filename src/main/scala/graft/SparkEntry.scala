@@ -140,6 +140,7 @@ object SparkEntry {
     // training-data pipeline: multimodal binary columns
     "docs_binary_meta"      -> (operators.Multimodal.binaryMeta _),
     "docs_decode_features"  -> (operators.Multimodal.decodeFeatures _),
+    "docs_frame_sample"     -> ((s, d) => operators.Multimodal.frameSample(s, d)),
     // pipe-for-pipe reference endpoints over generated CDC fixtures
     // (oracled against the same fixture parquet via read_parquet, and
     // differential-tested against generator truth in ReferencePipesSpec)
@@ -706,6 +707,21 @@ object SparkEntry {
       """SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS digest,
         |  'text/plain;charset=utf-8' AS content_type, source
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // byte-level mirror of the frame sampler: the payload is utf-8 of
+    // ASCII text, so ascii(substring(...)) IS the byte value
+    "docs_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, strlen(text) AS n, text,
+        |         unnest(generate_series(0, greatest((strlen(text) - 8) // 24, 0))) AS k
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, CAST(k AS INT) AS frame_idx, CAST(k * 24 AS INT) AS frame_offset,
+        |    CAST(least(k * 24 + 32, n) - k * 24 AS INT) AS frame_len,
+        |    CAST(list_sum(list_transform(generate_series(k * 24 + 1, least(k * 24 + 32, n)),
+        |      i -> ascii(substring(text, i, 1)))) AS BIGINT) AS frame_sum
+        |  FROM f WHERE k % 2 = 0)
+        |SELECT doc_id, frame_idx, frame_offset, frame_len, frame_sum
+        |FROM fr ORDER BY doc_id, frame_idx""".stripMargin,
     "scalar_functions" ->
       """SELECT l_orderkey, l_linenumber,
         |  date_trunc('day', l_shipdate) AS ship_day,

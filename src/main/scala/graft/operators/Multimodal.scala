@@ -58,6 +58,39 @@ object Multimodal {
         col("source"))
       .orderBy("doc_id")
 
+  case class Frame(doc_id: Long, frame_idx: Int, frame_offset: Int,
+                   frame_len: Int, frame_sum: Long)
+
+  /** Frame sampling over the binary payload: fixed-size byte windows
+    * (`frameBytes`) on a `stride`, keeping every `every`-th frame — the
+    * video-frame-extraction shape (decode-and-keep-1-in-N) with the
+    * decode kernel reduced to a byte sum (no codecs in this container;
+    * a real deployment computes per-frame features here). Runs in the
+    * same per-partition batch form as [[decodeFeatures]]: payload bytes
+    * never leave the executor, only per-frame metadata/features shuffle
+    * — at 100 TB the output is frames/every × metadata, not media. */
+  def frameSample(spark: SparkSession, dir: String, frameBytes: Int = 32,
+                  stride: Int = 24, every: Int = 2): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaRow] = Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .as[MediaRow]
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val n = r.payload.length
+        val kMax = math.max((n - 8) / stride, 0)
+        (0 to kMax).iterator.filter(_ % every == 0).map { k =>
+          val o = k * stride
+          val end = math.min(o + frameBytes, n)
+          var s = 0L
+          var i = o
+          while (i < end) { s += r.payload(i) & 0xff; i += 1 }
+          Frame(r.doc_id, k, o, end - o, s)
+        }
+      }
+    }.toDF().orderBy("doc_id", "frame_idx")
+  }
+
   /** Per-partition batch decode over the binary column (mapPartitions =
     * the batch-UDF shape: amortize codec init across a partition's rows).
     * Output is deterministic because FakeDecode is. */

@@ -259,6 +259,24 @@ class OperatorsSpec extends SparkSpec {
       (2L, 5L, None)))        // key with no right history
   }
 
+  test("frame sampling matches a driver-side byte walk") {
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = texts.flatMap { case (id, t) =>
+      val bytes = t.getBytes("UTF-8")
+      val kMax = math.max((bytes.length - 8) / 24, 0)
+      (0 to kMax).filter(_ % 2 == 0).map { k =>
+        val o = k * 24
+        val end = math.min(o + 32, bytes.length)
+        (id, k, o, end - o, bytes.slice(o, end).map(b => (b & 0xff).toLong).sum)
+      }
+    }.toSet
+    val got = operators.Multimodal.frameSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+      .toSet
+    assert(got == want)
+  }
+
   test("native simhash64 is bit-identical to the interpreted HOF chain") {
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, sf)
