@@ -295,8 +295,18 @@ object TextDedup {
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = nearDupPairs(spark, dir).select("doc_a", "doc_b")
       .localCheckpoint(true)
+    // size the iteration to the GRAPH, not the corpus: pairs are
+    // materialized (the count is free), so pick the round parallelism
+    // from the edge count — a tiny graph iterates in one partition
+    // instead of paying shuffle.partitions × scheduling per round, a
+    // huge one still spreads. ~50k edges per task keeps a round's task
+    // under memory/latency balance at any scale.
+    val nParts = math.max(1, math.min(
+      spark.sessionState.conf.numShufflePartitions,
+      (pairs.count() / 50000L).toInt + 1))
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst")
+      .toDF("src", "dst").repartition(nParts, col("src"))
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
     var done = false

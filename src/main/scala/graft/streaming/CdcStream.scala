@@ -348,6 +348,41 @@ object CdcStream {
     else snap.filter(col("generation") === genRow.getLong(0)).drop("generation")
   }
 
+  /** SummingMergeTree pattern (the third MergeTree engine, after
+    * Replacing = [[finalView]] and Aggregating = the HLL sketch
+    * rollup): each micro-batch appends PARTIAL sums per (hour,
+    * event_type) — integer cents, so partials merge associatively —
+    * and the read view collapses partials by summing. Merge-on-read
+    * exactly like FINAL; a background compaction can collapse the log
+    * at any time without changing results. State-free streaming: the
+    * aggregate lives in storage as mergeable partials, not in a state
+    * store, so the stream scales with source partitions and restarts
+    * cold. */
+  def startSummingMv(spark: SparkSession, srcDir: String, sumsDir: String,
+                     checkpointDir: String): StreamingQuery =
+    readEvents(spark, srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch
+          .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"),
+            col("event_type"))
+          .agg(sum(floor(coalesce(col("value"), lit(0.0)) * 100 + 0.5).cast("long"))
+              .as("partial_cents"),
+            count(lit(1)).as("partial_n"))
+          .write.mode("append").parquet(sumsDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** The SummingMergeTree read view: collapse partials. */
+  def summingView(spark: SparkSession, sumsDir: String): DataFrame =
+    spark.read.parquet(sumsDir)
+      .groupBy("hour", "event_type")
+      .agg((sum(col("partial_cents")) / 100.0).as("total_value"),
+        sum(col("partial_n")).as("n"))
+
   /** At-least-once delivery dedup in the stream itself:
     * dropDuplicatesWithinWatermark keeps state only for the watermark
     * horizon, so redelivered events (Kafka consumer restarts, §2.9's

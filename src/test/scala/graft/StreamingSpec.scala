@@ -274,6 +274,30 @@ class StreamingSpec extends SparkSpec {
     assert(emitted.map(p => (p._2, p._3)).toSet == batch)
   }
 
+  test("summing MV: partial-sum log collapses to the batch aggregate after any replay") {
+    val src = tmp(); val sumsDir = tmp() + "/sums"; val ck = tmp() + "/ck"
+    val events = Tables.events(spark, sf)
+    // three modulo chunks: every micro-batch contributes partials to
+    // overlapping (hour, type) groups — the merge-on-read must add them
+    Seq(0, 1, 2).foreach { i =>
+      events.filter(col("event_id") % 3 === i).write.parquet(s"$src/chunk$i")
+      val q = CdcStream.startSummingMv(spark, s"$src/chunk*", sumsDir, ck)
+      q.awaitTermination()
+    }
+    val merged = CdcStream.summingView(spark, sumsDir)
+      .orderBy("hour", "event_type").collect().map(_.toString).toSeq
+    val batch = events
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"),
+        col("event_type"))
+      .agg((sum(floor(coalesce(col("value"), lit(0.0)) * 100 + 0.5).cast("long")) / 100.0)
+          .as("total_value"),
+        count(lit(1)).as("n"))
+      .orderBy("hour", "event_type").collect().map(_.toString).toSeq
+    assert(merged == batch)
+    // the log holds MORE rows than groups (partials), the view exactly one per group
+    assert(spark.read.parquet(sumsDir).count() > merged.size)
+  }
+
   test("streaming as-of enrichment equals the batch as-of join under ordered replay") {
     val src = tmp(); val ck = tmp() + "/ck"
     val events = Tables.events(spark, sf)
