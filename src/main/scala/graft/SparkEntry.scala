@@ -124,7 +124,7 @@ object SparkEntry {
     // training-data pipeline: dedup suite
     "docs_exact_dedup"      -> (operators.TextDedup.exactDedup _),
     "docs_near_dup_pairs"   -> ((s, d) => operators.TextDedup.nearDupPairs(s, d)),
-    "docs_dup_clusters"     -> (operators.TextDedup.dupClusters _),
+    "docs_dup_clusters"     -> ((s, d) => operators.TextDedup.dupClusters(s, d)),
     "docs_minhash_bands"    -> (operators.TextDedup.minhashBands _),
     "docs_minhash_lsh_pairs" -> ((s, d) => operators.TextDedup.minhashLshPairs(s, d)),
     "docs_simhash"          -> (operators.TextDedup.simhash _),

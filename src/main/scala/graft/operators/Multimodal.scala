@@ -71,6 +71,11 @@ object Multimodal {
     * — at 100 TB the output is frames/every × metadata, not media. */
   def frameSample(spark: SparkSession, dir: String, frameBytes: Int = 32,
                   stride: Int = 24, every: Int = 2): DataFrame = {
+    require(frameBytes > stride, "frames must overlap: frameBytes > stride")
+    // a frame is kept while it contributes at least (frameBytes -
+    // stride) bytes the previous frame did not cover — derived from
+    // the parameters, not a constant, so tuned calls size correctly
+    val minNew = frameBytes - stride
     import spark.implicits._
     val media: Dataset[MediaRow] = Tables.documents(spark, dir)
       .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
@@ -78,7 +83,7 @@ object Multimodal {
     media.mapPartitions { it =>
       it.flatMap { r =>
         val n = r.payload.length
-        val kMax = math.max((n - 8) / stride, 0)
+        val kMax = math.max((n - minNew) / stride, 0)
         (0 to kMax).iterator.filter(_ % every == 0).map { k =>
           val o = k * stride
           val end = math.min(o + frameBytes, n)

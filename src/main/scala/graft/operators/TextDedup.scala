@@ -281,7 +281,9 @@ object TextDedup {
     * vertex takes the min of its own and its neighbors' labels; a
     * fixpoint is a complete component labeling. Rounds = graph
     * diameter; dup clusters are near-cliques out of candidate
-    * generation, so 2-3 rounds in practice, bounded at 32.
+    * generation, so 2-3 rounds in practice. A component wider than
+    * `maxRounds` (a pathological chain) THROWS rather than silently
+    * returning a partial clustering — raise the cap for such graphs.
     *
     * Scale design: the edge list is the near-dup PAIR set — orders of
     * magnitude smaller than the corpus — and each round is one
@@ -292,7 +294,8 @@ object TextDedup {
     * the whole near-dup pipeline. The driver decides only WHEN to stop
     * (an isEmpty probe per round, the standard control loop of every
     * iterative-graph system); no row data crosses to the driver. */
-  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+  def dupClusters(spark: SparkSession, dir: String,
+                  maxRounds: Int = 64): DataFrame = {
     val pairs = nearDupPairs(spark, dir).select("doc_a", "doc_b")
       .localCheckpoint(true)
     // size the iteration to the GRAPH, not the corpus: pairs are
@@ -311,7 +314,7 @@ object TextDedup {
       .withColumn("label", col("doc_id"))
     var done = false
     var rounds = 0
-    while (!done && rounds < 32) {
+    while (!done && rounds < maxRounds) {
       val nbrMin = edges
         .join(labels.toDF("src", "src_label"), "src")
         .groupBy(col("dst").as("doc_id"))
@@ -327,6 +330,11 @@ object TextDedup {
       labels = next.select("doc_id", "label")
       rounds += 1
     }
+    if (!done)
+      throw new IllegalStateException(
+        s"dupClusters did not converge in $maxRounds rounds — a component " +
+          "wider than the cap exists; raise maxRounds (silently returning a " +
+          "partial clustering would split a true duplicate cluster)")
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))

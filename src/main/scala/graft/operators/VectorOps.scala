@@ -262,16 +262,8 @@ object VectorOps {
     * iterate by feeding the output back as the next anchor set. */
   def centroidUpdate(spark: SparkSession, dir: String, nLists: Int = 8): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val emb = Tables.embeddings(spark, dir)
-    val anchors = emb.filter(col("vec_id") < nLists)
-      .select(col("vec_id").as("list_id"), col("embedding").as("anchor"))
-    val assigned = limitBy(
-      emb.join(broadcast(anchors))
-        .select(col("vec_id"), col("embedding"), col("list_id"),
-          floorRound(dot(col("embedding"), col("anchor")), 6).as("__sim")),
-      1, Seq(col("vec_id")), Seq(col("__sim").desc, col("list_id")))
+    assignToLists(Tables.embeddings(spark, dir), nLists)
       .select("embedding", "list_id")
-    assigned
       .select(col("list_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .groupBy("list_id", "dim")
       .agg(count(lit(1)).as("n_vectors"),
@@ -286,15 +278,24 @@ object VectorOps {
     * vectors — deterministic, data-derived). The cluster histogram is
     * the queryable output; at scale the assignment is the partition key
     * that turns ANN into per-list local search. */
-  def ivfAssign(spark: SparkSession, dir: String, nLists: Int = 8): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val emb = Tables.embeddings(spark, dir)
+  /** The assignment canon shared by the stored layout ([[ivfAssign]])
+    * and the k-means step ([[centroidUpdate]]): nearest anchor by
+    * 6dp-rounded similarity, list_id tie-break. One definition — the
+    * index layout and its training step cannot drift apart. */
+  private def assignToLists(emb: DataFrame, nLists: Int): DataFrame = {
     val anchors = emb.filter(col("vec_id") < nLists)
       .select(col("vec_id").as("list_id"), col("embedding").as("anchor"))
-    val assigned = emb.join(broadcast(anchors))
-      .select(col("vec_id"), col("list_id"),
-        floorRound(dot(col("embedding"), col("anchor")), 6).as("sim"))
-    limitBy(assigned, 1, Seq(col("vec_id")), Seq(col("sim").desc, col("list_id")))
+    limitBy(
+      emb.join(broadcast(anchors))
+        .select(col("vec_id"), col("embedding"), col("list_id"),
+          floorRound(dot(col("embedding"), col("anchor")), 6).as("__sim")),
+      1, Seq(col("vec_id")), Seq(col("__sim").desc, col("list_id")))
+  }
+
+  def ivfAssign(spark: SparkSession, dir: String, nLists: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    assignToLists(Tables.embeddings(spark, dir), nLists)
+      .withColumnRenamed("__sim", "sim")
       .groupBy("list_id")
       .agg(count(lit(1)).as("n_vectors"),
         // exact integer-unit average (sim is 6dp) — order-insensitive

@@ -84,7 +84,10 @@ object ChDialectParser {
     * `final` is a real alias, so the marker stands down. A bare
     * unreferenced alias literally named `final` is indistinguishable
     * from the CH modifier and reads as CH dialect here — documented
-    * boundary of sharing one front door. */
+    * boundary of sharing one front door. The stand-down is
+    * statement-global: a statement that BOTH uses a real `final` alias
+    * qualifier AND means CH FINAL elsewhere is not translated — also a
+    * documented boundary (split the statement). */
   private val markers = Seq(
     """(?is)\bLIMIT\s+\d+\s+BY\b""",
     """(?s)\{%""", // Tinybird template block
@@ -97,11 +100,15 @@ object ChDialectParser {
   private val finalMarker = """(?is)\bFROM\s+\w+\s+FINAL\b""".r
   private val finalQualifier = """(?is)\bFINAL\s*\.\s*[\w`]""".r
 
-  /** Markers match against a copy with string-literal CONTENTS blanked:
-    * `WHERE note = 'use argMax(a,b)'` is a plain Spark statement, and a
-    * phantom marker hit would route it through the translator (whose
-    * round() rewrite is a real semantic change). */
-  private def maskLiterals(s: String): String = {
+  /** Markers match against a copy with line comments stripped and then
+    * string-literal CONTENTS blanked: `WHERE note = 'use argMax(a,b)'`
+    * is a plain Spark statement, and a phantom marker hit would route
+    * it through the translator (whose round() rewrite is a real
+    * semantic change). Comments strip FIRST — an apostrophe inside
+    * `-- user's note` would otherwise open a phantom literal and blank
+    * genuine markers after it (translate() applies the same order). */
+  private def maskLiterals(raw: String): String = {
+    val s = ChSqlTranslator.stripLineComments(raw)
     val mask = ChSqlTranslator.inStringMask(s)
     val out = s.toCharArray
     var i = 0

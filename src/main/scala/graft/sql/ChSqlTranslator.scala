@@ -78,7 +78,7 @@ object ChSqlTranslator {
   /** Remove `-- …` line comments BEFORE any paren/quote-aware parsing:
     * an apostrophe inside a comment would otherwise start a phantom
     * string literal (comments are dead text in both dialects). */
-  private def stripLineComments(s: String): String =
+  private[sql] def stripLineComments(s: String): String =
     s.linesIterator.map { line =>
       var i = 0; var inStr = false; var cut = -1
       while (i < line.length && cut < 0) {
@@ -124,15 +124,25 @@ object ChSqlTranslator {
   }
 
   /** Per-char mask: true where the char sits inside a single-quoted
-    * string literal. */
+    * string literal. Handles both escape spellings valid in ClickHouse
+    * AND Spark — doubled quote ('') and backslash (\') — so a literal
+    * like 'it''s' or 'it\'s' does not desynchronize the mask and
+    * silently disable every rewrite after it. */
   private[sql] def inStringMask(s: String): Array[Boolean] = {
     val m = new Array[Boolean](s.length)
     var in = false
     var i = 0
     while (i < s.length) {
-      if (s.charAt(i) == '\'') in = !in
-      m(i) = in
-      i += 1
+      val c = s.charAt(i)
+      if (in && c == '\\' && i + 1 < s.length) {
+        m(i) = true; m(i + 1) = true; i += 2 // escaped char, incl. \'
+      } else if (in && c == '\'' && i + 1 < s.length && s.charAt(i + 1) == '\'') {
+        m(i) = true; m(i + 1) = true; i += 2 // '' = literal quote
+      } else {
+        if (c == '\'') in = !in
+        m(i) = in
+        i += 1
+      }
     }
     m
   }
@@ -256,7 +266,10 @@ object ChSqlTranslator {
     * subquery (`row_number() <= n` partitioned by the LIMIT BY keys).
     * The per-group ordering is the ORDER BY list minus the keys. */
   private def rewriteLimitBy(sql: String): String = {
-    val re = """(?is)^\s*SELECT\s+(.*?)\s+FROM\s+(\w+)\s+ORDER\s+BY\s+(.*?)\s+LIMIT\s+(\d+)\s+BY\s+([\w\s,]+?)\s*$""".r
+    // key list = identifiers separated by commas ONLY — a permissive
+    // [\w\s,] tail would absorb a trailing `LIMIT m`/`OFFSET j` clause
+    // into the key list and emit garbage instead of falling through
+    val re = """(?is)^\s*SELECT\s+(.*?)\s+FROM\s+(\w+)\s+ORDER\s+BY\s+(.*?)\s+LIMIT\s+(\d+)\s+BY\s+(\w+(?:\s*,\s*\w+)*)\s*$""".r
     sql match {
       case re(cols, table, order, n, keyList) =>
         val keys = keyList.split(",").map(_.trim).filter(_.nonEmpty).toSeq

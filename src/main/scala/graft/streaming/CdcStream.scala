@@ -113,15 +113,18 @@ object CdcStream {
     * exactly once per bucket (the pair carries its band, so downstream
     * verify/cluster stages dedup across bands exactly like the batch
     * path's `.distinct()`). The accumulated pair log equals the batch
-    * LSH candidate join over the same corpus (asserted in
-    * StreamingSpec).
+    * LSH candidate join over the same corpus AS LONG AS no bucket
+    * exceeds `maxBucket` members (StreamingSpec asserts both the
+    * equality and that precondition at test SF).
     *
     * Scale: state per bucket is its member list, and emission cost is
     * the collision count — identical to the batch candidate join's
     * output, paid incrementally. `maxBucket` bounds both against hot
     * boilerplate buckets (the streaming analogue of the df cap): docs
     * arriving at a full bucket are dropped from pairing, deterministic
-    * by arrival order. */
+    * by arrival order — a documented recall boundary (a bucket that
+    * wide is a boilerplate cluster; the batch comparison has no cap,
+    * so past it the streams's pair set is a strict subset). */
   def incrementalCandidatePairs(spark: SparkSession, bands: DataFrame,
                                 maxBucket: Int = 64): Dataset[BandPair] = {
     import spark.implicits._
@@ -167,11 +170,14 @@ object CdcStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  // value is Option: the batch as-of join passes a null purchase value
+  // through untouched, and the incremental==batch contract must hold
+  // column-for-column, so no coalesce here either
   case class AsOfEvent(user_id: Long, is_left: Boolean, ts: java.time.LocalDateTime,
-                       event_id: Long, value: Double)
+                       event_id: Long, value: Option[Double])
   case class AsOfState(ts: java.time.LocalDateTime, event_id: Long)
   case class AsOfMatch(event_id: Long, user_id: Long, ts: java.time.LocalDateTime,
-                       value: Double, click_event_id: Option[Long],
+                       value: Option[Double], click_event_id: Option[Long],
                        click_ts: Option[java.time.LocalDateTime])
 
   /** Streaming as-of enrichment — the stateful stream form of
@@ -192,7 +198,7 @@ object CdcStream {
     events
       .filter(col("event_type").isin("purchase", "click"))
       .select(col("user_id"), (col("event_type") === "purchase").as("is_left"),
-        col("ts"), col("event_id"), coalesce(col("value"), lit(0.0)).as("value"))
+        col("ts"), col("event_id"), col("value"))
       .as[AsOfEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[AsOfState, AsOfMatch](
@@ -362,21 +368,27 @@ object CdcStream {
                      checkpointDir: String): StreamingQuery =
     readEvents(spark, srcDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch
           .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"),
             col("event_type"))
           .agg(sum(floor(coalesce(col("value"), lit(0.0)) * 100 + 0.5).cast("long"))
               .as("partial_cents"),
             count(lit(1)).as("partial_n"))
-          .write.mode("append").parquet(sumsDir)
+          // idempotent per micro-batch: foreachBatch is at-least-once,
+          // and an append here would double-count a replayed batch's
+          // partials (sums, unlike latest-state logs, do NOT absorb
+          // duplicates). One directory per batch id, overwritten on
+          // replay, makes re-execution a no-op.
+          .write.mode("overwrite").parquet(s"$sumsDir/batch=$batchId")
         ()
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
 
-  /** The SummingMergeTree read view: collapse partials. */
+  /** The SummingMergeTree read view: collapse partials (the batch=N
+    * layout column is bookkeeping, not payload). */
   def summingView(spark: SparkSession, sumsDir: String): DataFrame =
     spark.read.parquet(sumsDir)
       .groupBy("hour", "event_type")

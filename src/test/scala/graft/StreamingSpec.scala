@@ -263,8 +263,13 @@ class StreamingSpec extends SparkSpec {
     assert(emitted.distinct.size == emitted.size,
       "a (band, pair) was emitted twice across increments")
     assert(emitted.size > afterChunk1, "second increment emitted nothing new")
-    // accumulated candidates equal the batch LSH candidate join
+    // accumulated candidates equal the batch LSH candidate join —
+    // valid because no bucket exceeds the stream's maxBucket cap here
+    // (the documented equality precondition), asserted first:
     val bands = operators.TextDedup.minhashBands(spark, sf)
+    val maxBucket = bands.groupBy("band", "band_hash")
+      .count().agg(max("count")).first().getLong(0)
+    assert(maxBucket <= 64, s"test corpus violates the cap precondition: $maxBucket")
     val batch = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") &&
         col("x.band_hash") === col("y.band_hash") &&

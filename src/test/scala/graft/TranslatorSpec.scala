@@ -273,6 +273,23 @@ class TranslatorSpec extends SparkSpec {
     assert(t.endsWith("deleted = 0"), t)
   }
 
+  test("review hardening: quote escapes, comment apostrophes, LIMIT BY tail") {
+    // '' and \' escapes must not desynchronize the literal mask and
+    // silently disable rewrites after the literal
+    val t1 = ChSqlTranslator.translate(
+      "SELECT 'it''s' AS a, 'it\\'s' AS b FROM users_latest FINAL WHERE deleted = false")
+    assert(t1.contains("users_latest__final"), t1)
+    assert(t1.endsWith("deleted = 0"), t1)
+    // an apostrophe inside a -- comment must not open a phantom string
+    // that blanks genuine markers after it
+    assert(graft.sql.ChDialectParser.looksChDialect(
+      "-- user's latest\nSELECT * FROM users_latest FINAL ORDER BY id"))
+    // a trailing LIMIT clause is NOT part of the key list: the rewrite
+    // must fall through untouched rather than emit garbage window SQL
+    val t3 = ChSqlTranslator.translate("SELECT a FROM t ORDER BY a, b desc LIMIT 2 BY a LIMIT 5")
+    assert(t3.contains("LIMIT 2 BY a LIMIT 5"), t3)
+  }
+
   test("dialect front door: no false positives, literals safe, errors preserved") {
     // `final` used as a REAL alias: the qualifier reference final.x
     // proves it, so the case-insensitive FINAL marker stands down
