@@ -121,6 +121,7 @@ object SparkEntry {
     "docs_sample_stratified" -> (operators.TrainingMix.stratifiedSample _),
     "docs_sample_weighted_stats" -> (operators.TrainingMix.sampleWeightedStats _),
     "docs_pack_sequences"   -> ((s, d) => operators.TrainingMix.packSequences(s, d)),
+    "docs_training_corpus"  -> ((s, d) => operators.TrainingMix.buildCorpus(s, d)),
     // training-data pipeline: dedup suite
     "docs_exact_dedup"      -> (operators.TextDedup.exactDedup _),
     "docs_near_dup_pairs"   -> ((s, d) => operators.TextDedup.nearDupPairs(s, d)),
@@ -610,6 +611,41 @@ object SparkEntry {
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
         |      < CASE WHEN lang = 'en' THEN '8000' ELSE '3333' END
         |ORDER BY doc_id""".stripMargin,
+    // the full corpus build: quality filter → exact-digest canonical →
+    // near-dup cluster canonical (recursive closure) → split → pack
+    "docs_training_corpus" ->
+      s"""WITH RECURSIVE $nearDupCtes,
+        |pairs AS (SELECT doc_a, doc_b FROM j WHERE jr >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT src AS doc_id, src AS r FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id),
+        |lab AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+        |q AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  WHERE floor(CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS DOUBLE)
+        |        / (length(text) - length(replace(text, ' ', '')) + 1) * 10000 + 0.5) / 10000.0 >= 0.03),
+        |exd AS (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM q),
+        |kept AS (
+        |  SELECT exd.doc_id, lang, text FROM exd LEFT JOIN lab ON exd.doc_id = lab.doc_id
+        |  WHERE rn = 1 AND (lab.cluster_id IS NULL OR lab.cluster_id = exd.doc_id)),
+        |t AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN substr(md5(text), 1, 2) < 'cd' THEN 'train'
+        |         WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val' ELSE 'test' END AS split,
+        |    CAST(doc_id % 4 AS INT) AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM kept),
+        |p AS (
+        |  SELECT doc_id, lang, split, shard, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY split, lang, shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+        |  FROM t)
+        |SELECT doc_id, lang, split, shard, n_tokens,
+        |  CAST(floor(tokens_before / 256.0) AS BIGINT) AS pack_id
+        |FROM p ORDER BY doc_id""".stripMargin,
     "docs_sample_weighted_stats" ->
       """WITH s AS (
         |  SELECT lang, CASE WHEN lang = 'en' THEN 2 ELSE 5 END AS w,

@@ -37,6 +37,20 @@ object TextAnalysis {
           / tokenCount(col("text")), 4).as("avg_token_len"))
       .orderBy("doc_id")
 
+  /** The quality signal shared by the scoring endpoint and the corpus
+    * builder — one definition so a threshold change can't drift. */
+  private[operators] def stopwordRatio(text: org.apache.spark.sql.Column) =
+    floorRound(
+      expr("size(filter(split(text, ' '), x -> x IN ('the', 'a')))")
+        .cast("double") / tokenCount(text), 4)
+
+  /** The md5-bucket split rule shared by splitAssign and the corpus
+    * builder (80/10/10 at thresholds 'cd'/'e6'). */
+  private[operators] def splitOf(text: org.apache.spark.sql.Column) = {
+    val bucket = substring(md5(text), 1, 2)
+    when(bucket < "cd", "train").when(bucket < "e6", "val").otherwise("test")
+  }
+
   /** Quality scoring: stopword ratio, vowel ratio, length band — the
     * length/punct/stopword-ratio family used to filter web corpora. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
@@ -48,9 +62,8 @@ object TextAnalysis {
           .cast("long").as("n_stopwords"),
         tokenCount(col("text")).cast("long").as("n_tokens"),
         (length(col("text")) - length(regexp_replace(col("text"), "[aeiou]", "")))
-          .cast("long").as("n_vowels"))
-      .withColumn("stopword_ratio",
-        floorRound(col("n_stopwords").cast("double") / col("n_tokens"), 4))
+          .cast("long").as("n_vowels"),
+        stopwordRatio(col("text")).as("stopword_ratio"))
       .withColumn("quality_band",
         when(col("stopword_ratio") >= 0.08, "high")
           .when(col("stopword_ratio") >= 0.03, "mid")
@@ -150,11 +163,8 @@ object TextAnalysis {
   def splitAssign(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        substring(md5(col("text")), 1, 2).as("bucket_hex"))
-      .withColumn("split",
-        when(col("bucket_hex") < "cd", "train")
-          .when(col("bucket_hex") < "e6", "val")
-          .otherwise("test"))
+        substring(md5(col("text")), 1, 2).as("bucket_hex"),
+        splitOf(col("text")).as("split"))
       .orderBy("doc_id")
 
   /** Corpus-level top-k bigrams by total occurrence count — the exact

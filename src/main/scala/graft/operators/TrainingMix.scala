@@ -76,6 +76,50 @@ object TrainingMix {
     * shards, so no stratum needs a global sort; widen nShards with the
     * cluster. One shuffle on the (lang, shard) key, then codegen'd
     * window arithmetic. */
+  /** The full training-corpus build as ONE declarative plan — the
+    * pipeline a data team actually ships, composed from the registered
+    * operators so each stage's semantics stay individually verified:
+    *
+    *   quality filter (stopword ratio >= min)
+    *     → exact dedup (canonical = min doc_id per content digest,
+    *       within the quality-surviving set)
+    *       → near-dup dedup (drop every non-canonical member of a
+    *         [[TextDedup.dupClusters]] cluster; clusters come from the
+    *         FULL corpus, so a cluster whose canonical was
+    *         quality-dropped still sheds its duplicates)
+    *         → md5 train/val/test split → token-budget packing
+    *
+    * Scale: quality + digest-canonical are a scan + one shuffle; the
+    * cluster table is the pair graph (tiny vs corpus) and broadcasts;
+    * split/pack add one window shuffle. Catalyst sees the whole
+    * pipeline as a single plan — filters push down through every
+    * stage. */
+  def buildCorpus(spark: SparkSession, dir: String, budget: Int = 256,
+                  nShards: Int = 4, minStopwordRatio: Double = 0.03): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val quality = docs.filter(
+      TextAnalysis.stopwordRatio(col("text")) >= minStopwordRatio)
+    val exactCanon = quality
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
+      .filter(col("__rn") === 1).drop("__rn")
+    val clusters = TextDedup.dupClusters(spark, dir)
+      .select("doc_id", "cluster_id")
+    val kept = exactCanon.join(broadcast(clusters), Seq("doc_id"), "left")
+      .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+    val w = Window.partitionBy("split", "lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    kept
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.splitOf(col("text")).as("split"),
+        pmod(col("doc_id"), lit(nShards)).cast("int").as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("tokens_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("tokens_before") / lit(budget.toDouble)))
+      .select("doc_id", "lang", "split", "shard", "n_tokens", "pack_id")
+      .orderBy("doc_id")
+  }
+
   def packSequences(spark: SparkSession, dir: String,
                     budget: Int = 256, nShards: Int = 4): DataFrame = {
     val w = Window.partitionBy("lang", "shard").orderBy("doc_id")

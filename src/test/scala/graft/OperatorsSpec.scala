@@ -180,6 +180,43 @@ class OperatorsSpec extends SparkSpec {
     got.foreach { case (id, rows) => assert(rows == want(id), s"doc $id") }
   }
 
+  test("training-corpus build: every stage invariant holds vs component outputs") {
+    val corpus = operators.TrainingMix.buildCorpus(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getInt(3), r.getLong(4), r.getLong(5)))
+    val keptIds = corpus.map(_._1).toSet
+    assert(keptIds.nonEmpty)
+    // 1. quality: no kept doc is in the 'low' band
+    val lowBand = operators.TextAnalysis.qualityScore(spark, sf)
+      .filter(col("quality_band") === "low")
+      .collect().map(_.getLong(0)).toSet
+    assert((keptIds & lowBand).isEmpty)
+    // 2. exact dedup: kept docs have pairwise-distinct content digests
+    val digests = Tables.documents(spark, sf)
+      .filter(col("doc_id").isin(keptIds.toSeq: _*))
+      .select(md5(col("text"))).collect().map(_.getString(0))
+    assert(digests.length == digests.distinct.length)
+    // 3. near-dup dedup: at most the canonical member of each cluster
+    val clusters = operators.TextDedup.dupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    clusters.foreach { case (doc, cl) =>
+      if (doc != cl) assert(!keptIds(doc), s"non-canonical dup $doc kept")
+    }
+    // 4. split agrees with the registered split assignment
+    val splits = operators.TextAnalysis.splitAssign(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    corpus.foreach { case (id, _, split, _, _, _) => assert(split == splits(id)) }
+    // 5. packing: sequential per (split, lang, shard) recomputation
+    val grouped = corpus.groupBy(c => (c._3, c._2, c._4))
+    grouped.foreach { case (_, ds) =>
+      var cum = 0L
+      ds.sortBy(_._1).foreach { case (id, _, _, _, n, pack) =>
+        assert(pack == cum / 256, s"doc $id pack")
+        cum += n
+      }
+    }
+  }
+
   test("centroid update matches a driver-side k-means step") {
     val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
