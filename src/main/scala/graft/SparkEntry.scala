@@ -113,6 +113,7 @@ object SparkEntry {
     "docs_lang_id"          -> (operators.TextAnalysis.langId _),
     "docs_fingerprint"      -> (operators.TextAnalysis.fingerprint _),
     "docs_rolling_fingerprints" -> ((s, d) => operators.TextAnalysis.rollingFingerprints(s, d)),
+    "docs_contamination"    -> ((s, d) => operators.TextAnalysis.contaminationCheck(s, d)),
     "docs_chunks"           -> ((s, d) => operators.TextAnalysis.chunks(s, d)),
     "docs_split_assign"     -> (operators.TextAnalysis.splitAssign _),
     "docs_top_bigrams"      -> ((s, d) => operators.TextAnalysis.topBigrams(s, d)),
@@ -222,6 +223,25 @@ object SparkEntry {
       |         (c_rare + coalesce(c_common, 0)) * 1.0 /
       |         (na + nb - c_rare - coalesce(c_common, 0)) AS jr
       |  FROM ub LEFT JOIN corr ON ub.doc_a = corr.doc_a AND ub.doc_b = corr.doc_b)""".stripMargin
+
+  /** The winnowing fingerprint pipeline as DuckDB CTEs (mirrors the
+    * native WinnowFingerprints expression: k=8 rolling hash, w=16
+    * window minima, distinct), ending in `fp(doc_id, fps)` — shared by
+    * the fingerprint endpoint and the contamination check. */
+  private val winnowCtes =
+    """rh AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(1, greatest(length(text)-7, 1)),
+      |      i -> list_reduce(
+      |             list_prepend(CAST(0 AS BIGINT),
+      |               list_transform(generate_series(0, 7), j -> CAST(ascii(substring(text, i+j, 1)) AS BIGINT))),
+      |             (acc, c) -> (acc*31 + c) % 1073741824)) AS h
+      |  FROM documents),
+      |fp AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(generate_series(1, greatest(len(h)-15, 1)),
+      |      i -> list_min(h[i:i+15]))) AS fps
+      |  FROM rh)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "latest_event_per_user" ->
@@ -514,20 +534,30 @@ object SparkEntry {
         |  CAST(length(text) AS BIGINT) AS text_len
         |FROM documents ORDER BY doc_id""".stripMargin,
     "docs_rolling_fingerprints" ->
-      """WITH rh AS (
+      s"""WITH $winnowCtes
+        |SELECT doc_id, unnest(fps) AS fingerprint FROM fp
+        |ORDER BY doc_id, fingerprint""".stripMargin,
+    // decontamination: (eval, train) pairs sharing df-capped winnowing
+    // fingerprints — the fingerprint CTEs are the SAME text as the
+    // rolling-fingerprints oracle, so the two cannot drift
+    "docs_contamination" ->
+      s"""WITH $winnowCtes,
+        |x AS (SELECT doc_id, unnest(fps) AS fingerprint FROM fp),
+        |s AS (
         |  SELECT doc_id,
-        |    list_transform(generate_series(1, greatest(length(text)-7, 1)),
-        |      i -> list_reduce(
-        |             list_prepend(CAST(0 AS BIGINT),
-        |               list_transform(generate_series(0, 7), j -> CAST(ascii(substring(text, i+j, 1)) AS BIGINT))),
-        |             (acc, c) -> (acc*31 + c) % 1073741824)) AS h
+        |    CASE WHEN substr(md5(text), 1, 2) < 'cd' THEN 'train'
+        |         WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+        |         ELSE 'test' END AS split
         |  FROM documents),
-        |fp AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(generate_series(1, greatest(len(h)-15, 1)),
-        |      i -> list_min(h[i:i+15]))) AS fps
-        |  FROM rh)
-        |SELECT doc_id, unnest(fps) AS fingerprint FROM fp ORDER BY doc_id, fingerprint""".stripMargin,
+        |t AS (SELECT x.doc_id, split, fingerprint FROM x JOIN s USING (doc_id)),
+        |dfq AS (SELECT fingerprint, count(*) AS df FROM t GROUP BY 1),
+        |c AS (SELECT t.* FROM t JOIN dfq USING (fingerprint) WHERE df <= 100),
+        |tr AS (SELECT doc_id AS train_doc_id, fingerprint FROM c WHERE split = 'train'),
+        |ev AS (SELECT doc_id AS eval_doc_id, split, fingerprint FROM c WHERE split != 'train')
+        |SELECT eval_doc_id, split, train_doc_id, count(*) AS shared_fps
+        |FROM ev JOIN tr USING (fingerprint)
+        |GROUP BY 1, 2, 3 HAVING count(*) >= 2
+        |ORDER BY eval_doc_id, train_doc_id""".stripMargin,
     "docs_chunks" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |c AS (

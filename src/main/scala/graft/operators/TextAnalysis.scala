@@ -114,6 +114,39 @@ object TextAnalysis {
       .orderBy("doc_id", "fingerprint")
   }
 
+  /** Train/eval contamination check — decontamination, the step a
+    * training pipeline runs before shipping an eval set: every
+    * (eval doc, train doc) pair sharing >= `minShared` winnowing
+    * fingerprints, i.e. sharing substrings of length >= k+w-1 chars
+    * (the winnowing guarantee). Built entirely from already-verified
+    * parts: [[rollingFingerprints]] and the [[splitOf]] rule.
+    *
+    * Scale: the fingerprint join is an inverted index, so the same
+    * hot-key discipline as shingle near-dup applies — fingerprints in
+    * more than `maxDf` docs (boilerplate substrings) are dropped from
+    * candidate generation, bounding join fan-out at maxDf² per
+    * fingerprint. */
+  def contaminationCheck(spark: SparkSession, dir: String,
+                         minShared: Int = 2, maxDf: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val splits = Tables.documents(spark, dir)
+      .select(col("doc_id"), splitOf(col("text")).as("split"))
+    val capped = rollingFingerprints(spark, dir)
+      .join(splits, "doc_id")
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("fingerprint")))
+      .filter(col("__df") <= maxDf)
+      .drop("__df")
+    val train = capped.filter(col("split") === "train")
+      .select(col("doc_id").as("train_doc_id"), col("fingerprint"))
+    val heldOut = capped.filter(col("split") =!= "train")
+      .select(col("doc_id").as("eval_doc_id"), col("split"), col("fingerprint"))
+    heldOut.join(train, "fingerprint")
+      .groupBy("eval_doc_id", "split", "train_doc_id")
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+      .orderBy("eval_doc_id", "train_doc_id")
+  }
+
   /** Content fingerprinting: normalized digest for exact-dup detection at
     * scale (dedup on the 16-byte digest, never on the raw text — the
     * shuffle moves digests, not documents). */

@@ -217,6 +217,27 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("contamination check matches a driver-side fingerprint intersection") {
+    val fps = operators.TextAnalysis.rollingFingerprints(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val splits = operators.TextAnalysis.splitAssign(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // df-cap fingerprints exactly like the operator
+    val df = fps.toSeq.flatMap { case (d, s) => s.map(_ -> d) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val rare = fps.view.mapValues(_.filter(df(_) <= 100)).toMap
+    val trainDocs = splits.collect { case (d, "train") => d }.toSet
+    val want = (for {
+      (e, eFps) <- rare.toSeq if splits(e) != "train"
+      t <- trainDocs
+      shared = (eFps & rare(t)).size if shared >= 2
+    } yield (e, splits(e), t, shared.toLong)).toSet
+    val got = operators.TextAnalysis.contaminationCheck(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+  }
+
   test("centroid update matches a driver-side k-means step") {
     val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
