@@ -773,6 +773,20 @@ object SparkEntry {
       """SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS digest,
         |  'text/plain;charset=utf-8' AS content_type, source
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the deterministic stub decode IS oracle-able: FakeDecode's
+    // byte-sum/modular-dims math re-expressed in ascii arithmetic (the
+    // payload is utf-8 of ASCII text), so the driver gate covers the
+    // full per-partition decode path, not just row counts
+    "docs_decode_features" ->
+      """WITH b AS (
+        |  SELECT doc_id, strlen(text) AS n,
+        |    list_sum(list_transform(generate_series(1, strlen(text)),
+        |      i -> ascii(substring(text, i, 1)))) AS s
+        |  FROM documents)
+        |SELECT doc_id, CAST(64 + (s % 512) AS INT) AS width,
+        |  CAST(64 + (n % 512) AS INT) AS height,
+        |  3 AS channels, CAST(s AS BIGINT) AS feature_sum
+        |FROM b ORDER BY doc_id""".stripMargin,
     // byte-level mirror of the frame sampler: the payload is utf-8 of
     // ASCII text, so ascii(substring(...)) IS the byte value
     "docs_frame_sample" ->
