@@ -172,6 +172,16 @@ object ChSqlTranslator {
     "toYYYYMM" -> (a => s"cast(date_format(${a(0)}, 'yyyyMM') as int)"),
     "argMax" -> (a => s"max_by(${a(0)}, ${a(1)})"),
     "argMin" -> (a => s"min_by(${a(0)}, ${a(1)})"),
+    // the -If aggregate combinators and exact uniq: not used by the
+    // reference's pipes, but the first things a user's ad-hoc CH
+    // dashboard queries hit (CASE-mapped with CH null semantics: sum/
+    // avg skip nulls, avgIf averages over matching rows only)
+    "countIf" -> (a => s"sum(CASE WHEN ${a(0)} THEN 1 ELSE 0 END)"),
+    "sumIf" -> (a => s"sum(CASE WHEN ${a(1)} THEN ${a(0)} END)"),
+    "avgIf" -> (a => s"avg(CASE WHEN ${a(1)} THEN ${a(0)} END)"),
+    "uniqExact" -> (a => s"count(DISTINCT ${a(0)})"),
+    "toDate" -> (a => s"cast(${a(0)} as date)"),
+    "toYYYYMMDD" -> (a => s"cast(date_format(${a(0)}, 'yyyyMMdd') as int)"),
     "round" -> (a => {
       val n =
         if (a.length < 2) 0

@@ -273,6 +273,29 @@ class TranslatorSpec extends SparkSpec {
     assert(t.endsWith("deleted = 0"), t)
   }
 
+  test("aggregate combinators and date casts: countIf/sumIf/avgIf/uniqExact/toDate") {
+    dir // force view setup
+    // real execution through the spark.sql front door over the CDC log
+    val r = spark.sql(
+      """SELECT countIf(status = 'departed') AS departed,
+        |       sumIf(passenger_count, status = 'departed') AS pax,
+        |       avgIf(passenger_count, status = 'departed') AS avg_pax,
+        |       uniqExact(flight_number) AS flights,
+        |       toDate(min(__timestamp)) AS first_day,
+        |       toYYYYMMDD(min(__timestamp)) AS first_ymd
+        |FROM flights_raw""".stripMargin).first()
+    val raw = spark.read.parquet(s"$dir/flights_raw")
+    val want = raw.filter(col("status") === "departed")
+    assert(r.getLong(0) == want.count())
+    assert(r.getLong(1) == want.agg(sum("passenger_count")).first().getLong(0))
+    assert(r.getDouble(2) == want.agg(avg("passenger_count")).first().getDouble(0))
+    assert(r.getLong(3) == raw.select("flight_number").distinct().count())
+    val minTs = raw.agg(min("__timestamp")).first()
+      .getAs[java.time.LocalDateTime](0)
+    assert(r.getDate(4).toString == minTs.toLocalDate.toString)
+    assert(r.getInt(5) == minTs.toLocalDate.toString.replace("-", "").toInt)
+  }
+
   test("review hardening: quote escapes, comment apostrophes, LIMIT BY tail") {
     // '' and \' escapes must not desynchronize the literal mask and
     // silently disable rewrites after the literal
