@@ -118,6 +118,9 @@ object SparkEntry {
     "docs_split_assign"     -> (operators.TextAnalysis.splitAssign _),
     "docs_top_bigrams"      -> ((s, d) => operators.TextAnalysis.topBigrams(s, d)),
     "docs_top_terms"        -> ((s, d) => operators.TextAnalysis.topTermsPerDoc(s, d)),
+    "docs_repetition_filters" -> ((s, d) => operators.TextAnalysis.repetitionFilters(s, d)),
+    "docs_boilerplate"      -> ((s, d) => operators.TextAnalysis.boilerplateCoverage(s, d)),
+    "customer_pii_scrub"    -> (operators.Privacy.customerPiiScrub _),
     // training-data pipeline: mix construction
     "docs_sample_stratified" -> (operators.TrainingMix.stratifiedSample _),
     "docs_sample_weighted_stats" -> (operators.TrainingMix.sampleWeightedStats _),
@@ -597,6 +600,49 @@ object SparkEntry {
         |  CAST(list_max(q) AS BIGINT) AS q_max,
         |  CAST(list_sum(q) AS BIGINT) AS q_sum
         |FROM s ORDER BY vec_id""".stripMargin,
+    "docs_repetition_filters" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |per AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |    floor(CAST(len(list_distinct(t)) AS DOUBLE) / len(t) * 10000 + 0.5) / 10000.0 AS distinct_ratio,
+        |    CASE WHEN len(t) >= 3 THEN
+        |      floor((len(list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |             - len(list_distinct(list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))))
+        |            * CAST(1 AS DOUBLE)
+        |            / len(list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |            * 10000 + 0.5) / 10000.0
+        |    ELSE CAST(0 AS DOUBLE) END AS dup_trigram_frac
+        |  FROM tok),
+        |u AS (SELECT doc_id, len(t) AS n, unnest(t) AS w FROM tok),
+        |tf AS (SELECT doc_id, n, w, count(*) AS c FROM u GROUP BY 1, 2, 3),
+        |tp AS (
+        |  SELECT doc_id, floor(CAST(max(c) AS DOUBLE) / n * 10000 + 0.5) / 10000.0 AS top_unigram_frac
+        |  FROM tf GROUP BY doc_id, n)
+        |SELECT per.doc_id, n_tokens, distinct_ratio, dup_trigram_frac, top_unigram_frac,
+        |  (top_unigram_frac <= 0.15 AND dup_trigram_frac <= 0.02) AS keep
+        |FROM per JOIN tp ON per.doc_id = tp.doc_id
+        |ORDER BY per.doc_id""".stripMargin,
+    "docs_boilerplate" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, t[g] || ' ' || t[g+1] || ' ' || t[g+2] AS s
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS g)
+        |  WHERE len(t) >= 3),
+        |dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |    CAST(sum(CASE WHEN df > 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate
+        |  FROM sh JOIN dfreq USING (s) GROUP BY doc_id)
+        |SELECT doc_id, n_shingles, n_boilerplate,
+        |  floor(CAST(n_boilerplate AS DOUBLE) / n_shingles * 10000 + 0.5) / 10000.0 AS boilerplate_frac,
+        |  n_boilerplate > 0 AS flagged
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    "customer_pii_scrub" ->
+      """SELECT c_custkey,
+        |  regexp_replace(c_name, '[0-9]', 'X', 'g') AS name_redacted,
+        |  CAST(length(c_name) - length(regexp_replace(c_name, '[0-9]', '', 'g')) AS BIGINT) AS n_pii_chars,
+        |  md5(regexp_replace(c_name, '[0-9]', 'X', 'g')) AS redacted_digest
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "docs_exact_dedup" ->
       """SELECT md5(text) AS digest, min(doc_id) AS canonical_doc_id, count(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY canonical_doc_id""".stripMargin,

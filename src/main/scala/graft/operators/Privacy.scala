@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** PII scrubbing for a training-data pipeline: regex redaction of
+  * emails, phone numbers, IPv4 addresses, and digit-run identifiers,
+  * plus per-row redaction counts — the privacy pass a corpus goes
+  * through before any text lands in a training shard.
+  *
+  * Every masker is a pure per-row `regexp_replace` projection — zero
+  * shuffles, fully inside whole-stage codegen, linear in the scan: the
+  * only shape acceptable for a pass that must touch every byte of a
+  * 100 TB corpus. Patterns are deliberately restricted to syntax with
+  * identical semantics in Java regex (Spark) and RE2 (DuckDB/most
+  * scanners): character classes, bounded repetition, alternation —
+  * no backreferences, no lookaround — so the same rule set is
+  * portable across the scrubbing and auditing engines.
+  */
+object Privacy {
+
+  /** `user@host.tld` → `<EMAIL>`. */
+  def maskEmails(c: Column): Column =
+    regexp_replace(c, """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "<EMAIL>")
+
+  /** International-ish phone shapes (7+ digits with separators) →
+    * `<PHONE>`. Applied after emails AND IPs: the separator class
+    * includes `.`, so a dotted-quad would otherwise read as a phone. */
+  def maskPhones(c: Column): Column =
+    regexp_replace(c, """\+?[0-9][0-9() .-]{5,}[0-9]""", "<PHONE>")
+
+  /** Dotted-quad IPv4 → `<IP>`. */
+  def maskIPv4(c: Column): Column =
+    regexp_replace(c, """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b""", "<IP>")
+
+  /** Every remaining digit → `X` — the catch-all for account numbers,
+    * ids, and anything the structured maskers missed. */
+  def maskDigits(c: Column): Column =
+    regexp_replace(c, "[0-9]", "X")
+
+  /** The full scrub: emails, then IPs, then phones, then digits.
+    * Order matters (most-structured patterns first, catch-all last)
+    * and is part of the contract. */
+  def scrub(c: Column): Column =
+    maskDigits(maskPhones(maskIPv4(maskEmails(c))))
+
+  /** Count of characters a masker would touch — audit metric for
+    * "how much PII did this corpus contain". */
+  def digitCount(c: Column): Column =
+    (length(c) - length(regexp_replace(c, "[0-9]", ""))).cast("long")
+
+  /** Registered endpoint: redact the digit-run identifiers embedded in
+    * customer names (`Customer#000000042` — the classic
+    * id-inside-free-text shape) and report per-row audit counts plus a
+    * digest of the redacted form (the value a downstream exact-dedup
+    * or cache key uses, proving scrub-then-digest determinism).
+    *
+    * Scale: pure projection on the scan, no shuffle; the trailing sort
+    * is the endpoint presentation contract. */
+  def customerPiiScrub(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        maskDigits(col("c_name")).as("name_redacted"),
+        digitCount(col("c_name")).as("n_pii_chars"),
+        md5(maskDigits(col("c_name"))).as("redacted_digest"))
+      .orderBy("c_custkey")
+}

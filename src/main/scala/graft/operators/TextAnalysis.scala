@@ -200,6 +200,79 @@ object TextAnalysis {
         splitOf(col("text")).as("split"))
       .orderBy("doc_id")
 
+  /** Gopher-style repetition filters: the per-document repetition
+    * metrics (distinct-token ratio, most-frequent-unigram fraction,
+    * duplicate-3-gram fraction) and the keep/drop verdict a web-corpus
+    * quality pass computes before training. Thresholds follow the
+    * published heuristics' shape (flag documents dominated by one token
+    * or by repeated n-gram spans), tuned to this corpus's profile so
+    * both verdicts occur at every SF.
+    *
+    * Scale: distinct-ratio and dup-3-gram fraction are per-row array
+    * arithmetic inside the scan; the top-unigram fraction needs true
+    * per-(doc, term) counts, which is ONE shuffle with map-side
+    * combine (the exchange carries per-mapper partial counts, not
+    * token instances), re-joined to the per-row metrics on the same
+    * doc_id key. */
+  def repetitionFilters(spark: SparkSession, dir: String,
+                        maxTopUnigramFrac: Double = 0.15,
+                        maxDupTrigramFrac: Double = 0.02): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val grams = expr(
+      "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', t[i-1], t[i], t[i+1]))")
+    val perRow = docs.select(
+      col("doc_id"),
+      size(col("t")).cast("long").as("n_tokens"),
+      floorRound(size(array_distinct(col("t"))).cast("double") / size(col("t")), 4)
+        .as("distinct_ratio"),
+      when(size(col("t")) >= 3,
+        floorRound((size(grams) - size(array_distinct(grams))).cast("double")
+          / size(grams), 4))
+        .otherwise(lit(0.0)).as("dup_trigram_frac"))
+    val top = docs
+      .select(col("doc_id"), size(col("t")).as("n"), explode(col("t")).as("w"))
+      .groupBy("doc_id", "n", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n").agg(max(col("c")).as("maxc"))
+      .select(col("doc_id"),
+        floorRound(col("maxc").cast("double") / col("n"), 4).as("top_unigram_frac"))
+    perRow.join(top, "doc_id")
+      .withColumn("keep",
+        col("top_unigram_frac") <= maxTopUnigramFrac &&
+          col("dup_trigram_frac") <= maxDupTrigramFrac)
+      .select("doc_id", "n_tokens", "distinct_ratio", "dup_trigram_frac",
+        "top_unigram_frac", "keep")
+      .orderBy("doc_id")
+  }
+
+  /** Per-document boilerplate coverage: the fraction of a document's
+    * distinct 3-gram shingles that are corpus-wide boilerplate
+    * (document frequency > `maxDf`) — the line-dedup analogue for a
+    * corpus without line structure, and the audit view of the same df
+    * cap the near-dup candidate generator applies. A document flagged
+    * here is mostly template text; C4-style cleaning drops or
+    * truncates it.
+    *
+    * Documents with fewer than 3 tokens have no shingles and no row —
+    * same domain as the near-dup pipeline.
+    *
+    * Scale: the df computation is one shuffle of the (distinct)
+    * shingle table — the inverted index the dedup suite already
+    * stages once at 100 TB ([[TextDedup.stageShingles]]) — then a
+    * per-doc count aggregation on the doc_id key. */
+  def boilerplateCoverage(spark: SparkSession, dir: String, maxDf: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    TextDedup.shingles(Tables.documents(spark, dir))
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") > maxDf, 1L).otherwise(0L)).as("n_boilerplate"))
+      .withColumn("boilerplate_frac",
+        floorRound(col("n_boilerplate").cast("double") / col("n_shingles"), 4))
+      .withColumn("flagged", col("n_boilerplate") > 0)
+      .orderBy("doc_id")
+  }
+
   /** Corpus-level top-k bigrams by total occurrence count — the exact
     * heavy-hitter query (vocabulary building, contamination checks).
     * Map-side partial counts shuffle one row per (mapper, ngram);

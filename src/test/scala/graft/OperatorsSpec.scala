@@ -450,6 +450,49 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("repetition filters match a driver-side recompute of every metric") {
+    def fr(x: Double) = math.floor(x * 10000 + 0.5) / 10000.0
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = operators.TextAnalysis.repetitionFilters(spark, sf).collect()
+    assert(out.length == docs.size)
+    assert(out.exists(!_.getBoolean(5)) && out.exists(_.getBoolean(5)),
+      "both verdicts should occur at test SF")
+    out.foreach { r =>
+      val t = docs(r.getLong(0)).split(" ", -1).toSeq
+      val grams = if (t.size >= 3) t.sliding(3).map(_.mkString(" ")).toSeq else Nil
+      val dup = if (t.size >= 3) fr((grams.size - grams.distinct.size).toDouble / grams.size) else 0.0
+      val top = fr(t.groupBy(identity).values.map(_.size).max.toDouble / t.size)
+      assert(r.getLong(1) == t.size, r)
+      assert(r.getDouble(2) == fr(t.distinct.size.toDouble / t.size), r)
+      assert(r.getDouble(3) == dup, r)
+      assert(r.getDouble(4) == top, r)
+      assert(r.getBoolean(5) == (top <= 0.15 && dup <= 0.02), r)
+    }
+  }
+
+  test("boilerplate coverage agrees with a groupBy-df recompute") {
+    val docs = Tables.documents(spark, sf)
+    val sh = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"))
+        .as("shingle"))
+      .distinct()
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val want = sh.join(dfreq, "shingle").groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") > 5, 1L).otherwise(0L)).as("n_boilerplate"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val out = operators.TextAnalysis.boilerplateCoverage(spark, sf).collect()
+    assert(out.length == want.size)
+    assert(out.exists(_.getBoolean(4)), "some doc should be flagged at test SF")
+    out.foreach { r =>
+      assert((r.getLong(1), r.getLong(2)) == want(r.getLong(0)), r)
+      assert(r.getBoolean(4) == (r.getLong(2) > 0), r)
+    }
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
