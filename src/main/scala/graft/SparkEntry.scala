@@ -121,6 +121,7 @@ object SparkEntry {
     "docs_repetition_filters" -> ((s, d) => operators.TextAnalysis.repetitionFilters(s, d)),
     "docs_boilerplate"      -> ((s, d) => operators.TextAnalysis.boilerplateCoverage(s, d)),
     "customer_pii_scrub"    -> (operators.Privacy.customerPiiScrub _),
+    "lineitem_zorder"       -> (operators.Zorder.lineitemZorder _),
     // training-data pipeline: mix construction
     "docs_sample_stratified" -> (operators.TrainingMix.stratifiedSample _),
     "docs_sample_weighted_stats" -> (operators.TrainingMix.sampleWeightedStats _),
@@ -643,6 +644,22 @@ object SparkEntry {
         |  CAST(length(c_name) - length(regexp_replace(c_name, '[0-9]', '', 'g')) AS BIGINT) AS n_pii_chars,
         |  md5(regexp_replace(c_name, '[0-9]', 'X', 'g')) AS redacted_digest
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "lineitem_zorder" ->
+      """WITH s0 AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    l_partkey & 65535 AS x0, l_suppkey & 65535 AS y0
+        |  FROM lineitem),
+        |s1 AS (SELECT *, (x0 | (x0 << 8)) & 16711935 AS x1, (y0 | (y0 << 8)) & 16711935 AS y1 FROM s0),
+        |s2 AS (SELECT *, (x1 | (x1 << 4)) & 252645135 AS x2, (y1 | (y1 << 4)) & 252645135 AS y2 FROM s1),
+        |s3 AS (SELECT *, (x2 | (x2 << 2)) & 858993459 AS x3, (y2 | (y2 << 2)) & 858993459 AS y3 FROM s2),
+        |s4 AS (SELECT *, (x3 | (x3 << 1)) & 1431655765 AS x4, (y3 | (y3 << 1)) & 1431655765 AS y4 FROM s3),
+        |m AS (SELECT l_partkey, l_suppkey, x4 | (y4 << 1) AS morton FROM s4)
+        |SELECT CAST(morton >> 22 AS INT) AS zbucket,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(morton) AS morton_min, max(morton) AS morton_max,
+        |  min(l_partkey) AS part_min, max(l_partkey) AS part_max,
+        |  min(l_suppkey) AS supp_min, max(l_suppkey) AS supp_max
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "docs_exact_dedup" ->
       """SELECT md5(text) AS digest, min(doc_id) AS canonical_doc_id, count(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY canonical_doc_id""".stripMargin,
