@@ -141,6 +141,7 @@ object SparkEntry {
     "emb_near_dup_pairs"    -> ((s, d) => operators.VectorOps.nearDupPairs(s, d)),
     "emb_ivf_assign"        -> ((s, d) => operators.VectorOps.ivfAssign(s, d)),
     "emb_centroid_update"   -> ((s, d) => operators.VectorOps.centroidUpdate(s, d)),
+    "emb_kmeans"            -> ((s, d) => operators.VectorOps.kmeans(s, d)),
     "emb_knn_ivf"           -> ((s, d) => operators.VectorOps.knnIvf(s, d)),
     "emb_quantize"          -> (operators.VectorOps.quantize _),
     // training-data pipeline: multimodal binary columns
@@ -185,6 +186,45 @@ object SparkEntry {
       |SELECT date_trunc('hour', ts) AS time_interval, count(DISTINCT user_id) AS active_users
       |FROM events, anchor WHERE ts > a - INTERVAL 30 DAY
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The k-means train loop as a generated DuckDB CTE chain — one
+    * (assign d/g, unnest x, centroid c, re-assemble a) block per
+    * round, mirroring VectorOps.kmeans stage for stage: Euclidean key
+    * c·c − 2·x·c on float-cast anchors (REAL round-trip = Spark's
+    * `cast(centroid as float)`), 6dp floor-rounding, integer-unit
+    * means. Generated, not hand-written, so changing `iters` cannot
+    * desynchronize the two sides. */
+  private def kmeansOracleSql(nLists: Int, iters: Int): String = {
+    val sb = new StringBuilder(
+      s"WITH a0 AS (SELECT vec_id AS list_id, embedding AS anchor FROM embeddings WHERE vec_id < $nLists)")
+    for (k <- 0 until iters) sb.append(s""",
+      |d$k AS (
+      |  SELECT e.vec_id, e.embedding, a.list_id,
+      |    floor((list_sum(list_transform(generate_series(1, len(a.anchor)),
+      |             i -> CAST(a.anchor[i] AS DOUBLE) * CAST(a.anchor[i] AS DOUBLE)))
+      |           - 2 * list_sum(list_transform(generate_series(1, len(a.anchor)),
+      |             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(a.anchor[i] AS DOUBLE))))
+      |          * 1000000 + 0.5) / 1000000.0 AS dist
+      |  FROM embeddings e, a$k a),
+      |g$k AS (
+      |  SELECT vec_id, embedding, list_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) rn FROM d$k)
+      |  WHERE rn = 1),
+      |x$k AS (
+      |  SELECT list_id, CAST(g - 1 AS INT) AS dim,
+      |    CAST(floor(CAST(embedding[g] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xs
+      |  FROM g$k, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS g)),
+      |c$k AS (
+      |  SELECT list_id, dim, count(*) AS n_vectors,
+      |    floor(CAST(sum(xs) AS BIGINT) / (count(*) * 1000000.0) * 1000000 + 0.5) / 1000000.0 AS centroid
+      |  FROM x$k GROUP BY list_id, dim),
+      |a${k + 1} AS (
+      |  SELECT list_id, list_transform(list(centroid ORDER BY dim), c -> CAST(c AS REAL)) AS anchor
+      |  FROM c$k GROUP BY list_id)""".stripMargin)
+    sb.append(
+      s"\nSELECT list_id, dim, n_vectors, centroid FROM c${iters - 1} ORDER BY list_id, dim")
+    sb.toString
+  }
 
   /** The df-capped near-dup pipeline as a DuckDB CTE chain (mirrors
     * TextDedup.nearDupFrom stage for stage), ending in `j(doc_a, doc_b,
@@ -750,6 +790,7 @@ object SparkEntry {
         |  CAST(sum(w) AS BIGINT) AS est_docs,
         |  CAST(sum(w * n_tokens) AS BIGINT) AS est_tokens
         |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+    "emb_kmeans" -> kmeansOracleSql(nLists = 8, iters = 3),
     "emb_centroid_update" ->
       """WITH anchors AS (SELECT vec_id AS list_id, embedding AS anchor FROM embeddings WHERE vec_id < 8),
         |sims AS (

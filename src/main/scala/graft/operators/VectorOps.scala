@@ -273,6 +273,57 @@ object VectorOps {
       .orderBy("list_id", "dim")
   }
 
+  /** Full k-means refinement for the IVF index: `iters` rounds of
+    * assign-to-nearest-centroid / recompute-centroids, starting from
+    * the first `nLists` corpus vectors (the [[ivfAssign]] seed).
+    *
+    * Assignment canon: Euclidean distance via the expansion
+    * |x−c|² = |x|² − 2x·c + |c|², with the |x|² term dropped (constant
+    * per row, irrelevant to ranking) — so the key is c·c − 2·x·c,
+    * 6dp-floor-rounded, ties broken by list_id. Centroids are
+    * per-dimension INTEGER-UNIT means (components scaled to 1e-6 units
+    * and summed as longs), then floor-rounded and cast back to float
+    * for the next round's dot products — every step is exact-rounded
+    * IEEE arithmetic, so a 1000-executor run and the DuckDB oracle
+    * reproduce the trained centroids bit-for-bit after ANY number of
+    * rounds. A list that loses all members simply disappears (standard
+    * empty-cluster behavior; reseeding is a policy layered on top).
+    *
+    * Scale per round: one broadcast of nLists centroid vectors, one
+    * corpus scan, one shuffle of (list, dim) partial sums with
+    * map-side combine (nLists × dims rows per mapper, independent of
+    * corpus size) — the unrolled chain is `iters` such rounds and
+    * Catalyst sees it as one plan; no driver-side data moves. */
+  def kmeans(spark: SparkSession, dir: String,
+             nLists: Int = 8, iters: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    var anchors = emb.filter(col("vec_id") < nLists)
+      .select(col("vec_id").as("list_id"), col("embedding").as("anchor"))
+    var centroids: DataFrame = null
+    for (_ <- 0 until iters) {
+      val assigned = limitBy(
+        emb.join(broadcast(anchors))
+          .select(col("vec_id"), col("embedding"), col("list_id"),
+            floorRound(
+              dot(col("anchor"), col("anchor")) -
+                lit(2.0) * dot(col("embedding"), col("anchor")), 6).as("__dist")),
+        1, Seq(col("vec_id")), Seq(col("__dist").asc, col("list_id")))
+      centroids = assigned
+        .select(col("list_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("list_id", "dim")
+        .agg(count(lit(1)).as("n_vectors"),
+          floorRound(
+            sum(floor(col("x").cast("double") * 1e6 + 0.5).cast("long")) /
+              (count(lit(1)) * 1e6), 6).as("centroid"))
+      anchors = centroids.groupBy("list_id")
+        .agg(array_sort(collect_list(struct(col("dim"), col("centroid")))).as("dc"))
+        .select(col("list_id"),
+          expr("transform(dc, s -> cast(s.centroid as float))").as("anchor"))
+    }
+    centroids.orderBy("list_id", "dim")
+  }
+
   /** IVF-style partition assignment: each vector assigned to its nearest
     * of `nLists` anchor vectors (anchors = the first nLists corpus
     * vectors — deterministic, data-derived). The cluster histogram is

@@ -266,6 +266,41 @@ class OperatorsSpec extends SparkSpec {
     got.foreach { case (k, v) => assert(v == want(k), s"list/dim $k") }
   }
 
+  test("kmeans: three unrolled rounds match a driver-side train loop bit-for-bit") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def dotD(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    var anchors: Map[Long, Array[Float]] =
+      vecs.filter(_._1 < 8).map { case (id, v) => id -> v }.toMap
+    var want: Map[(Long, Int), (Long, Double)] = Map.empty
+    for (_ <- 0 until 3) {
+      val assigned = vecs.map { case (_, v) =>
+        val best = anchors.toSeq.map { case (lid, a) =>
+          (lid, math.floor((dotD(a, a) - 2.0 * dotD(v, a)) * 1e6 + 0.5) / 1e6)
+        }.minBy { case (lid, d) => (d, lid) }._1
+        (best, v)
+      }
+      want = assigned.groupBy(_._1).flatMap { case (lid, members) =>
+        val n = members.length
+        (0 until members.head._2.length).map { d =>
+          val s = members.map(m => math.floor(m._2(d).toDouble * 1e6 + 0.5).toLong).sum
+          (lid, d) -> ((n.toLong, math.floor(s / (n * 1e6) * 1e6 + 0.5) / 1e6))
+        }
+      }
+      anchors = want.groupBy(_._1._1).map { case (lid, dims) =>
+        lid -> dims.toSeq.sortBy(_._1._2).map(_._2._2.toFloat).toArray
+      }
+    }
+    val got = operators.VectorOps.kmeans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) => assert(v == want(k), s"list/dim $k") }
+  }
+
   test("weighted sample stats aggregate the sample exactly") {
     val tokens = Tables.documents(spark, sf)
       .select(col("doc_id"), col("lang"), size(split(col("text"), " ")).as("n"))
