@@ -142,6 +142,7 @@ object SparkEntry {
     "emb_ivf_assign"        -> ((s, d) => operators.VectorOps.ivfAssign(s, d)),
     "emb_centroid_update"   -> ((s, d) => operators.VectorOps.centroidUpdate(s, d)),
     "emb_kmeans"            -> ((s, d) => operators.VectorOps.kmeans(s, d)),
+    "emb_dup_clusters"      -> ((s, d) => operators.VectorOps.dupClusters(s, d)),
     "emb_knn_ivf"           -> ((s, d) => operators.VectorOps.knnIvf(s, d)),
     "emb_quantize"          -> (operators.VectorOps.quantize _),
     // training-data pipeline: multimodal binary columns
@@ -186,6 +187,31 @@ object SparkEntry {
       |SELECT date_trunc('hour', ts) AS time_interval, count(DISTINCT user_id) AS active_users
       |FROM events, anchor WHERE ts > a - INTERVAL 30 DAY
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The multi-probe IVF embedding near-dup pipeline as DuckDB CTEs
+    * (mirrors VectorOps.nearDupPairs), ending in `p(vec_a, vec_b,
+    * cosine)` — shared by the pair endpoint and the embedding
+    * dup-cluster closure so the two oracles can't drift apart. */
+  private val embNearDupCtes =
+    """anchors AS (SELECT vec_id AS list_id, embedding AS anchor FROM embeddings WHERE vec_id < 8),
+      |sims AS (
+      |  SELECT e.vec_id, list_id,
+      |    floor(list_sum(list_transform(generate_series(1, len(anchor)),
+      |      i -> CAST(anchor[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) * 1000000 + 0.5) / 1000000.0 AS sim
+      |  FROM embeddings e, anchors),
+      |probes AS (
+      |  SELECT vec_id, list_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, list_id) rn FROM sims)
+      |  WHERE rn <= 3),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM probes a JOIN probes b ON a.list_id = b.list_id AND a.vec_id < b.vec_id),
+      |p AS (
+      |  SELECT vec_a, vec_b,
+      |    floor(list_sum(list_transform(generate_series(1, len(x.embedding)),
+      |      i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))) * 1000000 + 0.5) / 1000000.0 AS cosine
+      |  FROM cand JOIN embeddings x ON x.vec_id = cand.vec_a
+      |            JOIN embeddings y ON y.vec_id = cand.vec_b)""".stripMargin
 
   /** The k-means train loop as a generated DuckDB CTE chain — one
     * (assign d/g, unnest x, centroid c, re-assemble a) block per
@@ -527,26 +553,23 @@ object SparkEntry {
         |        / (length(text) - length(replace(text, ' ', '')) + 1) * 10000 + 0.5) / 10000.0 AS avg_token_len
         |FROM documents ORDER BY doc_id""".stripMargin,
     "emb_near_dup_pairs" ->
-      """WITH anchors AS (SELECT vec_id AS list_id, embedding AS anchor FROM embeddings WHERE vec_id < 8),
-        |sims AS (
-        |  SELECT e.vec_id, list_id,
-        |    floor(list_sum(list_transform(generate_series(1, len(anchor)),
-        |      i -> CAST(anchor[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) * 1000000 + 0.5) / 1000000.0 AS sim
-        |  FROM embeddings e, anchors),
-        |probes AS (
-        |  SELECT vec_id, list_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, list_id) rn FROM sims)
-        |  WHERE rn <= 3),
-        |cand AS (
-        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-        |  FROM probes a JOIN probes b ON a.list_id = b.list_id AND a.vec_id < b.vec_id),
-        |p AS (
-        |  SELECT vec_a, vec_b,
-        |    floor(list_sum(list_transform(generate_series(1, len(x.embedding)),
-        |      i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))) * 1000000 + 0.5) / 1000000.0 AS cosine
-        |  FROM cand JOIN embeddings x ON x.vec_id = cand.vec_a
-        |            JOIN embeddings y ON y.vec_id = cand.vec_b)
+      s"""WITH $embNearDupCtes
         |SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+    // same recursive-closure shape as docs_dup_clusters, over the
+    // embedding pair graph (CTEs shared with emb_near_dup_pairs)
+    "emb_dup_clusters" ->
+      s"""WITH RECURSIVE $embNearDupCtes,
+        |pairs AS (SELECT vec_a, vec_b FROM p WHERE cosine >= 0.4),
+        |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
+        |          UNION ALL SELECT vec_b, vec_a FROM pairs),
+        |reach AS (
+        |  SELECT src AS vec_id, src AS r FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.vec_id),
+        |lab AS (SELECT vec_id, min(r) AS cluster_id FROM reach GROUP BY vec_id)
+        |SELECT vec_id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM lab ORDER BY cluster_id, vec_id""".stripMargin,
     "docs_quality_score" ->
       """SELECT doc_id, lang,
         |  CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS BIGINT) AS n_stopwords,

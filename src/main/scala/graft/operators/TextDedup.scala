@@ -275,71 +275,15 @@ object TextDedup {
     * graph (3-gram Jaccard >= 0.5), one row per clustered doc with the
     * component's canonical label (min doc_id) and size — what a dedup
     * pipeline actually consumes ("keep the canonical doc per cluster"),
-    * one step past emitting raw pairs.
-    *
-    * Algorithm: iterative min-label propagation — each round every
-    * vertex takes the min of its own and its neighbors' labels; a
-    * fixpoint is a complete component labeling. Rounds = graph
-    * diameter; dup clusters are near-cliques out of candidate
-    * generation, so 2-3 rounds in practice. A component wider than
-    * `maxRounds` (a pathological chain) THROWS rather than silently
-    * returning a partial clustering — raise the cap for such graphs.
-    *
-    * Scale design: the edge list is the near-dup PAIR set — orders of
-    * magnitude smaller than the corpus — and each round is one
-    * co-partitioned join + map-side-combined min() on it. The edge list
-    * is materialized once via localCheckpoint: unlike a pinned
-    * `.cache()` (banned in registered queries), checkpoint blocks are
-    * freed with the DataFrame, and without it every round would re-run
-    * the whole near-dup pipeline. The driver decides only WHEN to stop
-    * (an isEmpty probe per round, the standard control loop of every
-    * iterative-graph system); no row data crosses to the driver. */
+    * one step past emitting raw pairs. The clustering core (iterative
+    * min-label propagation with graph-sized parallelism) lives in
+    * [[ConnectedComponents]], shared with the embedding dedup path. */
   def dupClusters(spark: SparkSession, dir: String,
-                  maxRounds: Int = 64): DataFrame = {
-    val pairs = nearDupPairs(spark, dir).select("doc_a", "doc_b")
-      .localCheckpoint(true)
-    // size the iteration to the GRAPH, not the corpus: pairs are
-    // materialized (the count is free), so pick the round parallelism
-    // from the edge count — a tiny graph iterates in one partition
-    // instead of paying shuffle.partitions × scheduling per round, a
-    // huge one still spreads. ~50k edges per task keeps a round's task
-    // under memory/latency balance at any scale.
-    val nParts = math.max(1, math.min(
-      spark.sessionState.conf.numShufflePartitions,
-      (pairs.count() / 50000L).toInt + 1))
-    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").repartition(nParts, col("src"))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
-    var done = false
-    var rounds = 0
-    while (!done && rounds < maxRounds) {
-      val nbrMin = edges
-        .join(labels.toDF("src", "src_label"), "src")
-        .groupBy(col("dst").as("doc_id"))
-        .agg(min(col("src_label")).as("nbr_min"))
-      // prev rides along so convergence is a filter on the checkpointed
-      // frame itself — no extra join (and no recompute) per round
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
-          col("label").as("prev"))
-        .localCheckpoint(true)
-      done = next.filter(col("label") < col("prev")).isEmpty
-      labels = next.select("doc_id", "label")
-      rounds += 1
-    }
-    if (!done)
-      throw new IllegalStateException(
-        s"dupClusters did not converge in $maxRounds rounds — a component " +
-          "wider than the cap exists; raise maxRounds (silently returning a " +
-          "partial clustering would split a true duplicate cluster)")
-    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "label")
-      .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+                  maxRounds: Int = 64): DataFrame =
+    ConnectedComponents.clusters(spark,
+        nearDupPairs(spark, dir).select("doc_a", "doc_b"), maxRounds)
+      .toDF("doc_id", "cluster_id", "cluster_size")
       .orderBy("cluster_id", "doc_id")
-  }
 
   /** SimHash: 64-bit similarity-preserving fingerprint. Entirely per-row
     * (token hash → per-bit ±1 vote → sign), zero shuffle; near-dup

@@ -174,6 +174,19 @@ object VectorOps {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Semantic duplicate clusters: connected components over the
+    * embedding near-dup pair graph ([[nearDupPairs]], cosine >= 0.4) —
+    * the embedding analogue of [[TextDedup.dupClusters]], completing
+    * the vector dedup path from pairs to the keep-the-canonical
+    * decision. Same shared clustering core, same scale shape: the
+    * iteration runs on the PAIR graph, not the corpus. */
+  def dupClusters(spark: SparkSession, dir: String,
+                  maxRounds: Int = 64): DataFrame =
+    ConnectedComponents.clusters(spark,
+        nearDupPairs(spark, dir).select("vec_a", "vec_b"), maxRounds)
+      .toDF("vec_id", "cluster_id", "cluster_size")
+      .orderBy("cluster_id", "vec_id")
+
   /** The all-pairs truth (spec-only; NOT a registered endpoint): the
     * triangular cross join is O(n²) dots — unrunnable at scale, kept to
     * verify the IVF/LSH candidate paths at small SF. */

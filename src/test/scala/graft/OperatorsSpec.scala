@@ -119,6 +119,30 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("embedding dup clusters equal an independent union-find over the vector pair graph") {
+    val pairs = VectorOps.nearDupPairs(spark, sf).select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(v => v -> find(v)).toMap
+    val wantSizes = want.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val got = VectorOps.dupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSet == want.keySet)
+    got.foreach { case (vec, cl, sz) =>
+      assert(cl == want(vec), s"vec $vec: cluster $cl vs ${want(vec)}")
+      assert(sz == wantSizes(want(vec)), s"vec $vec: size $sz")
+    }
+  }
+
   test("stratified sample: md5-threshold keep rule verified row by row") {
     val docs = Tables.documents(spark, sf).select("doc_id", "lang")
       .collect().map(r => (r.getLong(0), r.getString(1)))
