@@ -224,6 +224,45 @@ object CdcStream {
       }
   }
 
+  /** Watermarked stream-stream interval join: every error event joins
+    * the SAME user's click events from the preceding `windowMinutes` —
+    * the error-attribution query ("which interaction preceded this
+    * failure") as a true two-stream join, not a stream-static lookup.
+    *
+    * Both sides carry a watermark, and the join condition bounds
+    * click_ts to [error_ts − window, error_ts]; together these let the
+    * engine EVICT click state older than watermark − window instead of
+    * buffering one side forever — the property that makes a
+    * stream-stream join runnable indefinitely at production rates.
+    * Inner join: results emit as soon as both sides arrive, and
+    * accumulated output equals the batch range join of everything
+    * ingested (asserted in StreamingSpec across a checkpointed
+    * restart, clicks and errors arriving in separate increments). */
+  def streamClickErrorJoin(spark: SparkSession, clicks: DataFrame,
+                           errors: DataFrame, windowMinutes: Int = 10,
+                           watermarkDelay: String = "30 minutes"): DataFrame = {
+    // watermarks need LTZ event time; session TZ is UTC so the cast is
+    // a pure reinterpretation (same convention as dedupedStream)
+    val c = clicks
+      .filter(col("event_type") === "click")
+      .withColumn("ts_ltz", col("ts").cast("timestamp"))
+      .withWatermark("ts_ltz", watermarkDelay)
+      .select(col("event_id").as("click_event_id"),
+        col("user_id").as("click_user"), col("ts").as("click_ts"),
+        col("ts_ltz").as("click_ts_ltz"))
+    val e = errors
+      .filter(col("event_type") === "error")
+      .withColumn("ts_ltz", col("ts").cast("timestamp"))
+      .withWatermark("ts_ltz", watermarkDelay)
+      .select(col("event_id").as("error_event_id"),
+        col("user_id"), col("ts").as("error_ts"), col("ts_ltz"))
+    e.join(c,
+      col("click_user") === col("user_id") &&
+        col("click_ts_ltz") <= col("ts_ltz") &&
+        col("click_ts_ltz") >= col("ts_ltz") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select("error_event_id", "user_id", "error_ts", "click_event_id", "click_ts")
+  }
+
   /** S1 — the generic per-column JSONPath ingest projection for a parsed
     * `.datasource` (users_raw.datasource:3-14): each declared column is
     * extracted from the raw message by its `json:$.path` and cast to the

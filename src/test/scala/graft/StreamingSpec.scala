@@ -334,6 +334,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-stream interval join equals the batch range join across a restart") {
+    val src = tmp(); val ck = tmp() + "/ck"; val outDir = tmp() + "/joined"
+    val events = Tables.events(spark, sf)
+    // time-ordered chunks: pairs whose click lands in chunk 0 and error
+    // in chunk 1 must still join — that's the buffered state surviving
+    // the checkpointed restart
+    val mid = expr("TIMESTAMP_NTZ '2024-07-01 00:00:00'")
+    Seq(events.filter(col("ts") <= mid), events.filter(col("ts") > mid))
+      .zipWithIndex.foreach { case (c, i) =>
+        c.write.parquet(s"$src/chunk$i")
+        val q = CdcStream.streamClickErrorJoin(spark,
+            CdcStream.readEvents(spark, s"$src/chunk*"),
+            CdcStream.readEvents(spark, s"$src/chunk*"))
+          .writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ck)
+          .outputMode(OutputMode.Append)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    val streamed = spark.read.parquet(outDir)
+      .select("error_event_id", "click_event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(streamed.distinct.size == streamed.size, "a pair was emitted twice")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_event_id"),
+        col("user_id").as("u"), col("ts").as("click_ts"))
+    val batch = events.filter(col("event_type") === "error")
+      .join(clicks, col("u") === col("user_id") &&
+        col("click_ts") <= col("ts") &&
+        col("click_ts") >= col("ts") - expr("INTERVAL 10 MINUTES"))
+      .select(col("event_id"), col("click_event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "test data has no click→error pairs in the window")
+    assert(streamed.toSet == batch)
+  }
+
   test("streaming minhash MV: incremental bands log equals the batch band table") {
     val src = tmp(); val bandsDir = tmp() + "/bands"; val ck = tmp() + "/ck"
     val docs = Tables.documents(spark, sf)
