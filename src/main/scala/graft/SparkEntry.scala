@@ -149,6 +149,7 @@ object SparkEntry {
     "docs_binary_meta"      -> (operators.Multimodal.binaryMeta _),
     "docs_decode_features"  -> (operators.Multimodal.decodeFeatures _),
     "docs_frame_sample"     -> ((s, d) => operators.Multimodal.frameSample(s, d)),
+    "docs_binary_chunks"    -> ((s, d) => operators.Multimodal.binaryChunks(s, d)),
     // pipe-for-pipe reference endpoints over generated CDC fixtures
     // (oracled against the same fixture parquet via read_parquet, and
     // differential-tested against generator truth in ReferencePipesSpec)
@@ -896,6 +897,18 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) rn FROM scored)
         |SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
         |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+    // ASCII corpus: char arithmetic on the VARCHAR == byte arithmetic
+    // on the utf-8 payload (strlen/substring vs binary length/slice)
+    "docs_binary_chunks" ->
+      """WITH c AS (
+        |  SELECT doc_id, CAST(g AS INT) AS chunk_idx,
+        |    CAST(g * 64 AS BIGINT) AS chunk_offset,
+        |    substring(text, g * 64 + 1, 64) AS chunk
+        |  FROM documents, LATERAL (
+        |    SELECT unnest(generate_series(0, greatest((strlen(text) - 1) // 64, 0))) AS g))
+        |SELECT doc_id, chunk_idx, chunk_offset,
+        |  CAST(strlen(chunk) AS INT) AS chunk_len, md5(chunk) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "docs_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS digest,
         |  'text/plain;charset=utf-8' AS content_type, source

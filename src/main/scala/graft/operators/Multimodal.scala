@@ -96,6 +96,33 @@ object Multimodal {
     }.toDF().orderBy("doc_id", "frame_idx")
   }
 
+  /** Fixed-size binary chunking of the media payload: each document's
+    * bytes split into `chunkBytes` pieces with offset, length, and a
+    * per-chunk digest — the bounded-object plumbing for moving
+    * GB-scale media through a blob store (max object size, ranged
+    * reads, resumable transfer) while Spark tracks only chunk
+    * metadata. The last chunk is partial; reassembly in index order is
+    * byte-exact (asserted in OperatorsSpec via digest equality).
+    *
+    * Scale: per-row explode bounded at payload/chunkBytes rows, each
+    * row carrying at most `chunkBytes` of binary — no row ever exceeds
+    * the bound, which is what keeps shuffle blocks and memory
+    * per-record flat no matter how large the source media is. The
+    * DuckDB oracle mirrors byte arithmetic on the utf-8 text (ASCII
+    * corpus: char ops == byte ops, same equivalence frameSample's
+    * oracle uses). */
+  def binaryChunks(spark: SparkSession, dir: String, chunkBytes: Int = 64): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, greatest((length(payload) - 1) div $chunkBytes, 0))," +
+          s" i -> substring(payload, i * $chunkBytes + 1, $chunkBytes))")))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        (col("pos").cast("long") * chunkBytes).as("chunk_offset"),
+        length(col("col")).as("chunk_len"),
+        md5(col("col")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
   /** Per-partition batch decode over the binary column (mapPartitions =
     * the batch-UDF shape: amortize codec init across a partition's rows).
     * Output is deterministic because FakeDecode is. */

@@ -376,6 +376,30 @@ class OperatorsSpec extends SparkSpec {
       (2L, 5L, None)))        // key with no right history
   }
 
+  test("binary chunks reassemble byte-exactly and cover every payload byte") {
+    val payloads = Tables.documents(spark, sf)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("p"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val chunks = operators.Multimodal.binaryChunks(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getString(4)))
+      .groupBy(_._1)
+    assert(chunks.keySet == payloads.keySet)
+    chunks.foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_._2)
+      // indices dense from 0, offsets contiguous, count = ceil(n/64)
+      assert(sorted.map(_._2).toSeq == sorted.indices.toSeq)
+      assert(sorted.length == math.max((payloads(doc).length + 63) / 64, 1))
+      sorted.foreach { case (_, idx, off, len, digest) =>
+        assert(off == idx * 64L)
+        val piece = payloads(doc).slice(off.toInt, off.toInt + len)
+        assert(piece.length == len)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        assert(digest == md.digest(piece).map("%02x".format(_)).mkString)
+      }
+      assert(sorted.map(_._4).sum == payloads(doc).length)
+    }
+  }
+
   test("frame sampling matches a driver-side byte walk") {
     val texts = Tables.documents(spark, sf).select("doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getString(1)))
