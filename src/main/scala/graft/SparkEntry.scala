@@ -119,6 +119,7 @@ object SparkEntry {
     "docs_top_bigrams"      -> ((s, d) => operators.TextAnalysis.topBigrams(s, d)),
     "docs_top_terms"        -> ((s, d) => operators.TextAnalysis.topTermsPerDoc(s, d)),
     "docs_repetition_filters" -> ((s, d) => operators.TextAnalysis.repetitionFilters(s, d)),
+    "docs_lm_score"         -> (operators.TextAnalysis.lmScore _),
     "docs_boilerplate"      -> ((s, d) => operators.TextAnalysis.boilerplateCoverage(s, d)),
     "customer_pii_scrub"    -> (operators.Privacy.customerPiiScrub _),
     "lineitem_zorder"       -> (operators.Zorder.lineitemZorder _),
@@ -687,6 +688,24 @@ object SparkEntry {
         |  (top_unigram_frac <= 0.15 AND dup_trigram_frac <= 0.02) AS keep
         |FROM per JOIN tp ON per.doc_id = tp.doc_id
         |ORDER BY per.doc_id""".stripMargin,
+    "docs_lm_score" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bi AS (
+        |  SELECT doc_id, t[g] AS w1, t[g+1] AS w2
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS g)
+        |  WHERE len(t) >= 2),
+        |uni AS (
+        |  SELECT w1, count(*) AS c1 FROM (
+        |    SELECT unnest(t) AS w1 FROM tok) GROUP BY w1),
+        |big AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+        |voc AS (SELECT count(*) AS v FROM uni),
+        |terms AS (
+        |  SELECT doc_id,
+        |    CAST(floor((c2 + CAST(1 AS DOUBLE)) / (c1 + v) * 1000000000) AS BIGINT) AS u
+        |  FROM bi JOIN big USING (w1, w2) JOIN uni USING (w1), voc)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  floor(CAST(sum(u) AS BIGINT) / (count(*) * 1000000000.0) * 1000000 + 0.5) / 1000000.0 AS lm_score
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "docs_boilerplate" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (

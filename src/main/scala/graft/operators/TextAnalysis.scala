@@ -273,6 +273,50 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** N-gram language-model quality score: each document scored by the
+    * mean smoothed conditional bigram probability under a model built
+    * from the corpus itself — the KenLM-perplexity-filter shape
+    * (score low = the document's word transitions are unlike the
+    * corpus), with the arithmetic made engine-exact:
+    *
+    *  - per-bigram term: (c(w1 w2) + 1) / (c(w1) + V)  (add-one
+    *    smoothing) — one IEEE double division, exact-rounded,
+    *  - each term floor-scaled to 1e-9 units as a LONG before
+    *    summing, so the per-doc sum is integer arithmetic —
+    *    associative, partition-order-invariant, identical on any
+    *    engine (no log/exp: transcendentals differ in the last ulp
+    *    across libms, the hash gate's enemy),
+    *  - final score = units / (m · 1e9), floor-rounded.
+    *
+    * Scale: unigram and bigram counts are map-side-combined count
+    * shuffles over the token stream (the vocabulary is orders of
+    * magnitude smaller than the corpus); instance scoring joins on the
+    * bigram key; one last doc_id aggregation. Documents with < 2
+    * tokens have no bigrams and no row. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val bi = docs.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uni = docs.select(explode(col("t")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    bi.join(big, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        floor((col("c2") + lit(1.0).cast("double")) / (col("c1") + col("v")) * 1e9)
+          .cast("long").as("term_units"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        floorRound(sum(col("term_units")) / (count(lit(1)) * 1e9), 6).as("lm_score"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus-level top-k bigrams by total occurrence count — the exact
     * heavy-hitter query (vocabulary building, contamination checks).
     * Map-side partial counts shuffle one row per (mapper, ngram);

@@ -554,6 +554,26 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("LM score matches a driver-side bigram model, bit-for-bit") {
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val uni = texts.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val big = texts.flatMap(_._2.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val v = uni.size.toLong
+    val want = texts.filter(_._2.size >= 2).map { case (doc, t) =>
+      val units = t.sliding(2).filter(_.size == 2).map { p =>
+        math.floor((big((p(0), p(1))) + 1.0) / (uni(p(0)) + v) * 1e9).toLong
+      }.toSeq
+      doc -> ((units.size.toLong,
+        math.floor(units.sum / (units.size * 1e9) * 1e6 + 0.5) / 1e6))
+    }.toMap
+    val got = operators.TextAnalysis.lmScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, s) => assert(s == want(k), s"doc $k") }
+  }
+
   test("boilerplate coverage agrees with a groupBy-df recompute") {
     val docs = Tables.documents(spark, sf)
     val sh = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
