@@ -86,6 +86,7 @@ object SparkEntry {
     "events_ingest_normalize" -> (CdcPipes.eventsIngestNormalize _),
     "events_sessionization" -> (CdcPipes.eventsSessionization _),
     "events_value_quantiles" -> (CdcPipes.eventsValueQuantiles _),
+    "events_hourly_anomalies" -> ((s, d) => CdcPipes.eventsHourlyAnomalies(s, d)),
     "events_retention"      -> (CdcPipes.eventsRetention _),
     "orders_rollup"         -> (TpchPipes.ordersRollup _),
     "lineitem_cube"         -> (TpchPipes.lineitemCube _),
@@ -441,6 +442,28 @@ object SparkEntry {
         |  floor(quantile_cont(value, 0.95) * 10000 + 0.5) / 10000.0 AS p95,
         |  count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_hourly_anomalies" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CAST(floor(coalesce(value, 0) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT *,
+        |    count(*) OVER w AS m,
+        |    CAST(sum(cents) OVER w AS BIGINT) AS s,
+        |    CAST(sum(cents * cents) OVER w AS BIGINT) AS q
+        |  FROM hourly
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+        |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, hour, n_events,
+        |  cents / CAST(100 AS DOUBLE) AS total_value,
+        |  CAST(m AS BIGINT) AS trailing_n,
+        |  CASE WHEN m * q - s * s > 0 THEN
+        |    floor((cents * m - s) / sqrt(CAST(m * q - s * s AS DOUBLE)) * 10000 + 0.5) / 10000.0
+        |  END AS z_score,
+        |  (cents * m - s) * (cents * m - s) > 9 * (m * q - s * s) AS is_anomaly
+        |FROM t WHERE m >= 8 ORDER BY event_type, hour""".stripMargin,
     "orders_rollup" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
         |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS revenue

@@ -335,6 +335,48 @@ object CdcPipes {
       .orderBy("event_type")
   }
 
+  /** Trailing-window anomaly detection over the hourly value series —
+    * the monitoring query every event pipeline runs ("did this hour's
+    * volume deviate from the recent baseline"), with the z-score made
+    * engine-exact: hourly totals are integer cents, the trailing
+    * mean/variance come from integer sums over a 24-row window, and
+    * z = (x·m − S)/√(m·Q − S²) — algebraically (x − mean)/σ but
+    * computed from three integers, one exact-rounded sqrt, and one
+    * division, so any engine reproduces it bit-for-bit. The anomaly
+    * verdict uses the PURE-INTEGER inequality (x·m − S)² > 9·(m·Q − S²)
+    * (|z| > 3), immune even to the final rounding.
+    *
+    * Scale: one map-side-combined groupBy to hours (the series is
+    * ~8760 rows/type/year no matter how many events), then a tiny
+    * per-type window — the heavy lift never leaves the first
+    * aggregation. Integer headroom: cents·m and m·Q stay under 2⁶³
+    * while hourly totals are below ~6×10¹⁴ cents. */
+  def eventsHourlyAnomalies(spark: SparkSession, dir: String,
+                            trailing: Int = 24, minTrailing: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(coalesce(col("value"), lit(0.0)) * 100 + 0.5).cast("long")).as("cents"))
+    val w = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(-trailing, -1)
+    val dev = col("cents") * col("m") - col("s")
+    val varm = col("m") * col("q") - col("s") * col("s")
+    hourly
+      .withColumn("m", count(lit(1)).over(w))
+      .withColumn("s", sum(col("cents")).over(w))
+      .withColumn("q", sum(col("cents") * col("cents")).over(w))
+      .filter(col("m") >= minTrailing)
+      .select(col("event_type"), col("hour"), col("n_events"),
+        (col("cents") / lit(100.0)).as("total_value"),
+        col("m").as("trailing_n"),
+        when(varm > 0,
+          floorRound(dev.cast("double") / sqrt(varm.cast("double")), 4)).as("z_score"),
+        (dev * dev > lit(9L) * varm).as("is_anomaly"))
+      .orderBy("event_type", "hour")
+  }
+
   /** baggage_by_flight_status.pipe:3-26 — conditional rounded sums (A7)
     * with CASE ordering (O3). Analog: value mass by event_type per day-of-week. */
   def valueByTypeStatus(spark: SparkSession, dir: String): DataFrame = {

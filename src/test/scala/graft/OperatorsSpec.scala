@@ -554,6 +554,43 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("hourly anomalies match a driver-side trailing-window recompute") {
+    val evs = Tables.events(spark, sf).select("event_type", "ts", "value").collect()
+      .map(r => (r.getString(0),
+        r.getAs[java.time.LocalDateTime](1).withMinute(0).withSecond(0).withNano(0),
+        if (r.isNullAt(2)) 0.0 else r.getDouble(2)))
+    val hourly = evs.groupBy(e => (e._1, e._2)).map { case ((ty, h), rows) =>
+      (ty, h, rows.length.toLong, rows.map(e => math.floor(e._3 * 100 + 0.5).toLong).sum)
+    }.toSeq
+    val want = hourly.groupBy(_._1).flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.indices.flatMap { i =>
+        val frame = sorted.slice(math.max(0, i - 24), i)
+        val m = frame.length.toLong
+        if (m < 8) None else {
+          val (ty, h, n, cents) = sorted(i)
+          val s = frame.map(_._4).sum
+          val q = frame.map(r => r._4 * r._4).sum
+          val dev = cents * m - s
+          val varm = m * q - s * s
+          val z = if (varm > 0)
+            Some(math.floor(dev.toDouble / math.sqrt(varm.toDouble) * 1e4 + 0.5) / 1e4)
+          else None
+          Some((ty, h) -> ((n, cents / 100.0, m, z, dev * dev > 9 * varm)))
+        }
+      }
+    }
+    val out = pipes.CdcPipes.eventsHourlyAnomalies(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[java.time.LocalDateTime](1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)), r.getBoolean(6))))
+      .toMap
+    assert(out.keySet == want.keySet)
+    assert(out.values.exists(_._5) && out.values.exists(!_._5),
+      "both verdicts should occur at test SF")
+    out.foreach { case (k, v) => assert(v == want(k), s"series $k") }
+  }
+
   test("LM score matches a driver-side bigram model, bit-for-bit") {
     val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
