@@ -87,6 +87,7 @@ object SparkEntry {
     "events_sessionization" -> (CdcPipes.eventsSessionization _),
     "events_value_quantiles" -> (CdcPipes.eventsValueQuantiles _),
     "events_hourly_anomalies" -> ((s, d) => CdcPipes.eventsHourlyAnomalies(s, d)),
+    "events_value_histogram" -> (CdcPipes.eventsValueHistogram _),
     "events_retention"      -> (CdcPipes.eventsRetention _),
     "orders_rollup"         -> (TpchPipes.ordersRollup _),
     "lineitem_cube"         -> (TpchPipes.lineitemCube _),
@@ -442,6 +443,22 @@ object SparkEntry {
         |  floor(quantile_cont(value, 0.95) * 10000 + 0.5) / 10000.0 AS p95,
         |  count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_value_histogram" ->
+      """WITH hist AS (
+        |  SELECT event_type, CAST(floor(coalesce(value, 0) * 100 + 0.5) AS BIGINT) // 100 AS bin,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT *,
+        |    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+        |  FROM hist)
+        |SELECT event_type, max(total) AS n_total, count(*) AS n_bins,
+        |  min(CASE WHEN cum >= ceil(total * CAST(0.5 AS DOUBLE)) THEN bin END) AS p50_bin,
+        |  min(CASE WHEN cum >= ceil(total * CAST(0.95 AS DOUBLE)) THEN bin END) AS p95_bin,
+        |  max(bin) AS max_bin
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_hourly_anomalies" ->
       """WITH hourly AS (
         |  SELECT event_type, date_trunc('hour', ts) AS hour,

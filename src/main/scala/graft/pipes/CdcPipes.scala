@@ -335,6 +335,42 @@ object CdcPipes {
       .orderBy("event_type")
   }
 
+  /** Mergeable histogram quantiles: the value distribution per event
+    * type as fixed-width integer bins (1 dollar), with p50/p95
+    * estimated from the cumulative histogram — the MERGEABLE quantile
+    * path. Exact percentile() needs each group's full value multiset
+    * in one place; bin counts are associative longs, so at 100 TB the
+    * histogram is a map-side-combined aggregation (and a storable
+    * partial, like the HLL sketch rollup — but unlike HLL, every
+    * number here is deterministic and DuckDB-verifiable). Resolution
+    * is the bin width: the answer is the exact type-1 (discrete)
+    * quantile of the BINNED values — the spec recomputes it from a
+    * driver-side sort and proves the merge property on a
+    * split-and-recombine corpus.
+    *
+    * The quantile rule is integer-exact: the p-quantile bin is the
+    * first whose cumulative count reaches ceil(p·total). */
+  def eventsValueHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("floor(coalesce(value, 0.0) * 100 + 0.5) div 100").as("bin"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("n"))
+    val wCum = Window.partitionBy("event_type").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("event_type")
+    hist
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .withColumn("total", sum(col("n")).over(wAll))
+      .groupBy("event_type")
+      .agg(max(col("total")).as("n_total"),
+        count(lit(1)).as("n_bins"),
+        min(when(col("cum") >= ceil(col("total") * 0.5), col("bin"))).as("p50_bin"),
+        min(when(col("cum") >= ceil(col("total") * 0.95), col("bin"))).as("p95_bin"),
+        max(col("bin")).as("max_bin"))
+      .orderBy("event_type")
+  }
+
   /** Trailing-window anomaly detection over the hourly value series —
     * the monitoring query every event pipeline runs ("did this hour's
     * volume deviate from the recent baseline"), with the z-score made

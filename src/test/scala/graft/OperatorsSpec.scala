@@ -554,6 +554,45 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("histogram quantiles equal the discrete quantile of binned values; merge-invariant") {
+    // the histogram p-quantile bin must EQUAL the bin of the
+    // ceil(p·n)-th order statistic (the type-1 discrete quantile the
+    // cumulative-histogram rule computes) — recomputed by a driver
+    // sort, not by the interpolating percentile() (which can sit
+    // several bins away where the tail is sparse)
+    val values = Tables.events(spark, sf).select("event_type", "value").collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) 0.0 else r.getDouble(1))).groupBy(_._1)
+    val exact = values.map { case (ty, vs) =>
+      val bins = vs.map { case (_, v) => (math.floor(v * 100 + 0.5) / 100).toLong }.sorted
+      def q(p: Double) = bins(math.ceil(p * bins.length).toInt - 1)
+      ty -> ((q(0.5), q(0.95)))
+    }
+    val got = pipes.CdcPipes.eventsValueHistogram(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    got.foreach { case (ty, p50b, p95b) =>
+      assert((p50b, p95b) == exact(ty), s"$ty: ($p50b, $p95b) vs ${exact(ty)}")
+    }
+    // mergeability: bin counts from two disjoint halves sum to the
+    // full histogram — the property that makes this the 100 TB path
+    val full = Tables.events(spark, sf)
+      .select(col("event_type"),
+        expr("floor(coalesce(value, 0.0) * 100 + 0.5) div 100").as("bin"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("n"))
+    val halves = Seq(0, 1).map { h =>
+      Tables.events(spark, sf).filter(col("event_id") % 2 === h)
+        .select(col("event_type"),
+          expr("floor(coalesce(value, 0.0) * 100 + 0.5) div 100").as("bin"))
+        .groupBy("event_type", "bin").agg(count(lit(1)).as("n"))
+    }
+    val merged = halves.reduce(_ unionByName _)
+      .groupBy("event_type", "bin").agg(sum("n").as("n"))
+    val a = full.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val b = merged.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(a == b)
+  }
+
   test("hourly anomalies match a driver-side trailing-window recompute") {
     val evs = Tables.events(spark, sf).select("event_type", "ts", "value").collect()
       .map(r => (r.getString(0),
