@@ -97,6 +97,7 @@ object SparkEntry {
     "events_asof_join"      -> (operators.AsOfJoin.eventsAsOfJoin _),
     // relational coverage (SURVEY §2.2/2.3/2.5/2.6/2.7)
     "q1_pricing_summary"    -> (TpchPipes.q1PricingSummary _),
+    "q3_shipping_priority"  -> ((s, d) => TpchPipes.q3ShippingPriority(s, d)),
     "mktsegment_revenue"    -> (TpchPipes.mktsegmentRevenue _),
     "region_revenue"        -> (TpchPipes.regionRevenue _),
     "top_customers"         -> (TpchPipes.topCustomers _),
@@ -158,6 +159,7 @@ object SparkEntry {
     // differential-tested against generator truth in ReferencePipesSpec)
     "ref_users_api_rmt" -> ((s, _) => pipes.UsersPipes.usersApiRmt(s, fixtureDir(s))),
     "ref_users_api_mysql" -> ((s, _) => pipes.UsersPipes.usersApiMysql(s, fixtureDir(s))),
+    "ref_users_snapshot_diff" -> ((s, _) => pipes.UsersPipes.usersSnapshotDiff(s, fixtureDir(s))),
     "ref_users_api_batch" -> ((s, _) => {
       val d = fixtureDir(s)
       pipes.UsersPipes.usersApiBatch(s, d, s"$d/users_batch")
@@ -520,6 +522,17 @@ object SparkEntry {
         |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
         |FROM p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
@@ -1094,6 +1107,30 @@ object SparkEntry {
          |       onboarded, deleted, event_timestamp, lang, created_at, updated_at
          |FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY updated_at DESC) rn FROM mv)
          |WHERE rn = 1 ORDER BY id""".stripMargin,
+    // snapshot diff over the same mv collapse as ref_users_api_rmt
+    "ref_users_snapshot_diff" ->
+      s"""WITH mv AS (
+         |  SELECT id, coalesce(email, '') AS email, coalesce(deleted, 0) AS deleted,
+         |    coalesce(make_timestamp(updated_at), __timestamp) AS updated_at
+         |  FROM ${fixtureSqlPath("users_raw")}),
+         |s1 AS (
+         |  SELECT id, updated_at AS old_updated_at, email AS old_email
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY updated_at DESC) rn
+         |        FROM mv WHERE updated_at <= TIMESTAMP '2024-05-01 00:15:00')
+         |  WHERE rn = 1),
+         |s2 AS (
+         |  SELECT id, updated_at AS new_updated_at, email AS new_email, deleted AS new_deleted
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY updated_at DESC) rn FROM mv)
+         |  WHERE rn = 1),
+         |d AS (
+         |  SELECT s2.id, old_updated_at, new_updated_at, old_email, new_email, new_deleted,
+         |    CASE WHEN old_updated_at IS NULL THEN 'insert'
+         |         WHEN old_updated_at < new_updated_at THEN 'update'
+         |         ELSE 'unchanged' END AS change_type
+         |  FROM s2 LEFT JOIN s1 ON s2.id = s1.id)
+         |SELECT id, change_type, old_updated_at, new_updated_at,
+         |       old_email, new_email, new_deleted
+         |FROM d WHERE change_type != 'unchanged' ORDER BY id""".stripMargin,
     // users_api.pipe (mysql): SELECT * FROM users_latest FINAL ORDER BY id
     "ref_users_api_mysql" ->
       s"""SELECT id, name, email, address, phone_number, email_verified,

@@ -43,6 +43,32 @@ object TpchPipes {
         exactSum(col("o_totalprice"), 2).as("total_revenue"))
       .orderBy(col("c_mktsegment"))
 
+  /** TPC-H Q3 shape (shipping priority): selective filters on all three
+    * tables, fact⋈fact⋈dim join, grouped revenue, global top-k. The
+    * plan to want at scale: customer filtered THEN broadcast (the
+    * segment predicate shrinks it before the exchange), both date
+    * filters pushed to the parquet scans, lineitem⋈orders the only
+    * real shuffle, and the top-k a TakeOrdered — never a global sort.
+    * Revenue is integer-unit summed (exactSum), so the DESC ranking
+    * and the LIMIT cut are deterministic; ties break on l_orderkey. */
+  def q3ShippingPriority(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val cutoff = expr("TIMESTAMP '1998-01-01 00:00:00'")
+    val c = broadcast(Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey"))
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"),
+        col("o_orderpriority"))
+      .agg(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(k)
+  }
+
   /** TPC-H Q5 shape: 5-way join lineitem⋈orders⋈customer⋈nation⋈region,
     * revenue by nation. All dims broadcast; the only shuffle is
     * lineitem⋈orders on orderkey (co-partitioned by AQE) + the final

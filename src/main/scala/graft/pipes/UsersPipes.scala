@@ -71,6 +71,42 @@ object UsersPipes {
       .orderBy("id")
   }
 
+  /** CDC snapshot diff: what changed between the state of the world at
+    * `cutoff` and now — every key that is new ("insert") or carries a
+    * newer version ("update"), with old/new values for the audit
+    * trail. The consumer-facing answer to "what did this CDC stream do
+    * since the last sync", built from the same latest-state collapse
+    * as the FINAL views (soft deletes surface as updates with
+    * new_deleted = 1, exactly the reference's delete semantics).
+    *
+    * Scale: both snapshots collapse on the id key (one shuffle each,
+    * same partitioning, so the join is co-partitioned); in production
+    * the t1 side is the STORED snapshot — the recompute here stands in
+    * for reading it, and an append-only log means t1's keys are a
+    * subset of t2's, so a left join suffices. */
+  def usersSnapshotDiff(spark: SparkSession, dir: String,
+                        cutoff: String = "2024-05-01 00:15:00"): DataFrame = {
+    val mv = usersMv(usersRaw(spark, dir))
+    val pay = mv.columns.filter(_ != "id").toSeq
+    val s1 = Dedup.latestByKey(
+        mv.filter(col("updated_at") <= expr(s"TIMESTAMP_NTZ '$cutoff'")),
+        Seq("id"), col("updated_at"), pay)
+      .select(col("id"), col("updated_at").as("old_updated_at"),
+        col("email").as("old_email"))
+    val s2 = Dedup.latestByKey(mv, Seq("id"), col("updated_at"), pay)
+      .select(col("id"), col("updated_at").as("new_updated_at"),
+        col("email").as("new_email"), col("deleted").as("new_deleted"))
+    s2.join(s1, Seq("id"), "left")
+      .withColumn("change_type",
+        when(col("old_updated_at").isNull, "insert")
+          .when(col("old_updated_at") < col("new_updated_at"), "update")
+          .otherwise("unchanged"))
+      .filter(col("change_type") =!= "unchanged")
+      .select("id", "change_type", "old_updated_at", "new_updated_at",
+        "old_email", "new_email", "new_deleted")
+      .orderBy("id")
+  }
+
   /** users_batch_copy.pipe:8-70 — the hourly copy job: watermark from the
     * target, coalesce-wrapped argMax collapse of newer raw events,
     * backfill of unsuperseded prior rows, restamped batch_max_updated;

@@ -31,6 +31,31 @@ class ReferencePipesSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("snapshot diff replays the generator history exactly") {
+    val cutoff = java.time.LocalDateTime.parse("2024-05-01T00:15:00")
+    val cutUs = java.time.Duration.between(
+      java.time.LocalDateTime.parse("1970-01-01T00:00:00"), cutoff).toNanos / 1000
+    // truth from the event history: last version per id at the cutoff
+    // vs at the end, classified the same way a sync consumer would
+    val byId = gen.userEvents.map(_._1).groupBy(_.id)
+    val want = byId.toSeq.sortBy(_._1).flatMap { case (id, versions) =>
+      val old = versions.filter(_.updatedUs <= cutUs).lastOption
+      val nw = versions.last
+      old match {
+        case None => Some((id, "insert", None, nw.email, nw.deleted))
+        case Some(o) if o.updatedUs < nw.updatedUs =>
+          Some((id, "update", Some(o.email), nw.email, nw.deleted))
+        case _ => None
+      }
+    }
+    val got = UsersPipes.usersSnapshotDiff(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1),
+        if (r.isNullAt(4)) None else Some(r.getString(4)),
+        r.getString(5), r.getInt(6))).toSeq
+    assert(got.nonEmpty && got.exists(_._2 == "insert") && got.exists(_._2 == "update"))
+    assert(got == want)
+  }
+
   test("users batch copy + users_api_batch equals non-deleted source state") {
     val batchDir = Files.createTempDirectory("graftbatch").toString + "/users_batch"
     // two copy generations: first over a prefix (simulate the hourly
