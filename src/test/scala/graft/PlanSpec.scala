@@ -98,6 +98,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window") && p.contains("Union"), p.take(2000))
   }
 
+  test("q3: filtered customer broadcasts, date filters pushed, top-k is TakeOrdered") {
+    val p = plan("q3_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(l_shipdate"),
+      "the l_shipdate cut must reach the lineitem parquet scan")
+    assert(p.contains("TakeOrderedAndProject"),
+      "LIMIT 10 over the ranking must be top-k, not a global sort")
+  }
+
+  test("zorder summary: morton projection stays in the scan stage, one agg shuffle") {
+    val p = plan("lineitem_zorder")
+    assert(!p.contains("Join"))
+    // partial agg on the mapper side, exchange of bucket partials, final agg
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("kmeans: anchors broadcast every round, no driver-side collect in the plan") {
+    val p = plan("emb_kmeans")
+    // 3 rounds × corpus-vs-anchors scoring: every round's anchor side
+    // must arrive by broadcast, never by shuffling the corpus
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 3, p.take(3000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("no registered query plans a cartesian product") {
     // BNLJ is allowed only for 1-row scalar-anchor crossJoins and the
     // broadcast-query brute-force scorer; a true cartesian never is.
