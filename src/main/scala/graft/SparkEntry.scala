@@ -98,6 +98,7 @@ object SparkEntry {
     // relational coverage (SURVEY §2.2/2.3/2.5/2.6/2.7)
     "q1_pricing_summary"    -> (TpchPipes.q1PricingSummary _),
     "q3_shipping_priority"  -> ((s, d) => TpchPipes.q3ShippingPriority(s, d)),
+    "tpch_integrity_audit"  -> (operators.Audit.integrityAudit _),
     "mktsegment_revenue"    -> (TpchPipes.mktsegmentRevenue _),
     "region_revenue"        -> (TpchPipes.regionRevenue _),
     "top_customers"         -> (TpchPipes.topCustomers _),
@@ -522,6 +523,44 @@ object SparkEntry {
         |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
         |FROM p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+    "tpch_integrity_audit" ->
+      """WITH checks AS (
+        |  SELECT 'customer.pk_unique' AS chk,
+        |    CAST(count(*) AS BIGINT) AS n_checked,
+        |    CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) AS n_violations
+        |  FROM customer
+        |  UNION ALL SELECT 'customer.acctbal_non_negative',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM customer
+        |  UNION ALL SELECT 'orders.fk_custkey_resolves',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN k.__k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders LEFT JOIN (SELECT DISTINCT c_custkey AS __k FROM customer) k
+        |    ON o_custkey = k.__k
+        |  UNION ALL SELECT 'orders.status_in_set',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL SELECT 'lineitem.pk_unique',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL SELECT 'lineitem.qty_in_range',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL SELECT 'lineitem.fk_orderkey_resolves',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN k.__k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey AS __k FROM orders) k
+        |    ON l_orderkey = k.__k
+        |  UNION ALL SELECT 'events.value_present',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM events)
+        |SELECT chk AS "check", n_checked, n_violations
+        |FROM checks ORDER BY chk""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue

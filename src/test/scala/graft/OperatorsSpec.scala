@@ -554,6 +554,27 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("integrity audit: known violations fire, clean constraints report zero") {
+    val got = operators.Audit.integrityAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.size == 8)
+    // these two are genuinely dirty in the corpus
+    assert(got("customer.acctbal_non_negative")._2 > 0)
+    assert(got("lineitem.pk_unique")._2 > 0)
+    // the rest must certify clean
+    (got.keySet - "customer.acctbal_non_negative" - "lineitem.pk_unique")
+      .foreach(k => assert(got(k)._2 == 0, s"$k reported violations"))
+    // n_checked is the table cardinality
+    assert(got("customer.pk_unique")._1 == Tables.customer(spark, sf).count())
+    assert(got("lineitem.pk_unique")._1 == Tables.lineitem(spark, sf).count())
+    // independent recompute of the two firing checks
+    val negBal = Tables.customer(spark, sf).filter(col("c_acctbal") < 0).count()
+    assert(got("customer.acctbal_non_negative")._2 == negBal)
+    val li = Tables.lineitem(spark, sf)
+    val dups = li.count() - li.select("l_orderkey", "l_linenumber").distinct().count()
+    assert(got("lineitem.pk_unique")._2 == dups)
+  }
+
   test("histogram quantiles equal the discrete quantile of binned values; merge-invariant") {
     // the histogram p-quantile bin must EQUAL the bin of the
     // ceil(p·n)-th order statistic (the type-1 discrete quantile the
