@@ -925,7 +925,9 @@ object SparkEntry {
         |  CAST(sum(w) AS BIGINT) AS est_docs,
         |  CAST(sum(w * n_tokens) AS BIGINT) AS est_tokens
         |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
-    "emb_kmeans" -> kmeansOracleSql(nLists = 8, iters = 3),
+    "emb_kmeans" -> kmeansOracleSql(
+      nLists = operators.VectorOps.KmeansLists,
+      iters = operators.VectorOps.KmeansIters),
     "emb_centroid_update" ->
       """WITH anchors AS (SELECT vec_id AS list_id, embedding AS anchor FROM embeddings WHERE vec_id < 8),
         |sims AS (
@@ -1010,16 +1012,18 @@ object SparkEntry {
         |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
     // ASCII corpus: char arithmetic on the VARCHAR == byte arithmetic
     // on the utf-8 payload (strlen/substring vs binary length/slice)
-    "docs_binary_chunks" ->
-      """WITH c AS (
+    "docs_binary_chunks" -> {
+      val cb = operators.Multimodal.DefaultChunkBytes
+      s"""WITH c AS (
         |  SELECT doc_id, CAST(g AS INT) AS chunk_idx,
-        |    CAST(g * 64 AS BIGINT) AS chunk_offset,
-        |    substring(text, g * 64 + 1, 64) AS chunk
+        |    CAST(g * $cb AS BIGINT) AS chunk_offset,
+        |    substring(text, g * $cb + 1, $cb) AS chunk
         |  FROM documents, LATERAL (
-        |    SELECT unnest(generate_series(0, greatest((strlen(text) - 1) // 64, 0))) AS g))
+        |    SELECT unnest(generate_series(0, greatest((strlen(text) - 1) // $cb, 0))) AS g))
         |SELECT doc_id, chunk_idx, chunk_offset,
         |  CAST(strlen(chunk) AS INT) AS chunk_len, md5(chunk) AS chunk_md5
-        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+    },
     "docs_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS digest,
         |  'text/plain;charset=utf-8' AS content_type, source

@@ -25,8 +25,14 @@ object Audit {
       .select(lit(name).as("check"), col("n_checked"), col("n_violations"))
 
   private def pkUnique(name: String, df: DataFrame, keys: Seq[String]): DataFrame =
+    // distinct over a STRUCT of the keys, not countDistinct(k1, k2):
+    // countDistinct drops any tuple containing a NULL, so a row with a
+    // null key would be misreported as a duplicate (and disagree with
+    // the oracle's row-tuple DISTINCT, which counts it) — on an audit
+    // whose whole purpose is dirty data, NULL keys must count as
+    // distinct values, exactly as SQL row-value DISTINCT does
     df.agg(count(lit(1)).as("n_checked"),
-        countDistinct(keys.head, keys.tail: _*).as("__d"))
+        countDistinct(struct(keys.map(col): _*)).as("__d"))
       .select(lit(name).as("check"), col("n_checked"),
         (col("n_checked") - col("__d")).as("n_violations"))
 

@@ -111,7 +111,12 @@ object Multimodal {
     * DuckDB oracle mirrors byte arithmetic on the utf-8 text (ASCII
     * corpus: char ops == byte ops, same equivalence frameSample's
     * oracle uses). */
-  def binaryChunks(spark: SparkSession, dir: String, chunkBytes: Int = 64): DataFrame =
+  /** Default chunk size, shared with the DuckDB oracle text in
+    * SparkEntry so retuning cannot desynchronize the gate. */
+  val DefaultChunkBytes = 64
+
+  def binaryChunks(spark: SparkSession, dir: String,
+                   chunkBytes: Int = DefaultChunkBytes): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
       .select(col("doc_id"), posexplode(expr(

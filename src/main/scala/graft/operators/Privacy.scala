@@ -24,11 +24,16 @@ object Privacy {
   def maskEmails(c: Column): Column =
     regexp_replace(c, """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "<EMAIL>")
 
-  /** International-ish phone shapes (7+ digits with separators) →
-    * `<PHONE>`. Applied after emails AND IPs: the separator class
-    * includes `.`, so a dotted-quad would otherwise read as a phone. */
+  /** International-ish phone shapes — at least 7 ACTUAL digits (each
+    * optionally followed by up to two separator chars), not just 7
+    * characters of digit-or-separator soup, so "pages 10 - 250" is
+    * left alone → `<PHONE>`. Digit-dense dates ("2024-05-01") DO
+    * match by design: dates of birth are PII, and a privacy pass errs
+    * toward redaction. Applied after emails AND IPs: the separator
+    * class includes `.`, so a dotted-quad would otherwise read as a
+    * phone. */
   def maskPhones(c: Column): Column =
-    regexp_replace(c, """\+?[0-9][0-9() .-]{5,}[0-9]""", "<PHONE>")
+    regexp_replace(c, """\+?(?:[0-9][() .-]{0,2}){6,}[0-9]""", "<PHONE>")
 
   /** Dotted-quad IPv4 → `<IP>`. */
   def maskIPv4(c: Column): Column =

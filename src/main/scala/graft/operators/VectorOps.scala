@@ -275,16 +275,25 @@ object VectorOps {
     * iterate by feeding the output back as the next anchor set. */
   def centroidUpdate(spark: SparkSession, dir: String, nLists: Int = 8): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    assignToLists(Tables.embeddings(spark, dir), nLists)
-      .select("embedding", "list_id")
+    integerUnitCentroids(
+        assignToLists(Tables.embeddings(spark, dir), nLists)
+          .select("embedding", "list_id"))
+      .orderBy("list_id", "dim")
+  }
+
+  /** The integer-unit per-dimension centroid aggregation — the exact
+    * bit-for-bit arithmetic contract (1e-6-unit Long sums, floor-
+    * rounded mean) shared by [[centroidUpdate]] and every [[kmeans]]
+    * round, and mirrored by both DuckDB oracles; ONE definition so the
+    * two endpoints cannot drift. */
+  private def integerUnitCentroids(assigned: DataFrame): DataFrame =
+    assigned
       .select(col("list_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .groupBy("list_id", "dim")
       .agg(count(lit(1)).as("n_vectors"),
         floorRound(
           sum(floor(col("x").cast("double") * 1e6 + 0.5).cast("long")) /
             (count(lit(1)) * 1e6), 6).as("centroid"))
-      .orderBy("list_id", "dim")
-  }
 
   /** Full k-means refinement for the IVF index: `iters` rounds of
     * assign-to-nearest-centroid / recompute-centroids, starting from
@@ -307,8 +316,14 @@ object VectorOps {
     * map-side combine (nLists × dims rows per mapper, independent of
     * corpus size) — the unrolled chain is `iters` such rounds and
     * Catalyst sees it as one plan; no driver-side data moves. */
+  /** Defaults shared with the generated DuckDB oracle
+    * (SparkEntry.kmeansOracleSql) — one constant each, so retuning the
+    * operator cannot desynchronize the gate. */
+  val KmeansLists = 8
+  val KmeansIters = 3
+
   def kmeans(spark: SparkSession, dir: String,
-             nLists: Int = 8, iters: Int = 3): DataFrame = {
+             nLists: Int = KmeansLists, iters: Int = KmeansIters): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, dir)
     var anchors = emb.filter(col("vec_id") < nLists)
@@ -322,13 +337,7 @@ object VectorOps {
               dot(col("anchor"), col("anchor")) -
                 lit(2.0) * dot(col("embedding"), col("anchor")), 6).as("__dist")),
         1, Seq(col("vec_id")), Seq(col("__dist").asc, col("list_id")))
-      centroids = assigned
-        .select(col("list_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
-        .groupBy("list_id", "dim")
-        .agg(count(lit(1)).as("n_vectors"),
-          floorRound(
-            sum(floor(col("x").cast("double") * 1e6 + 0.5).cast("long")) /
-              (count(lit(1)) * 1e6), 6).as("centroid"))
+      centroids = integerUnitCentroids(assigned)
       anchors = centroids.groupBy("list_id")
         .agg(array_sort(collect_list(struct(col("dim"), col("centroid")))).as("dc"))
         .select(col("list_id"),

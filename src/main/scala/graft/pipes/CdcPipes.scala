@@ -385,16 +385,30 @@ object CdcPipes {
     * Scale: one map-side-combined groupBy to hours (the series is
     * ~8760 rows/type/year no matter how many events), then a tiny
     * per-type window — the heavy lift never leaves the first
-    * aggregation. Integer headroom: cents·m and m·Q stay under 2⁶³
-    * while hourly totals are below ~6×10¹⁴ cents. */
+    * aggregation. Integer headroom: the binding term is m·Q ≥
+    * 24·cents², which stays under 2⁶³ only while an hour's total is
+    * ≤ ~6.2×10⁸ cents ($6M/hour/type). Beyond that Spark's non-ANSI
+    * Long arithmetic would WRAP SILENTLY (where DuckDB errors), so the
+    * operator raises on any hour past the bound instead of emitting
+    * garbage verdicts — at larger monetary scale, aggregate in whole
+    * dollars or units upstream. */
   def eventsHourlyAnomalies(spark: SparkSession, dir: String,
                             trailing: Int = 24, minTrailing: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // 2^63 / 24 / cents² headroom: fail loudly past the documented
+    // bound rather than let non-ANSI Long arithmetic wrap silently
+    val maxSafeCents = math.sqrt(Long.MaxValue.toDouble / trailing).toLong // ~6.2e8 at 24
     val hourly = Tables.events(spark, dir)
       .groupBy(col("event_type"),
         date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"))
       .agg(count(lit(1)).as("n_events"),
         sum(floor(coalesce(col("value"), lit(0.0)) * 100 + 0.5).cast("long")).as("cents"))
+      .withColumn("cents",
+        when(col("cents") > maxSafeCents, expr(
+          s"raise_error(concat('eventsHourlyAnomalies: hourly total exceeds the " +
+            s"integer z-score headroom ($maxSafeCents cents) — aggregate in " +
+            s"coarser units upstream: ', cents))"))
+          .otherwise(col("cents")))
     val w = Window.partitionBy("event_type").orderBy("hour")
       .rowsBetween(-trailing, -1)
     val dev = col("cents") * col("m") - col("s")

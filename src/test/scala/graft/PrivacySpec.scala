@@ -18,6 +18,10 @@ class PrivacySpec extends SparkSpec {
       ("mixed: bob@x.io or 555-123-4567 or 192.168.0.1 or id 77",
         "mixed: <EMAIL> or <PHONE> or <IP> or id XX"),
       ("no pii here at all", "no pii here at all"),
+      // < 7 digits is NOT a phone — numeric ranges keep their shape
+      ("pages 10 - 250 revised", "pages XX - XXX revised"),
+      // digit-dense dates ARE redacted by design (DOB is PII)
+      ("born 1994-05-01 in town", "born <PHONE> in town"),
       ("", ""))
     val got = rows.toDF("s", "want")
       .select(Privacy.scrub(col("s")).as("got"), col("want"))
