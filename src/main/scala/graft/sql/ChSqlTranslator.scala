@@ -68,6 +68,7 @@ object ChSqlTranslator {
     // (function rewrites introduce commas inside calls that a list split
     // must not cut through); then the signature rewrites.
     s = rewriteLimitBy(s)
+    s = rewriteParamAggs(s)
     s = rewriteFunctions(s)
     s.trim
   }
@@ -180,6 +181,11 @@ object ChSqlTranslator {
     "sumIf" -> (a => s"sum(CASE WHEN ${a(1)} THEN ${a(0)} END)"),
     "avgIf" -> (a => s"avg(CASE WHEN ${a(1)} THEN ${a(0)} END)"),
     "uniqExact" -> (a => s"count(DISTINCT ${a(0)})"),
+    // single-list forms: CH's default parameter is the median; the
+    // double-list parameterized forms are consumed by rewriteParamAggs
+    // before this map runs
+    "quantileExact" -> (a => s"percentile(${a(0)}, 0.5)"),
+    "quantile" -> (a => s"percentile(${a(0)}, 0.5)"),
     "toDate" -> (a => s"cast(${a(0)} as date)"),
     "toYYYYMMDD" -> (a => s"cast(date_format(${a(0)}, 'yyyyMMdd') as int)"),
     "round" -> (a => {
@@ -203,6 +209,47 @@ object ChSqlTranslator {
         s"(floor((${a(0)}) / cast($factor as double) + 0.5) * $factor)"
     }))
 
+  /** CH parameterized aggregates — the `fn(params)(args)` double-arg-
+    * list syntax: `quantile(0.5)(x)`. Both map to Spark's EXACT
+    * `percentile`: ClickHouse's plain `quantile` is sampling-based and
+    * non-deterministic run to run, which this engine's reproducibility
+    * contract (and any hash-based gate) cannot accept — determinism is
+    * the documented dialect decision, like round(). */
+  private val paramAggs: Map[String, (Seq[String], Seq[String]) => String] = Map(
+    "quantileExact" -> ((p, a) => s"percentile(${a(0)}, ${p(0)})"),
+    "quantile" -> ((p, a) => s"percentile(${a(0)}, ${p(0)})"))
+
+  private def rewriteParamAggs(sql: String): String = {
+    var s = sql
+    var changed = true
+    while (changed) {
+      changed = false
+      for ((name, map) <- paramAggs if !changed) {
+        // every non-literal occurrence, not just the first: a
+        // single-list call (valid CH, default parameter — handled by
+        // fnMaps later) must not shadow a double-list one behind it
+        val idx = indicesOfCall(s, name).find { i =>
+          val close1 = matchParen(s, s.indexOf('(', i + name.length))
+          var j = close1 + 1
+          while (j < s.length && s.charAt(j).isWhitespace) j += 1
+          j < s.length && s.charAt(j) == '('
+        }.getOrElse(-1)
+        if (idx >= 0) {
+          val open1 = s.indexOf('(', idx + name.length)
+          val close1 = matchParen(s, open1)
+          var j = close1 + 1
+          while (j < s.length && s.charAt(j).isWhitespace) j += 1
+          val close2 = matchParen(s, j)
+          val params = splitArgs(s.substring(open1 + 1, close1)).map(_.trim)
+          val args = splitArgs(s.substring(j + 1, close2)).map(_.trim)
+          s = s.substring(0, idx) + map(params, args) + s.substring(close2 + 1)
+          changed = true
+        }
+      }
+    }
+    s
+  }
+
   private def rewriteFunctions(sql: String): String = {
     var s = sql
     var changed = true
@@ -225,7 +272,11 @@ object ChSqlTranslator {
   /** Find `name(` as a whole word (case-insensitive), skipping matches
     * inside single-quoted string literals — a literal like
     * `'argMax(a,b)'` is data, not a call to rewrite. */
-  private def indexOfCall(s: String, name: String): Int = {
+  private def indexOfCall(s: String, name: String): Int =
+    indicesOfCall(s, name).headOption.getOrElse(-1)
+
+  /** All non-string-literal positions of `name(`. */
+  private def indicesOfCall(s: String, name: String): Seq[Int] = {
     val re = ("(?i)\\b" + name + "\\s*\\(").r
     val inString = {
       val m = new Array[Boolean](s.length)
@@ -238,7 +289,7 @@ object ChSqlTranslator {
       }
       m
     }
-    re.findAllMatchIn(s).map(_.start).find(p => !inString(p)).getOrElse(-1)
+    re.findAllMatchIn(s).map(_.start).filter(p => !inString(p)).toSeq
   }
 
   private def matchParen(s: String, open: Int): Int = {

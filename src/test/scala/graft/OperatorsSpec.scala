@@ -554,6 +554,26 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("native session_window agrees with the lag-based sessionization") {
+    // same 30-minute gap rule, two independent mechanisms: the
+    // registered operator's lag+running-sum windows vs Spark's native
+    // session_window aggregation (the streaming-capable form)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.get(1).toString, r.get(2).toString, r.getLong(3), r.getDouble(4))
+    val native = Tables.events(spark, sf)
+      .groupBy(col("user_id"),
+        session_window(col("ts").cast("timestamp"), "30 minutes"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        graft.functions.ChFunctions.exactSum(col("value"), 2).as("session_value"))
+      .select("user_id", "session_start", "session_end", "n_events", "session_value")
+      .collect().map(key).sortBy(t => (t._1, t._2)).toSeq
+    val lagBased = pipes.CdcPipes.eventsSessionization(spark, sf)
+      .select("user_id", "session_start", "session_end", "n_events", "session_value")
+      .collect().map(key).sortBy(t => (t._1, t._2)).toSeq
+    assert(native.nonEmpty && native == lagBased)
+  }
+
   test("integrity audit: known violations fire, clean constraints report zero") {
     val got = operators.Audit.integrityAudit(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap

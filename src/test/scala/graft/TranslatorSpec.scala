@@ -296,6 +296,26 @@ class TranslatorSpec extends SparkSpec {
     assert(r.getInt(5) == minTs.toLocalDate.toString.replace("-", "").toInt)
   }
 
+  test("parameterized aggregates: quantile(p)(x) double-arg-list syntax") {
+    dir // force view setup
+    val r = spark.sql(
+      """SELECT quantileExact(0.25)(passenger_count) AS q25,
+        |       quantile(0.9)(passenger_count) AS q90,
+        |       quantile(passenger_count) AS med,
+        |       quantileExact(0.5)(coalesce(passenger_count, 0)) AS med2
+        |FROM flights_raw""".stripMargin).first()
+    val raw = spark.read.parquet(s"$dir/flights_raw")
+    def pct(p: Double) = raw
+      .agg(expr(s"percentile(passenger_count, $p)")).first().getDouble(0)
+    assert(r.getDouble(0) == pct(0.25))
+    assert(r.getDouble(1) == pct(0.9))
+    assert(r.getDouble(2) == pct(0.5))
+    // a single-list call BEFORE a double-list one must not shadow it
+    val t = graft.sql.ChSqlTranslator.translate(
+      "SELECT quantile(x) AS a, quantile(0.75)(y) AS b FROM t")
+    assert(t.contains("percentile(x, 0.5)") && t.contains("percentile(y, 0.75)"), t)
+  }
+
   test("review hardening: quote escapes, comment apostrophes, LIMIT BY tail") {
     // '' and \' escapes must not desynchronize the literal mask and
     // silently disable rewrites after the literal
