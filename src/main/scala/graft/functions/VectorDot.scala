@@ -86,6 +86,10 @@ object GraftFunctions {
         exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_spans", exprs => WinnowSpans(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 }
 
@@ -121,5 +125,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[SimHash64].getName, "simhash64"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimHash64(exprs(0))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("winnow_spans"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[WinnowSpans].getName, "winnow_spans"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WinnowSpans(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue(),
+          exprs(2).eval().asInstanceOf[Number].intValue())))
   }
 }

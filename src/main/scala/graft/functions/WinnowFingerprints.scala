@@ -69,3 +69,73 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
     copy(child = newChild)
 }
+
+/** Positional winnowing: like [[WinnowFingerprints]] but each selected
+  * minimum is returned WITH the 0-based rolling-hash index it was
+  * taken from — `array<struct<pos:int, fp:bigint>>`, distinct by
+  * (pos, fp). The positions are what turn fingerprint matching into
+  * exact-substring SPAN detection: two documents sharing a run of
+  * fingerprints at a constant position offset share a contiguous
+  * substring (the winnowing guarantee, plus offset consistency), which
+  * is the scalable form of suffix-array substring dedup. Tie-break:
+  * the LEFTMOST minimum of each window (mirrored by the oracle's
+  * list_position, which returns the first occurrence). */
+case class WinnowSpans(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("fp", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = s.length
+    val M = 1073741824L // 2^30 — same modulus as WinnowFingerprints
+    val nh = math.max(n - k + 1, 1)
+    val rh = new Array[Long](nh)
+    var i = 0
+    while (i < nh) {
+      var acc = 0L
+      var j = 0
+      while (j < k) {
+        val c = if (i + j < n) s.charAt(i + j).toLong else 0L
+        acc = (acc * 31 + c) % M
+        j += 1
+      }
+      rh(i) = acc
+      i += 1
+    }
+    val nw = math.max(nh - w + 1, 1)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    i = 0
+    while (i < nw) {
+      var m = Long.MaxValue
+      var mp = i
+      var j = 0
+      while (j < w) {
+        val idx = i + j
+        if (idx < nh && rh(idx) < m) { m = rh(idx); mp = idx }
+        j += 1
+      }
+      // (pos, fp) packed: fp < 2^30, pos < 2^31 — collision-free key
+      seen.add((mp.toLong << 31) | m)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) {
+      val key = it.next().longValue()
+      out(p) = InternalRow((key >>> 31).toInt, key & ((1L << 31) - 1))
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowSpans =
+    copy(child = newChild)
+}

@@ -285,6 +285,52 @@ object TextDedup {
       .toDF("doc_id", "cluster_id", "cluster_size")
       .orderBy("cluster_id", "doc_id")
 
+  /** Exact-substring span detection — the scalable form of
+    * suffix-array substring dedup (the "dedup repeated spans, not just
+    * whole documents" step of corpus cleaning): positional winnowing
+    * fingerprints ([[graft.functions.WinnowSpans]]) joined on
+    * fingerprint, then grouped by (pair, POSITION OFFSET). A run of
+    * `minRun`+ fingerprints at one constant offset is a contiguous
+    * shared substring (winnowing guarantees a shared fingerprint per
+    * k+w−1 chars of any shared span; offset consistency kills
+    * coincidental single-fingerprint collisions). Output: one row per
+    * (pair, offset) span with its fingerprint count, both start
+    * positions, and the covered char width.
+    *
+    * Scale: the same inverted-index discipline as the near-dup suite —
+    * fingerprints df-capped (boilerplate spans bounded at maxDf² join
+    * fan-out), the join is a hash equi-join on the fingerprint, and
+    * the group key (doc_a, doc_b, delta) arrives pre-shuffled by the
+    * join's own partitioning. No suffix array, no global sort of the
+    * corpus — the 100 TB path the suffix-automaton literature's
+    * single-node tools can't take. */
+  def substringSpans(spark: SparkSession, dir: String, k: Int = 8, w: Int = 16,
+                     minRun: Int = 3, maxDf: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val sp = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(call_function("winnow_spans", col("text"), lit(k), lit(w))).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
+    val capped = sp
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("fp")))
+      .filter(col("__df") <= maxDf).drop("__df")
+    val a = capped.toDF("doc_a", "pos_a", "fp")
+    val b = capped.toDF("doc_b", "pos_b", "fp")
+    a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"),
+        (col("pos_a") - col("pos_b")).as("offset_delta"))
+      .agg(count(lit(1)).as("shared_fps"),
+        min(col("pos_a")).as("span_start_a"),
+        max(col("pos_a")).as("span_last_a"))
+      .filter(col("shared_fps") >= minRun)
+      .select(col("doc_a"), col("doc_b"), col("offset_delta"), col("shared_fps"),
+        col("span_start_a"),
+        (col("span_start_a") - col("offset_delta")).as("span_start_b"),
+        (col("span_last_a") - col("span_start_a") + k).as("span_chars"))
+      .orderBy("doc_a", "doc_b", "offset_delta")
+  }
+
   /** SimHash: 64-bit similarity-preserving fingerprint. Entirely per-row
     * (token hash → per-bit ±1 vote → sign), zero shuffle; near-dup
     * detection then compares fingerprints by hamming distance.

@@ -554,6 +554,61 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("substring spans match a driver-side positional-winnowing recompute") {
+    val K = 8; val W = 16; val MinRun = 3; val MaxDf = 100
+    def spansOf(s: String): Set[(Int, Long)] = {
+      val n = s.length
+      val nh = math.max(n - K + 1, 1)
+      val rh = Array.tabulate(nh) { i =>
+        (0 until K).foldLeft(0L)((acc, j) =>
+          (acc * 31 + (if (i + j < n) s.charAt(i + j).toLong else 0L)) % 1073741824L)
+      }
+      val nw = math.max(nh - W + 1, 1)
+      (0 until nw).map { i =>
+        val win = (i until math.min(i + W, nh))
+        val mp = win.minBy(rh)
+        (mp, rh(mp))
+      }.toSet
+    }
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // native expression agrees per doc, and projects to the same
+    // fingerprint SET as the non-positional native
+    val gotSpans = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        call_function("winnow_spans", col("text"), lit(K), lit(W)).as("s"),
+        call_function("winnow_fingerprints", col("text"), lit(K), lit(W)).as("f"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getInt(0), x.getLong(1))).toSet,
+        r.getSeq[Long](2).toSet))
+    gotSpans.foreach { case (id, sp, fp) =>
+      val want = spansOf(docs.toMap.apply(id))
+      assert(sp == want, s"doc $id spans")
+      assert(sp.map(_._2) == fp, s"doc $id: positional fps != plain fps")
+    }
+    // end-to-end pipeline recompute: df-cap → fp join → offset groups
+    val all = docs.flatMap { case (id, t) => spansOf(t).map(p => (id, p._1, p._2)) }
+    val df = all.groupBy(_._3).view.mapValues(_.length).toMap
+    val capped = all.filter(r => df(r._3) <= MaxDf)
+    val byFp = capped.groupBy(_._3)
+    val groups = scala.collection.mutable.Map[(Long, Long, Int), (Long, Int, Int)]()
+    byFp.values.foreach { rows =>
+      for (x <- rows; y <- rows if x._1 < y._1) {
+        val key = (x._1, y._1, x._2 - y._2)
+        val (c, lo, hi) = groups.getOrElse(key, (0L, Int.MaxValue, Int.MinValue))
+        groups(key) = (c + 1, math.min(lo, x._2), math.max(hi, x._2))
+      }
+    }
+    val want = groups.filter(_._2._1 >= MinRun).map { case ((a, b, d), (c, lo, hi)) =>
+      (a, b, d, c, lo, lo - d, hi - lo + K)
+    }.toSet
+    val got = operators.TextDedup.substringSpans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getInt(4), r.getInt(5), r.getInt(6))).toSet
+    assert(got.nonEmpty && got == want)
+  }
+
   test("native session_window agrees with the lag-based sessionization") {
     // same 30-minute gap rule, two independent mechanisms: the
     // registered operator's lag+running-sum windows vs Spark's native
