@@ -137,6 +137,7 @@ object SparkEntry {
     "docs_near_dup_pairs"   -> ((s, d) => operators.TextDedup.nearDupPairs(s, d)),
     "docs_dup_clusters"     -> ((s, d) => operators.TextDedup.dupClusters(s, d)),
     "docs_substring_spans"  -> ((s, d) => operators.TextDedup.substringSpans(s, d)),
+    "docs_span_doc_stats"   -> ((s, d) => operators.TextDedup.spanDocStats(s, d)),
     "docs_minhash_bands"    -> (operators.TextDedup.minhashBands _),
     "docs_minhash_lsh_pairs" -> ((s, d) => operators.TextDedup.minhashLshPairs(s, d)),
     "docs_simhash"          -> (operators.TextDedup.simhash _),
@@ -220,6 +221,44 @@ object SparkEntry {
       |      i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))) * 1000000 + 0.5) / 1000000.0 AS cosine
       |  FROM cand JOIN embeddings x ON x.vec_id = cand.vec_a
       |            JOIN embeddings y ON y.vec_id = cand.vec_b)""".stripMargin
+
+  /** Positional winnowing → df-cap → fingerprint join → offset-
+    * consistent span groups, ending in `spans(doc_a, doc_b,
+    * offset_delta, shared_fps, span_start_a, span_start_b,
+    * span_chars)` — shared by the span endpoint and the per-doc
+    * rollup (mirrors TextDedup.substringSpans stage for stage). */
+  private val spanCtes =
+    """rh AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(1, greatest(length(text)-7, 1)),
+      |      i -> list_reduce(
+      |             list_prepend(CAST(0 AS BIGINT),
+      |               list_transform(generate_series(0, 7), j -> CAST(ascii(substring(text, i+j, 1)) AS BIGINT))),
+      |             (acc, c) -> (acc*31 + c) % 1073741824)) AS h
+      |  FROM documents),
+      |wsel AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(1, greatest(len(h)-15, 1)),
+      |      i -> {'pos': CAST(i - 1 + list_position(h[i:i+15], list_min(h[i:i+15])) - 1 AS INT),
+      |            'fp': list_min(h[i:i+15])}) AS sel
+      |  FROM rh),
+      |spx AS (SELECT DISTINCT doc_id, pos, fp
+      |       FROM (SELECT doc_id, unnest(sel, recursive := true) FROM wsel)),
+      |dfq2 AS (SELECT fp, count(*) AS df FROM spx GROUP BY 1),
+      |capped2 AS (SELECT spx.* FROM spx JOIN dfq2 USING (fp) WHERE df <= 100),
+      |fpairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         a.pos AS pos_a, a.pos - b.pos AS offset_delta
+      |  FROM capped2 a JOIN capped2 b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+      |spang AS (
+      |  SELECT doc_a, doc_b, offset_delta, count(*) AS shared_fps,
+      |         min(pos_a) AS span_start_a, max(pos_a) AS span_last_a
+      |  FROM fpairs GROUP BY 1, 2, 3),
+      |spans AS (
+      |  SELECT doc_a, doc_b, offset_delta, shared_fps, span_start_a,
+      |         span_start_a - offset_delta AS span_start_b,
+      |         span_last_a - span_start_a + 8 AS span_chars
+      |  FROM spang WHERE shared_fps >= 3)""".stripMargin
 
   /** The k-means train loop as a generated DuckDB CTE chain — one
     * (assign d/g, unnest x, centroid c, re-assemble a) block per
@@ -859,40 +898,25 @@ object SparkEntry {
         |SELECT doc_id, cluster_id,
         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
         |FROM lab ORDER BY cluster_id, doc_id""".stripMargin,
-    // positional winnowing (shares the rh rolling-hash CTE text with
+    // positional winnowing (shares the rh rolling-hash arithmetic with
     // winnowCtes) → df-cap → fingerprint join → offset-consistent runs
     "docs_substring_spans" ->
-      """WITH rh AS (
-        |  SELECT doc_id,
-        |    list_transform(generate_series(1, greatest(length(text)-7, 1)),
-        |      i -> list_reduce(
-        |             list_prepend(CAST(0 AS BIGINT),
-        |               list_transform(generate_series(0, 7), j -> CAST(ascii(substring(text, i+j, 1)) AS BIGINT))),
-        |             (acc, c) -> (acc*31 + c) % 1073741824)) AS h
-        |  FROM documents),
-        |wsel AS (
-        |  SELECT doc_id,
-        |    list_transform(generate_series(1, greatest(len(h)-15, 1)),
-        |      i -> {'pos': CAST(i - 1 + list_position(h[i:i+15], list_min(h[i:i+15])) - 1 AS INT),
-        |            'fp': list_min(h[i:i+15])}) AS sel
-        |  FROM rh),
-        |sp AS (SELECT DISTINCT doc_id, pos, fp
-        |       FROM (SELECT doc_id, unnest(sel, recursive := true) FROM wsel)),
-        |dfq AS (SELECT fp, count(*) AS df FROM sp GROUP BY 1),
-        |capped AS (SELECT sp.* FROM sp JOIN dfq USING (fp) WHERE df <= 100),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |         a.pos AS pos_a, a.pos - b.pos AS offset_delta
-        |  FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id),
-        |g AS (
-        |  SELECT doc_a, doc_b, offset_delta, count(*) AS shared_fps,
-        |         min(pos_a) AS span_start_a, max(pos_a) AS span_last_a
-        |  FROM pairs GROUP BY 1, 2, 3)
+      s"""WITH $spanCtes
         |SELECT doc_a, doc_b, offset_delta, shared_fps, span_start_a,
-        |       span_start_a - offset_delta AS span_start_b,
-        |       span_last_a - span_start_a + 8 AS span_chars
-        |FROM g WHERE shared_fps >= 3
-        |ORDER BY doc_a, doc_b, offset_delta""".stripMargin,
+        |       span_start_b, span_chars
+        |FROM spans ORDER BY doc_a, doc_b, offset_delta""".stripMargin,
+    // per-document rollup of the same spans CTE
+    "docs_span_doc_stats" ->
+      s"""WITH $spanCtes,
+        |u AS (
+        |  SELECT doc_a AS doc_id, doc_b AS partner, span_chars FROM spans
+        |  UNION ALL
+        |  SELECT doc_b, doc_a, span_chars FROM spans)
+        |SELECT doc_id, count(*) AS n_spans,
+        |  count(DISTINCT partner) AS n_partners,
+        |  max(span_chars) AS max_span_chars,
+        |  max(span_chars) >= 40 AS has_long_dup
+        |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "docs_top_terms" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),

@@ -331,6 +331,27 @@ object TextDedup {
       .orderBy("doc_a", "doc_b", "offset_delta")
   }
 
+  /** Per-document rollup of [[substringSpans]]: how much of each doc
+    * is duplicated elsewhere — span count, distinct partner docs, the
+    * widest shared span, and the "has a long duplicated span" verdict
+    * (>= `longSpanChars`) that substring-dedup pipelines act on
+    * (trim the span or drop the doc). One extra tiny aggregation over
+    * the span table; the heavy lift is shared with the span endpoint. */
+  def spanDocStats(spark: SparkSession, dir: String,
+                   longSpanChars: Int = 40): DataFrame = {
+    val spans = substringSpans(spark, dir)
+    val u = spans.select(col("doc_a").as("doc_id"), col("doc_b").as("partner"),
+        col("span_chars"))
+      .unionByName(spans.select(col("doc_b").as("doc_id"),
+        col("doc_a").as("partner"), col("span_chars")))
+    u.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        countDistinct(col("partner")).as("n_partners"),
+        max(col("span_chars")).as("max_span_chars"))
+      .withColumn("has_long_dup", col("max_span_chars") >= longSpanChars)
+      .orderBy("doc_id")
+  }
+
   /** SimHash: 64-bit similarity-preserving fingerprint. Entirely per-row
     * (token hash → per-bit ±1 vote → sign), zero shuffle; near-dup
     * detection then compares fingerprints by hamming distance.

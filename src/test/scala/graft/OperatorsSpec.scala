@@ -609,6 +609,22 @@ class OperatorsSpec extends SparkSpec {
     assert(got.nonEmpty && got == want)
   }
 
+  test("span doc stats aggregate the span table exactly") {
+    val spans = TextDedup.substringSpans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(6)))
+    val u = spans.map(s => (s._1, s._2, s._3)) ++ spans.map(s => (s._2, s._1, s._3))
+    val want = u.groupBy(_._1).map { case (id, rows) =>
+      id -> ((rows.length.toLong, rows.map(_._2).distinct.length.toLong,
+        rows.map(_._3).max, rows.map(_._3).max >= 40))
+    }
+    val got = TextDedup.spanDocStats(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(3), r.getBoolean(4)))).toMap
+    assert(got.nonEmpty && got == want)
+    assert(got.values.exists(_._4) && got.values.exists(!_._4),
+      "both verdicts should occur at test SF")
+  }
+
   test("native session_window agrees with the lag-based sessionization") {
     // same 30-minute gap rule, two independent mechanisms: the
     // registered operator's lag+running-sum windows vs Spark's native
