@@ -80,6 +80,29 @@ object CdcStream {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
+  /** Streaming PII scrub — the privacy MV: every arriving document is
+    * redacted IN ROW ([[graft.operators.Privacy.scrub]], a pure
+    * codegen'd projection) and appended with its audit count, so
+    * nothing downstream of this sink ever sees raw PII. Stateless —
+    * the scrub-at-ingest placement is the point: at 100 TB you scrub
+    * each byte exactly once, on arrival, not per consumer. Equality
+    * with the batch scrub over any replay is asserted in
+    * StreamingSpec. */
+  def startScrubMv(spark: SparkSession, srcDir: String, outDir: String,
+                   checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(docSchema).parquet(srcDir)
+      .select(col("doc_id"),
+        graft.operators.Privacy.scrub(col("text")).as("text"),
+        graft.operators.Privacy.digitCount(col("text")).as("n_pii_digits"),
+        col("lang"), col("source"))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming near-dup signature maintenance — the dedup MV: each
     * arriving document's MinHash band signature is computed IN ROW
     * (stateless projection, [[graft.operators.TextDedup.minhashBandsPerRow]])

@@ -372,6 +372,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSet == batch)
   }
 
+  test("streaming PII scrub MV equals the batch scrub over a two-chunk replay") {
+    val src = tmp(); val outDir = tmp() + "/scrubbed"; val ck = tmp() + "/ck"
+    val docs = Tables.documents(spark, sf)
+    Seq(docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1))
+      .zipWithIndex.foreach { case (c, i) =>
+        c.write.parquet(s"$src/chunk$i")
+        CdcStream.startScrubMv(spark, s"$src/chunk*", outDir, ck).awaitTermination()
+      }
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id", "text", "n_pii_digits").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    val batch = docs
+      .select(col("doc_id"), operators.Privacy.scrub(col("text")).as("t"),
+        operators.Privacy.digitCount(col("text")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(streamed == batch)
+  }
+
   test("streaming minhash MV: incremental bands log equals the batch band table") {
     val src = tmp(); val bandsDir = tmp() + "/bands"; val ck = tmp() + "/ck"
     val docs = Tables.documents(spark, sf)
