@@ -132,6 +132,7 @@ object SparkEntry {
     "docs_sample_weighted_stats" -> (operators.TrainingMix.sampleWeightedStats _),
     "docs_pack_sequences"   -> ((s, d) => operators.TrainingMix.packSequences(s, d)),
     "docs_training_corpus"  -> ((s, d) => operators.TrainingMix.buildCorpus(s, d)),
+    "docs_training_corpus_v2" -> ((s, d) => operators.TrainingMix.buildCorpusV2(s, d)),
     // training-data pipeline: dedup suite
     "docs_exact_dedup"      -> (operators.TextDedup.exactDedup _),
     "docs_near_dup_pairs"   -> ((s, d) => operators.TextDedup.nearDupPairs(s, d)),
@@ -221,6 +222,29 @@ object SparkEntry {
       |      i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))) * 1000000 + 0.5) / 1000000.0 AS cosine
       |  FROM cand JOIN embeddings x ON x.vec_id = cand.vec_a
       |            JOIN embeddings y ON y.vec_id = cand.vec_b)""".stripMargin
+
+  /** The Gopher repetition metrics as DuckDB CTEs (mirrors
+    * TextAnalysis.repetitionFilters), ending in `per` (per-row
+    * metrics) and `tp` (top-unigram fraction) — shared by the filter
+    * endpoint and the v2 corpus build. */
+  private val repetitionCtes =
+    """tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |per AS (
+      |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+      |    floor(CAST(len(list_distinct(t)) AS DOUBLE) / len(t) * 10000 + 0.5) / 10000.0 AS distinct_ratio,
+      |    CASE WHEN len(t) >= 3 THEN
+      |      floor((len(list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      |             - len(list_distinct(list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))))
+      |            * CAST(1 AS DOUBLE)
+      |            / len(list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      |            * 10000 + 0.5) / 10000.0
+      |    ELSE CAST(0 AS DOUBLE) END AS dup_trigram_frac
+      |  FROM tok),
+      |u AS (SELECT doc_id, len(t) AS n, unnest(t) AS w FROM tok),
+      |tf AS (SELECT doc_id, n, w, count(*) AS c FROM u GROUP BY 1, 2, 3),
+      |tp AS (
+      |  SELECT doc_id, floor(CAST(max(c) AS DOUBLE) / n * 10000 + 0.5) / 10000.0 AS top_unigram_frac
+      |  FROM tf GROUP BY doc_id, n)""".stripMargin
 
   /** Positional winnowing → df-cap → fingerprint join → offset-
     * consistent span groups, ending in `spans(doc_a, doc_b,
@@ -799,27 +823,46 @@ object SparkEntry {
         |  CAST(list_sum(q) AS BIGINT) AS q_sum
         |FROM s ORDER BY vec_id""".stripMargin,
     "docs_repetition_filters" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |per AS (
-        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
-        |    floor(CAST(len(list_distinct(t)) AS DOUBLE) / len(t) * 10000 + 0.5) / 10000.0 AS distinct_ratio,
-        |    CASE WHEN len(t) >= 3 THEN
-        |      floor((len(list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
-        |             - len(list_distinct(list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))))
-        |            * CAST(1 AS DOUBLE)
-        |            / len(list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
-        |            * 10000 + 0.5) / 10000.0
-        |    ELSE CAST(0 AS DOUBLE) END AS dup_trigram_frac
-        |  FROM tok),
-        |u AS (SELECT doc_id, len(t) AS n, unnest(t) AS w FROM tok),
-        |tf AS (SELECT doc_id, n, w, count(*) AS c FROM u GROUP BY 1, 2, 3),
-        |tp AS (
-        |  SELECT doc_id, floor(CAST(max(c) AS DOUBLE) / n * 10000 + 0.5) / 10000.0 AS top_unigram_frac
-        |  FROM tf GROUP BY doc_id, n)
+      s"""WITH $repetitionCtes
         |SELECT per.doc_id, n_tokens, distinct_ratio, dup_trigram_frac, top_unigram_frac,
         |  (top_unigram_frac <= 0.15 AND dup_trigram_frac <= 0.02) AS keep
         |FROM per JOIN tp ON per.doc_id = tp.doc_id
         |ORDER BY per.doc_id""".stripMargin,
+    // corpus build v2: repetition verdict + substring-dedup verdict +
+    // exact dedup + shared split/pack tail — every CTE block shared
+    // with the stage's own oracled endpoint
+    "docs_training_corpus_v2" ->
+      s"""WITH $repetitionCtes,
+        |$spanCtes,
+        |sds AS (
+        |  SELECT doc_id, max(span_chars) >= 40 AS has_long_dup FROM (
+        |    SELECT doc_a AS doc_id, span_chars FROM spans
+        |    UNION ALL SELECT doc_b, span_chars FROM spans) GROUP BY doc_id),
+        |rkeep AS (
+        |  SELECT per.doc_id FROM per JOIN tp ON per.doc_id = tp.doc_id
+        |  WHERE top_unigram_frac <= 0.15 AND dup_trigram_frac <= 0.02),
+        |q2 AS (
+        |  SELECT d.doc_id, d.lang, d.text
+        |  FROM documents d JOIN rkeep ON d.doc_id = rkeep.doc_id
+        |  LEFT JOIN sds ON d.doc_id = sds.doc_id
+        |  WHERE sds.has_long_dup IS NULL OR NOT sds.has_long_dup),
+        |exd2 AS (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM q2),
+        |kept2 AS (SELECT doc_id, lang, text FROM exd2 WHERE rn = 1),
+        |t2 AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN substr(md5(text), 1, 2) < 'cd' THEN 'train'
+        |         WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val' ELSE 'test' END AS split,
+        |    CAST(doc_id % 4 AS INT) AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM kept2),
+        |p2 AS (
+        |  SELECT doc_id, lang, split, shard, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY split, lang, shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+        |  FROM t2)
+        |SELECT doc_id, lang, split, shard, n_tokens,
+        |  CAST(floor(tokens_before / 256.0) AS BIGINT) AS pack_id
+        |FROM p2 ORDER BY doc_id""".stripMargin,
     "docs_lm_score" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |bi AS (

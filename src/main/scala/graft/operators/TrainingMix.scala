@@ -107,6 +107,13 @@ object TrainingMix {
       .select("doc_id", "cluster_id")
     val kept = exactCanon.join(broadcast(clusters), Seq("doc_id"), "left")
       .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+    splitAndPack(kept, budget, nShards)
+  }
+
+  /** The shared tail of both corpus builds: md5 train/val/test split,
+    * sharding, token counting, running-sum packing — ONE definition so
+    * the two pipeline variants cannot drift in their output stage. */
+  private def splitAndPack(kept: DataFrame, budget: Int, nShards: Int): DataFrame = {
     val w = Window.partitionBy("split", "lang", "shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     kept
@@ -118,6 +125,37 @@ object TrainingMix {
       .withColumn("pack_id", floor(col("tokens_before") / lit(budget.toDouble)))
       .select("doc_id", "lang", "split", "shard", "n_tokens", "pack_id")
       .orderBy("doc_id")
+  }
+
+  /** Corpus build v2 — the same ship-a-training-corpus pipeline with
+    * the round-4 quality tooling swapped in:
+    *
+    *   Gopher repetition verdict (keep)
+    *     → substring-dedup verdict (drop docs with a 40+-char span
+    *       shared with another doc — [[TextDedup.spanDocStats]];
+    *       docs with no spans pass)
+    *       → exact dedup (canonical = min doc_id per content digest)
+    *         → md5 split → token-budget packing (shared tail).
+    *
+    * Still ONE declarative plan: Catalyst fuses the filter joins, and
+    * each stage's semantics stay individually verified by its own
+    * oracled endpoint. */
+  def buildCorpusV2(spark: SparkSession, dir: String,
+                    budget: Int = 256, nShards: Int = 4): DataFrame = {
+    val rep = TextAnalysis.repetitionFilters(spark, dir)
+      .select(col("doc_id"), col("keep"))
+    val spans = TextDedup.spanDocStats(spark, dir)
+      .select(col("doc_id"), col("has_long_dup"))
+    val quality = Tables.documents(spark, dir)
+      .join(rep, "doc_id").filter(col("keep")).drop("keep")
+      .join(spans, Seq("doc_id"), "left")
+      .filter(col("has_long_dup").isNull || !col("has_long_dup"))
+      .drop("has_long_dup")
+    val exactCanon = quality
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
+      .filter(col("__rn") === 1).drop("__rn")
+    splitAndPack(exactCanon, budget, nShards)
   }
 
   def packSequences(spark: SparkSession, dir: String,

@@ -609,6 +609,42 @@ class OperatorsSpec extends SparkSpec {
     assert(got.nonEmpty && got == want)
   }
 
+  test("corpus v2: every stage invariant holds vs the component endpoints") {
+    val keepSet = operators.TextAnalysis.repetitionFilters(spark, sf)
+      .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val longDup = operators.TextDedup.spanDocStats(spark, sf)
+      .filter(col("has_long_dup")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val digests = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text")).as("d")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = operators.TrainingMix.buildCorpusV2(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3),
+        r.getLong(4), r.getLong(5)))
+    val kept = out.map(_._1).toSet
+    assert(kept.nonEmpty && kept.size < keepSet.size,
+      "v2 must keep a strict subset (span/exact dedup must drop something)")
+    // stage invariants
+    assert(kept.subsetOf(keepSet), "a kept doc failed the repetition verdict")
+    assert(kept.intersect(longDup).isEmpty, "a kept doc has a long duplicated span")
+    val survivors = (keepSet -- longDup)
+    kept.foreach { id =>
+      val sameDigest = survivors.filter(o => digests(o) == digests(id))
+      assert(sameDigest.min == id, s"doc $id kept but is not its digest-canonical")
+    }
+    (survivors -- kept).foreach { id =>
+      val sameDigest = survivors.filter(o => digests(o) == digests(id))
+      assert(sameDigest.min != id, s"doc $id dropped but IS its digest-canonical")
+    }
+    // packing recompute on the kept rows
+    out.groupBy(r => (r._3, r._2, r._4)).foreach { case (_, rows) =>
+      var before = 0L
+      rows.sortBy(_._1).foreach { r =>
+        assert(r._6 == math.floor(before / 256.0).toLong, s"doc ${r._1} pack_id")
+        before += r._5
+      }
+    }
+  }
+
   test("span doc stats aggregate the span table exactly") {
     val spans = TextDedup.substringSpans(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(6)))
