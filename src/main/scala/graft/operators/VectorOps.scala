@@ -365,6 +365,23 @@ object VectorOps {
       1, Seq(col("vec_id")), Seq(col("__sim").desc, col("list_id")))
   }
 
+  /** Per-row nearest-list assignment against a FIXED anchor set — the
+    * streaming-MV form of [[assignToLists]]: `least` over
+    * (−sim, list_id) structs is the same "6dp sim desc, list_id asc"
+    * canon expressed without a ranking window (windows are illegal on
+    * streams), fully codegen'd, zero state. The anchor set is the
+    * index DEFINITION (like the LSH hyperplanes) — a handful of
+    * vectors shipped with the plan. Agreement with the batch window
+    * path is asserted in StreamingSpec via the oracled per-list
+    * histogram. */
+  def perRowListAssign(emb: Column, anchors: Seq[(Long, Array[Float])]): Column = {
+    val cands = anchors.map { case (lid, a) =>
+      val al = array(a.toIndexedSeq.map(lit): _*)
+      struct((-floorRound(dot(emb, al), 6)).as("negsim"), lit(lid).as("list_id"))
+    }
+    least(cands: _*).getField("list_id")
+  }
+
   def ivfAssign(spark: SparkSession, dir: String, nLists: Int = 8): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     assignToLists(Tables.embeddings(spark, dir), nLists)

@@ -80,6 +80,37 @@ object CdcStream {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
+  /** The `embeddings` table shape for streaming vector ingest. */
+  val embSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Streaming IVF index maintenance — the vector analogue of the
+    * minhash-band MV: every arriving embedding is assigned to its
+    * nearest anchor list IN ROW
+    * ([[graft.operators.VectorOps.perRowListAssign]] — the window-free
+    * form of the batch canon) and appended to the assignment log. At
+    * 100 TB this is how the ANN index stays current: assignment cost
+    * is per-vector, the log is partitionable by list_id, and search
+    * reads only its probed lists. */
+  def startIvfAssignMv(spark: SparkSession, srcDir: String, outDir: String,
+                       checkpointDir: String,
+                       anchors: Seq[(Long, Array[Float])]): StreamingQuery = {
+    graft.functions.GraftFunctions.register(spark)
+    spark.readStream.schema(embSchema).parquet(srcDir)
+      .select(col("vec_id"),
+        graft.operators.VectorOps.perRowListAssign(col("embedding"), anchors)
+          .as("list_id"))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming PII scrub — the privacy MV: every arriving document is
     * redacted IN ROW ([[graft.operators.Privacy.scrub]], a pure
     * codegen'd projection) and appended with its audit count, so

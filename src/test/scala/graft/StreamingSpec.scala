@@ -372,6 +372,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSet == batch)
   }
 
+  test("streaming IVF assignment MV agrees with the batch index histogram") {
+    val src = tmp(); val outDir = tmp() + "/assign"; val ck = tmp() + "/ck"
+    val emb = Tables.embeddings(spark, sf)
+    val anchors = emb.filter(col("vec_id") < 8)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1).toSeq
+    Seq(emb.filter(col("vec_id") % 2 === 0), emb.filter(col("vec_id") % 2 === 1))
+      .zipWithIndex.foreach { case (c, i) =>
+        c.write.parquet(s"$src/chunk$i")
+        CdcStream.startIvfAssignMv(spark, s"$src/chunk*", outDir, ck, anchors)
+          .awaitTermination()
+      }
+    val streamed = spark.read.parquet(outDir)
+      .select("vec_id", "list_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(streamed.length == emb.count(), "every vector assigned exactly once")
+    assert(streamed.map(_._1).distinct.length == streamed.length)
+    // the per-row least-struct canon must reproduce the batch window
+    // path's oracled per-list histogram exactly
+    val histStreamed = streamed.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val histBatch = operators.VectorOps.ivfAssign(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(histStreamed == histBatch)
+  }
+
   test("streaming PII scrub MV equals the batch scrub over a two-chunk replay") {
     val src = tmp(); val outDir = tmp() + "/scrubbed"; val ck = tmp() + "/ck"
     val docs = Tables.documents(spark, sf)
