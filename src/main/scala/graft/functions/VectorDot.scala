@@ -55,17 +55,24 @@ case class VectorDot(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
+      // fresh names per call site: several dots can land in ONE
+      // codegen stage (e.g. scoring a row against every anchor), and
+      // fixed names would collide — janino rejects the stage and the
+      // whole pipeline silently falls back to interpreted evaluation
+      val n = ctx.freshName("graftN")
+      val s = ctx.freshName("graftS")
+      val i = ctx.freshName("graftI")
       s"""
-         |int graftN = $x.numElements();
-         |if ($y.numElements() != graftN) {
+         |int $n = $x.numElements();
+         |if ($y.numElements() != $n) {
          |  throw new IllegalArgumentException(
-         |    "vector_dot: dimension mismatch (" + graftN + " vs " + $y.numElements() + ")");
+         |    "vector_dot: dimension mismatch (" + $n + " vs " + $y.numElements() + ")");
          |}
-         |double graftS = 0.0;
-         |for (int graftI = 0; graftI < graftN; graftI++) {
-         |  graftS += (double) $x.getFloat(graftI) * (double) $y.getFloat(graftI);
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $x.getFloat($i) * (double) $y.getFloat($i);
          |}
-         |${ev.value} = graftS;
+         |${ev.value} = $s;
        """.stripMargin
     })
 
