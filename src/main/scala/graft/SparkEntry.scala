@@ -88,6 +88,10 @@ object SparkEntry {
     "events_value_quantiles" -> (CdcPipes.eventsValueQuantiles _),
     "events_hourly_anomalies" -> ((s, d) => CdcPipes.eventsHourlyAnomalies(s, d)),
     "events_value_histogram" -> (CdcPipes.eventsValueHistogram _),
+    "events_grouping_sets"  -> (CdcPipes.eventsGroupingSets _),
+    "events_rolling_value"  -> (CdcPipes.eventsRollingValue _),
+    "user_value_deciles"    -> (CdcPipes.userValueDeciles _),
+    "orders_pivot"          -> (TpchPipes.ordersPivot _),
     "events_retention"      -> (CdcPipes.eventsRetention _),
     "orders_rollup"         -> (TpchPipes.ordersRollup _),
     "lineitem_cube"         -> (TpchPipes.lineitemCube _),
@@ -526,6 +530,41 @@ object SparkEntry {
         |  min(CASE WHEN cum >= ceil(total * CAST(0.95 AS DOUBLE)) THEN bin END) AS p95_bin,
         |  max(bin) AS max_bin
         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_grouping_sets" ->
+      """WITH e AS (
+        |  SELECT event_type, dayofweek(ts) + 1 AS dow,
+        |    CAST(floor(coalesce(value, 0) * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) / CAST(100 AS DOUBLE) AS total_value,
+        |  CAST(GROUPING(event_type) AS INT) AS g_type,
+        |  CAST(GROUPING(dow) AS INT) AS g_dow
+        |FROM e GROUP BY GROUPING SETS ((event_type), (dow), ())
+        |ORDER BY g_type, g_dow, event_type NULLS FIRST, dow NULLS FIRST""".stripMargin,
+    "events_rolling_value" ->
+      """SELECT event_id, user_id, ts,
+        |  CAST(sum(CAST(floor(coalesce(value, 0) * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT)
+        |    / CAST(100 AS DOUBLE) AS rolling_value,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_in_window
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "user_value_deciles" ->
+      """WITH t AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(floor(coalesce(value, 0) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      / CAST(100 AS DOUBLE) AS total_value
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, total_value,
+        |  CAST(ntile(10) OVER (ORDER BY total_value DESC, user_id) AS INT) AS decile
+        |FROM t ORDER BY user_id""".stripMargin,
+    "orders_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "events_hourly_anomalies" ->
       """WITH hourly AS (
         |  SELECT event_type, date_trunc('hour', ts) AS hour,

@@ -335,6 +335,59 @@ object CdcPipes {
       .orderBy("event_type")
   }
 
+  /** GROUPING SETS — the generalization of rollup/cube: three
+    * independent groupings (by type, by day-of-week, grand total) in
+    * ONE pass over the facts with map-side partials per set, instead
+    * of three scans. grouping() flags distinguish "NULL because
+    * aggregated" from data nulls — the standard OLAP disambiguator. */
+  def eventsGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), dayofweek(col("ts")).as("dow"),
+        floor(coalesce(col("value"), lit(0.0)) * 100 + 0.5).cast("long").as("cents"))
+    e.groupingSets(
+        Seq(Seq(col("event_type")), Seq(col("dow")), Seq()),
+        col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("cents")) / lit(100.0)).as("total_value"),
+        grouping(col("event_type")).cast("int").as("g_type"),
+        grouping(col("dow")).cast("int").as("g_dow"))
+      .orderBy(col("g_type"), col("g_dow"), col("event_type"), col("dow"))
+  }
+
+  /** Trailing range-frame window: each event's same-user value sum
+    * over the PRECEDING HOUR — a true RANGE frame on event time (all
+    * peers within the interval, not a row count), the rolling-feature
+    * shape. Ordering key is integer microseconds so the frame bounds
+    * are exact on both engines. One shuffle on user_id. */
+  def eventsRollingValue(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-3600L * 1000000L, 0L)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        floor(coalesce(col("value"), lit(0.0)) * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("rolling_value", sum(col("cents")).over(w) / lit(100.0))
+      .withColumn("n_in_window", count(lit(1)).over(w))
+      .select("event_id", "user_id", "ts", "rolling_value", "n_in_window")
+      .orderBy("event_id")
+  }
+
+  /** Per-user value deciles: ntile(10) over deterministic total-value
+    * ordering (total desc, user_id tiebreak) — the feature-bucketing
+    * step (spend deciles, engagement tiers). The heavy aggregation is
+    * map-side combined; the ntile runs on one row per user. */
+  def userValueDeciles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg((sum(floor(coalesce(col("value"), lit(0.0)) * 100 + 0.5).cast("long"))
+        / lit(100.0)).as("total_value"))
+      .withColumn("decile", ntile(10).over(
+        Window.orderBy(col("total_value").desc, col("user_id"))))
+      .orderBy("user_id")
+  }
+
   /** Mergeable histogram quantiles: the value distribution per event
     * type as fixed-width integer bins (1 dollar), with p50/p95
     * estimated from the cumulative histogram — the MERGEABLE quantile

@@ -88,6 +88,22 @@ object TpchPipes {
       .orderBy(col("r_name"), col("n_name"))
   }
 
+  /** Native pivot: order counts per priority × status, via the
+    * DataFrame pivot API with EXPLICIT pivot values — at scale, the
+    * explicit list is the difference between one pass and a
+    * values-discovery pre-query; the plan is the same conditional
+    * aggregation orders_status_matrix writes by hand. */
+  def ordersPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("O"), lit(0L)).as("n_open"),
+        coalesce(col("F"), lit(0L)).as("n_finished"),
+        coalesce(col("P"), lit(0L)).as("n_pending"))
+      .orderBy("o_orderpriority")
+
   /** Global top-k (O1 + limit): top 10 customers by order value. The sort
     * after aggregation is on ~#customers rows, and Spark's Limit uses a
     * TakeOrdered physical op — no full global sort materialization. */

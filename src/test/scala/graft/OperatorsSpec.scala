@@ -741,6 +741,23 @@ class OperatorsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("rolling range-frame window matches a per-event driver scan") {
+    val evs = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        floor(coalesce(col("value"), lit(0.0)) * 100 + 0.5).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byUser = evs.groupBy(_._2)
+    val want = evs.map { case (id, u, us, _) =>
+      val peers = byUser(u).filter(e => e._3 >= us - 3600L * 1000000L && e._3 <= us)
+      id -> ((peers.map(_._4).sum / 100.0, peers.length.toLong))
+    }.toMap
+    val got = pipes.CdcPipes.eventsRollingValue(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(3), r.getLong(4)))).toMap
+    assert(got.size == want.size)
+    got.foreach { case (k, v) => assert(v == want(k), s"event $k") }
+  }
+
   test("hourly anomalies match a driver-side trailing-window recompute") {
     val evs = Tables.events(spark, sf).select("event_type", "ts", "value").collect()
       .map(r => (r.getString(0),
