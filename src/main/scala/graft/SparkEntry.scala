@@ -92,6 +92,8 @@ object SparkEntry {
     "events_rolling_value"  -> (CdcPipes.eventsRollingValue _),
     "user_value_deciles"    -> (CdcPipes.userValueDeciles _),
     "orders_pivot"          -> (TpchPipes.ordersPivot _),
+    "events_funnel"         -> ((s, d) => CdcPipes.eventsFunnel(s, d)),
+    "cheapest_supplier_per_part" -> (TpchPipes.cheapestSupplierPerPart _),
     "events_retention"      -> (CdcPipes.eventsRetention _),
     "orders_rollup"         -> (TpchPipes.ordersRollup _),
     "lineitem_cube"         -> (TpchPipes.lineitemCube _),
@@ -530,6 +532,37 @@ object SparkEntry {
         |  min(CASE WHEN cum >= ceil(total * CAST(0.95 AS DOUBLE)) THEN bin END) AS p95_bin,
         |  max(bin) AS max_bin
         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND ts > t1 AND ts <= t1 + INTERVAL 7 DAY
+        |  GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(ts) AS t3
+        |  FROM events e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts > t2 AND ts <= t1 + INTERVAL 7 DAY
+        |  GROUP BY 1)
+        |SELECT s1.user_id, t1, t2, t3,
+        |  1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+        |    + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS funnel_level
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |        LEFT JOIN s3 ON s1.user_id = s3.user_id
+        |ORDER BY s1.user_id""".stripMargin,
+    "cheapest_supplier_per_part" ->
+      """WITH unit AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(CAST(floor(l_extendedprice / l_quantity * 1000 + 0.5) AS BIGINT)) AS best_milli
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY l_partkey
+        |    ORDER BY best_milli, l_suppkey) AS rn
+        |  FROM unit)
+        |SELECT l_partkey, l_suppkey, s_name,
+        |  best_milli / CAST(1000 AS DOUBLE) AS best_unit_price
+        |FROM r JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rn = 1 ORDER BY l_partkey""".stripMargin,
     "events_grouping_sets" ->
       """WITH e AS (
         |  SELECT event_type, dayofweek(ts) + 1 AS dow,

@@ -335,6 +335,38 @@ object CdcPipes {
       .orderBy("event_type")
   }
 
+  /** Funnel analysis — the windowFunnel shape: per user, the deepest
+    * step of signup → click → purchase reached by the GREEDY EARLIEST
+    * chain (each step the first matching event strictly after the
+    * previous step), bounded to `windowDays` after the signup. The
+    * funnel level and each step's timestamp come out per user — the
+    * conversion query every event-analytics stack ships.
+    *
+    * Scale: one aggregation per step, every one on the SAME user_id
+    * key (the signup frame re-joins each step's candidates
+    * co-partitioned, no second fact shuffle), and each step's frame is
+    * one row per surviving user — monotonically shrinking. No arrays
+    * collected, no per-user state. */
+  def eventsFunnel(spark: SparkSession, dir: String,
+                   windowDays: Int = 7): DataFrame = {
+    val e = Tables.events(spark, dir)
+    def stepMin(typ: String, prev: DataFrame, prevTs: String, outTs: String) =
+      e.filter(col("event_type") === typ)
+        .join(prev, "user_id")
+        .filter(col("ts") > col(prevTs) &&
+          col("ts") <= col("t1") + expr(s"INTERVAL $windowDays DAYS"))
+        .groupBy("user_id").agg(min(col("ts")).as(outTs))
+    val s1 = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val s2 = stepMin("click", s1, "t1", "t2")
+    val s3 = stepMin("purchase", s1.join(s2, "user_id"), "t2", "t3")
+    s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+      .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+        (lit(1) + when(col("t2").isNotNull, 1).otherwise(0)
+          + when(col("t3").isNotNull, 1).otherwise(0)).as("funnel_level"))
+      .orderBy("user_id")
+  }
+
   /** GROUPING SETS — the generalization of rollup/cube: three
     * independent groupings (by type, by day-of-week, grand total) in
     * ONE pass over the facts with map-side partials per set, instead

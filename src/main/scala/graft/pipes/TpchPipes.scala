@@ -88,6 +88,29 @@ object TpchPipes {
       .orderBy(col("r_name"), col("n_name"))
   }
 
+  /** Argmin join (the TPC-H Q2 shape without partsupp): for every
+    * part, the supplier that has delivered it at the lowest unit
+    * price. Unit prices are floor-scaled to integer milli-units
+    * before the min (engine-exact), the per-part argmin is a ranking
+    * window with supplier tie-break, and the supplier dimension joins
+    * by broadcast — the "best row per group then enrich" pattern with
+    * one fact shuffle total. */
+  def cheapestSupplierPerPart(spark: SparkSession, dir: String): DataFrame = {
+    val unit = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        floor(col("l_extendedprice") / col("l_quantity") * 1000 + 0.5)
+          .cast("long").as("price_milli"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(col("price_milli")).as("best_milli"))
+    graft.functions.ChFunctions.limitBy(unit, 1, Seq(col("l_partkey")),
+        Seq(col("best_milli").asc, col("l_suppkey").asc))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"), col("l_suppkey"), col("s_name"),
+        (col("best_milli") / lit(1000.0)).as("best_unit_price"))
+      .orderBy("l_partkey")
+  }
+
   /** Native pivot: order counts per priority × status, via the
     * DataFrame pivot API with EXPLICIT pivot values — at scale, the
     * explicit list is the difference between one pass and a

@@ -741,6 +741,33 @@ class OperatorsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("funnel levels match a greedy-earliest driver walk per user") {
+    val evs = Tables.events(spark, sf).select("user_id", "event_type", "ts")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getAs[java.time.LocalDateTime](2))).groupBy(_._1)
+    val want = evs.flatMap { case (u, rows) =>
+      val t1 = rows.filter(_._2 == "signup").map(_._3).sortBy(_.toString).headOption
+      t1.map { start =>
+        val lim = start.plusDays(7)
+        def next(after: java.time.LocalDateTime, typ: String) =
+          rows.filter(r => r._2 == typ && r._3.isAfter(after) && !r._3.isAfter(lim))
+            .map(_._3).sortBy(_.toString).headOption
+        val t2 = next(start, "click")
+        val t3 = t2.flatMap(next(_, "purchase"))
+        u -> ((Some(start), t2, t3, 1 + t2.size + t3.size))
+      }
+    }
+    val got = pipes.CdcPipes.eventsFunnel(spark, sf).collect()
+      .map { r =>
+        def ot(i: Int) = if (r.isNullAt(i)) None
+          else Some(r.getAs[java.time.LocalDateTime](i))
+        r.getLong(0) -> ((ot(1), ot(2), ot(3), r.getInt(4)))
+      }.toMap
+    assert(got.keySet == want.keySet)
+    assert(got.values.map(_._4).toSet.size > 1, "several funnel depths should occur")
+    got.foreach { case (k, v) => assert(v == want(k), s"user $k") }
+  }
+
   test("rolling range-frame window matches a per-event driver scan") {
     val evs = Tables.events(spark, sf)
       .select(col("event_id"), col("user_id"),
