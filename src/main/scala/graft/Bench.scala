@@ -21,11 +21,12 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    // 3-decimal seconds: the driver tail-captures ~3 KB of stdout, and
+    // 2-decimal seconds: the driver tail-captures ~3 KB of stdout, and
     // full-precision doubles pushed the one-line JSON past that window
-    // (BENCH_r02 arrived front-truncated → parsed:null)
+    // (BENCH_r02 arrived front-truncated → parsed:null); at 100 queries
+    // even 3 decimals ran the line to ~2.9 KB — too thin a margin
     def f3(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")

@@ -216,33 +216,54 @@ object TextAnalysis {
     * doc_id key. */
   def repetitionFilters(spark: SparkSession, dir: String,
                         maxTopUnigramFrac: Double = 0.15,
-                        maxDupTrigramFrac: Double = 0.02): DataFrame = {
+                        maxDupTrigramFrac: Double = 0.02): DataFrame =
+    repetitionFrame(spark, dir, maxTopUnigramFrac, maxDupTrigramFrac)
+      .orderBy("doc_id")
+
+  /** [[repetitionFilters]] without the presentation sort — the form
+    * the corpus-build composite consumes.
+    *
+    * Every metric comes from exploded codegen'd AGGREGATIONS, not
+    * per-row higher-order-function chains: HOF lambdas evaluate
+    * interpreted, and — worse — Catalyst's projection collapse INLINES
+    * an aliased HOF expression into every downstream use site, so a
+    * mere `filter(keep)` re-evaluated the whole trigram transform per
+    * row (measured 0.4 s → 10 s on the composite consumer). With
+    * aggregation-derived columns, `keep` is a comparison of two
+    * aggregated doubles wherever it flows. */
+  private[graft] def repetitionFrame(
+      spark: SparkSession, dir: String,
+      maxTopUnigramFrac: Double = 0.15,
+      maxDupTrigramFrac: Double = 0.02): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
-    val grams = expr(
-      "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', t[i-1], t[i], t[i+1]))")
-    val perRow = docs.select(
-      col("doc_id"),
-      size(col("t")).cast("long").as("n_tokens"),
-      floorRound(size(array_distinct(col("t"))).cast("double") / size(col("t")), 4)
-        .as("distinct_ratio"),
-      when(size(col("t")) >= 3,
-        floorRound((size(grams) - size(array_distinct(grams))).cast("double")
-          / size(grams), 4))
-        .otherwise(lit(0.0)).as("dup_trigram_frac"))
-    val top = docs
+    // distinct-token ratio + top-unigram fraction from one token explode
+    val tokStats = docs
       .select(col("doc_id"), size(col("t")).as("n"), explode(col("t")).as("w"))
       .groupBy("doc_id", "n", "w").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id", "n").agg(max(col("c")).as("maxc"))
-      .select(col("doc_id"),
+      .groupBy("doc_id", "n")
+      .agg(count(lit(1)).as("n_distinct"), max(col("c")).as("maxc"))
+      .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+        floorRound(col("n_distinct").cast("double") / col("n"), 4).as("distinct_ratio"),
         floorRound(col("maxc").cast("double") / col("n"), 4).as("top_unigram_frac"))
-    perRow.join(top, "doc_id")
+    // duplicate-trigram fraction from one shingle explode
+    val gramStats = docs.filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"))
+        .as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("total"), count(lit(1)).as("n_dist"))
+      .select(col("doc_id"),
+        floorRound((col("total") - col("n_dist")).cast("double") / col("total"), 4)
+          .as("dup_trigram_frac"))
+    tokStats.join(gramStats, Seq("doc_id"), "left")
+      .withColumn("dup_trigram_frac", coalesce(col("dup_trigram_frac"), lit(0.0)))
       .withColumn("keep",
         col("top_unigram_frac") <= maxTopUnigramFrac &&
           col("dup_trigram_frac") <= maxDupTrigramFrac)
       .select("doc_id", "n_tokens", "distinct_ratio", "dup_trigram_frac",
         "top_unigram_frac", "keep")
-      .orderBy("doc_id")
   }
 
   /** Per-document boilerplate coverage: the fraction of a document's

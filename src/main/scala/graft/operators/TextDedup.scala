@@ -305,7 +305,17 @@ object TextDedup {
     * corpus — the 100 TB path the suffix-automaton literature's
     * single-node tools can't take. */
   def substringSpans(spark: SparkSession, dir: String, k: Int = 8, w: Int = 16,
-                     minRun: Int = 3, maxDf: Int = 100): DataFrame = {
+                     minRun: Int = 3, maxDf: Int = 100): DataFrame =
+    substringSpansFrame(spark, dir, k, w, minRun, maxDf)
+      .orderBy("doc_a", "doc_b", "offset_delta")
+
+  /** [[substringSpans]] without the presentation sort — the form
+    * composites consume (a global sort of an intermediate is a wasted
+    * range-exchange; the optimizer does not always eliminate it under
+    * a downstream aggregation). */
+  private[operators] def substringSpansFrame(
+      spark: SparkSession, dir: String, k: Int = 8, w: Int = 16,
+      minRun: Int = 3, maxDf: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(spark)
     val sp = Tables.documents(spark, dir)
@@ -328,7 +338,6 @@ object TextDedup {
         col("span_start_a"),
         (col("span_start_a") - col("offset_delta")).as("span_start_b"),
         (col("span_last_a") - col("span_start_a") + k).as("span_chars"))
-      .orderBy("doc_a", "doc_b", "offset_delta")
   }
 
   /** Per-document rollup of [[substringSpans]]: how much of each doc
@@ -338,18 +347,27 @@ object TextDedup {
     * (trim the span or drop the doc). One extra tiny aggregation over
     * the span table; the heavy lift is shared with the span endpoint. */
   def spanDocStats(spark: SparkSession, dir: String,
-                   longSpanChars: Int = 40): DataFrame = {
-    val spans = substringSpans(spark, dir)
-    val u = spans.select(col("doc_a").as("doc_id"), col("doc_b").as("partner"),
-        col("span_chars"))
-      .unionByName(spans.select(col("doc_b").as("doc_id"),
-        col("doc_a").as("partner"), col("span_chars")))
+                   longSpanChars: Int = 40): DataFrame =
+    spanDocStatsFrame(spark, dir, longSpanChars).orderBy("doc_id")
+
+  /** [[spanDocStats]] without the presentation sort (composite form). */
+  private[graft] def spanDocStatsFrame(
+      spark: SparkSession, dir: String, longSpanChars: Int = 40): DataFrame = {
+    // both directions from ONE pass over the span table (explode, not
+    // a self-union: a union of two projections of the same subtree
+    // re-runs the whole span pipeline twice)
+    val u = substringSpansFrame(spark, dir)
+      .select(explode(array(
+        struct(col("doc_a").as("doc_id"), col("doc_b").as("partner"),
+          col("span_chars")),
+        struct(col("doc_b").as("doc_id"), col("doc_a").as("partner"),
+          col("span_chars")))).as("u"))
+      .select(col("u.doc_id"), col("u.partner"), col("u.span_chars"))
     u.groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         countDistinct(col("partner")).as("n_partners"),
         max(col("span_chars")).as("max_span_chars"))
       .withColumn("has_long_dup", col("max_span_chars") >= longSpanChars)
-      .orderBy("doc_id")
   }
 
   /** SimHash: 64-bit similarity-preserving fingerprint. Entirely per-row

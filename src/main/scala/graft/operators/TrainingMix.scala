@@ -142,9 +142,9 @@ object TrainingMix {
     * oracled endpoint. */
   def buildCorpusV2(spark: SparkSession, dir: String,
                     budget: Int = 256, nShards: Int = 4): DataFrame = {
-    val rep = TextAnalysis.repetitionFilters(spark, dir)
+    val rep = TextAnalysis.repetitionFrame(spark, dir)
       .select(col("doc_id"), col("keep"))
-    val spans = TextDedup.spanDocStats(spark, dir)
+    val spans = TextDedup.spanDocStatsFrame(spark, dir)
       .select(col("doc_id"), col("has_long_dup"))
     val quality = Tables.documents(spark, dir)
       .join(rep, "doc_id").filter(col("keep")).drop("keep")
