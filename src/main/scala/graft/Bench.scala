@@ -25,13 +25,13 @@ object Bench {
     // full-precision doubles pushed the one-line JSON past that window
     // (BENCH_r02 arrived front-truncated → parsed:null); at 100 queries
     // even 3 decimals ran the line to ~2.9 KB — too thin a margin
-    def f3(v: Double): String =
+    def f2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+      .map { case (k, v) => s"\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // The JSON line goes out FIRST (before Spark's shutdown chatter can
     // interleave) AND to a file: the round-1 driver tail-capture truncated
     // the stdout line, leaving the bench artifact unparseable.

@@ -214,9 +214,14 @@ object TextAnalysis {
     * combine (the exchange carries per-mapper partial counts, not
     * token instances), re-joined to the per-row metrics on the same
     * doc_id key. */
+  /** Repetition thresholds — one definition for the endpoint, the
+    * frame form, and the composites (mirrored in the oracle text). */
+  val MaxTopUnigramFrac = 0.15
+  val MaxDupTrigramFrac = 0.02
+
   def repetitionFilters(spark: SparkSession, dir: String,
-                        maxTopUnigramFrac: Double = 0.15,
-                        maxDupTrigramFrac: Double = 0.02): DataFrame =
+                        maxTopUnigramFrac: Double = MaxTopUnigramFrac,
+                        maxDupTrigramFrac: Double = MaxDupTrigramFrac): DataFrame =
     repetitionFrame(spark, dir, maxTopUnigramFrac, maxDupTrigramFrac)
       .orderBy("doc_id")
 
@@ -233,8 +238,8 @@ object TextAnalysis {
     * aggregated doubles wherever it flows. */
   private[graft] def repetitionFrame(
       spark: SparkSession, dir: String,
-      maxTopUnigramFrac: Double = 0.15,
-      maxDupTrigramFrac: Double = 0.02): DataFrame = {
+      maxTopUnigramFrac: Double = MaxTopUnigramFrac,
+      maxDupTrigramFrac: Double = MaxDupTrigramFrac): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
     // distinct-token ratio + top-unigram fraction from one token explode

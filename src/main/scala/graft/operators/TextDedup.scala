@@ -304,8 +304,18 @@ object TextDedup {
     * join's own partitioning. No suffix array, no global sort of the
     * corpus — the 100 TB path the suffix-automaton literature's
     * single-node tools can't take. */
-  def substringSpans(spark: SparkSession, dir: String, k: Int = 8, w: Int = 16,
-                     minRun: Int = 3, maxDf: Int = 100): DataFrame =
+  /** Span-detection defaults — ONE definition consumed by the public
+    * endpoint, the frame form, and every composite, so retuning
+    * cannot desynchronize them (the oracle text documents the same
+    * numbers). */
+  val SpanK = 8
+  val SpanW = 16
+  val SpanMinRun = 3
+  val SpanMaxDf = 100
+
+  def substringSpans(spark: SparkSession, dir: String, k: Int = SpanK,
+                     w: Int = SpanW, minRun: Int = SpanMinRun,
+                     maxDf: Int = SpanMaxDf): DataFrame =
     substringSpansFrame(spark, dir, k, w, minRun, maxDf)
       .orderBy("doc_a", "doc_b", "offset_delta")
 
@@ -314,8 +324,8 @@ object TextDedup {
     * range-exchange; the optimizer does not always eliminate it under
     * a downstream aggregation). */
   private[operators] def substringSpansFrame(
-      spark: SparkSession, dir: String, k: Int = 8, w: Int = 16,
-      minRun: Int = 3, maxDf: Int = 100): DataFrame = {
+      spark: SparkSession, dir: String, k: Int = SpanK, w: Int = SpanW,
+      minRun: Int = SpanMinRun, maxDf: Int = SpanMaxDf): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(spark)
     val sp = Tables.documents(spark, dir)

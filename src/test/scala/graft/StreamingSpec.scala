@@ -389,8 +389,23 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(streamed.length == emb.count(), "every vector assigned exactly once")
     assert(streamed.map(_._1).distinct.length == streamed.length)
-    // the per-row least-struct canon must reproduce the batch window
-    // path's oracled per-list histogram exactly
+    // per-VECTOR agreement with a driver recompute of the assignment
+    // canon (histogram equality alone could mask a compensating
+    // tie-break rotation between lists)
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dotD(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    streamed.foreach { case (vid, lid) =>
+      val want = anchors.map { case (aid, av) =>
+        (-math.floor(dotD(vecs(vid), av) * 1e6 + 0.5) / 1e6, aid)
+      }.min._2
+      assert(lid == want, s"vec $vid assigned to $lid, canon says $want")
+    }
+    // and the aggregate view matches the oracled batch histogram
     val histStreamed = streamed.groupBy(_._2).view.mapValues(_.size.toLong).toMap
     val histBatch = operators.VectorOps.ivfAssign(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
