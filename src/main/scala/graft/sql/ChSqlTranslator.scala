@@ -181,6 +181,10 @@ object ChSqlTranslator {
     "sumIf" -> (a => s"sum(CASE WHEN ${a(1)} THEN ${a(0)} END)"),
     "avgIf" -> (a => s"avg(CASE WHEN ${a(1)} THEN ${a(0)} END)"),
     "uniqExact" -> (a => s"count(DISTINCT ${a(0)})"),
+    // CH's default distinct-count is approximate (uniqCombined); the
+    // HLL++ sketch is the faithful Spark analogue — NOT oracled
+    // (sketch internals are engine-specific), error-bounded in spec
+    "uniq" -> (a => s"approx_count_distinct(${a(0)})"),
     // single-list forms: CH's default parameter is the median; the
     // double-list parameterized forms are consumed by rewriteParamAggs
     // before this map runs

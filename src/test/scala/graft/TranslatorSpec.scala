@@ -316,6 +316,15 @@ class TranslatorSpec extends SparkSpec {
     assert(t.contains("percentile(x, 0.5)") && t.contains("percentile(y, 0.75)"), t)
   }
 
+  test("uniq maps to the HLL sketch, within 5% of exact") {
+    dir // force view setup
+    val r = spark.sql(
+      "SELECT uniq(flight_number) AS u, uniqExact(flight_number) AS x FROM flights_raw")
+      .first()
+    val (u, x) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(u - x).toDouble / x <= 0.05, s"uniq $u vs exact $x")
+  }
+
   test("review hardening: quote escapes, comment apostrophes, LIMIT BY tail") {
     // '' and \' escapes must not desynchronize the literal mask and
     // silently disable rewrites after the literal
