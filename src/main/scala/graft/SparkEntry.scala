@@ -94,6 +94,7 @@ object SparkEntry {
     "orders_pivot"          -> (TpchPipes.ordersPivot _),
     "events_funnel"         -> ((s, d) => CdcPipes.eventsFunnel(s, d)),
     "cheapest_supplier_per_part" -> (TpchPipes.cheapestSupplierPerPart _),
+    "nation_trade_flows"    -> (TpchPipes.nationTradeFlows _),
     "events_retention"      -> (CdcPipes.eventsRetention _),
     "orders_rollup"         -> (TpchPipes.ordersRollup _),
     "lineitem_cube"         -> (TpchPipes.lineitemCube _),
@@ -550,6 +551,17 @@ object SparkEntry {
         |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
         |        LEFT JOIN s3 ON s1.user_id = s3.user_id
         |ORDER BY s1.user_id""".stripMargin,
+    "nation_trade_flows" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "cheapest_supplier_per_part" ->
       """WITH unit AS (
         |  SELECT l_partkey, l_suppkey,

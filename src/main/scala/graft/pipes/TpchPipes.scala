@@ -111,6 +111,34 @@ object TpchPipes {
       .orderBy("l_partkey")
   }
 
+  /** TPC-H Q7 shape (volume shipping): revenue between supplier-nation
+    * and customer-nation PAIRS — the one join topology the rest of the
+    * suite lacks: the SAME dimension joined twice under different
+    * roles (nation as seller vs nation as buyer, disambiguated by
+    * alias). Both nation copies and both entity dims broadcast; the
+    * only real shuffle is lineitem⋈orders, then a tiny pair-matrix
+    * aggregation. */
+  def nationTradeFlows(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val c = broadcast(Tables.customer(spark, dir).select("c_custkey", "c_nationkey"))
+    val s = broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey"))
+    val cn = broadcast(Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation")))
+    val sn = broadcast(Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(cn, col("c_nationkey") === col("cn_key"))
+      .join(sn, col("s_nationkey") === col("sn_key"))
+      .groupBy(col("supp_nation"), col("cust_nation"))
+      .agg(count(lit(1)).as("n_items"),
+        exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+      .orderBy("supp_nation", "cust_nation")
+  }
+
   /** Native pivot: order counts per priority × status, via the
     * DataFrame pivot API with EXPLICIT pivot values — at scale, the
     * explicit list is the difference between one pass and a
