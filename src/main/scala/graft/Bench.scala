@@ -21,24 +21,24 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    // 2-decimal seconds: the driver tail-captures ~3 KB of stdout, and
-    // full-precision doubles pushed the one-line JSON past that window
-    // (BENCH_r02 arrived front-truncated → parsed:null); at 100 queries
-    // even 3 decimals ran the line to ~2.9 KB — too thin a margin
     def f2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + f2(v) }
-      .mkString("{", ",", "}")
+    def toJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // The JSON line goes out FIRST (before Spark's shutdown chatter can
-    // interleave) AND to a file: the round-1 driver tail-capture truncated
-    // the stdout line, leaving the bench artifact unparseable.
-    println(json)
+    // The driver tail-captures only ~3 KB of stdout and sbt appends a
+    // [success] trailer, so the printed line must stay well under that:
+    // at 100 queries the full map is ~2.8 KB and arrived FRONT-truncated
+    // three rounds running (BENCH_r01..r03 parsed:null). Print a compact
+    // line — total + the 20 slowest queries — and write the complete
+    // per-query map to a file for anyone who wants the rest.
+    val slowest = results.toSeq.sortBy(-_._2).take(20).sortBy(_._1)
+    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","n_queries":${results.size},"queries":${toJson(slowest)},"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${f2(total)},"unit":"sec","n_queries":${results.size},"queries":${toJson(results.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
+    println(line)
     System.out.flush()
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: $e") }
     spark.stop()
   }
