@@ -34,38 +34,56 @@ object ConnectedComponents {
     * callers pin their presentation sort. */
   def clusters(spark: SparkSession, pairs: DataFrame,
                maxRounds: Int = 64): DataFrame = {
-    val es = pairs.toDF("a", "b").localCheckpoint(true)
-    // size the iteration to the GRAPH, not the corpus: pairs are
-    // materialized (the count is free), so pick the round parallelism
-    // from the edge count — a tiny graph iterates in one partition
-    // instead of paying shuffle.partitions × scheduling per round, a
-    // huge one still spreads. ~50k edges per task balances task memory
-    // against scheduling latency at any scale.
-    val nParts = math.max(1, math.min(
-      spark.sessionState.conf.numShufflePartitions,
-      (es.count() / 50000L).toInt + 1))
-    val edges = es.union(es.select(col("b"), col("a")))
-      .toDF("src", "dst").repartition(nParts, col("src"))
+    // both directions from ONE pass over the pair pipeline (explode,
+    // not a self-union: a union of two projections of the same subtree
+    // runs the whole candidate pipeline twice), so a single checkpoint
+    // materializes the edge list. Round parallelism: the repartition
+    // keys by src at the session's shuffle width and AQE coalesces the
+    // tiny-graph case down, so a small graph iterates in few tasks
+    // while a huge one still spreads.
+    val edges = pairs.toDF("a", "b")
+      .select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
+      .repartition(col("src"))
       .localCheckpoint(true)
+    def propagate(labels: DataFrame): DataFrame = {
+      val nbrMin = edges
+        .join(labels.toDF("src", "src_label"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("src_label")).as("nbr_min"))
+      labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
     var done = false
     var rounds = 0
     while (!done && rounds < maxRounds) {
-      val nbrMin = edges
-        .join(labels.toDF("src", "src_label"), "src")
+      // TWO propagation rounds per materialized step, with the mid-step
+      // label riding along: convergence = the SECOND round changed
+      // nothing, i.e. it was a fixpoint round. Dup components are
+      // near-cliques (diameter 1-2), so the common case — round 1
+      // labels everything, round 2 proves it — finishes in ONE
+      // checkpoint job + one probe over its in-memory blocks, where the
+      // probe-per-round form paid four. The mid frame is not
+      // checkpointed: its aggregation appears twice in the step's plan
+      // and exchange reuse dedupes the shuffle.
+      val mid = propagate(labels).toDF("id", "mid")
+      val nbrMin2 = edges
+        .join(mid.toDF("src", "src_label"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("src_label")).as("nbr_min"))
-      // prev rides along so convergence is a filter on the checkpointed
-      // frame itself — no extra join (and no recompute) per round
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val next = mid.join(nbrMin2, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
-          col("label").as("prev"))
+          least(col("mid"), coalesce(col("nbr_min"), col("mid"))).as("label"),
+          col("mid").as("prev"))
         .localCheckpoint(true)
       done = next.filter(col("label") < col("prev")).isEmpty
       labels = next.select("id", "label")
-      rounds += 1
+      rounds += 2
     }
     if (!done)
       throw new IllegalStateException(

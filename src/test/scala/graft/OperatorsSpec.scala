@@ -94,6 +94,27 @@ class OperatorsSpec extends SparkSpec {
         s"IVF near-dup recall ${ivf.size}/${exact.size}")
   }
 
+  test("connected components: worst-case chain converges, maxRounds throws") {
+    import spark.implicits._
+    // a 10-node path is the diameter-9 worst case for min-label
+    // propagation — plus a detached clique and a singleton pair
+    val chain = (1L to 9L).map(i => (i, i + 1))
+    val extra = Seq((20L, 21L), (20L, 22L), (21L, 22L), (30L, 31L))
+    val pairs = (chain ++ extra).toDF("a", "b")
+    val got = operators.ConnectedComponents.clusters(spark, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = ((1L to 10L).map(i => (i, 1L, 10L)) ++
+      Seq(20L, 21L, 22L).map(i => (i, 20L, 3L)) ++
+      Seq(30L, 31L).map(i => (i, 30L, 2L))).toSet
+    assert(got.toSet == want)
+    // a cap below the chain diameter must THROW, not return a partial
+    // clustering that would split a true duplicate cluster
+    val e = intercept[IllegalStateException] {
+      operators.ConnectedComponents.clusters(spark, pairs, maxRounds = 4).collect()
+    }
+    assert(e.getMessage.contains("converge"))
+  }
+
   test("dup clusters equal an independent union-find over the pair graph") {
     val pairs = TextDedup.nearDupPairs(spark, sf).select("doc_a", "doc_b")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
