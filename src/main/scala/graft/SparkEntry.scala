@@ -104,6 +104,7 @@ object SparkEntry {
     "events_asof_join"      -> (operators.AsOfJoin.eventsAsOfJoin _),
     // relational coverage (SURVEY §2.2/2.3/2.5/2.6/2.7)
     "q1_pricing_summary"    -> (TpchPipes.q1PricingSummary _),
+    "q8_market_share"       -> ((s, d) => TpchPipes.q8MarketShare(s, d)),
     "q3_shipping_priority"  -> ((s, d) => TpchPipes.q3ShippingPriority(s, d)),
     "tpch_integrity_audit"  -> (operators.Audit.integrityAudit _),
     "mktsegment_revenue"    -> (TpchPipes.mktsegmentRevenue _),
@@ -128,6 +129,7 @@ object SparkEntry {
     "docs_chunks"           -> ((s, d) => operators.TextAnalysis.chunks(s, d)),
     "docs_split_assign"     -> (operators.TextAnalysis.splitAssign _),
     "docs_top_bigrams"      -> ((s, d) => operators.TextAnalysis.topBigrams(s, d)),
+    "docs_bpe_merges"       -> ((s, d) => operators.TextAnalysis.bpeMergeCandidates(s, d)),
     "docs_top_terms"        -> ((s, d) => operators.TextAnalysis.topTermsPerDoc(s, d)),
     "docs_repetition_filters" -> ((s, d) => operators.TextAnalysis.repetitionFilters(s, d)),
     "docs_lm_score"         -> (operators.TextAnalysis.lmScore _),
@@ -882,6 +884,42 @@ object SparkEntry {
         |       WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q8_market_share" ->
+      """WITH vol AS (
+        |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |    CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT) AS vol_units,
+        |    sn.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey),
+        |agg AS (
+        |  SELECT o_year,
+        |    CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN vol_units ELSE 0 END) AS BIGINT) AS nation_units,
+        |    CAST(sum(vol_units) AS BIGINT) AS total_units
+        |  FROM vol GROUP BY 1)
+        |SELECT o_year,
+        |  nation_units / CAST(10000 AS DOUBLE) AS nation_volume,
+        |  total_units / CAST(10000 AS DOUBLE) AS total_volume,
+        |  floor(CAST(nation_units AS DOUBLE) / total_units * 1000000 + 0.5)
+        |    / CAST(1000000 AS DOUBLE) AS mkt_share
+        |FROM agg ORDER BY o_year""".stripMargin,
+    "docs_bpe_merges" ->
+      """WITH words AS (
+        |  SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE len(word) >= 2 GROUP BY 1),
+        |pairs AS (
+        |  SELECT substring(word, CAST(g AS INTEGER), 2) AS pair,
+        |    CAST(sum(freq) AS BIGINT) AS pair_freq
+        |  FROM words, LATERAL (SELECT unnest(generate_series(1, len(word) - 1)) AS g)
+        |  GROUP BY 1)
+        |SELECT pair, pair_freq FROM pairs
+        |ORDER BY pair_freq DESC, pair LIMIT 20""".stripMargin,
     "docs_top_bigrams" ->
       """WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
         |ng AS (

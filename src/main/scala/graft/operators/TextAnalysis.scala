@@ -349,6 +349,32 @@ object TextAnalysis {
     * the top-k is TakeOrderedAndProject (per-partition top-k, then a
     * driver merge of k·partitions rows — never a global sort of the
     * ngram table). */
+  /** BPE tokenizer training, first merge step: adjacent-character-pair
+    * frequencies over the corpus vocabulary, weighted by word
+    * frequency — the statistic byte-pair-encoding training computes to
+    * pick each merge (the top row IS the first merge).
+    *
+    * Scale: the classic two-stage trick that makes BPE training
+    * feasible on a 100 TB corpus — the first groupBy collapses the
+    * corpus to its VOCABULARY (word, freq) with map-side combine, and
+    * the pair explosion runs over distinct words only (orders of
+    * magnitude smaller than the corpus; repeated words are counted by
+    * weight, not re-scanned). Pair extraction is explode(sequence) +
+    * substr — all codegen'd, no interpreted lambda. */
+  def bpeMergeCandidates(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    words
+      .select(col("freq"), col("word"),
+        explode(sequence(lit(1), length(col("word")) - 1)).as("i"))
+      .select(col("word").substr(col("i"), lit(2)).as("pair"), col("freq"))
+      .groupBy("pair").agg(sum(col("freq")).as("pair_freq"))
+      .orderBy(col("pair_freq").desc, col("pair"))
+      .limit(k)
+  }
+
   def topBigrams(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
     Tables.documents(spark, dir)
       .select(split(col("text"), " ").as("t"))

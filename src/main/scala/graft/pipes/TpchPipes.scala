@@ -139,6 +139,54 @@ object TpchPipes {
       .orderBy("supp_nation", "cust_nation")
   }
 
+  /** TPC-H Q8 shape (national market share): within one region's
+    * customer base and one part type, the share of yearly trade
+    * volume supplied by a chosen nation — the ratio-of-conditional-
+    * aggregate-to-total pattern over the suite's widest join
+    * (lineitem⋈part⋈orders⋈customer⋈nation⋈region⋈supplier⋈nation).
+    * Numerator and denominator come out of ONE aggregation pass as
+    * integer-unit sums (no second scan, no window), and the share is
+    * a post-agg projection — deterministic double division of two
+    * exact longs, floor-rounded like every ratio in the suite.
+    * Scale: part and region filters shrink their dims BEFORE the
+    * broadcast; lineitem⋈orders is the only shuffle. */
+  def q8MarketShare(spark: SparkSession, dir: String,
+                    region: String = "AMERICA", partType: String = "ECONOMY",
+                    suppNation: String = "NATION_7"): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")).as("o_year"))
+    val c = broadcast(Tables.customer(spark, dir).select("c_custkey", "c_nationkey"))
+    val n = broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_regionkey"))
+    val r = broadcast(Tables.region(spark, dir)
+      .filter(col("r_name") === region).select("r_regionkey"))
+    val p = broadcast(Tables.part(spark, dir)
+      .filter(col("p_type") === partType).select("p_partkey"))
+    val s = broadcast(Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey").as("sn_key")))
+    val sn = broadcast(Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("sn_nationkey"), col("n_name").as("supp_nation")))
+    val volUnits = floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000 + 0.5)
+      .cast("long")
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(sn, col("sn_key") === col("sn_nationkey"))
+      .groupBy(col("o_year"))
+      .agg(sum(when(col("supp_nation") === suppNation, volUnits).otherwise(0L))
+          .as("nation_units"),
+        sum(volUnits).as("total_units"))
+      .select(col("o_year"),
+        (col("nation_units") / 10000.0).as("nation_volume"),
+        (col("total_units") / 10000.0).as("total_volume"),
+        floorRound(col("nation_units") / col("total_units"), 6).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
   /** Native pivot: order counts per priority × status, via the
     * DataFrame pivot API with EXPLICIT pivot values — at scale, the
     * explicit list is the difference between one pass and a

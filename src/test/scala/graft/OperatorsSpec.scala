@@ -94,6 +94,25 @@ class OperatorsSpec extends SparkSpec {
         s"IVF near-dup recall ${ivf.size}/${exact.size}")
   }
 
+  test("bpe merge candidates: pair counts weighted by word frequency") {
+    val texts = Tables.documents(spark, sf).select("text")
+      .collect().map(_.getString(0))
+    val freq = scala.collection.mutable.Map[String, Long]()
+    texts.flatMap(_.split(" ")).filter(_.length >= 2)
+      .foreach(w => freq(w) = freq.getOrElse(w, 0L) + 1)
+    val pf = scala.collection.mutable.Map[String, Long]()
+    freq.foreach { case (w, f) =>
+      (0 until w.length - 1).foreach { i =>
+        val p = w.substring(i, i + 2)
+        pf(p) = pf.getOrElse(p, 0L) + f
+      }
+    }
+    val want = pf.toSeq.sortBy { case (p, f) => (-f, p) }.take(20)
+    val got = operators.TextAnalysis.bpeMergeCandidates(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want)
+  }
+
   test("connected components: worst-case chain converges, maxRounds throws") {
     import spark.implicits._
     // a 10-node path is the diameter-9 worst case for min-label

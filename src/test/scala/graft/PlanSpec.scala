@@ -123,6 +123,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q8: all seven dim joins broadcast, filters shrink part/region pre-exchange") {
+    val p = plan("q8_market_share")
+    assert(!p.contains("SortMergeJoin"),
+      "q8's only shuffle should be lineitem-orders plus the year agg; dims broadcast")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 6, p.take(3000))
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(p_type,ECONOMY)"),
+      "the part-type predicate must reach the part parquet scan")
+  }
+
+  test("bpe merges: two agg levels (vocab then pairs), no join") {
+    val p = plan("docs_bpe_merges")
+    assert(!p.contains("Join"), "pair counting runs over the vocabulary alone")
+    // vocab partial+final, pair partial+final
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k merges must be top-k, not a global sort")
+  }
+
   test("no registered query plans a cartesian product") {
     // BNLJ is allowed only for 1-row scalar-anchor crossJoins and the
     // broadcast-query brute-force scorer; a true cartesian never is.
