@@ -337,6 +337,30 @@ object SparkEntry {
     * jr)` — shared by the pair endpoint and the dup-cluster closure so
     * the two oracles can't drift apart. No `WITH` prefix: the cluster
     * oracle needs `WITH RECURSIVE`. */
+  /** MinHash signature + LSH band CTEs (mirror TextDedup.minhashSignatures
+    * / bandsOf over the OracleHash md5-low64 family), ending in
+    * `bands(doc_id, band, band_hash)`. Shares the shingle CTEs' shapes
+    * but stands alone so either oracle can be read in isolation. */
+  private val minhashBandCtes: String = {
+    import graft.functions.OracleHash.{duckSeeded32, duckCombine}
+    val sigCols = (0 until 16).map(j =>
+      s"MIN(${duckSeeded32(j, "s")}) AS h$j").mkString(",\n    ")
+    val bandSelects = (0 until 4).map { b =>
+      val hs = (0 until 4).map(r => s"h${b * 4 + r}")
+      s"SELECT doc_id, $b AS band, ${duckCombine(hs)} AS band_hash FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, t[g] || ' ' || t[g+1] || ' ' || t[g+2] AS s
+       |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS g)
+       |  WHERE len(t) >= 3),
+       |sig AS (SELECT doc_id,
+       |    $sigCols
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects)""".stripMargin
+  }
+
   private val nearDupCtes =
     """tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (
@@ -1047,6 +1071,52 @@ object SparkEntry {
       s"""WITH $nearDupCtes
         |SELECT doc_a, doc_b, floor(jr * 10000 + 0.5) / 10000.0 AS jaccard
         |FROM j WHERE jr >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "docs_minhash_bands" ->
+      s"""WITH $minhashBandCtes
+        |SELECT doc_id, band, band_hash FROM bands ORDER BY doc_id, band""".stripMargin,
+    // LSH candidates (band-bucket self-join) verified with exact jaccard
+    // over the FULL shingle sets — mirror of minhashLshPairs
+    "docs_minhash_lsh_pairs" ->
+      s"""WITH $minhashBandCtes,
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS ic
+        |  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+        |              JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+        |  GROUP BY 1, 2),
+        |jac AS (
+        |  SELECT doc_a, doc_b, ic * 1.0 / (sa.n + sb.n - ic) AS jr
+        |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+        |             JOIN sizes sb ON doc_b = sb.doc_id)
+        |SELECT doc_a, doc_b, floor(jr * 10000 + 0.5) / 10000.0 AS jaccard
+        |FROM jac WHERE jr >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    // 64-lane ±1 vote per distinct token over the OracleHash md5-low64
+    // bits; sign of each lane's vote becomes the output bit (mirror of
+    // the native SimHash64 expression)
+    "docs_simhash" ->
+      s"""WITH tk AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        |  FROM documents),
+        |h AS (SELECT doc_id, ('0x' || substring(md5(w), 17, 16))::UBIGINT AS hu FROM tk),
+        |votes AS (
+        |  SELECT doc_id, bb.b AS b,
+        |         SUM(CASE WHEN (hu >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bb
+        |  GROUP BY 1, 2),
+        |bits AS (
+        |  SELECT doc_id,
+        |         SUM(CASE WHEN v > 0 THEN (1::UBIGINT << b) ELSE 0::UBIGINT END) AS su
+        |  FROM votes GROUP BY 1)
+        |SELECT doc_id,
+        |  CAST(CAST(su AS HUGEINT) -
+        |    CASE WHEN su >= 9223372036854775808::HUGEINT
+        |         THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT)
+        |  AS simhash
+        |FROM bits ORDER BY doc_id""".stripMargin,
     // connected components over the near-dup pair graph: transitive
     // closure via a recursive CTE (fine at oracle SF; the engine side
     // is iterative min-label propagation)

@@ -1,26 +1,26 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.types.UTF8String
 
-/** Native 64-bit SimHash over a token array: xxhash64 each token
-  * (Spark's hash, seed 42 — reusing catalyst's XXH64 so values are
-  * bit-identical to the `xxhash64` built-in), ±1 vote per bit lane,
-  * sign of the vote becomes the output bit.
+/** Native 64-bit SimHash over a token array: hash each token with the
+  * engine's [[OracleHash]] family (md5-low64 — the last 8 digest bytes
+  * big-endian as a signed long, bit-identical to `OracleHash.low64` and
+  * reproducible in the DuckDB oracle), ±1 vote per bit lane, sign of
+  * the vote becomes the output bit.
   *
   * Replaces the interpreted formulation
-  *   aggregate(transform(tokens, t -> xxhash64(t)), array_repeat(0L,64),
+  *   aggregate(transform(tokens, t -> low64(t)), array_repeat(0L,64),
   *     (acc,h) -> zip_with(acc, transform(sequence(0,63), ...), (x,y) -> x+y), ...)
   * which pays 64 interpreted lambda invocations per token per row —
   * the same HOF penalty measured at 40× on WinnowFingerprints. Here the
-  * whole vote matrix is one compiled loop per row. Null tokens vote
-  * like the built-in chain: xxhash64(NULL) yields the seed unchanged in
-  * Spark's HOF form, but tokens from split() are never null, so the
-  * expression rejects them loudly instead of guessing.
+  * whole vote matrix is one compiled loop per row, and the md5 runs on
+  * the token's raw UTF-8 bytes with a reused per-thread digest (no hex
+  * string round-trip like the Column form). Tokens from split() are
+  * never null; the expression rejects nulls loudly instead of guessing.
   *
   * CodegenFallback: the per-row work IS the loop; the surrounding
   * stage stays inside whole-stage codegen.
@@ -39,6 +39,7 @@ case class SimHash64(child: Expression)
   }
 
   override protected def nullSafeEval(input: Any): Any = {
+    val md = SimHash64.digest.get()
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val votes = new Array[Int](64)
@@ -46,8 +47,12 @@ case class SimHash64(child: Expression)
     while (i < n) {
       if (arr.isNullAt(i))
         throw new IllegalArgumentException("simhash64: null token at index " + i)
-      val t = arr.getUTF8String(i)
-      val h = XXH64.hashUTF8String(t, 42L)
+      md.reset()
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      // OracleHash.low64: digest bytes 8..15 big-endian as signed long
+      var h = 0L
+      var k = 8
+      while (k < 16) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -66,4 +71,13 @@ case class SimHash64(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
+}
+
+object SimHash64 {
+  /** MessageDigest is stateful and not thread-safe; getInstance per row
+    * would dominate the loop. One instance per executor thread. */
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
 }

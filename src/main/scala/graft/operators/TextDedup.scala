@@ -195,7 +195,8 @@ object TextDedup {
   private val NumHashes = 16
   private val Bands = 4 // 4 rows per band
 
-  /** MinHash signatures: k seeded xxhash64 minima per doc, aggregated
+  /** MinHash signatures: k seeded minima per doc ([[graft.functions.OracleHash]]
+    * family — md5-low64, reproducible in the DuckDB oracle), aggregated
     * over exploded shingles.
     *
     * Deliberately the exploded groupBy form, NOT a per-row
@@ -205,10 +206,13 @@ object TextDedup {
     * map-side partial min() means the exchange moves only k longs per
     * (doc, mapper) — the shuffle is already near-zero at any scale. */
   private[operators] def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs)
+    import graft.functions.OracleHash
+    val digests = OracleHash.digests32(col("shingle"))
+    val staged = shingles(docs).select(
+      col("doc_id") +: (0 until 4).map(g => digests(g).as(s"m$g")): _*)
     val mins = (0 until NumHashes).map(j =>
-      min(xxhash64(lit(j), col("shingle"))).as(s"h$j"))
-    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      min(OracleHash.lane32(col(s"m${j / 4}"), j)).as(s"h$j"))
+    staged.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
   /** LSH banding of a signature frame: (doc_id, band, band_hash) — docs
@@ -217,7 +221,8 @@ object TextDedup {
     val rowsPerBand = NumHashes / Bands
     val bandCols = (0 until Bands).map { b =>
       val hs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(hs: _*).as("band_hash"))
+      struct(lit(b).as("band"),
+        graft.functions.OracleHash.combine(hs).as("band_hash"))
     }
     sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
@@ -241,11 +246,12 @@ object TextDedup {
       sequence(lit(1), size(t) - 2),
       i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
     val mins = (0 until NumHashes).map(j =>
-      array_min(transform(sh, s => xxhash64(lit(j), s))))
+      array_min(transform(sh, s => graft.functions.OracleHash.seeded32(j, s))))
     val rowsPerBand = NumHashes / Bands
     val bands = array((0 until Bands).map { b =>
       val hs = (0 until rowsPerBand).map(r => mins(b * rowsPerBand + r))
-      struct(lit(b).as("band"), xxhash64(hs: _*).as("band_hash"))
+      struct(lit(b).as("band"),
+        graft.functions.OracleHash.combine(hs).as("band_hash"))
     }: _*)
     // guard INSIDE the helper: <3 tokens makes sequence(1, size-2)
     // descend ([1,0]) and element_at(t, 0) throw — one malformed row

@@ -466,7 +466,9 @@ class OperatorsSpec extends SparkSpec {
         call_function("simhash64", expr("array_distinct(split(text, ' '))")).as("native"),
         expr(
           """aggregate(
-            |  transform(array_distinct(split(text, ' ')), t -> xxhash64(t)),
+            |  transform(array_distinct(split(text, ' ')),
+            |    t -> shiftleft(cast(conv(substring(md5(t), 17, 8), 16, 10) as bigint), 32)
+            |         | cast(conv(substring(md5(t), 25, 8), 16, 10) as bigint)),
             |  array_repeat(cast(0 as bigint), 64),
             |  (acc, h) -> zip_with(acc,
             |      transform(sequence(0, 63), b -> if(((h >> b) & 1) = 1, 1L, -1L)),
