@@ -76,6 +76,7 @@ object SparkEntry {
     // time-series endpoints (SURVEY §2.5 A10, §2.7 G1)
     "active_users_per_hour" -> (CdcPipes.activeUsersPerHour _),
     "active_users_per_hour_salted" -> (CdcPipes.activeUsersPerHourSalted _),
+    "active_users_7d_sliding" -> (CdcPipes.activeUsers7dSliding _),
     "active_users_per_hour_approx" -> (CdcPipes.activeUsersPerHourApprox _),
     "active_users_sketch_rollup" -> (CdcPipes.activeUsersSketchRollup _),
     "error_pct_per_hour"    -> (CdcPipes.errorPctPerHour _),
@@ -106,6 +107,8 @@ object SparkEntry {
     "q1_pricing_summary"    -> (TpchPipes.q1PricingSummary _),
     "q8_market_share"       -> ((s, d) => TpchPipes.q8MarketShare(s, d)),
     "q3_shipping_priority"  -> ((s, d) => TpchPipes.q3ShippingPriority(s, d)),
+    "q4_order_priority"     -> (TpchPipes.q4OrderPriority _),
+    "q17_small_qty_revenue" -> ((s, d) => TpchPipes.q17SmallQuantityRevenue(s, d)),
     "tpch_integrity_audit"  -> (operators.Audit.integrityAudit _),
     "mktsegment_revenue"    -> (TpchPipes.mktsegmentRevenue _),
     "region_revenue"        -> (TpchPipes.regionRevenue _),
@@ -133,11 +136,13 @@ object SparkEntry {
     "docs_top_terms"        -> ((s, d) => operators.TextAnalysis.topTermsPerDoc(s, d)),
     "docs_repetition_filters" -> ((s, d) => operators.TextAnalysis.repetitionFilters(s, d)),
     "docs_lm_score"         -> (operators.TextAnalysis.lmScore _),
+    "docs_lm_buckets"       -> (operators.TextAnalysis.lmBuckets _),
     "docs_boilerplate"      -> ((s, d) => operators.TextAnalysis.boilerplateCoverage(s, d)),
     "customer_pii_scrub"    -> (operators.Privacy.customerPiiScrub _),
     "lineitem_zorder"       -> (operators.Zorder.lineitemZorder _),
     // training-data pipeline: mix construction
     "docs_sample_stratified" -> (operators.TrainingMix.stratifiedSample _),
+    "docs_sample_per_source" -> ((s, d) => operators.TrainingMix.samplePerSource(s, d)),
     "docs_sample_weighted_stats" -> (operators.TrainingMix.sampleWeightedStats _),
     "docs_pack_sequences"   -> ((s, d) => operators.TrainingMix.packSequences(s, d)),
     "docs_training_corpus"  -> ((s, d) => operators.TrainingMix.buildCorpus(s, d)),
@@ -173,6 +178,7 @@ object SparkEntry {
     "ref_users_api_rmt" -> ((s, _) => pipes.UsersPipes.usersApiRmt(s, fixtureDir(s))),
     "ref_users_api_mysql" -> ((s, _) => pipes.UsersPipes.usersApiMysql(s, fixtureDir(s))),
     "ref_users_snapshot_diff" -> ((s, _) => pipes.UsersPipes.usersSnapshotDiff(s, fixtureDir(s))),
+    "users_scd2_history" -> ((s, _) => pipes.UsersPipes.usersScd2(s, fixtureDir(s))),
     "ref_users_api_batch" -> ((s, _) => {
       val d = fixtureDir(s)
       pipes.UsersPipes.usersApiBatch(s, d, s"$d/users_batch")
@@ -361,6 +367,30 @@ object SparkEntry {
        |  $bandSelects)""".stripMargin
   }
 
+  /** Add-one-smoothed bigram LM scoring CTEs (mirror TextAnalysis.lmScore),
+    * ending in `lm(doc_id, n_bigrams, lm_score)` — shared by the score
+    * endpoint and the tercile-bucket endpoint so the two oracles can't
+    * drift apart. */
+  private val lmScoreCtes =
+    """tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bi AS (
+      |  SELECT doc_id, t[g] AS w1, t[g+1] AS w2
+      |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS g)
+      |  WHERE len(t) >= 2),
+      |uni AS (
+      |  SELECT w1, count(*) AS c1 FROM (
+      |    SELECT unnest(t) AS w1 FROM tok) GROUP BY w1),
+      |big AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+      |voc AS (SELECT count(*) AS v FROM uni),
+      |terms AS (
+      |  SELECT doc_id,
+      |    CAST(floor((c2 + CAST(1 AS DOUBLE)) / (c1 + v) * 1000000000) AS BIGINT) AS u
+      |  FROM bi JOIN big USING (w1, w2) JOIN uni USING (w1), voc),
+      |lm AS (
+      |  SELECT doc_id, count(*) AS n_bigrams,
+      |    floor(CAST(sum(u) AS BIGINT) / (count(*) * 1000000000.0) * 1000000 + 0.5) / 1000000.0 AS lm_score
+      |  FROM terms GROUP BY doc_id)""".stripMargin
+
   private val nearDupCtes =
     """tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (
@@ -432,6 +462,14 @@ object SparkEntry {
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "active_users_per_hour" -> activeUsersOracle,
     "active_users_per_hour_salted" -> activeUsersOracle,
+    "active_users_7d_sliding" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |mx AS (SELECT max(CAST(ts AS DATE)) AS max_day FROM events),
+        |cov AS (SELECT CAST(day + CAST(g AS INT) AS TIMESTAMP) AS cover_day, user_id
+        |        FROM du, LATERAL (SELECT unnest(generate_series(0, 6)) AS g))
+        |SELECT cover_day, count(DISTINCT user_id) AS active_users_7d
+        |FROM cov, mx WHERE cover_day <= max_day
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "error_pct_per_hour" ->
       """WITH agg AS (
         |  SELECT date_trunc('hour', ts) AS h,
@@ -908,6 +946,28 @@ object SparkEntry {
         |       WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // integer-exact 0.2*avg rule: qc*n*5 < sum_qc <=> qty < sum/(5n)
+    "q17_small_qty_revenue" ->
+      """WITH f AS (
+        |  SELECT l_partkey, CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qc,
+        |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS pc
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#13'),
+        |st AS (SELECT l_partkey AS ap, CAST(sum(qc) AS BIGINT) AS sum_qc,
+        |              count(*) AS n
+        |       FROM f GROUP BY 1)
+        |SELECT count(*) AS n_lines, CAST(sum(pc) AS BIGINT) / 700.0 AS avg_yearly
+        |FROM f JOIN st ON l_partkey = ap
+        |WHERE qc * n * 5 < sum_qc""".stripMargin,
     "q8_market_share" ->
       """WITH vol AS (
         |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
@@ -1010,23 +1070,19 @@ object SparkEntry {
         |  CAST(floor(tokens_before / 256.0) AS BIGINT) AS pack_id
         |FROM p2 ORDER BY doc_id""".stripMargin,
     "docs_lm_score" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |bi AS (
-        |  SELECT doc_id, t[g] AS w1, t[g+1] AS w2
-        |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS g)
-        |  WHERE len(t) >= 2),
-        |uni AS (
-        |  SELECT w1, count(*) AS c1 FROM (
-        |    SELECT unnest(t) AS w1 FROM tok) GROUP BY w1),
-        |big AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
-        |voc AS (SELECT count(*) AS v FROM uni),
-        |terms AS (
-        |  SELECT doc_id,
-        |    CAST(floor((c2 + CAST(1 AS DOUBLE)) / (c1 + v) * 1000000000) AS BIGINT) AS u
-        |  FROM bi JOIN big USING (w1, w2) JOIN uni USING (w1), voc)
-        |SELECT doc_id, count(*) AS n_bigrams,
-        |  floor(CAST(sum(u) AS BIGINT) / (count(*) * 1000000000.0) * 1000000 + 0.5) / 1000000.0 AS lm_score
-        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $lmScoreCtes
+        |SELECT doc_id, n_bigrams, lm_score FROM lm ORDER BY doc_id""".stripMargin,
+    // per-language tercile split of the LM scores (ntile ties on doc_id)
+    "docs_lm_buckets" ->
+      s"""WITH $lmScoreCtes,
+        |r AS (
+        |  SELECT lm.doc_id, d.lang, lm.lm_score,
+        |    ntile(3) OVER (PARTITION BY d.lang
+        |                   ORDER BY lm.lm_score DESC, lm.doc_id) AS t
+        |  FROM lm JOIN documents d USING (doc_id))
+        |SELECT doc_id, lang, lm_score,
+        |  CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM r ORDER BY doc_id""".stripMargin,
     "docs_boilerplate" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (
@@ -1165,6 +1221,14 @@ object SparkEntry {
         |SELECT doc_id, term, tf, df,
         |  floor(wr * 1000000 + 0.5) / 1000000.0 AS weight, CAST(term_rank AS INT) AS term_rank
         |FROM r WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin,
+    "docs_sample_per_source" ->
+      """SELECT source, rank_in_source, doc_id, lang, n_chars
+        |FROM (SELECT source, doc_id, lang, n_chars,
+        |        CAST(row_number() OVER (PARTITION BY source
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT)
+        |          AS rank_in_source
+        |      FROM documents)
+        |WHERE rank_in_source <= 10 ORDER BY source, rank_in_source""".stripMargin,
     "docs_sample_stratified" ->
       """SELECT doc_id, lang, source,
         |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS sample_key,
@@ -1468,6 +1532,24 @@ object SparkEntry {
          |SELECT id, change_type, old_updated_at, new_updated_at,
          |       old_email, new_email, new_deleted
          |FROM d WHERE change_type != 'unchanged' ORDER BY id""".stripMargin,
+    "users_scd2_history" ->
+      s"""WITH mv AS (
+         |  SELECT id, coalesce(name, '') AS name, coalesce(email, '') AS email,
+         |    coalesce(deleted, 0) AS deleted,
+         |    coalesce(make_timestamp(updated_at), __timestamp) AS updated_at,
+         |    __timestamp AS event_timestamp
+         |  FROM ${fixtureSqlPath("users_raw")})
+         |SELECT id, CAST(version AS INT) AS version, name, email, deleted,
+         |       valid_from, valid_to, is_current
+         |FROM (
+         |  SELECT id, name, email, deleted,
+         |    row_number() OVER w AS version,
+         |    updated_at AS valid_from,
+         |    lead(updated_at) OVER w AS valid_to,
+         |    (lead(updated_at) OVER w IS NULL) AS is_current
+         |  FROM mv
+         |  WINDOW w AS (PARTITION BY id ORDER BY updated_at, event_timestamp))
+         |ORDER BY id, version""".stripMargin,
     // users_api.pipe (mysql): SELECT * FROM users_latest FINAL ORDER BY id
     "ref_users_api_mysql" ->
       s"""SELECT id, name, email, address, phone_number, email_verified,

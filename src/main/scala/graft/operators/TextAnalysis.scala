@@ -419,4 +419,27 @@ object TextAnalysis {
         floorRound(col("weight_raw"), 6).as("weight"), col("term_rank"))
       .orderBy("doc_id", "term_rank")
   }
+  /** CCNet-style quality buckets: tercile split of every language's
+    * documents by LM score ([[lmScore]] — higher = more predictable
+    * text), labelling each doc head / middle / tail. The standard
+    * corpus-curation move (keep head, sample middle, drop tail),
+    * here per language so low-resource languages aren't judged on the
+    * dominant language's scale. Deterministic: the ntile order ties
+    * on doc_id, and lm_score itself is integer-unit arithmetic.
+    * Scale: the score pipeline's joins, then ONE shuffle on lang for
+    * the ranking window (docs with <2 tokens have no bigrams, hence
+    * no score, and are excluded like in lmScore). */
+  def lmBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang")
+      .orderBy(col("lm_score").desc, col("doc_id"))
+    lmScore(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "lang"), "doc_id")
+      .withColumn("tercile", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("lm_score"),
+        when(col("tercile") === 1, "head")
+          .when(col("tercile") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
 }

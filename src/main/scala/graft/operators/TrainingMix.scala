@@ -171,4 +171,23 @@ object TrainingMix {
       .select("doc_id", "lang", "shard", "n_tokens", "tokens_before", "pack_id")
       .orderBy("doc_id")
   }
+  /** Deterministic k-per-group sample: the `k` docs of every source
+    * whose md5(doc_id) ranks lowest — a reservoir sample whose
+    * "random" order is a pure function of row content, so re-runs,
+    * repartitions and incremental appends agree on (and extend) the
+    * selection, and a second engine can reproduce it bit-for-bit.
+    *
+    * Scale: one shuffle on source + a ranking window; for very hot
+    * groups the same rank key works with a per-partition top-k
+    * pre-cut (TakeOrdered shape) since the md5 order is global. */
+  def samplePerSource(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("rank_key"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("rank_key", md5(col("doc_id").cast("string")))
+      .withColumn("rank_in_source", row_number().over(w))
+      .filter(col("rank_in_source") <= k)
+      .select("source", "rank_in_source", "doc_id", "lang", "n_chars")
+      .orderBy("source", "rank_in_source")
+  }
 }

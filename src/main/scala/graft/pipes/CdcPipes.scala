@@ -523,4 +523,29 @@ object CdcPipes {
         exactSum(when(col("event_type") === "error", col("value")).otherwise(0.0), 2).as("error_value"))
       .orderBy("dow")
   }
+  /** Trailing 7-day distinct users per day — the sliding-window
+    * COUNT(DISTINCT) that no mergeable aggregate answers exactly. The
+    * scale trick is cover-day expansion: reduce to distinct (day, user)
+    * first (the only pass over the raw events), then each pair votes
+    * for the 7 cover days it falls inside, and a distinct count per
+    * cover day finishes the job. Cost is a constant 7× of the DISTINCT
+    * pair table (already ≪ events), not a re-scan of the window per
+    * day — the standard linear rewrite of a sliding distinct. Days
+    * beyond the observed maximum are cut by a 1-row broadcast bound
+    * (no driver-side collect); early days keep their shorter, partial
+    * lookback like any trailing window. */
+  def activeUsers7dSliding(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val dayUser = ev.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val bound = ev.agg(max(to_date(col("ts"))).as("max_day"))
+    dayUser
+      .select(col("user_id"), explode(expr(
+        "sequence(day, date_add(day, 6), interval 1 day)")).as("cover_day"))
+      .join(broadcast(bound), col("cover_day") <= col("max_day"))
+      // timestamp_ntz, not DATE: the dump/oracle comparison is
+      // type-sensitive and every date-bucketed endpoint ships ntz
+      .groupBy(col("cover_day").cast("timestamp_ntz").as("cover_day"))
+      .agg(countDistinct(col("user_id")).as("active_users_7d"))
+      .orderBy("cover_day")
+  }
 }

@@ -353,4 +353,55 @@ object TpchPipes {
         toFixedString(col("l_linestatus"), 2).as("status_fixed"),
         when(col("l_quantity") >= 25, "bulk").otherwise("retail").as("order_class"))
       .orderBy("l_orderkey", "l_linenumber")
+  /** TPC-H Q4 shape (order priority checking): the EXISTS-correlated
+    * subquery — orders that had at least one line shipped more than 60
+    * days after the order date — decorrelated to a LEFT SEMI join whose
+    * condition mixes the equi key with a residual non-equi predicate
+    * comparing both sides' columns. The semi join is the plan to want
+    * at scale: lineitem carries only (orderkey, shipdate) into the
+    * exchange, each order is emitted at most once with no distinct
+    * step, and the date window on orders is pushed to the parquet
+    * scan. */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val lo = expr("TIMESTAMP '1996-01-01 00:00:00'")
+    val hi = expr("TIMESTAMP '1996-07-01 00:00:00'")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+    o.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): a correlated
+    * scalar AVG subquery — lines whose quantity is below 20% of their
+    * part's average — decorrelated into one per-part aggregate joined
+    * back to the lines. The 0.2·avg comparison runs in pure integer
+    * arithmetic (qc·n·5 < sum_qc ⟺ qty < sum/(5n)): no float average
+    * exists anywhere, so the verdict per line is partition-order
+    * invariant and engine-exact. Scale: the brand filter shrinks part
+    * BEFORE broadcast, lineitem never shuffles for the dim join, and
+    * the per-part stats frame (≤ one row per filtered part) broadcasts
+    * back onto the lines. */
+  def q17SmallQuantityRevenue(spark: SparkSession, dir: String,
+                              brand: String = "Brand#13"): DataFrame = {
+    val p = broadcast(Tables.part(spark, dir)
+      .filter(col("p_brand") === brand).select("p_partkey"))
+    val lines = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        floor(col("l_quantity") * 100 + 0.5).cast("long").as("qc"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("pc"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+    val stats = lines.groupBy(col("l_partkey").as("ap"))
+      .agg(sum(col("qc")).as("sum_qc"), count(lit(1)).as("n"))
+    lines.join(broadcast(stats), col("l_partkey") === col("ap"))
+      .filter(col("qc") * col("n") * lit(5L) < col("sum_qc"))
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(col("pc")) / 700.0).as("avg_yearly"))
+  }
 }

@@ -204,4 +204,29 @@ object UsersPipes {
       .filter(col("deleted") === 0)
       .orderBy("id")
   }
+  /** SCD type-2 dimension history from the CDC log — the natural
+    * extension of the reference's latest-state endpoints (D1-D3): one
+    * row per user VERSION with its validity interval, instead of only
+    * the newest row. valid_from = the change's updated_at; valid_to =
+    * the next change's (NULL while current). Ordering within a user is
+    * (updated_at, event_timestamp) — (id, updated_at) is unique in the
+    * generator, the ingest timestamp pins any future tie.
+    *
+    * Scale: ONE shuffle on id shared by both window functions
+    * (row_number + lead over the same frame); the history table a
+    * warehouse team would otherwise maintain with MERGE statements
+    * falls out of the append log declaratively. */
+  def usersScd2(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("id").orderBy(col("updated_at"), col("event_timestamp"))
+    usersMv(usersRaw(spark, dir))
+      .select(col("id"), col("name"), col("email"), col("deleted"),
+        col("updated_at"), col("event_timestamp"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to", lead(col("updated_at"), 1).over(w))
+      .select(col("id"), col("version"), col("name"), col("email"),
+        col("deleted"), col("updated_at").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("id", "version")
+  }
 }

@@ -1,0 +1,152 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.pipes.{CdcPipes, TpchPipes, UsersPipes}
+import graft.operators.{TextAnalysis, TrainingMix}
+
+/** Specs for the round-4 extension operators: SCD2 history, the
+  * correlated-subquery TPC-H shapes (Q4/Q17), sliding 7-day distinct,
+  * deterministic per-group sampling, LM-score terciles. Each checks
+  * the registered query against an independent formulation (Spark SQL
+  * correlated subqueries, driver-side recomputes, or cross-endpoint
+  * consistency). */
+class ExtensionOpsSpec extends SparkSpec {
+
+  private lazy val cdcDir: String = {
+    val d = Files.createTempDirectory("graftscd2").toString
+    graft.fixtures.CdcFixtures.writeAll(spark, graft.fixtures.CdcFixtures.generate(), d)
+    d
+  }
+
+  test("usersScd2: contiguous versions, chained intervals, one current row per id") {
+    val rows = UsersPipes.usersScd2(spark, cdcDir)
+      .select("id", "version", "valid_from", "valid_to", "is_current")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1),
+        r.getAs[java.time.LocalDateTime](2),
+        Option(r.getAs[java.time.LocalDateTime](3)), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (id, vs) =>
+      val sorted = vs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to vs.length), s"id $id versions not contiguous")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4.contains(b._3), s"id $id: valid_to of v${a._2} != valid_from of v${b._2}")
+        case _ => ()
+      }
+      assert(sorted.count(_._5) == 1, s"id $id: not exactly one current row")
+      assert(sorted.last._5 && sorted.last._4.isEmpty, s"id $id: current row malformed")
+      sorted.filter(_._4.isDefined).foreach { v =>
+        assert(v._3.isBefore(v._4.get), s"id $id v${v._2}: empty/negative interval")
+      }
+    }
+  }
+
+  test("usersScd2 current version agrees with the RMT latest-state endpoint") {
+    val current = UsersPipes.usersScd2(spark, cdcDir)
+      .filter(col("is_current"))
+      .select("id", "name", "email", "deleted", "valid_from")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getInt(3), r.getAs[java.time.LocalDateTime](4))).toSet
+    val rmt = UsersPipes.usersApiRmt(spark, cdcDir)
+      .select("id", "name", "email", "deleted", "updated_at")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getInt(3), r.getAs[java.time.LocalDateTime](4))).toSet
+    assert(current == rmt)
+  }
+
+  test("q4: decorrelated semi join equals the literal EXISTS subquery") {
+    Tables.orders(spark, sf).createOrReplaceTempView("t_orders")
+    Tables.lineitem(spark, sf).createOrReplaceTempView("t_lineitem")
+    val viaSql = spark.sql(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM t_orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM t_lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val viaDf = TpchPipes.q4OrderPriority(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaDf == viaSql && viaDf.nonEmpty)
+  }
+
+  test("q17: integer 0.2*avg rule matches a driver-side recompute") {
+    val parts = Tables.part(spark, sf).filter(col("p_brand") === "Brand#13")
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val lines = Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .collect()
+      .map(r => (r.getLong(0), math.floor(r.getDouble(1) * 100 + 0.5).toLong,
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+      .filter(t => parts.contains(t._1))
+    val stats = lines.groupBy(_._1).map { case (k, vs) =>
+      k -> (vs.map(_._2).sum, vs.length.toLong) }
+    val kept = lines.filter { case (k, qc, _) =>
+      val (sumQc, n) = stats(k); qc * n * 5 < sumQc }
+    val wantLines = kept.length.toLong
+    val wantAvg = kept.map(_._3).sum / 700.0
+    val got = TpchPipes.q17SmallQuantityRevenue(spark, sf).collect()(0)
+    assert(got.getLong(0) == wantLines && wantLines > 0)
+    assert(got.getDouble(1) == wantAvg)
+  }
+
+  test("7-day sliding distinct matches a per-day window recompute") {
+    val pairs = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+      .distinct().collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    implicit val dayOrd: Ordering[java.time.LocalDate] =
+      Ordering.by(_.toEpochDay)
+    val maxDay = pairs.map(_._1).max
+    val allDays = pairs.map(_._1).distinct
+      .flatMap(d => (0 to 6).map(i => d.plusDays(i.toLong)))
+      .distinct.filter(!_.isAfter(maxDay)).sorted
+    val expect = allDays.map { d =>
+      d -> pairs.filter(p => !p._1.isAfter(d) && !p._1.isBefore(d.minusDays(6)))
+        .map(_._2).distinct.length.toLong
+    }.toMap
+    val got = CdcPipes.activeUsers7dSliding(spark, sf).collect()
+      .map(r => r.getAs[java.time.LocalDateTime](0).toLocalDate -> r.getLong(1)).toMap
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("per-source sample picks exactly the k smallest md5 rank keys") {
+    val k = 10
+    val docs = Tables.documents(spark, sf)
+      .select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def key(id: Long) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes)
+      d.map("%02x".format(_)).mkString
+    }
+    val want = docs.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      rows.sortBy(r => (key(r._2), r._2)).take(k)
+        .zipWithIndex.map { case ((_, id), i) => (src, i + 1, id) }.toSeq
+    }.toSet
+    val got = TrainingMix.samplePerSource(spark, sf, k)
+      .select("source", "rank_in_source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("LM terciles: balanced per language and score-ordered") {
+    val rows = TextAnalysis.lmBuckets(spark, sf)
+      .select("lang", "lm_score", "bucket").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (lang, vs) =>
+      val byBucket = vs.groupBy(_._3).view.mapValues(_.length).toMap
+      val counts = Seq("head", "middle", "tail").map(byBucket.getOrElse(_, 0))
+      assert(counts.max - counts.min <= 1, s"$lang tercile skew: $counts")
+      def scores(b: String) = vs.filter(_._3 == b).map(_._2)
+      for (Seq(hi, lo) <- Seq("head", "middle", "tail").sliding(2)
+           if scores(hi).nonEmpty && scores(lo).nonEmpty)
+        assert(scores(hi).min >= scores(lo).max,
+          s"$lang: $hi scores below $lo")
+    }
+  }
+}
