@@ -49,6 +49,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("q4: EXISTS decorrelates to ONE semi join, no distinct step") {
+    val p = plan("q4_order_priority")
+    assert(p.contains("LeftSemi"), p.take(2000))
+    // the semi join itself dedups matches: a distinct/aggregate on the
+    // orderkey before the priority rollup would mean we re-derived
+    // EXISTS the slow way
+    assert("HashAggregate".r.findAllIn(p).size <= 4, p.take(2000))
+  }
+
+  test("q17: the per-part stats frame joins back without shuffling the lines") {
+    val p = plan("q17_small_qty_revenue")
+    // both dim attach (part) and stats re-attach are broadcasts at this
+    // size class; the lines themselves never hit an exchange for a join
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("7d sliding distinct: bounded by the broadcast day-cut, no range self-join") {
+    val p = plan("active_users_7d_sliding")
+    // cover-day expansion keeps the plan linear: one distinct on the
+    // pair table + one count-distinct agg; the day bound attaches as a
+    // broadcast, never a shuffle or a per-day re-join
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("near-dup endpoints are candidate-join shaped: no cartesian, no corpus BNLJ") {
     // The registered near-dup queries must be the bucketed scale paths —
     // an all-pairs BroadcastNestedLoopJoin/CartesianProduct over the
