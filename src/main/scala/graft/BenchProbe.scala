@@ -23,11 +23,11 @@ object BenchProbe {
       println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
     for (_ <- 1 to 2) {
-      t("repetition")(TextAnalysis.repetitionFrame(spark, dir)
-        .filter(col("keep")).count())
-      t("span_stats")(TextDedup.spanDocStatsFrame(spark, dir).count())
+      t("near_dup_pairs")(TextDedup.nearDupPairs(spark, dir).count())
+      t("dup_clusters")(TextDedup.dupClusters(spark, dir).count())
       t("corpus_v1")(TrainingMix.buildCorpus(spark, dir).count())
-      t("corpus_v2")(TrainingMix.buildCorpusV2(spark, dir).count())
+      t("emb_near_dup")(graft.operators.VectorOps.nearDupPairs(spark, dir).count())
+      t("emb_dup_clusters")(graft.operators.VectorOps.dupClusters(spark, dir).count())
     }
     spark.stop()
   }

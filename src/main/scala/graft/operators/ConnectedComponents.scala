@@ -71,6 +71,17 @@ object ConnectedComponents {
       // probe-per-round form paid four. The mid frame is not
       // checkpointed: its aggregation appears twice in the step's plan
       // and exchange reuse dedupes the shuffle.
+      //
+      // Two accelerations for high-diameter graphs (the embedding
+      // near-dup graph has diameter-16 chains → 8 steps here) were
+      // measured on sf0.1 and REJECTED, keep them off: (a) pointer
+      // jumping (label(label(x)) self-join per step) buys about as
+      // much per op as a relaxation on chains — steps 8 → 5 but each
+      // step heavier, net wash; (b) chaining 6+ relaxations per
+      // checkpoint cuts steps 8 → 3 but the deeper nested join+agg
+      // plan costs Catalyst more than the saved jobs (net +25%), and
+      // at 16-deep the optimizer stalls outright. The 2-op step with
+      // exchange reuse is the measured optimum.
       val mid = propagate(labels).toDF("id", "mid")
       val nbrMin2 = edges
         .join(mid.toDF("src", "src_label"), "src")
