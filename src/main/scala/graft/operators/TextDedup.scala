@@ -111,12 +111,21 @@ object TextDedup {
     * per consumer; at 100 TB stage it once — see [[stageShingles]] /
     * [[nearDupPairsStaged]]. */
   private[graft] def nearDupFrom(sh: DataFrame, minJaccard: Double, maxDf: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val marked = sh
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy("shingle")))
+    // set sizes and document frequencies via groupBy+join, NOT
+    // count-over-window: an unbounded window is a full sort of the
+    // shingle table per key, while the hash aggregate ships one long
+    // per (mapper, key) partial and the join-back reuses the
+    // aggregation's exchange — no sort anywhere on the corpus-sized
+    // frame (the rare-side counting join below dwarfs either form at
+    // test SF; at 100 TB the sort is the difference)
+    val dfPerShingle = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    val marked = sh.join(dfPerShingle, "shingle")
+    val nPerDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val rarePerDoc = marked.filter(col("__df") <= maxDf)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_rare"))
     val rare = marked.filter(col("__df") <= maxDf)
-      .withColumn("n_rare", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .join(nPerDoc, "doc_id")
+      .join(rarePerDoc, "doc_id")
       .select(col("doc_id"), col("shingle"), col("n"),
         (col("n") - col("n_rare")).as("n_common"))
     val a = rare.toDF("doc_a", "shingle", "na", "ca")
