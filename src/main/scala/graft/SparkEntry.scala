@@ -162,6 +162,7 @@ object SparkEntry {
     "emb_knn_lsh"           -> ((s, d) => operators.VectorOps.knnLsh(s, d)),
     "emb_near_dup_pairs"    -> ((s, d) => operators.VectorOps.nearDupPairs(s, d)),
     "emb_ivf_assign"        -> ((s, d) => operators.VectorOps.ivfAssign(s, d)),
+    "emb_pq_codes"          -> ((s, d) => operators.VectorOps.pqCodes(s, d)),
     "emb_centroid_update"   -> ((s, d) => operators.VectorOps.centroidUpdate(s, d)),
     "emb_kmeans"            -> ((s, d) => operators.VectorOps.kmeans(s, d)),
     "emb_dup_clusters"      -> ((s, d) => operators.VectorOps.dupClusters(s, d)),
@@ -1343,6 +1344,27 @@ object SparkEntry {
         |  floor(CAST(sum(CAST(floor(sim * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
         |        / (count(*) * 1000000.0) * 10000 + 0.5) / 10000.0 AS avg_sim
         |FROM r WHERE rn = 1 GROUP BY list_id ORDER BY list_id""".stripMargin,
+    // PQ: nearest per-subspace codeword by 6dp squared euclidean,
+    // code-index tie-break; 8 4-bit codes packed little-endian
+    "emb_pq_codes" ->
+      """WITH anchors AS (
+        |  SELECT CAST(vec_id AS INT) AS code, embedding AS anchor
+        |  FROM embeddings WHERE vec_id < 16),
+        |dists AS (
+        |  SELECT e.vec_id, ss.s, a.code,
+        |    floor(list_sum(list_transform(generate_series(1, 8),
+        |      i -> (CAST(e.embedding[ss.s * 8 + i] AS DOUBLE) - CAST(a.anchor[ss.s * 8 + i] AS DOUBLE))
+        |         * (CAST(e.embedding[ss.s * 8 + i] AS DOUBLE) - CAST(a.anchor[ss.s * 8 + i] AS DOUBLE))))
+        |      * 1000000 + 0.5) / 1000000.0 AS d
+        |  FROM embeddings e, anchors a,
+        |       (SELECT unnest(generate_series(0, 7)) AS s) ss),
+        |best AS (
+        |  SELECT vec_id, s, code
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
+        |        FROM dists)
+        |  WHERE rn = 1)
+        |SELECT vec_id, CAST(sum(code * (1::BIGINT << (4 * s))) AS BIGINT) AS pq_code
+        |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "emb_knn_ivf" ->
       """WITH anchors AS (SELECT vec_id AS list_id, embedding AS anchor FROM embeddings WHERE vec_id < 8),
         |sims AS (

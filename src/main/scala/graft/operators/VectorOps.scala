@@ -393,4 +393,58 @@ object VectorOps {
           .as("avg_sim"))
       .orderBy("list_id")
   }
+  /** Product-quantization codes (the IVF-PQ compression step): split
+    * each 64-dim vector into 8 contiguous 8-dim subspaces, assign every
+    * subspace to its nearest of 16 per-subspace codewords by squared
+    * euclidean distance, and pack the 8 4-bit codes into one integer —
+    * a 256× compression of the vector for memory-resident ANN rescoring.
+    *
+    * Codewords follow the suite's anchor convention (the first k
+    * vectors, sliced per subspace): deterministic, content-derived, and
+    * reproducible in the oracle — [[kmeans]] is the training step that
+    * would refine them in production. Distances are floor-rounded to
+    * 6dp with a code-index tie-break, the same determinism contract as
+    * IVF assignment.
+    *
+    * Scale: codewords broadcast (k rows); per vector the 8×16 distance
+    * matrix is computed in one projection and reduced by 8 min_by
+    * aggregates in a single shuffle on vec_id. At 100 TB the join is a
+    * broadcast against every corpus partition — no corpus shuffle at
+    * all if the groupBy is replaced by a per-row argmin (the join emits
+    * k rows per vector only because the codeword table is a FRAME; a
+    * generated CASE chain would fuse it into the scan). */
+  def pqCodes(spark: SparkSession, dir: String,
+              m: Int = 8, k: Int = 16): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val dim = 64
+    val sub = dim / m
+    val anchors = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("code"), col("embedding").as("anchor"))
+    def subDist(s: Int): Column = {
+      // squared euclidean on dims [s*sub+1, (s+1)*sub], sequential sum
+      // (slice order) — bit-identical in any engine that sums in list
+      // order, like the dot products elsewhere in this file
+      val d = aggregate(
+        zip_with(
+          slice(col("embedding"), s * sub + 1, sub),
+          slice(col("anchor"), s * sub + 1, sub),
+          (x, y) => (x.cast("double") - y.cast("double")) *
+            (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v)
+      floorRound(d, 6)
+    }
+    val scored = emb.join(broadcast(anchors))
+      .select(col("vec_id") +: col("code") +:
+        (0 until m).map(s => subDist(s).as(s"d$s")): _*)
+    val best = scored.groupBy("vec_id")
+      .agg(
+        min_by(col("code"), struct(col("d0"), col("code"))).as("c0"),
+        (1 until m).map(s =>
+          min_by(col("code"), struct(col(s"d$s"), col("code"))).as(s"c$s")): _*)
+    best
+      .select(col("vec_id"),
+        (0 until m).map(s => col(s"c$s") * lit(1L << (4 * s)))
+          .reduce(_ + _).cast("long").as("pq_code"))
+      .orderBy("vec_id")
+  }
 }

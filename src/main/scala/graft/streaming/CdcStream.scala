@@ -72,6 +72,38 @@ object CdcStream {
       .start()
   }
 
+  /** Stream-side exactly-once-per-key dedup MV: at-least-once delivery
+    * (Kafka redeliveries, producer retries) re-sends event_ids, and
+    * dedup-on-read pays for those duplicates on EVERY query.
+    * `dropDuplicatesWithinWatermark` removes them at ingest with
+    * bounded state: one entry per event_id seen within the watermark
+    * horizon, dropped as event time passes — the state never grows with
+    * the stream, which is what makes the operator viable on an
+    * unbounded 100 TB-scale log (a plain dropDuplicates would pin every
+    * key forever). Redeliveries later than the horizon are the
+    * at-least-once tail risk; the downstream RMT dedup-on-read view
+    * still collapses those, so the MV is a cost optimization in front
+    * of a correctness backstop, exactly like the reference's
+    * ReplacingMergeTree posture. */
+  def startDedupMv(spark: SparkSession, srcDir: String, outDir: String,
+                   checkpointDir: String,
+                   lateness: String = "1 hour"): StreamingQuery =
+    readEvents(spark, srcDir)
+      // watermarks require an instant (TIMESTAMP), not wall-clock ntz;
+      // the UTC session makes the round-trip lossless and the output
+      // keeps the log's ntz schema
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** The `documents` table shape for streaming corpus ingest. */
   val docSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

@@ -149,4 +149,33 @@ class ExtensionOpsSpec extends SparkSpec {
           s"$lang: $hi scores below $lo")
     }
   }
+  test("PQ codes: anchors self-code and a driver recompute agrees") {
+    val emb = Tables.embeddings(spark, sf)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val anchors = emb.filter(_._1 < 16)
+    def code(v: Array[Float]): Long = {
+      (0 until 8).map { sub =>
+        val best = anchors.map { case (c, a) =>
+          var d = 0.0
+          var i = sub * 8
+          while (i < sub * 8 + 8) {
+            val t = v(i).toDouble - a(i).toDouble; d += t * t; i += 1
+          }
+          (math.floor(d * 1e6 + 0.5) / 1e6, c)
+        }.min
+        best._2 << (4 * sub)
+      }.sum
+    }
+    val want = emb.map { case (id, v) => (id, code(v)) }.toSeq
+    val got = operators.VectorOps.pqCodes(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(got == want)
+    // every anchor's 8 subspace distances to itself are 0 -> code c in
+    // every lane
+    anchors.foreach { case (c, _) =>
+      val packed = (0 until 8).map(s => c << (4 * s)).sum
+      assert(got(c.toInt)._2 == packed, s"anchor $c should self-code")
+    }
+  }
 }

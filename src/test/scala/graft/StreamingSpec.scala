@@ -452,4 +452,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch,
       s"streamed ${streamed.size} rows vs batch ${batch.size}")
   }
+  test("streaming dedup MV: at-least-once redelivery yields each event exactly once") {
+    val src = tmp(); val out = tmp() + "/dedup"; val ck = tmp() + "/ck"
+    val ev = Tables.events(spark, sf)
+    val cut = expr("TIMESTAMP_NTZ '2024-01-15 00:00:00'")
+    val tail = expr("TIMESTAMP_NTZ '2024-01-13 00:00:00'")
+    // time-ordered replay, like a real CDC log: chunk 1 = first half;
+    // chunk 2 re-delivers chunk 1's recent tail (at-least-once retry,
+    // inside the 2-day lateness horizon so its state is still live)
+    // plus the rest of the stream. The duplicates must vanish at
+    // ingest, with state bounded by the horizon.
+    val first = ev.filter(col("ts") < cut)
+    val redelivered = first.filter(col("ts") >= tail)
+    val rest = ev.filter(col("ts") >= cut)
+    first.write.parquet(s"$src/chunk0")
+    var q = CdcStream.startDedupMv(spark, s"$src/chunk*", out, ck, "2 days")
+    q.awaitTermination()
+    redelivered.unionByName(rest).write.parquet(s"$src/chunk1")
+    q = CdcStream.startDedupMv(spark, s"$src/chunk*", out, ck, "2 days")
+    q.awaitTermination()
+    val got = spark.read.parquet(out).select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val want = ev.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want, s"got ${got.size} events, want ${want.size}")
+  }
 }
