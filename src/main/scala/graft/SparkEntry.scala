@@ -163,6 +163,7 @@ object SparkEntry {
     "emb_near_dup_pairs"    -> ((s, d) => operators.VectorOps.nearDupPairs(s, d)),
     "emb_ivf_assign"        -> ((s, d) => operators.VectorOps.ivfAssign(s, d)),
     "emb_pq_codes"          -> ((s, d) => operators.VectorOps.pqCodes(s, d)),
+    "emb_knn_pq"            -> ((s, d) => operators.VectorOps.knnPq(s, d)),
     "emb_centroid_update"   -> ((s, d) => operators.VectorOps.centroidUpdate(s, d)),
     "emb_kmeans"            -> ((s, d) => operators.VectorOps.kmeans(s, d)),
     "emb_dup_clusters"      -> ((s, d) => operators.VectorOps.dupClusters(s, d)),
@@ -1344,6 +1345,44 @@ object SparkEntry {
         |  floor(CAST(sum(CAST(floor(sim * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
         |        / (count(*) * 1000000.0) * 10000 + 0.5) / 10000.0 AS avg_sim
         |FROM r WHERE rn = 1 GROUP BY list_id ORDER BY list_id""".stripMargin,
+    // ADC: per-query LUT of subspace distances to every codeword,
+    // corpus scored by summing the entries its codes select (exact
+    // 6dp integer units -> order-invariant ranking)
+    "emb_knn_pq" ->
+      """WITH anchors AS (
+        |  SELECT CAST(vec_id AS INT) AS code, embedding AS anchor
+        |  FROM embeddings WHERE vec_id < 16),
+        |subs AS (SELECT unnest(generate_series(0, 7)) AS s),
+        |dists AS (
+        |  SELECT e.vec_id, subs.s, a.code,
+        |    floor(list_sum(list_transform(generate_series(1, 8),
+        |      i -> (CAST(e.embedding[subs.s * 8 + i] AS DOUBLE) - CAST(a.anchor[subs.s * 8 + i] AS DOUBLE))
+        |         * (CAST(e.embedding[subs.s * 8 + i] AS DOUBLE) - CAST(a.anchor[subs.s * 8 + i] AS DOUBLE))))
+        |      * 1000000 + 0.5) / 1000000.0 AS d
+        |  FROM embeddings e, anchors a, subs),
+        |codes AS (
+        |  SELECT vec_id, s, code
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
+        |        FROM dists)
+        |  WHERE rn = 1),
+        |lut AS (
+        |  SELECT q.vec_id AS query_id, subs.s, a.code,
+        |    CAST(floor(list_sum(list_transform(generate_series(1, 8),
+        |      i -> (CAST(q.embedding[subs.s * 8 + i] AS DOUBLE) - CAST(a.anchor[subs.s * 8 + i] AS DOUBLE))
+        |         * (CAST(q.embedding[subs.s * 8 + i] AS DOUBLE) - CAST(a.anchor[subs.s * 8 + i] AS DOUBLE))))
+        |      * 1000000 + 0.5) AS BIGINT) AS units
+        |  FROM embeddings q, anchors a, subs WHERE q.vec_id < 20),
+        |scored AS (
+        |  SELECT lut.query_id, codes.vec_id AS neighbor_id,
+        |         CAST(sum(units) AS BIGINT) / 1000000.0 AS adc_dist
+        |  FROM codes JOIN lut ON codes.s = lut.s AND codes.code = lut.code
+        |  WHERE codes.vec_id != lut.query_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, adc_dist, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY adc_dist, neighbor_id) AS INT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // PQ: nearest per-subspace codeword by 6dp squared euclidean,
     // code-index tie-break; 8 4-bit codes packed little-endian
     "emb_pq_codes" ->

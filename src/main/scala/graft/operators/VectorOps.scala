@@ -414,37 +414,85 @@ object VectorOps {
     * k rows per vector only because the codeword table is a FRAME; a
     * generated CASE chain would fuse it into the scan). */
   def pqCodes(spark: SparkSession, dir: String,
-              m: Int = 8, k: Int = 16): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val dim = 64
-    val sub = dim / m
-    val anchors = emb.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("code"), col("embedding").as("anchor"))
-    def subDist(s: Int): Column = {
-      // squared euclidean on dims [s*sub+1, (s+1)*sub], sequential sum
-      // (slice order) — bit-identical in any engine that sums in list
-      // order, like the dot products elsewhere in this file
-      val d = aggregate(
-        zip_with(
-          slice(col("embedding"), s * sub + 1, sub),
-          slice(col("anchor"), s * sub + 1, sub),
-          (x, y) => (x.cast("double") - y.cast("double")) *
-            (x.cast("double") - y.cast("double"))),
-        lit(0.0), (acc, v) => acc + v)
-      floorRound(d, 6)
-    }
-    val scored = emb.join(broadcast(anchors))
-      .select(col("vec_id") +: col("code") +:
-        (0 until m).map(s => subDist(s).as(s"d$s")): _*)
-    val best = scored.groupBy("vec_id")
-      .agg(
-        min_by(col("code"), struct(col("d0"), col("code"))).as("c0"),
-        (1 until m).map(s =>
-          min_by(col("code"), struct(col(s"d$s"), col("code"))).as(s"c$s")): _*)
-    best
+              m: Int = 8, k: Int = 16): DataFrame =
+    pqBest(Tables.embeddings(spark, dir), m, k)
       .select(col("vec_id"),
         (0 until m).map(s => col(s"c$s") * lit(1L << (4 * s)))
           .reduce(_ + _).cast("long").as("pq_code"))
       .orderBy("vec_id")
+
+  /** Squared euclidean between subspace `s` of two vectors, 6dp
+    * floor-rounded; sequential sum in slice order — bit-identical in
+    * any engine that sums in list order, like the dot products
+    * elsewhere in this file. */
+  private def subDist(e: Column, a: Column, s: Int, sub: Int): Column = {
+    val d = aggregate(
+      zip_with(
+        slice(e, s * sub + 1, sub),
+        slice(a, s * sub + 1, sub),
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    floorRound(d, 6)
+  }
+
+  /** Per-vector best codeword per subspace: (vec_id, c0..c{m-1}). */
+  private def pqBest(emb: DataFrame, m: Int, k: Int): DataFrame = {
+    val sub = 64 / m
+    val anchors = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("code"), col("embedding").as("anchor"))
+    val scored = emb.join(broadcast(anchors))
+      .select(col("vec_id") +: col("code") +:
+        (0 until m).map(s =>
+          subDist(col("embedding"), col("anchor"), s, sub).as(s"d$s")): _*)
+    scored.groupBy("vec_id")
+      .agg(
+        min_by(col("code"), struct(col("d0"), col("code"))).as("c0"),
+        (1 until m).map(s =>
+          min_by(col("code"), struct(col(s"d$s"), col("code"))).as(s"c$s")): _*)
+  }
+
+  /** PQ k-NN via asymmetric distance computation (ADC) — the search
+    * half of IVF-PQ: each query computes its m×k lookup table of
+    * subspace distances to every codeword ONCE, and a corpus vector is
+    * scored by summing the m table entries its packed code selects —
+    * 8 integer adds per candidate instead of a 64-dim float dot, the
+    * arithmetic that makes billion-scale rescoring affordable.
+    *
+    * Scale: the LUT is (queries × k × m) rows — broadcast; the corpus
+    * side ships only (vec_id, subspace, code), never the embeddings.
+    * Distances accumulate as exact 6dp integer units, so ranking is
+    * partition-order invariant and oracle-reproducible. Approximation
+    * error vs exact euclidean is the PQ reconstruction error
+    * (recall property-tested against brute force). */
+  def knnPq(spark: SparkSession, dir: String, nQueries: Int = 20,
+            k: Int = 5, m: Int = 8, kCodes: Int = 16): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val sub = 64 / m
+    val codes = pqBest(emb, m, kCodes)
+      .select(col("vec_id"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"), col(s"c$s").as("code"))): _*)).as("sc"))
+      .select(col("vec_id"), col("sc.s").as("s"), col("sc.code").as("code"))
+    val anchors = emb.filter(col("vec_id") < kCodes)
+      .select(col("vec_id").cast("int").as("code"), col("embedding").as("anchor"))
+    val lut = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .join(anchors)
+      .select(col("query_id"), col("code"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"),
+          floor(subDist(col("qe"), col("anchor"), s, sub) * 1e6 + 0.5)
+            .cast("long").as("units"))): _*)).as("su"))
+      .select(col("query_id"), col("su.s").as("s"), col("code"),
+        col("su.units").as("units"))
+    codes.join(broadcast(lut), Seq("s", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg((sum(col("units")) / 1e6).as("adc_dist"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("adc_dist"), col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
   }
 }
