@@ -109,6 +109,8 @@ object SparkEntry {
     "q3_shipping_priority"  -> ((s, d) => TpchPipes.q3ShippingPriority(s, d)),
     "q4_order_priority"     -> (TpchPipes.q4OrderPriority _),
     "q17_small_qty_revenue" -> ((s, d) => TpchPipes.q17SmallQuantityRevenue(s, d)),
+    "q19_disjunctive_revenue" -> (TpchPipes.q19DisjunctiveRevenue _),
+    "orders_price_percentile" -> (TpchPipes.ordersPricePercentile _),
     "tpch_integrity_audit"  -> (operators.Audit.integrityAudit _),
     "mktsegment_revenue"    -> (TpchPipes.mktsegmentRevenue _),
     "region_revenue"        -> (TpchPipes.regionRevenue _),
@@ -970,6 +972,21 @@ object SparkEntry {
         |SELECT count(*) AS n_lines, CAST(sum(pc) AS BIGINT) / 700.0 AS avg_yearly
         |FROM f JOIN st ON l_partkey = ap
         |WHERE qc * n * 5 < sum_qc""".stripMargin,
+    "q19_disjunctive_revenue" ->
+      """SELECT count(*) AS n_lines,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+        |    / 10000.0 AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "orders_price_percentile" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000.0 AS pct_rank,
+        |  floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000.0 AS cume
+        |FROM orders WHERE o_orderkey <= 1000
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "q8_market_share" ->
       """WITH vol AS (
         |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,

@@ -404,4 +404,48 @@ object TpchPipes {
       .agg(count(lit(1)).as("n_lines"),
         (sum(col("pc")) / 700.0).as("avg_yearly"))
   }
+  /** TPC-H Q19 shape (discounted revenue, disjunctive predicates): an
+    * OR of brand×size×quantity conjunctions spanning BOTH join sides.
+    * The scale lesson is the derived pushdown: the disjunction's
+    * union-of-brands filter is applied to part BEFORE the broadcast
+    * (Catalyst does not factor common terms out of cross-table ORs),
+    * so the build side ships 3 brands' parts instead of the dimension,
+    * while the full disjunction evaluates post-join inside codegen. */
+  def q19DisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val brands = Seq("Brand#12", "Brand#23", "Brand#3")
+    val p = broadcast(Tables.part(spark, dir)
+      .filter(col("p_brand").isin(brands: _*))
+      .select("p_partkey", "p_brand", "p_size"))
+    val li = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val disj =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+        col("l_quantity").between(20, 30))
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(disj)
+      .agg(count(lit(1)).as("n_lines"),
+        exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"))
+  }
+
+  /** Relative standing inside a group: percent_rank and cume_dist of
+    * every order's price within its priority class — the window-rank
+    * surface (beyond row_number/ntile/lag/lead used elsewhere). One
+    * shuffle on the partition key; ties broken by orderkey so both
+    * engines rank identically. */
+  def ordersPricePercentile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") <= 1000)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        floorRound(percent_rank().over(w), 6).as("pct_rank"),
+        floorRound(cume_dist().over(w), 6).as("cume"))
+      .orderBy("o_orderkey")
+  }
 }

@@ -95,7 +95,7 @@ object ChDialectParser {
     """(?s)\b(toStartOfMinute|toStartOfHour|toStartOfDay|subtractHours|
       |addMinutes|fromUnixTimestamp64Micro|toFixedString|toDateTime|toYYYYMM|
       |argMax|argMin|now64|countIf|sumIf|avgIf|uniqExact|toDate|toYYYYMMDD|
-      |quantileExact|quantile|uniq)\s*\(""".stripMargin.replace("\n", "")
+      |quantileExact|quantile|uniq|multiIf|arrayJoin)\s*\(""".stripMargin.replace("\n", "")
   ).map(_.r)
 
   private val finalMarker = """(?is)\bFROM\s+\w+\s+FINAL\b""".r

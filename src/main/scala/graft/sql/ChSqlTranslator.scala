@@ -64,6 +64,8 @@ object ChSqlTranslator {
     s = replaceOutsideStrings(s, "(?i)=\\s*true\\b")(_ => "= 1")
     s = replaceOutsideStrings(s, "(?i)\\bnumbers\\((\\d+)\\)")(m =>
       s"(SELECT id AS number FROM range(${m.group(1)}))")
+    // CH count() is count(*) — Spark rejects the zero-arg form
+    s = replaceOutsideStrings(s, "(?i)\\bcount\\(\\s*\\)")(_ => "count(*)")
     // LIMIT BY first, while the ORDER BY list is still raw CH syntax
     // (function rewrites introduce commas inside calls that a list split
     // must not cut through); then the signature rewrites.
@@ -191,6 +193,20 @@ object ChSqlTranslator {
     "quantileExact" -> (a => s"percentile(${a(0)}, 0.5)"),
     "quantile" -> (a => s"percentile(${a(0)}, 0.5)"),
     "toDate" -> (a => s"cast(${a(0)} as date)"),
+    // multiIf(c1,v1,c2,v2,…,else) — the CH conditional chain every
+    // dashboard uses; pairs become WHEN arms, the odd trailing arg the
+    // ELSE
+    "multiIf" -> (a => {
+      require(a.length >= 3 && a.length % 2 == 1,
+        s"multiIf expects cond/value pairs plus an else, got ${a.length} args")
+      val arms = a.dropRight(1).grouped(2)
+        .map(p => s"WHEN ${p(0)} THEN ${p(1)}").mkString(" ")
+      s"(CASE $arms ELSE ${a.last} END)"
+    }),
+    // arrayJoin → explode: valid where Spark accepts a generator (the
+    // select list — the reference-era usage); elsewhere Spark's
+    // analyzer rejects it loudly rather than silently misreading
+    "arrayJoin" -> (a => s"explode(${a(0)})"),
     "toYYYYMMDD" -> (a => s"cast(date_format(${a(0)}, 'yyyyMMdd') as int)"),
     "round" -> (a => {
       val n =

@@ -368,4 +368,25 @@ class TranslatorSpec extends SparkSpec {
       nowFallbackToWallClock = true)
     assert(nowT.contains("current_timestamp"), nowT)
   }
+  test("multiIf maps to a CASE chain; arrayJoin explodes in the select list") {
+    dir // force view setup
+    val r = spark.sql(
+      """SELECT multiIf(passenger_count > 150, 'heavy',
+        |               passenger_count > 50, 'medium',
+        |               'light') AS band, count() AS n
+        |FROM flights_raw GROUP BY band ORDER BY band""".stripMargin)
+      .collect().map(x => (x.getString(0), x.getLong(1))).toMap
+    val raw = spark.read.parquet(s"$dir/flights_raw")
+    val want = raw.select(
+        when(col("passenger_count") > 150, "heavy")
+          .when(col("passenger_count") > 50, "medium")
+          .otherwise("light").as("band"))
+      .groupBy("band").count()
+      .collect().map(x => (x.getString(0), x.getLong(1))).toMap
+    assert(r == want && r.nonEmpty)
+    val exploded = spark.sql(
+      "SELECT arrayJoin(array(1, 2, 3)) AS v FROM flights_raw LIMIT 100")
+      .collect().map(_.getInt(0)).toSet
+    assert(exploded == Set(1, 2, 3))
+  }
 }
