@@ -77,6 +77,8 @@ object SparkEntry {
     "active_users_per_hour" -> (CdcPipes.activeUsersPerHour _),
     "active_users_per_hour_salted" -> (CdcPipes.activeUsersPerHourSalted _),
     "active_users_7d_sliding" -> (CdcPipes.activeUsers7dSliding _),
+    "users_weekly_churn"    -> (CdcPipes.usersWeeklyChurn _),
+    "customer_reconcile"    -> (CdcPipes.customerReconcile _),
     "active_users_per_hour_approx" -> (CdcPipes.activeUsersPerHourApprox _),
     "active_users_sketch_rollup" -> (CdcPipes.activeUsersSketchRollup _),
     "error_pct_per_hour"    -> (CdcPipes.errorPctPerHour _),
@@ -466,6 +468,33 @@ object SparkEntry {
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "active_users_per_hour" -> activeUsersOracle,
     "active_users_per_hour_salted" -> activeUsersOracle,
+    "users_weekly_churn" ->
+      """WITH w1 AS (SELECT DISTINCT user_id FROM events
+        |            WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'),
+        |w2 AS (SELECT DISTINCT user_id FROM events
+        |       WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15')
+        |SELECT user_id, status FROM (
+        |  SELECT user_id, 'retained' AS status FROM (SELECT * FROM w1 INTERSECT SELECT * FROM w2)
+        |  UNION ALL
+        |  SELECT user_id, 'churned' FROM (SELECT * FROM w1 EXCEPT SELECT * FROM w2)
+        |  UNION ALL
+        |  SELECT user_id, 'new' FROM (SELECT * FROM w2 EXCEPT SELECT * FROM w1))
+        |ORDER BY user_id, status""".stripMargin,
+    "customer_reconcile" ->
+      """WITH high AS (
+        |  SELECT o_custkey AS hk, count(*) AS n_high FROM orders
+        |  WHERE o_totalprice > 400000 GROUP BY 1),
+        |recent AS (
+        |  SELECT o_custkey AS rk, count(*) AS n_recent FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '2001-01-01' GROUP BY 1)
+        |SELECT coalesce(hk, rk) AS custkey,
+        |  CASE WHEN hk IS NOT NULL AND rk IS NOT NULL THEN 'both'
+        |       WHEN hk IS NOT NULL THEN 'high_only'
+        |       ELSE 'recent_only' END AS status,
+        |  coalesce(n_high, 0) AS n_high,
+        |  coalesce(n_recent, 0) AS n_recent
+        |FROM high FULL OUTER JOIN recent ON hk = rk
+        |ORDER BY custkey""".stripMargin,
     "active_users_7d_sliding" ->
       """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
         |mx AS (SELECT max(CAST(ts AS DATE)) AS max_day FROM events),

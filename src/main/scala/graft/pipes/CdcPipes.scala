@@ -548,4 +548,48 @@ object CdcPipes {
       .agg(countDistinct(col("user_id")).as("active_users_7d"))
       .orderBy("cover_day")
   }
+  /** Week-over-week retention classes via the relational set operators
+    * (INTERSECT / EXCEPT — Catalyst lowers both to distinct + left-semi
+    * / left-anti joins, so each class is one co-partitioned join of two
+    * already-distinct user sets): retained = active both weeks,
+    * churned = week 1 only, new = week 2 only. */
+  def usersWeeklyChurn(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def activeIn(lo: String, hi: String) = ev
+      .filter(col("ts") >= expr(s"TIMESTAMP_NTZ '$lo'") &&
+        col("ts") < expr(s"TIMESTAMP_NTZ '$hi'"))
+      .select("user_id").distinct()
+    val w1 = activeIn("2024-01-01 00:00:00", "2024-01-08 00:00:00")
+    val w2 = activeIn("2024-01-08 00:00:00", "2024-01-15 00:00:00")
+    w1.intersect(w2).withColumn("status", lit("retained"))
+      .unionByName(w1.except(w2).withColumn("status", lit("churned")))
+      .unionByName(w2.except(w1).withColumn("status", lit("new")))
+      .orderBy("user_id", "status")
+  }
+
+  /** FULL OUTER reconciliation of two derived per-customer aggregates
+    * (high-value revenue vs recent activity): the outer join keeps
+    * customers present on either side, a CASE classifies the
+    * provenance, and coalesced metrics make the row self-contained.
+    * Both inputs aggregate to one row per key before the join, so the
+    * full outer is a join of two small frames on their shared key —
+    * never a fact-table outer join. */
+  def customerReconcile(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val high = o.filter(col("o_totalprice") > 400000)
+      .groupBy(col("o_custkey").as("hk"))
+      .agg(count(lit(1)).as("n_high"))
+    val recent = o.filter(col("o_orderdate") >= expr("TIMESTAMP '2001-01-01 00:00:00'"))
+      .groupBy(col("o_custkey").as("rk"))
+      .agg(count(lit(1)).as("n_recent"))
+    high.join(recent, col("hk") === col("rk"), "full_outer")
+      .select(
+        coalesce(col("hk"), col("rk")).as("custkey"),
+        when(col("hk").isNotNull && col("rk").isNotNull, "both")
+          .when(col("hk").isNotNull, "high_only")
+          .otherwise("recent_only").as("status"),
+        coalesce(col("n_high"), lit(0L)).as("n_high"),
+        coalesce(col("n_recent"), lit(0L)).as("n_recent"))
+      .orderBy("custkey")
+  }
 }
