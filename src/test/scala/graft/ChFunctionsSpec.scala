@@ -58,4 +58,26 @@ class ChFunctionsSpec extends SparkSpec {
     val df = Seq((1L, "old"), (5L, "new"), (3L, "mid")).toDF("ver", "v")
     assert(df.agg(argMax(col("v"), col("ver"))).first().getString(0) == "new")
   }
+  test("OracleHash: pinned value, JVM recompute, lane packing") {
+    import graft.functions.OracleHash
+    import org.apache.spark.sql.functions._
+    val r = spark.range(1).select(
+      OracleHash.low64(lit("abc")).as("l"),
+      OracleHash.seeded32(5, lit("abc")).as("s5"),
+      OracleHash.combine(Seq(lit(1L), lit(-2L))).as("c")).first()
+    // md5("abc") = 900150983cd24fb0 d6963f7d28e17f72; last 8 bytes BE
+    // as signed: 0xd6963f7d28e17f72 - 2^64
+    assert(r.getLong(0) == -2984127896297046158L)
+    def jvm(x: String): Array[Byte] =
+      java.security.MessageDigest.getInstance("MD5").digest(x.getBytes)
+    // seeded32(5) = lane 1 (hex chars 9-16 = digest bytes 4-7 BE) of
+    // md5("1|abc")
+    val d = jvm("1|abc")
+    val want = (4 until 8).foldLeft(0L)((a, i) => (a << 8) | (d(i) & 0xffL))
+    assert(r.getLong(1) == want && want >= 0 && want < (1L << 32))
+    // combine renders longs in decimal, sign included
+    val dc = jvm("1,-2")
+    val wantC = (8 until 16).foldLeft(0L)((a, i) => (a << 8) | (dc(i) & 0xffL))
+    assert(r.getLong(2) == wantC)
+  }
 }
