@@ -1,8 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-import graft.operators.{TextAnalysis, TextDedup, TrainingMix}
+import graft.operators.{TextDedup, TrainingMix}
 
 /** Stage-bisection probe for composite-query cost: times the REAL
   * component frames (the same functions the composite calls, so the

@@ -354,11 +354,13 @@ object SparkEntry {
     * `bands(doc_id, band, band_hash)`. Shares the shingle CTEs' shapes
     * but stands alone so either oracle can be read in isolation. */
   private val minhashBandCtes: String = {
-    import graft.functions.OracleHash.{duckSeeded32, duckCombine}
-    val sigCols = (0 until 16).map(j =>
+    import graft.functions.OracleHash.{duckSeeded32, duckCombine, Lanes}
+    val bands = 4
+    val rowsPerBand = Lanes / bands
+    val sigCols = (0 until Lanes).map(j =>
       s"MIN(${duckSeeded32(j, "s")}) AS h$j").mkString(",\n    ")
-    val bandSelects = (0 until 4).map { b =>
-      val hs = (0 until 4).map(r => s"h${b * 4 + r}")
+    val bandSelects = (0 until bands).map { b =>
+      val hs = (0 until rowsPerBand).map(r => s"h${b * rowsPerBand + r}")
       s"SELECT doc_id, $b AS band, ${duckCombine(hs)} AS band_hash FROM sig"
     }.mkString("\n  UNION ALL ")
     s"""tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -4,8 +4,11 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
-  def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+
+  /** The ONE session recipe for correctness dumps — shared with
+    * VerifySome so the two mains cannot drift on the flags the oracle
+    * comparison depends on (ns→µs reads, µs parquet writes, UTC). */
+  private[graft] def dumpSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -20,10 +23,21 @@ object Verify {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Dump one query's result the way the driver's gate reads it. */
+  private[graft] def dumpQuery(spark: SparkSession, sfDir: String,
+                               outDir: String, name: String): Unit =
+    SparkEntry.queries(name)(spark, sfDir).coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/$name")
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    val spark = dumpSession()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+    SparkEntry.queries.keys.foreach { name =>
+      try dumpQuery(spark, sfDir, outDir, name)
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

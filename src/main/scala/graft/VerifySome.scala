@@ -1,28 +1,19 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
 /** Dev tool: dump a SUBSET of SparkEntry.queries (plus their oracle
   * SQL) the same way Verify does — for iterating on one oracle pair
-  * without paying the full 100-query dump.
+  * without paying the full dump. Session and dump path are Verify's
+  * own ([[Verify.dumpSession]]), so a flag added there applies here.
   * Usage: runMain graft.VerifySome <sfDir> <outDir> <query...> */
 object VerifySome {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
-    val names = args.drop(2).toSeq
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Verify.dumpSession()
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
-    names.foreach { name =>
-      SparkEntry.queries(name)(spark, sfDir).coalesce(1)
-        .write.mode("overwrite").parquet(s"$outDir/$name")
+    args.drop(2).foreach { name =>
+      Verify.dumpQuery(spark, sfDir, outDir, name)
       SparkEntry.oracleSql.get(name).foreach { sql =>
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(s"$outDir/$name.sql"), sql)

@@ -29,6 +29,15 @@ import org.apache.spark.sql.functions._
   */
 object OracleHash {
 
+  /** The seeded-32 family's width contract, shared by every consumer
+    * (MinHash signatures, the per-row streaming form, the DuckDB CTE
+    * emitters): `Lanes` 32-bit lanes packed `LanesPerDigest` to an md5
+    * digest. Changing the MinHash width means changing ONE constant —
+    * the lane→digest arithmetic everywhere derives from these. */
+  val Lanes = 16
+  val LanesPerDigest = 4
+  val Digests: Int = Lanes / LanesPerDigest
+
   /** Signed big-endian int64 of md5(c)'s last 8 bytes (Spark side).
     * Two 32-bit `conv` halves recombined with shift/or — bitwise ops
     * carry no ANSI overflow check and reconstruct the exact bit
@@ -47,18 +56,18 @@ object OracleHash {
     * signature pays 4 md5s per shingle, not 16 (measured 2.4× on the
     * LSH pair query before this packing). */
   def seeded32(j: Int, c: Column): Column =
-    lane32(digests32(c)(j / 4), j)
+    lane32(digests32(c)(j / LanesPerDigest), j)
 
   /** The four shared hex digests behind the 16 [[seeded32]] lanes —
     * project these once when feeding an aggregate, so the md5 sharing
     * doesn't depend on codegen CSE reaching across the explode/
     * aggregate boundary. */
   def digests32(c: Column): IndexedSeq[Column] =
-    (0 until 4).map(g => md5(concat(lit(s"$g|"), c)))
+    (0 until Digests).map(g => md5(concat(lit(s"$g|"), c)))
 
   /** Lane `j%4` out of a [[digests32]] hex digest. */
   def lane32(digestHex: Column, j: Int): Column =
-    conv(substring(digestHex, (j % 4) * 8 + 1, 8), 16, 10).cast("long")
+    conv(substring(digestHex, (j % LanesPerDigest) * 8 + 1, 8), 16, 10).cast("long")
 
   /** Combine several long-typed hash columns order-sensitively:
     * low64 of their comma-joined decimal renderings (Long.toString and
@@ -79,7 +88,8 @@ object OracleHash {
   /** DuckDB SQL for [[seeded32]] — no sign handling needed: the lane
     * value is < 2^32, so the UBIGINT→BIGINT cast is always in range. */
   def duckSeeded32(j: Int, e: String): String =
-    s"(('0x' || substring(md5('${j / 4}|' || $e), ${(j % 4) * 8 + 1}, 8))::UBIGINT)::BIGINT"
+    s"(('0x' || substring(md5('${j / LanesPerDigest}|' || $e), " +
+      s"${(j % LanesPerDigest) * 8 + 1}, 8))::UBIGINT)::BIGINT"
 
   /** DuckDB SQL for [[combine]] over BIGINT-typed expressions. */
   def duckCombine(es: Seq[String]): String =

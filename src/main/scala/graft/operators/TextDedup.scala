@@ -201,7 +201,7 @@ object TextDedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  private val NumHashes = 16
+  private val NumHashes = graft.functions.OracleHash.Lanes
   private val Bands = 4 // 4 rows per band
 
   /** MinHash signatures: k seeded minima per doc ([[graft.functions.OracleHash]]
@@ -218,9 +218,9 @@ object TextDedup {
     import graft.functions.OracleHash
     val digests = OracleHash.digests32(col("shingle"))
     val staged = shingles(docs).select(
-      col("doc_id") +: (0 until 4).map(g => digests(g).as(s"m$g")): _*)
+      col("doc_id") +: digests.indices.map(g => digests(g).as(s"m$g")): _*)
     val mins = (0 until NumHashes).map(j =>
-      min(OracleHash.lane32(col(s"m${j / 4}"), j)).as(s"h$j"))
+      min(OracleHash.lane32(col(s"m${j / OracleHash.LanesPerDigest}"), j)).as(s"h$j"))
     staged.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
@@ -254,8 +254,18 @@ object TextDedup {
     val sh = array_distinct(transform(
       sequence(lit(1), size(t) - 2),
       i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+    // stage the shared digests ONCE per shingle (a struct per element):
+    // interpreted HOF lambdas get no codegen CSE, so 16 seeded32 calls
+    // would compute 16 md5s per shingle where 4 distinct digests exist
+    // — the same sharing the batch path gets from its digests32
+    // projection
+    import graft.functions.OracleHash
+    val digested = transform(sh, s => struct(
+      OracleHash.digests32(s).zipWithIndex
+        .map { case (d, g) => d.as(s"m$g") }: _*))
     val mins = (0 until NumHashes).map(j =>
-      array_min(transform(sh, s => graft.functions.OracleHash.seeded32(j, s))))
+      array_min(transform(digested, h =>
+        OracleHash.lane32(h(s"m${j / OracleHash.LanesPerDigest}"), j))))
     val rowsPerBand = NumHashes / Bands
     val bands = array((0 until Bands).map { b =>
       val hs = (0 until rowsPerBand).map(r => mins(b * rowsPerBand + r))
