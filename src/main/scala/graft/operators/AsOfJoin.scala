@@ -42,7 +42,7 @@ object AsOfJoin {
     l2.unionByName(r2, allowMissingColumns = true)
       .withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(left.columns.map(col) ++
+      .select(left.columns.toIndexedSeq.map(col) ++
         rightPayload.map(c => col(s"__asof.$c").as(c)): _*)
   }
 
