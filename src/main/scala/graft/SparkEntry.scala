@@ -168,6 +168,7 @@ object SparkEntry {
     "emb_ivf_assign"        -> ((s, d) => operators.VectorOps.ivfAssign(s, d)),
     "emb_pq_codes"          -> ((s, d) => operators.VectorOps.pqCodes(s, d)),
     "emb_knn_pq"            -> ((s, d) => operators.VectorOps.knnPq(s, d)),
+    "emb_knn_ivf_pq"        -> ((s, d) => operators.VectorOps.knnIvfPq(s, d)),
     "emb_centroid_update"   -> ((s, d) => operators.VectorOps.centroidUpdate(s, d)),
     "emb_kmeans"            -> ((s, d) => operators.VectorOps.kmeans(s, d)),
     "emb_dup_clusters"      -> ((s, d) => operators.VectorOps.dupClusters(s, d)),
@@ -1425,6 +1426,66 @@ object SparkEntry {
         |         CAST(sum(units) AS BIGINT) / 1000000.0 AS adc_dist
         |  FROM codes JOIN lut ON codes.s = lut.s AND codes.code = lut.code
         |  WHERE codes.vec_id != lut.query_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, adc_dist, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY adc_dist, neighbor_id) AS INT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // IVF pruning + ADC scoring composed (shares the code/LUT CTE text
+    // with emb_knn_pq and the assignment shape with emb_knn_ivf)
+    "emb_knn_ivf_pq" ->
+      """WITH lanchors AS (
+        |  SELECT vec_id AS list_id, embedding AS anchor
+        |  FROM embeddings WHERE vec_id < 8),
+        |lsims AS (
+        |  SELECT e.vec_id, e.embedding, list_id,
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> CAST(a.anchor[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS sim
+        |  FROM embeddings e, lanchors a),
+        |assigned AS (
+        |  SELECT vec_id, list_id FROM (
+        |    SELECT vec_id, list_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, list_id) AS rn
+        |    FROM lsims) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, list_id FROM (
+        |    SELECT vec_id, list_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, list_id) AS rn
+        |    FROM lsims WHERE vec_id < 20) WHERE rn <= 3),
+        |anchors AS (
+        |  SELECT CAST(vec_id AS INT) AS code, embedding AS anchor
+        |  FROM embeddings WHERE vec_id < 16),
+        |subs AS (SELECT unnest(generate_series(0, 7)) AS s),
+        |dists AS (
+        |  SELECT e.vec_id, subs.s, a.code,
+        |    floor(list_sum(list_transform(generate_series(1, 8),
+        |      i -> (CAST(e.embedding[subs.s * 8 + i] AS DOUBLE) - CAST(a.anchor[subs.s * 8 + i] AS DOUBLE))
+        |         * (CAST(e.embedding[subs.s * 8 + i] AS DOUBLE) - CAST(a.anchor[subs.s * 8 + i] AS DOUBLE))))
+        |      * 1000000 + 0.5) / 1000000.0 AS d
+        |  FROM embeddings e, anchors a, subs),
+        |codes AS (
+        |  SELECT vec_id, s, code
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
+        |        FROM dists)
+        |  WHERE rn = 1),
+        |lut AS (
+        |  SELECT q.vec_id AS query_id, subs.s, a.code,
+        |    CAST(floor(list_sum(list_transform(generate_series(1, 8),
+        |      i -> (CAST(q.embedding[subs.s * 8 + i] AS DOUBLE) - CAST(a.anchor[subs.s * 8 + i] AS DOUBLE))
+        |         * (CAST(q.embedding[subs.s * 8 + i] AS DOUBLE) - CAST(a.anchor[subs.s * 8 + i] AS DOUBLE))))
+        |      * 1000000 + 0.5) AS BIGINT) AS units
+        |  FROM embeddings q, anchors a, subs WHERE q.vec_id < 20),
+        |cand AS (
+        |  SELECT p.query_id, a.vec_id
+        |  FROM assigned a JOIN probes p USING (list_id)
+        |  WHERE a.vec_id != p.query_id),
+        |scored AS (
+        |  SELECT c.query_id, c.vec_id AS neighbor_id,
+        |         CAST(sum(units) AS BIGINT) / 1000000.0 AS adc_dist
+        |  FROM cand c JOIN codes k ON k.vec_id = c.vec_id
+        |              JOIN lut ON lut.query_id = c.query_id
+        |                      AND lut.s = k.s AND lut.code = k.code
         |  GROUP BY 1, 2)
         |SELECT query_id, neighbor_id, adc_dist, rank FROM (
         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id

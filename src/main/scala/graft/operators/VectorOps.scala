@@ -495,4 +495,63 @@ object VectorOps {
       .filter(col("rank") <= k)
       .orderBy("query_id", "rank")
   }
+  /** IVF-PQ search — the two halves composed, the ANN shape that runs
+    * at billion scale: IVF pruning restricts each query to its nprobe
+    * nearest lists (the corpus is stored partitioned by list), and the
+    * surviving candidates are scored by PQ asymmetric distance — codes,
+    * never embeddings, on the scan side. The per-query LUT and probe
+    * table broadcast; the only corpus-sized work is the pruned
+    * candidate join plus 8 integer adds per candidate. Recall stacks
+    * both approximations (probe misses + reconstruction error) —
+    * property-tested like its halves; exact rescoring of this
+    * candidate set is [[knnIvf]]'s job. */
+  def knnIvfPq(spark: SparkSession, dir: String, nQueries: Int = 20,
+               k: Int = 5, nLists: Int = 8, nprobe: Int = 3,
+               m: Int = 8, kCodes: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val sub = 64 / m
+    val listAnchors = emb.filter(col("vec_id") < nLists)
+      .select(col("vec_id").as("list_id"), col("embedding").as("anchor"))
+    val assigned = limitBy(
+      emb.join(broadcast(listAnchors))
+        .select(col("vec_id"), col("list_id"),
+          dot(col("embedding"), col("anchor")).as("__sim")),
+      1, Seq(col("vec_id")), Seq(col("__sim").desc, col("list_id")))
+      .select("vec_id", "list_id")
+    val probes = limitBy(
+      emb.filter(col("vec_id") < nQueries)
+        .join(broadcast(listAnchors))
+        .select(col("vec_id").as("query_id"), col("list_id"),
+          dot(col("embedding"), col("anchor")).as("__sim")),
+      nprobe, Seq(col("query_id")), Seq(col("__sim").desc, col("list_id")))
+      .select("query_id", "list_id")
+    val codeAnchors = emb.filter(col("vec_id") < kCodes)
+      .select(col("vec_id").cast("int").as("code"), col("embedding").as("anchor"))
+    val codes = pqBest(emb, m, kCodes)
+      .select(col("vec_id"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"), col(s"c$s").as("code"))): _*)).as("sc"))
+      .select(col("vec_id"), col("sc.s").as("s"), col("sc.code").as("code"))
+    val lut = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .join(codeAnchors)
+      .select(col("query_id"), col("code"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"),
+          floor(subDist(col("qe"), col("anchor"), s, sub) * 1e6 + 0.5)
+            .cast("long").as("units"))): _*)).as("su"))
+      .select(col("query_id"), col("su.s").as("s"), col("code"),
+        col("su.units").as("units"))
+    assigned.join(broadcast(probes), Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(lut), Seq("query_id", "s", "code"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg((sum(col("units")) / 1e6).as("adc_dist"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("adc_dist"), col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
 }

@@ -223,4 +223,33 @@ class ExtensionOpsSpec extends SparkSpec {
     }
     assert(better >= queries.length - 2, s"ADC beat chance for only $better/${queries.length} queries")
   }
+  test("IVF-PQ search: candidates honor the probe set; ADC matches the PQ half") {
+    val got = operators.VectorOps.knnIvfPq(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    // every neighbor must live in one of its query's probed lists —
+    // recompute assignment + probes from the shared convention
+    val emb = Tables.embeddings(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val anchors = emb.filter(_._1 < 8)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var i = 0
+      while (i < 64) { d += a(i).toDouble * b(i).toDouble; i += 1 }
+      d
+    }
+    val assign = emb.map { case (id, v) =>
+      id -> anchors.map { case (l, a) => (-dot(v, a), l) }.min._2 }.toMap
+    val probes = emb.filter(_._1 < 20).map { case (id, v) =>
+      id -> anchors.map { case (l, a) => (-dot(v, a), l) }.sorted.take(3)
+        .map(_._2).toSet }.toMap
+    got.foreach { case (q, n, _) =>
+      assert(probes(q).contains(assign(n)),
+        s"neighbor $n of query $q outside the probed lists") }
+    // ADC value consistency with the unpruned PQ search where both
+    // rank the same pair
+    val pq = operators.VectorOps.knnPq(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val shared = got.flatMap { case (q, n, d) => pq.get((q, n)).map(d2 => (d, d2)) }
+    assert(shared.nonEmpty && shared.forall { case (a, b) => a == b })
+  }
 }
