@@ -112,6 +112,7 @@ object SparkEntry {
     "q4_order_priority"     -> (TpchPipes.q4OrderPriority _),
     "q17_small_qty_revenue" -> ((s, d) => TpchPipes.q17SmallQuantityRevenue(s, d)),
     "q19_disjunctive_revenue" -> (TpchPipes.q19DisjunctiveRevenue _),
+    "q22_sales_opportunity" -> ((s, d) => TpchPipes.q22SalesOpportunity(s, d)),
     "orders_price_percentile" -> (TpchPipes.ordersPricePercentile _),
     "tpch_integrity_audit"  -> (operators.Audit.integrityAudit _),
     "mktsegment_revenue"    -> (TpchPipes.mktsegmentRevenue _),
@@ -1004,6 +1005,20 @@ object SparkEntry {
         |SELECT count(*) AS n_lines, CAST(sum(pc) AS BIGINT) / 700.0 AS avg_yearly
         |FROM f JOIN st ON l_partkey = ap
         |WHERE qc * n * 5 < sum_qc""".stripMargin,
+    // integer-exact above-average rule: bal_cents * n > sum_cents
+    "q22_sales_opportunity" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |st AS (SELECT CAST(sum(bal_cents) AS BIGINT) AS sum_cents, count(*) AS n FROM c),
+        |big AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 300000)
+        |SELECT c_mktsegment, count(*) AS n_custs,
+        |       CAST(sum(bal_cents) AS BIGINT) / 100.0 AS total_acctbal
+        |FROM c, st
+        |WHERE bal_cents * n > sum_cents
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM big)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q19_disjunctive_revenue" ->
       """SELECT count(*) AS n_lines,
         |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT)

@@ -448,4 +448,32 @@ object TpchPipes {
         floorRound(cume_dist().over(w), 6).as("cume"))
       .orderBy("o_orderkey")
   }
+  /** TPC-H Q22 shape (global sales opportunity): customers whose
+    * balance beats the GLOBAL average but who never placed a big
+    * order — a scalar aggregate subquery feeding a predicate, an anti
+    * join, and a grouped rollup in one plan. The average comparison is
+    * decorrelated into pure integers (bal_cents · n > sum_cents ⟺
+    * bal > sum/n), so no float average exists and the verdict is
+    * engine-exact. Scale: the stats frame is one row (broadcast), the
+    * anti join's build side is the DISTINCT custkeys of big orders
+    * (shrunk before the exchange), and the rollup groups a filtered
+    * dimension — the fact table is touched once, for the key set. */
+  def q22SalesOpportunity(spark: SparkSession, dir: String,
+                          bigOrder: Double = 300000): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") * 100 + 0.5).cast("long").as("bal_cents"))
+    val stats = c.agg(sum(col("bal_cents")).as("sum_cents"),
+      count(lit(1)).as("n"))
+    val bigBuyers = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > bigOrder)
+      .select(col("o_custkey")).distinct()
+    c.crossJoin(broadcast(stats))
+      .filter(col("bal_cents") * col("n") > col("sum_cents"))
+      .join(bigBuyers, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_custs"),
+        (sum(col("bal_cents")) / 100.0).as("total_acctbal"))
+      .orderBy("c_mktsegment")
+  }
 }
