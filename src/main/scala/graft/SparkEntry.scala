@@ -148,6 +148,7 @@ object SparkEntry {
     // training-data pipeline: mix construction
     "docs_sample_stratified" -> (operators.TrainingMix.stratifiedSample _),
     "docs_sample_per_source" -> ((s, d) => operators.TrainingMix.samplePerSource(s, d)),
+    "docs_top_quality_diverse" -> ((s, d) => operators.TrainingMix.topQualityDiverse(s, d)),
     "docs_sample_weighted_stats" -> (operators.TrainingMix.sampleWeightedStats _),
     "docs_pack_sequences"   -> ((s, d) => operators.TrainingMix.packSequences(s, d)),
     "docs_training_corpus"  -> ((s, d) => operators.TrainingMix.buildCorpus(s, d)),
@@ -1287,6 +1288,21 @@ object SparkEntry {
         |SELECT doc_id, term, tf, df,
         |  floor(wr * 1000000 + 0.5) / 1000000.0 AS weight, CAST(term_rank AS INT) AS term_rank
         |FROM r WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin,
+    // per-source cap first, then the global ranking on the capped frame
+    "docs_top_quality_diverse" ->
+      """WITH scored AS (
+        |  SELECT doc_id, source, lang,
+        |    floor(CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS DOUBLE)
+        |          / (length(text) - length(replace(text, ' ', '')) + 1) * 10000 + 0.5) / 10000.0 AS quality
+        |  FROM documents),
+        |capped AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY quality DESC, doc_id) AS INT) AS rank_in_source
+        |  FROM scored QUALIFY rank_in_source <= 5)
+        |SELECT global_rank, doc_id, source, lang, quality, rank_in_source FROM (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY quality DESC, doc_id) AS INT) AS global_rank
+        |  FROM capped)
+        |WHERE global_rank <= 50 ORDER BY global_rank""".stripMargin,
     "docs_sample_per_source" ->
       """SELECT source, rank_in_source, doc_id, lang, n_chars
         |FROM (SELECT source, doc_id, lang, n_chars,

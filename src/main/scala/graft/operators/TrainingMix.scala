@@ -190,4 +190,27 @@ object TrainingMix {
       .select("source", "rank_in_source", "doc_id", "lang", "n_chars")
       .orderBy("source", "rank_in_source")
   }
+  /** Diversity-capped global top-k: the best `k` documents by quality
+    * with at most `perSource` from any one source — the curation rule
+    * that stops one crawler dump from monopolizing a premium data
+    * budget. Two ranking passes: per-source capping (one shuffle on
+    * source) shrinks the corpus to ≤ perSource·|sources| rows, and the
+    * global ranking then runs on that tiny frame — the single-partition
+    * global window is deliberately AFTER the cap, never on the corpus. */
+  def topQualityDiverse(spark: SparkSession, dir: String,
+                        k: Int = 50, perSource: Int = 5): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        TextAnalysis.stopwordRatio(col("text")).as("quality"))
+    val bySource = Window.partitionBy("source")
+      .orderBy(col("quality").desc, col("doc_id"))
+    val global = Window.orderBy(col("quality").desc, col("doc_id"))
+    scored
+      .withColumn("rank_in_source", row_number().over(bySource))
+      .filter(col("rank_in_source") <= perSource)
+      .withColumn("global_rank", row_number().over(global))
+      .filter(col("global_rank") <= k)
+      .select("global_rank", "doc_id", "source", "lang", "quality", "rank_in_source")
+      .orderBy("global_rank")
+  }
 }

@@ -87,15 +87,8 @@ object CdcStream {
     * ReplacingMergeTree posture. */
   def startDedupMv(spark: SparkSession, srcDir: String, outDir: String,
                    checkpointDir: String,
-                   lateness: String = "1 hour"): StreamingQuery =
-    readEvents(spark, srcDir)
-      // watermarks require an instant (TIMESTAMP), not wall-clock ntz;
-      // the UTC session makes the round-trip lossless and the output
-      // keeps the log's ntz schema
-      .withColumn("ts", col("ts").cast("timestamp"))
-      .withWatermark("ts", lateness)
-      .dropDuplicatesWithinWatermark("event_id")
-      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+                   watermarkMinutes: Int = 60): StreamingQuery =
+    dedupedStream(readEvents(spark, srcDir), watermarkMinutes)
       .writeStream
       .format("parquet")
       .option("path", outDir)

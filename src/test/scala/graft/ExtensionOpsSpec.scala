@@ -252,4 +252,19 @@ class ExtensionOpsSpec extends SparkSpec {
     val shared = got.flatMap { case (q, n, d) => pq.get((q, n)).map(d2 => (d, d2)) }
     assert(shared.nonEmpty && shared.forall { case (a, b) => a == b })
   }
+  test("diverse top-k: per-source cap respected, global order correct") {
+    val rows = TrainingMix.topQualityDiverse(spark, sf, k = 20, perSource = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2),
+        r.getDouble(4), r.getInt(5)))
+    assert(rows.length <= 20 && rows.nonEmpty)
+    assert(rows.map(_._1).toSeq == (1 to rows.length))
+    rows.groupBy(_._3).foreach { case (src, vs) =>
+      assert(vs.length <= 3, s"source $src over the cap") }
+    // global order: quality non-increasing, doc_id ascending on ties
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._4 > b._4 || (a._4 == b._4 && a._2 < b._2))
+      case _ => ()
+    }
+  }
 }

@@ -466,10 +466,10 @@ class StreamingSpec extends SparkSpec {
     val redelivered = first.filter(col("ts") >= tail)
     val rest = ev.filter(col("ts") >= cut)
     first.write.parquet(s"$src/chunk0")
-    var q = CdcStream.startDedupMv(spark, s"$src/chunk*", out, ck, "2 days")
+    var q = CdcStream.startDedupMv(spark, s"$src/chunk*", out, ck, 2880)
     q.awaitTermination()
     redelivered.unionByName(rest).write.parquet(s"$src/chunk1")
-    q = CdcStream.startDedupMv(spark, s"$src/chunk*", out, ck, "2 days")
+    q = CdcStream.startDedupMv(spark, s"$src/chunk*", out, ck, 2880)
     q.awaitTermination()
     val got = spark.read.parquet(out).select("event_id")
       .collect().map(_.getLong(0)).sorted.toSeq
