@@ -49,6 +49,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("D1 LIMIT-1-BY: rank limit pushed below the exchange (WindowGroupLimit)") {
+    // Spark's InferWindowGroupLimit turns the row_number<=1 filter into
+    // a group-limit that runs BOTH map-side (partial, before the
+    // exchange) and on the final side — each mapper ships at most one
+    // row per key instead of its whole partition. Two WindowGroupLimit
+    // nodes = that partial/final split; losing it silently would
+    // re-materialize full per-key history at every dedup read.
+    val p = plan("latest_event_per_user")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
   test("q4: EXISTS decorrelates to ONE semi join, no distinct step") {
     val p = plan("q4_order_priority")
     assert(p.contains("LeftSemi"), p.take(2000))
