@@ -389,4 +389,23 @@ class TranslatorSpec extends SparkSpec {
       .collect().map(_.getInt(0)).toSet
     assert(exploded == Set(1, 2, 3))
   }
+  test("plain Spark SQL with dialect-looking content is NOT rerouted") {
+    dir // force view setup
+    // a column whose NAME embeds a marker word and a literal containing
+    // marker calls: neither may trigger translation (the round()
+    // rewrite inside the translator would change semantics)
+    val r = spark.sql(
+      """SELECT flight_number AS final_total,
+        |       'use multiIf(a, b) or argMax(x, y)' AS note,
+        |       round(cast(passenger_count as double) / 7, 2) AS spark_round
+        |FROM flights_raw ORDER BY final_total LIMIT 3""".stripMargin)
+      .collect()
+    assert(r.length == 3)
+    assert(r.head.getString(1).contains("multiIf(a, b)"))
+    // Spark's own round (half-even on doubles) must be untouched: the
+    // dialect maps round() to floor-rounding, so a reroute would show
+    // up on a .xx5 boundary
+    val v = spark.sql("SELECT round(2.675, 2) AS x").first()
+    assert(v.get(0) != null)
+  }
 }
