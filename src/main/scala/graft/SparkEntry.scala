@@ -159,6 +159,7 @@ object SparkEntry {
     "docs_dup_clusters"     -> ((s, d) => operators.TextDedup.dupClusters(s, d)),
     "docs_substring_spans"  -> ((s, d) => operators.TextDedup.substringSpans(s, d)),
     "docs_span_doc_stats"   -> ((s, d) => operators.TextDedup.spanDocStats(s, d)),
+    "docs_dedup_rewrite"    -> ((s, d) => operators.TextDedup.dedupRewrite(s, d)),
     "docs_minhash_bands"    -> (operators.TextDedup.minhashBands _),
     "docs_minhash_lsh_pairs" -> ((s, d) => operators.TextDedup.minhashLshPairs(s, d)),
     "docs_simhash"          -> (operators.TextDedup.simhash _),
@@ -1275,6 +1276,25 @@ object SparkEntry {
         |  max(span_chars) AS max_span_chars,
         |  max(span_chars) >= 40 AS has_long_dup
         |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // widest losing span per doc cut out of the text (lower id keeps)
+    "docs_dedup_rewrite" ->
+      s"""WITH $spanCtes,
+        |losing AS (
+        |  SELECT DISTINCT doc_b AS doc_id, span_start_b AS cut_start, span_chars
+        |  FROM spans WHERE span_chars >= 40),
+        |widest AS (
+        |  SELECT doc_id, cut_start, span_chars FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY span_chars DESC, cut_start) AS rn
+        |    FROM losing) WHERE rn = 1)
+        |SELECT d.doc_id,
+        |  CASE WHEN w.cut_start IS NULL THEN d.text
+        |       ELSE substring(d.text, 1, w.cut_start)
+        |            || substring(d.text, w.cut_start + w.span_chars + 1) END AS text,
+        |  w.cut_start, w.span_chars,
+        |  w.cut_start IS NOT NULL AS was_cut
+        |FROM documents d LEFT JOIN widest w USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "docs_top_terms" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),

@@ -351,15 +351,19 @@ object TextDedup {
   private[operators] def substringSpansFrame(
       spark: SparkSession, dir: String, k: Int = SpanK, w: Int = SpanW,
       minRun: Int = SpanMinRun, maxDf: Int = SpanMaxDf): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(spark)
     val sp = Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(call_function("winnow_spans", col("text"), lit(k), lit(w))).as("s"))
       .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
-    val capped = sp
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy("fp")))
-      .filter(col("__df") <= maxDf).drop("__df")
+    // df-cap via aggregate + join-back, not count-over-window — same
+    // no-sort-on-the-wide-frame rule as nearDupFrom. Column order pinned
+    // by the select: the USING join puts the key first, and the
+    // positional toDF renames below must see (doc_id, pos, fp).
+    val dfPerFp = sp.groupBy("fp").agg(count(lit(1)).as("__df"))
+    val capped = sp.join(dfPerFp, "fp")
+      .filter(col("__df") <= maxDf)
+      .select("doc_id", "pos", "fp")
     val a = capped.toDF("doc_a", "pos_a", "fp")
     val b = capped.toDF("doc_b", "pos_b", "fp")
     a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
@@ -418,6 +422,43 @@ object TextDedup {
       .select(col("doc_id"),
         call_function("simhash64", expr("array_distinct(split(text, ' '))"))
           .as("simhash"))
+      .orderBy("doc_id")
+  }
+  /** The substring-dedup REWRITE step — from verdicts to cleaned text:
+    * every document that shares a long span (>= `longSpanChars`) with a
+    * LOWER-id partner loses its widest such span (lower id is the
+    * canonical owner, same convention as every dedup here); the cut is
+    * pure string surgery on the span offsets. One row per document,
+    * text unchanged for the innocent — the output is a drop-in
+    * replacement corpus.
+    *
+    * Scale: the span pipeline is the cost (df-capped fingerprint join);
+    * the widest-cut choice is a ranking window over the LOSING spans
+    * only (≪ corpus), and the surgery is a codegen'd projection under
+    * a broadcast-size join back to the corpus. */
+  def dedupRewrite(spark: SparkSession, dir: String,
+                   longSpanChars: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val losing = substringSpansFrame(spark, dir)
+      .filter(col("span_chars") >= longSpanChars)
+      .select(col("doc_b").as("doc_id"),
+        col("span_start_b").as("cut_start"), col("span_chars"))
+      .distinct()
+    val widest = losing
+      .withColumn("__rn", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("span_chars").desc, col("cut_start"))))
+      .filter(col("__rn") === 1).drop("__rn")
+    Tables.documents(spark, dir)
+      .join(widest, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("cut_start").isNull, col("text"))
+          .otherwise(concat(
+            col("text").substr(lit(1), col("cut_start")),
+            col("text").substr(col("cut_start") + col("span_chars") + 1,
+              length(col("text")))))
+          .as("text"),
+        col("cut_start"), col("span_chars"),
+        col("cut_start").isNotNull.as("was_cut"))
       .orderBy("doc_id")
   }
 }

@@ -267,4 +267,29 @@ class ExtensionOpsSpec extends SparkSpec {
       case _ => ()
     }
   }
+  test("dedup rewrite: losers lose exactly their widest span, winners untouched") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val spans = operators.TextDedup.substringSpans(spark, sf)
+      .filter(col("span_chars") >= 40)
+      .select("doc_b", "span_start_b", "span_chars").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val widest = spans.groupBy(_._1).map { case (id, vs) =>
+      id -> vs.map(v => (v._2, v._3)).minBy { case (st, ch) => (-ch, st) } }
+    val got = operators.TextDedup.dedupRewrite(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(4)))
+    assert(got.length == docs.size)
+    got.foreach { case (id, text, wasCut) =>
+      widest.get(id) match {
+        case None =>
+          assert(!wasCut && text == docs(id), s"doc $id should be untouched")
+        case Some((st, ch)) =>
+          val t = docs(id)
+          assert(wasCut && text == t.substring(0, st) + t.substring(st + ch),
+            s"doc $id cut mismatch")
+      }
+    }
+    assert(widest.nonEmpty, "fixture should contain at least one losing span")
+  }
 }
