@@ -113,6 +113,7 @@ object SparkEntry {
     "q17_small_qty_revenue" -> ((s, d) => TpchPipes.q17SmallQuantityRevenue(s, d)),
     "q19_disjunctive_revenue" -> (TpchPipes.q19DisjunctiveRevenue _),
     "q22_sales_opportunity" -> ((s, d) => TpchPipes.q22SalesOpportunity(s, d)),
+    "orders_unpivot"        -> (TpchPipes.ordersUnpivot _),
     "orders_price_percentile" -> (TpchPipes.ordersPricePercentile _),
     "tpch_integrity_audit"  -> (operators.Audit.integrityAudit _),
     "mktsegment_revenue"    -> (TpchPipes.mktsegmentRevenue _),
@@ -1021,6 +1022,19 @@ object SparkEntry {
         |WHERE bal_cents * n > sum_cents
         |  AND c_custkey NOT IN (SELECT o_custkey FROM big)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the pivot round-trip: wide matrix melted back to long form
+    "orders_unpivot" ->
+      """WITH w AS (
+        |  SELECT o_orderpriority,
+        |    CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_open,
+        |    CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_finished,
+        |    CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_pending
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, o_orderstatus, n FROM (
+        |  SELECT o_orderpriority, 'O' AS o_orderstatus, n_open AS n FROM w
+        |  UNION ALL SELECT o_orderpriority, 'F', n_finished FROM w
+        |  UNION ALL SELECT o_orderpriority, 'P', n_pending FROM w)
+        |ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
     "q19_disjunctive_revenue" ->
       """SELECT count(*) AS n_lines,
         |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT)

@@ -203,6 +203,25 @@ object TpchPipes {
         coalesce(col("P"), lit(0L)).as("n_pending"))
       .orderBy("o_orderpriority")
 
+  /** The pivot's inverse — native UNPIVOT (melt): the wide
+    * status-matrix back to long (priority, status, n) form, the reshape
+    * every BI export needs. Spark's Expand-based unpivot emits the 3
+    * long rows per wide row in one pass, no join and no union of 3
+    * self-reads; runs on the pivot's own output so the pair is
+    * round-trip-testable. */
+  def ordersUnpivot(spark: SparkSession, dir: String): DataFrame =
+    ordersPivot(spark, dir)
+      .unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("n_open"), col("n_finished"), col("n_pending")),
+        "status_col", "n")
+      .withColumn("o_orderstatus",
+        when(col("status_col") === "n_open", "O")
+          .when(col("status_col") === "n_finished", "F")
+          .otherwise("P"))
+      .select("o_orderpriority", "o_orderstatus", "n")
+      .orderBy("o_orderpriority", "o_orderstatus")
+
   /** Global top-k (O1 + limit): top 10 customers by order value. The sort
     * after aggregation is on ~#customers rows, and Spark's Limit uses a
     * TakeOrdered physical op — no full global sort materialization. */

@@ -292,4 +292,14 @@ class ExtensionOpsSpec extends SparkSpec {
     }
     assert(widest.nonEmpty, "fixture should contain at least one losing span")
   }
+  test("pivot/unpivot round-trip recovers the grouped counts") {
+    val long = TpchPipes.ordersUnpivot(spark, sf)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val want = Tables.orders(spark, sf)
+      .groupBy("o_orderpriority", "o_orderstatus").count()
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // unpivot emits explicit zeros for absent combos; want omits them
+    want.foreach { case (k, v) => assert(long(k) == v, s"$k") }
+    long.filterNot(kv => want.contains(kv._1)).values.foreach(v => assert(v == 0L))
+  }
 }
