@@ -161,6 +161,7 @@ object SparkEntry {
     "docs_substring_spans"  -> ((s, d) => operators.TextDedup.substringSpans(s, d)),
     "docs_span_doc_stats"   -> ((s, d) => operators.TextDedup.spanDocStats(s, d)),
     "docs_dedup_rewrite"    -> ((s, d) => operators.TextDedup.dedupRewrite(s, d)),
+    "docs_near_dup_edit_distance" -> ((s, d) => operators.TextDedup.nearDupEditDistance(s, d)),
     "docs_minhash_bands"    -> (operators.TextDedup.minhashBands _),
     "docs_minhash_lsh_pairs" -> ((s, d) => operators.TextDedup.minhashLshPairs(s, d)),
     "docs_simhash"          -> (operators.TextDedup.simhash _),
@@ -1209,6 +1210,20 @@ object SparkEntry {
       s"""WITH $nearDupCtes
         |SELECT doc_a, doc_b, floor(jr * 10000 + 0.5) / 10000.0 AS jaccard
         |FROM j WHERE jr >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    // character-level second opinion over the verified pairs only
+    "docs_near_dup_edit_distance" ->
+      s"""WITH $nearDupCtes,
+        |pairs AS (
+        |  SELECT doc_a, doc_b, floor(jr * 10000 + 0.5) / 10000.0 AS jaccard
+        |  FROM j WHERE jr >= 0.5)
+        |SELECT p.doc_a, p.doc_b, p.jaccard,
+        |  CAST(levenshtein(da.text, db.text) AS INT) AS edit_distance,
+        |  floor(levenshtein(da.text, db.text) * 1.0 /
+        |        greatest(length(da.text), length(db.text)) * 10000 + 0.5) / 10000.0
+        |    AS edit_ratio
+        |FROM pairs p JOIN documents da ON da.doc_id = p.doc_a
+        |             JOIN documents db ON db.doc_id = p.doc_b
+        |ORDER BY p.doc_a, p.doc_b""".stripMargin,
     "docs_minhash_bands" ->
       s"""WITH $minhashBandCtes
         |SELECT doc_id, band, band_hash FROM bands ORDER BY doc_id, band""".stripMargin,

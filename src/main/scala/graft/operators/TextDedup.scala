@@ -461,4 +461,25 @@ object TextDedup {
         col("cut_start").isNotNull.as("was_cut"))
       .orderBy("doc_id")
   }
+  /** Edit-distance enrichment of the near-dup pairs: absolute and
+    * length-normalized Levenshtein distance for every Jaccard-verified
+    * pair — the character-level second opinion dedup reviews use when
+    * deciding cut vs keep (shingle Jaccard is order-insensitive;
+    * edit distance catches reorderings). Deliberately ONLY over the
+    * already-verified pairs: Levenshtein is O(len²) per pair, so at
+    * scale it rides on the candidate pipeline's output (tiny), never
+    * the corpus. */
+  def nearDupEditDistance(spark: SparkSession, dir: String,
+                          minJaccard: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    nearDupPairs(spark, dir, minJaccard)
+      .join(docs.toDF("doc_a", "text_a"), Seq("doc_a"))
+      .join(docs.toDF("doc_b", "text_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        levenshtein(col("text_a"), col("text_b")).as("edit_distance"),
+        floorRound(levenshtein(col("text_a"), col("text_b")) * 1.0 /
+          greatest(length(col("text_a")), length(col("text_b"))), 4)
+          .as("edit_ratio"))
+      .orderBy("doc_a", "doc_b")
+  }
 }
