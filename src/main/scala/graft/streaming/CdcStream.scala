@@ -415,6 +415,30 @@ object CdcStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Ingestion observability — the analogue of the reference's
+    * per-run ingest stats: `observe` attaches named aggregates to the
+    * MV stream itself, so every micro-batch reports rows seen, rows
+    * quarantined and the value checksum through the engine's progress
+    * events (no second pass over the data, no side channel). A
+    * monitoring consumer reads `StreamingQueryProgress.observedMetrics`
+    * — asserted in StreamingSpec against the batch truth. */
+  def startObservedMv(spark: SparkSession, srcDir: String, logDir: String,
+                      checkpointDir: String): StreamingQuery =
+    materializedView(
+        readEvents(spark, srcDir)
+          .observe("ingest_stats",
+            count(lit(1)).as("rows_seen"),
+            sum(when(isValid, 0L).otherwise(1L)).as("rows_invalid"),
+            sum(floor(coalesce(col("value"), lit(0.0)) * 100 + 0.5).cast("long"))
+              .as("value_cents")))
+      .writeStream
+      .format("parquet")
+      .option("path", logDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** D2 — FINAL read view over the materialized log (partitioned or
     * not — the yyyymm layout column is not part of the row payload). */
   def finalView(spark: SparkSession, logDir: String): DataFrame = {

@@ -476,4 +476,22 @@ class StreamingSpec extends SparkSpec {
     val want = ev.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(got == want, s"got ${got.size} events, want ${want.size}")
   }
+  test("observed MV: per-batch ingest metrics match the batch truth") {
+    val src = tmp(); val log = tmp() + "/log"; val ck = tmp() + "/ck"
+    val ev = Tables.events(spark, sf)
+    ev.write.parquet(s"$src/chunk0")
+    val q = CdcStream.startObservedMv(spark, s"$src/chunk*", log, ck)
+    q.awaitTermination()
+    val metrics = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("ingest_stats")))
+    assert(metrics.nonEmpty, "no observed metrics emitted")
+    val rowsSeen = metrics.map(_.getAs[Long]("rows_seen")).sum
+    val cents = metrics.map(_.getAs[Long]("value_cents")).sum
+    assert(rowsSeen == ev.count())
+    val wantCents = ev.agg(
+      sum(floor(coalesce(col("value"), lit(0.0)) * 100 + 0.5).cast("long")))
+      .first().getLong(0)
+    assert(cents == wantCents)
+    assert(metrics.map(_.getAs[Long]("rows_invalid")).sum == 0L)
+  }
 }
