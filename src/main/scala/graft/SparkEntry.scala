@@ -78,6 +78,7 @@ object SparkEntry {
     "active_users_per_hour_salted" -> (CdcPipes.activeUsersPerHourSalted _),
     "active_users_7d_sliding" -> (CdcPipes.activeUsers7dSliding _),
     "users_weekly_churn"    -> (CdcPipes.usersWeeklyChurn _),
+    "events_type_transitions" -> (CdcPipes.eventsTypeTransitions _),
     "customer_reconcile"    -> (CdcPipes.customerReconcile _),
     "active_users_per_hour_approx" -> (CdcPipes.activeUsersPerHourApprox _),
     "active_users_sketch_rollup" -> (CdcPipes.activeUsersSketchRollup _),
@@ -476,6 +477,16 @@ object SparkEntry {
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "active_users_per_hour" -> activeUsersOracle,
     "active_users_per_hour_salted" -> activeUsersOracle,
+    "events_type_transitions" ->
+      """WITH t AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |m AS (SELECT from_type, to_type, count(*) AS n FROM t
+        |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  floor(n * 1.0 / sum(n) OVER (PARTITION BY from_type) * 10000 + 0.5) / 10000.0 AS share
+        |FROM m ORDER BY from_type, to_type""".stripMargin,
     "users_weekly_churn" ->
       """WITH w1 AS (SELECT DISTINCT user_id FROM events
         |            WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'),

@@ -592,4 +592,25 @@ object CdcPipes {
         coalesce(col("n_recent"), lit(0L)).as("n_recent"))
       .orderBy("custkey")
   }
+  /** Event-type transition matrix — the "user journey" rollup product
+    * analytics builds on any event log: for consecutive events of the
+    * same user, count (from_type → to_type) transitions and each
+    * from-type's transition share. One shuffle on user_id for the lag
+    * window (ties broken by event_id — deterministic ordering), then a
+    * tiny groupBy; the share is a post-agg window over the from-type
+    * totals (a frame of |types|² rows, nothing corpus-sized). */
+  def eventsTypeTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    trans
+      .withColumn("share", floorRound(col("n") * 1.0 /
+        sum(col("n")).over(Window.partitionBy("from_type")), 4))
+      .orderBy("from_type", "to_type")
+  }
 }
