@@ -43,3 +43,34 @@ object Bench {
     spark.stop()
   }
 }
+
+/** Subset benchmark for iterating on one query's cost without paying the
+  * full 122-query sweep: `runMain graft.BenchSome <sfDir> <q1> [q2...]`.
+  * Same session shape and warmup discipline as [[Bench]] so numbers are
+  * comparable to BENCH_r*.json tails. */
+object BenchSome {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args.drop(1).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // per-table scan warmup: the first query touching a table pays its
+    // footer-read/codegen init (~4.5 s measured) — same as Bench's order
+    names.foreach { n =>
+      val sec = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(n)(spark, sfDir).count()
+        catch { case e: Throwable => System.err.println(s"[benchsome] $n: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"BENCHSOME $n cold=${sec.head}%.2f warm=${sec.last}%.2f")
+    }
+    spark.stop()
+  }
+}

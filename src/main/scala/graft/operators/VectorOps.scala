@@ -414,27 +414,24 @@ object VectorOps {
     * k rows per vector only because the codeword table is a FRAME; a
     * generated CASE chain would fuse it into the scan). */
   def pqCodes(spark: SparkSession, dir: String,
-              m: Int = 8, k: Int = 16): DataFrame =
+              m: Int = 8, k: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     pqBest(Tables.embeddings(spark, dir), m, k)
       .select(col("vec_id"),
         (0 until m).map(s => col(s"c$s") * lit(1L << (4 * s)))
           .reduce(_ + _).cast("long").as("pq_code"))
       .orderBy("vec_id")
+  }
 
   /** Squared euclidean between subspace `s` of two vectors, 6dp
     * floor-rounded; sequential sum in slice order — bit-identical in
     * any engine that sums in list order, like the dot products
-    * elsewhere in this file. */
-  private def subDist(e: Column, a: Column, s: Int, sub: Int): Column = {
-    val d = aggregate(
-      zip_with(
-        slice(e, s * sub + 1, sub),
-        slice(a, s * sub + 1, sub),
-        (x, y) => (x.cast("double") - y.cast("double")) *
-          (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, v) => acc + v)
-    floorRound(d, 6)
-  }
+    * elsewhere in this file. Computed by the native codegen'd
+    * [[graft.functions.SubspaceDist]] (one fused loop per call) — the
+    * interpreted aggregate(zip_with(slice,slice)) form it replaces ran
+    * 128 lambda evaluations per corpus row in pqBest. */
+  private def subDist(e: Column, a: Column, s: Int, sub: Int): Column =
+    floorRound(call_function("subspace_dist", e, a, lit(s * sub), lit(sub)), 6)
 
   /** Per-vector best codeword per subspace: (vec_id, c0..c{m-1}). */
   private def pqBest(emb: DataFrame, m: Int, k: Int): DataFrame = {
@@ -467,6 +464,7 @@ object VectorOps {
     * (recall property-tested against brute force). */
   def knnPq(spark: SparkSession, dir: String, nQueries: Int = 20,
             k: Int = 5, m: Int = 8, kCodes: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, dir)
     val sub = 64 / m
     val codes = pqBest(emb, m, kCodes)
