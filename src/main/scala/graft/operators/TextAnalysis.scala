@@ -396,11 +396,13 @@ object TextAnalysis {
     * (deterministic), term-asc tie-break; the reported weight is
     * floor-rounded for display.
     *
-    * Scale: tf is one shuffle on (doc, term) with map-side combine; the
-    * df table is the VOCABULARY (tiny vs corpus) and broadcast, as is
-    * the 1-row corpus count — no driver-side scalar, no second shuffle
-    * of the corpus. Per-doc top-k is a bounded window over each doc's
-    * own terms. */
+    * Scale: tf is one shuffle on (doc, term) with map-side combine.
+    * The df table is the VOCABULARY — it grows with the corpus
+    * (billions of terms at web scale), so tf ⋈ df stays an un-hinted
+    * equi-join on `term` (both sides already shuffle-keyed on it); AQE
+    * broadcasts when df is genuinely small. Only the 1-row corpus
+    * count is forced broadcast. Per-doc top-k is a bounded window
+    * over each doc's own terms. */
   def topTermsPerDoc(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
@@ -409,7 +411,7 @@ object TextAnalysis {
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = terms.distinct().groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("weight_raw").desc, col("term"))
-    tf.join(broadcast(df), "term")
+    tf.join(df, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("weight_raw",
         col("tf") * (col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)))

@@ -89,9 +89,11 @@ object TrainingMix {
     *         quality-dropped still sheds its duplicates)
     *         → md5 train/val/test split → token-budget packing
     *
-    * Scale: quality + digest-canonical are a scan + one shuffle; the
-    * cluster table is the pair graph (tiny vs corpus) and broadcasts;
-    * split/pack add one window shuffle. Catalyst sees the whole
+    * Scale: quality + digest-canonical are a scan + one shuffle. The
+    * cluster table is data-dependent and unbounded — duplicate-cluster
+    * membership routinely covers 30-50% of a web corpus — so it joins
+    * un-hinted on doc_id and AQE broadcasts only when it measures
+    * small; split/pack add one window shuffle. Catalyst sees the whole
     * pipeline as a single plan — filters push down through every
     * stage. */
   def buildCorpus(spark: SparkSession, dir: String, budget: Int = 256,
@@ -105,7 +107,7 @@ object TrainingMix {
       .filter(col("__rn") === 1).drop("__rn")
     val clusters = TextDedup.dupClusters(spark, dir)
       .select("doc_id", "cluster_id")
-    val kept = exactCanon.join(broadcast(clusters), Seq("doc_id"), "left")
+    val kept = exactCanon.join(clusters, Seq("doc_id"), "left")
       .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
     splitAndPack(kept, budget, nShards)
   }
