@@ -31,12 +31,21 @@ object OracleHash {
 
   /** The seeded-32 family's width contract, shared by every consumer
     * (MinHash signatures, the per-row streaming form, the DuckDB CTE
-    * emitters): `Lanes` 32-bit lanes packed `LanesPerDigest` to an md5
-    * digest. Changing the MinHash width means changing ONE constant —
-    * the lane→digest arithmetic everywhere derives from these. */
+    * emitters): `Lanes` 32-bit lanes derived from `Digests` md5
+    * digest(s). Since round 5 ALL 16 lanes come from ONE
+    * domain-separated digest ("m|" prefix): its four 32-bit words
+    * directly (round 0) plus three xor-rotate remix rounds —
+    * lane(r,g) = w(g) XOR rotl32(w((g+r)%4), RotBy(r-1)). md5 was 4×
+    * the MinHash pipeline's CPU when each shingle paid 4 digests
+    * (docs_minhash_lsh_pairs 12.5 s in BENCH_r04); the remix buys the
+    * same 16-lane width for one digest. The lanes are marginally
+    * uniform but share 128 bits of entropy, so they are not mutually
+    * independent — acceptable for LSH banding, and the recall property
+    * test against the exact-Jaccard path still gates it. */
   val Lanes = 16
-  val LanesPerDigest = 4
+  val LanesPerDigest = 16
   val Digests: Int = Lanes / LanesPerDigest
+  private val RotBy = Seq(13, 17, 23)
 
   /** Signed big-endian int64 of md5(c)'s last 8 bytes (Spark side).
     * Two 32-bit `conv` halves recombined with shift/or — bitwise ops
@@ -48,26 +57,41 @@ object OracleHash {
       .bitwiseOR(conv(substring(h, 25, 8), 16, 10).cast("long"))
   }
 
-  /** 32-bit seeded member `j` of a 16-lane family: lane `j%4` (8 hex
-    * chars, big-endian) of md5("<j/4>|" || x), as a non-negative long
-    * < 2^32 — 32-bit values are the standard MinHash width. Four lanes
-    * share one digest, and whole-stage codegen's common-subexpression
-    * elimination collapses the shared md5 calls, so a 16-lane MinHash
-    * signature pays 4 md5s per shingle, not 16 (measured 2.4× on the
-    * LSH pair query before this packing). */
+  /** 32-bit seeded member `j` of the 16-lane family — a non-negative
+    * long < 2^32 (32-bit values are the standard MinHash width). All
+    * 16 lanes derive from ONE digest; see the width-contract note. */
   def seeded32(j: Int, c: Column): Column =
     lane32(digests32(c)(j / LanesPerDigest), j)
 
-  /** The four shared hex digests behind the 16 [[seeded32]] lanes —
+  /** The shared hex digest(s) behind the 16 [[seeded32]] lanes —
     * project these once when feeding an aggregate, so the md5 sharing
     * doesn't depend on codegen CSE reaching across the explode/
-    * aggregate boundary. */
+    * aggregate boundary. The "m|" prefix domain-separates the MinHash
+    * family from [[low64]] digests of the same strings (fingerprints,
+    * band hashes), which would otherwise share words 2-3. */
   def digests32(c: Column): IndexedSeq[Column] =
-    (0 until Digests).map(g => md5(concat(lit(s"$g|"), c)))
+    IndexedSeq(md5(concat(lit("m|"), c)))
 
-  /** Lane `j%4` out of a [[digests32]] hex digest. */
-  def lane32(digestHex: Column, j: Int): Column =
-    conv(substring(digestHex, (j % LanesPerDigest) * 8 + 1, 8), 16, 10).cast("long")
+  /** 32-bit word `g` (8 hex chars, big-endian) of a hex digest. */
+  private def word32(digestHex: Column, g: Int): Column =
+    conv(substring(digestHex, g * 8 + 1, 8), 16, 10).cast("long")
+
+  /** Lane `j` out of a [[digests32]] hex digest: round j/4, word j%4.
+    * Round 0 is the word itself; round r>=1 xors in a rotation of a
+    * different word. Bitwise ops only — no ANSI overflow risk (operands
+    * stay < 2^32; the widest intermediate, w << 31, is < 2^63). */
+  def lane32(digestHex: Column, j: Int): Column = {
+    val r = j / 4
+    val g = j % 4
+    if (r == 0) word32(digestHex, g)
+    else {
+      val s = RotBy(r - 1)
+      val o = word32(digestHex, (g + r) % 4)
+      val rot = shiftleft(o, s).bitwiseOR(shiftright(o, 32 - s))
+        .bitwiseAND(lit(0xffffffffL))
+      word32(digestHex, g).bitwiseXOR(rot)
+    }
+  }
 
   /** Combine several long-typed hash columns order-sensitively:
     * low64 of their comma-joined decimal renderings (Long.toString and
@@ -85,11 +109,23 @@ object OracleHash {
       s"THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT)"
   }
 
-  /** DuckDB SQL for [[seeded32]] — no sign handling needed: the lane
-    * value is < 2^32, so the UBIGINT→BIGINT cast is always in range. */
-  def duckSeeded32(j: Int, e: String): String =
-    s"(('0x' || substring(md5('${j / LanesPerDigest}|' || $e), " +
-      s"${(j % LanesPerDigest) * 8 + 1}, 8))::UBIGINT)::BIGINT"
+  /** DuckDB SQL for [[seeded32]] — no sign handling needed: every
+    * operand stays < 2^32, so UBIGINT→BIGINT casts are in range and
+    * the shifts cannot overflow BIGINT. Mirrors [[lane32]] word for
+    * word (DuckDB re-derives each word from md5; its optimizer shares
+    * the digest, and oracle-side cost is not gated anyway). */
+  def duckSeeded32(j: Int, e: String): String = {
+    def w(g: Int) =
+      s"(('0x' || substring(md5('m|' || $e), ${g * 8 + 1}, 8))::UBIGINT)::BIGINT"
+    val r = j / 4
+    val g = j % 4
+    if (r == 0) w(g)
+    else {
+      val s = RotBy(r - 1)
+      val o = w((g + r) % 4)
+      s"xor(${w(g)}, ((($o << $s) | ($o >> ${32 - s})) & 4294967295))"
+    }
+  }
 
   /** DuckDB SQL for [[combine]] over BIGINT-typed expressions. */
   def duckCombine(es: Seq[String]): String =
