@@ -70,14 +70,34 @@ class ChFunctionsSpec extends SparkSpec {
     assert(r.getLong(0) == -2984127896297046158L)
     def jvm(x: String): Array[Byte] =
       java.security.MessageDigest.getInstance("MD5").digest(x.getBytes)
-    // seeded32(5) = lane 1 (hex chars 9-16 = digest bytes 4-7 BE) of
-    // md5("1|abc")
-    val d = jvm("1|abc")
-    val want = (4 until 8).foldLeft(0L)((a, i) => (a << 8) | (d(i) & 0xffL))
+    // seeded32(5) = round 1, word 1 of md5("m|abc"):
+    // w1 XOR rotl32(w2, 13), words read big-endian
+    val d = jvm("m|abc")
+    def word(g: Int): Long =
+      (g * 4 until g * 4 + 4).foldLeft(0L)((a, i) => (a << 8) | (d(i) & 0xffL))
+    val rot = ((word(2) << 13) | (word(2) >>> 19)) & 0xffffffffL
+    val want = word(1) ^ rot
     assert(r.getLong(1) == want && want >= 0 && want < (1L << 32))
     // combine renders longs in decimal, sign included
     val dc = jvm("1,-2")
     val wantC = (8 until 16).foldLeft(0L)((a, i) => (a << 8) | (dc(i) & 0xffL))
     assert(r.getLong(2) == wantC)
+  }
+
+  test("levenshtein unicode semantics: Spark counts codepoints, not bytes") {
+    import org.apache.spark.sql.functions.{levenshtein, lit}
+    // Pins the cross-engine contract behind docs_near_dup_edit_distance:
+    // DuckDB's levenshtein counts BYTES (café→cafe = 2, é is 2 UTF-8
+    // bytes; measured 2026-08), Spark counts CODEPOINTS (= 1). The
+    // oracle row is therefore exact only on ASCII corpora — this test
+    // fails if a Spark upgrade silently changes the user-facing
+    // codepoint semantics.
+    val r = spark.range(1).select(
+      levenshtein(lit("café"), lit("cafe")).as("accent"),
+      levenshtein(lit("日本語テキスト"), lit("日本語のテキスト")).as("cjk"),
+      levenshtein(lit("naïve"), lit("naive")).as("diaeresis")).first()
+    assert(r.getInt(0) == 1, "é vs e must be ONE codepoint edit")
+    assert(r.getInt(1) == 1, "inserting の must be ONE codepoint edit")
+    assert(r.getInt(2) == 1)
   }
 }
