@@ -1221,7 +1221,12 @@ object SparkEntry {
       s"""WITH $nearDupCtes
         |SELECT doc_a, doc_b, floor(jr * 10000 + 0.5) / 10000.0 AS jaccard
         |FROM j WHERE jr >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
-    // character-level second opinion over the verified pairs only
+    // character-level second opinion over the verified pairs only.
+    // Cross-engine contract pinned by ChFunctionsSpec ("levenshtein
+    // unicode semantics"): Spark counts CODEPOINTS, DuckDB counts BYTES
+    // ('café'→'cafe' is 1 vs 2), so this oracle row is exact on the
+    // ASCII fixture corpus and would diverge on multi-byte text — the
+    // Spark side's codepoint semantics is the user-facing contract.
     "docs_near_dup_edit_distance" ->
       s"""WITH $nearDupCtes,
         |pairs AS (

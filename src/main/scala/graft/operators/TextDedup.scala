@@ -472,13 +472,18 @@ object TextDedup {
   def nearDupEditDistance(spark: SparkSession, dir: String,
                           minJaccard: Double = 0.5): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    // the O(len²) kernel runs ONCE per pair: distance materializes in an
+    // inner projection and the ratio derives from the column — writing
+    // levenshtein twice relies on codegen CSE that the 17 s bench tail
+    // suggested was not happening
     nearDupPairs(spark, dir, minJaccard)
       .join(docs.toDF("doc_a", "text_a"), Seq("doc_a"))
       .join(docs.toDF("doc_b", "text_b"), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("jaccard"),
         levenshtein(col("text_a"), col("text_b")).as("edit_distance"),
-        floorRound(levenshtein(col("text_a"), col("text_b")) * 1.0 /
-          greatest(length(col("text_a")), length(col("text_b"))), 4)
+        greatest(length(col("text_a")), length(col("text_b"))).as("__maxlen"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("edit_distance"),
+        floorRound(col("edit_distance") * 1.0 / col("__maxlen"), 4)
           .as("edit_ratio"))
       .orderBy("doc_a", "doc_b")
   }
