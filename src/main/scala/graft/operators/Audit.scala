@@ -38,7 +38,10 @@ object Audit {
 
   private def fkResolves(name: String, fact: DataFrame, fk: String,
                          dim: DataFrame, pk: String): DataFrame =
-    fact.join(broadcast(dim.select(col(pk).as("__k")).distinct()),
+    // the PK set scales with the dimension (customer/part/supplier all
+    // grow with SF) — no broadcast hint; the planner/AQE broadcasts
+    // while it fits and falls back to a shuffle join instead of an OOM
+    fact.join(dim.select(col(pk).as("__k")).distinct(),
         col(fk) === col("__k"), "left")
       .agg(count(lit(1)).as("n_checked"),
         sum(when(col("__k").isNull, 1L).otherwise(0L)).as("n_violations"))

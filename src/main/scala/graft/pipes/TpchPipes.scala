@@ -32,10 +32,15 @@ object TpchPipes {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   /** J1 inner equi-join fact⋈dim + group: revenue by market segment.
-    * customer is a dim → broadcast; orders never shuffles. */
+    * customer scales with SF, so no forced hint — the size-based
+    * planner/AQE broadcasts it while it fits (it does at every bench
+    * SF) and degrades to a shuffle join instead of an OOM when it
+    * doesn't; orders never shuffles either way. Only the fixed-card
+    * dims (nation 25 rows, region 5) keep literal broadcast() hints
+    * in this file. */
   def mktsegmentRevenue(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
-      .join(broadcast(Tables.customer(spark, dir)),
+      .join(Tables.customer(spark, dir),
         col("o_custkey") === col("c_custkey"), "inner")
       .groupBy(col("c_mktsegment"))
       .agg(
@@ -45,16 +50,17 @@ object TpchPipes {
 
   /** TPC-H Q3 shape (shipping priority): selective filters on all three
     * tables, fact⋈fact⋈dim join, grouped revenue, global top-k. The
-    * plan to want at scale: customer filtered THEN broadcast (the
-    * segment predicate shrinks it before the exchange), both date
+    * plan to want at scale: customer filtered then broadcast by the
+    * PLANNER's choice, not a hint (the segment predicate shrinks it
+    * before the exchange), both date
     * filters pushed to the parquet scans, lineitem⋈orders the only
     * real shuffle, and the top-k a TakeOrdered — never a global sort.
     * Revenue is integer-unit summed (exactSum), so the DESC ranking
     * and the LIMIT cut are deterministic; ties break on l_orderkey. */
   def q3ShippingPriority(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val cutoff = expr("TIMESTAMP '1998-01-01 00:00:00'")
-    val c = broadcast(Tables.customer(spark, dir)
-      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey"))
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
     val o = Tables.orders(spark, dir).filter(col("o_orderdate") < cutoff)
       .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
     val li = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cutoff)
@@ -70,13 +76,14 @@ object TpchPipes {
   }
 
   /** TPC-H Q5 shape: 5-way join lineitem⋈orders⋈customer⋈nation⋈region,
-    * revenue by nation. All dims broadcast; the only shuffle is
-    * lineitem⋈orders on orderkey (co-partitioned by AQE) + the final
-    * small agg. */
+    * revenue by nation. All dims broadcast (customer by the planner's
+    * size estimate — it scales with SF; nation/region by hint — fixed
+    * card); the only shuffle is lineitem⋈orders on orderkey
+    * (co-partitioned by AQE) + the final small agg. */
   def regionRevenue(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val o = Tables.orders(spark, dir)
-    val c = broadcast(Tables.customer(spark, dir))
+    val c = Tables.customer(spark, dir)
     val n = broadcast(Tables.nation(spark, dir))
     val r = broadcast(Tables.region(spark, dir))
     li.join(o, col("l_orderkey") === col("o_orderkey"))
@@ -93,8 +100,9 @@ object TpchPipes {
     * price. Unit prices are floor-scaled to integer milli-units
     * before the min (engine-exact), the per-part argmin is a ranking
     * window with supplier tie-break, and the supplier dimension joins
-    * by broadcast — the "best row per group then enrich" pattern with
-    * one fact shuffle total. */
+    * by broadcast while it fits (planner's choice, no hint — supplier
+    * scales with SF) — the "best row per group then enrich" pattern
+    * with one fact shuffle total. */
   def cheapestSupplierPerPart(spark: SparkSession, dir: String): DataFrame = {
     val unit = Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_suppkey"),
@@ -104,7 +112,7 @@ object TpchPipes {
       .agg(min(col("price_milli")).as("best_milli"))
     graft.functions.ChFunctions.limitBy(unit, 1, Seq(col("l_partkey")),
         Seq(col("best_milli").asc, col("l_suppkey").asc))
-      .join(broadcast(Tables.supplier(spark, dir)),
+      .join(Tables.supplier(spark, dir),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("l_partkey"), col("l_suppkey"), col("s_name"),
         (col("best_milli") / lit(1000.0)).as("best_unit_price"))
@@ -115,15 +123,16 @@ object TpchPipes {
     * and customer-nation PAIRS — the one join topology the rest of the
     * suite lacks: the SAME dimension joined twice under different
     * roles (nation as seller vs nation as buyer, disambiguated by
-    * alias). Both nation copies and both entity dims broadcast; the
-    * only real shuffle is lineitem⋈orders, then a tiny pair-matrix
-    * aggregation. */
+    * alias). Both nation copies broadcast by hint (fixed card); the
+    * customer/supplier entity dims broadcast by the planner's size
+    * estimate (SF-scaled, no hint); the only real shuffle is
+    * lineitem⋈orders, then a tiny pair-matrix aggregation. */
   def nationTradeFlows(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
     val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
-    val c = broadcast(Tables.customer(spark, dir).select("c_custkey", "c_nationkey"))
-    val s = broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey"))
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
     val cn = broadcast(Tables.nation(spark, dir)
       .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation")))
     val sn = broadcast(Tables.nation(spark, dir)
@@ -149,7 +158,9 @@ object TpchPipes {
     * a post-agg projection — deterministic double division of two
     * exact longs, floor-rounded like every ratio in the suite.
     * Scale: part and region filters shrink their dims BEFORE the
-    * broadcast; lineitem⋈orders is the only shuffle. */
+    * broadcast; lineitem⋈orders is the only shuffle. customer/part/
+    * supplier broadcast by the planner's size estimate (SF-scaled, no
+    * hint); nation/region by hint. */
   def q8MarketShare(spark: SparkSession, dir: String,
                     region: String = "AMERICA", partType: String = "ECONOMY",
                     suppNation: String = "NATION_7"): DataFrame = {
@@ -157,14 +168,14 @@ object TpchPipes {
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
     val o = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")).as("o_year"))
-    val c = broadcast(Tables.customer(spark, dir).select("c_custkey", "c_nationkey"))
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
     val n = broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_regionkey"))
     val r = broadcast(Tables.region(spark, dir)
       .filter(col("r_name") === region).select("r_regionkey"))
-    val p = broadcast(Tables.part(spark, dir)
-      .filter(col("p_type") === partType).select("p_partkey"))
-    val s = broadcast(Tables.supplier(spark, dir)
-      .select(col("s_suppkey"), col("s_nationkey").as("sn_key")))
+    val p = Tables.part(spark, dir)
+      .filter(col("p_type") === partType).select("p_partkey")
+    val s = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey").as("sn_key"))
     val sn = broadcast(Tables.nation(spark, dir)
       .select(col("n_nationkey").as("sn_nationkey"), col("n_name").as("supp_nation")))
     val volUnits = floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000 + 0.5)
@@ -227,7 +238,7 @@ object TpchPipes {
     * TakeOrdered physical op — no full global sort materialization. */
   def topCustomers(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
-      .join(broadcast(Tables.customer(spark, dir)),
+      .join(Tables.customer(spark, dir),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"))
       .agg(exactSum(col("o_totalprice"), 2).as("total_spent"),
@@ -348,7 +359,7 @@ object TpchPipes {
     * reference's LIMIT 1 BY): top 3 orders by value per market segment. */
   def top3OrdersPerSegment(spark: SparkSession, dir: String): DataFrame = {
     val joined = Tables.orders(spark, dir)
-      .join(broadcast(Tables.customer(spark, dir)),
+      .join(Tables.customer(spark, dir),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
     limitBy(joined, 3, Seq(col("c_mktsegment")),
@@ -404,13 +415,15 @@ object TpchPipes {
     * arithmetic (qc·n·5 < sum_qc ⟺ qty < sum/(5n)): no float average
     * exists anywhere, so the verdict per line is partition-order
     * invariant and engine-exact. Scale: the brand filter shrinks part
-    * BEFORE broadcast, lineitem never shuffles for the dim join, and
-    * the per-part stats frame (≤ one row per filtered part) broadcasts
-    * back onto the lines. */
+    * BEFORE the join, lineitem never shuffles for the dim join at
+    * bench SF, and the per-part stats frame (≤ one row per filtered
+    * part) re-attaches to the lines. Neither side is hinted: one
+    * brand's slice of a 100 TB part table is still tens of millions
+    * of rows, so whether it broadcasts is AQE's runtime call. */
   def q17SmallQuantityRevenue(spark: SparkSession, dir: String,
                               brand: String = "Brand#13"): DataFrame = {
-    val p = broadcast(Tables.part(spark, dir)
-      .filter(col("p_brand") === brand).select("p_partkey"))
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") === brand).select("p_partkey")
     val lines = Tables.lineitem(spark, dir)
       .select(col("l_partkey"),
         floor(col("l_quantity") * 100 + 0.5).cast("long").as("qc"),
@@ -418,7 +431,7 @@ object TpchPipes {
       .join(p, col("l_partkey") === col("p_partkey"))
     val stats = lines.groupBy(col("l_partkey").as("ap"))
       .agg(sum(col("qc")).as("sum_qc"), count(lit(1)).as("n"))
-    lines.join(broadcast(stats), col("l_partkey") === col("ap"))
+    lines.join(stats, col("l_partkey") === col("ap"))
       .filter(col("qc") * col("n") * lit(5L) < col("sum_qc"))
       .agg(count(lit(1)).as("n_lines"),
         (sum(col("pc")) / 700.0).as("avg_yearly"))
@@ -426,15 +439,17 @@ object TpchPipes {
   /** TPC-H Q19 shape (discounted revenue, disjunctive predicates): an
     * OR of brand×size×quantity conjunctions spanning BOTH join sides.
     * The scale lesson is the derived pushdown: the disjunction's
-    * union-of-brands filter is applied to part BEFORE the broadcast
+    * union-of-brands filter is applied to part BEFORE the join
     * (Catalyst does not factor common terms out of cross-table ORs),
     * so the build side ships 3 brands' parts instead of the dimension,
-    * while the full disjunction evaluates post-join inside codegen. */
+    * while the full disjunction evaluates post-join inside codegen.
+    * No hint — 3 brands of a 100 TB part table may not fit a
+    * broadcast; AQE decides from the measured filtered size. */
   def q19DisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
     val brands = Seq("Brand#12", "Brand#23", "Brand#3")
-    val p = broadcast(Tables.part(spark, dir)
+    val p = Tables.part(spark, dir)
       .filter(col("p_brand").isin(brands: _*))
-      .select("p_partkey", "p_brand", "p_size"))
+      .select("p_partkey", "p_brand", "p_size")
     val li = Tables.lineitem(spark, dir)
       .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
     val disj =
