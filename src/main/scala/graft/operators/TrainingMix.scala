@@ -174,10 +174,13 @@ object TrainingMix {
       .orderBy("doc_id")
   }
   /** Deterministic k-per-group sample: the `k` docs of every source
-    * whose md5(doc_id) ranks lowest — a reservoir sample whose
-    * "random" order is a pure function of row content, so re-runs,
-    * repartitions and incremental appends agree on (and extend) the
-    * selection, and a second engine can reproduce it bit-for-bit.
+    * whose md5(doc_id) ranks lowest — a bottom-k sketch whose "random"
+    * order is a pure function of row content, so re-runs and
+    * repartitions reproduce the selection exactly and a second engine
+    * can reproduce it bit-for-bit. Under appends the sketch stays a
+    * uniform sample but its MEMBERSHIP can change: a new doc with a
+    * smaller rank key enters the bottom k and evicts one previously
+    * selected (bottom-k is not append-extending).
     *
     * Scale: one shuffle on source + a ranking window; for very hot
     * groups the same rank key works with a per-partition top-k

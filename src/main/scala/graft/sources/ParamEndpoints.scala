@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{TextDedup, VectorOps}
+
+/** §2.10 for the LLM-operator surface: the reference's typed template
+  * parameters (`{{Float32(min_jaccard, 0.5)}}`, `{% if defined(p) %}` —
+  * flights_missed_pct_minute.pipe:22,31-32) re-expressed as a
+  * string-keyed param map over the dedup/ANN endpoints — the engine
+  * half of `GET /v0/pipes/{name}.json?min_jaccard=0.6`. Strings in,
+  * typed values out, defaults when absent — an HTTP layer passes its
+  * query params through verbatim, no recompile to retune a threshold.
+  *
+  * Unknown keys fail fast (the reference's API 400s on them rather
+  * than silently ignoring a typo'd `min_jacard`), as do unparseable
+  * values — a fat-fingered dashboard query must not degrade into the
+  * default-threshold answer. */
+object ParamEndpoints {
+
+  /** Text near-dup pairs; `min_jaccard` (default 0.5). */
+  def docsNearDupPairs(spark: SparkSession, dir: String,
+                       params: Map[String, String]): DataFrame = {
+    validate(params, Set("min_jaccard"))
+    TextDedup.nearDupPairs(spark, dir, double(params, "min_jaccard", 0.5))
+  }
+
+  /** MinHash+LSH near-dup pairs; `min_jaccard` (default 0.5). */
+  def docsMinhashLshPairs(spark: SparkSession, dir: String,
+                          params: Map[String, String]): DataFrame = {
+    validate(params, Set("min_jaccard"))
+    TextDedup.minhashLshPairs(spark, dir, double(params, "min_jaccard", 0.5))
+  }
+
+  /** Embedding near-dup pairs; `min_cosine` (default 0.4) and `nprobe`
+    * (default 3). */
+  def embNearDupPairs(spark: SparkSession, dir: String,
+                      params: Map[String, String]): DataFrame = {
+    validate(params, Set("min_cosine", "nprobe"))
+    VectorOps.nearDupPairs(spark, dir,
+      double(params, "min_cosine", 0.4), nprobe = int(params, "nprobe", 3))
+  }
+
+  /** IVF k-NN; `n_queries` / `k` / `nprobe` with the registered
+    * endpoint's defaults. */
+  def embKnnIvf(spark: SparkSession, dir: String,
+                params: Map[String, String]): DataFrame = {
+    validate(params, Set("n_queries", "k", "nprobe"))
+    VectorOps.knnIvf(spark, dir,
+      nQueries = int(params, "n_queries", 20),
+      k = int(params, "k", 5),
+      nprobe = int(params, "nprobe", 3))
+  }
+
+  /** `{{Float32(key, default)}}`. */
+  private def double(params: Map[String, String], key: String,
+                     default: Double): Double =
+    params.get(key).map { v =>
+      try v.toDouble
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"param $key: not a number: $v") }
+    }.getOrElse(default)
+
+  /** `{{Int32(key, default)}}`. */
+  private def int(params: Map[String, String], key: String,
+                  default: Int): Int =
+    params.get(key).map { v =>
+      try v.toInt
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"param $key: not an integer: $v") }
+    }.getOrElse(default)
+
+  private def validate(params: Map[String, String],
+                       allowed: Set[String]): Unit = {
+    val unknown = params.keySet -- allowed
+    require(unknown.isEmpty,
+      s"unknown params: ${unknown.mkString(", ")} (allowed: ${allowed.mkString(", ")})")
+  }
+}

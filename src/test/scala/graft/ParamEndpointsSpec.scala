@@ -1,0 +1,46 @@
+package graft
+
+import graft.sources.ParamEndpoints
+import graft.operators.TextDedup
+
+/** §2.10 parameterized endpoints over the dedup/ANN surface: string
+  * params in (the HTTP query-param shape), typed thresholds out,
+  * defaults when absent, fail-fast on typos. */
+class ParamEndpointsSpec extends SparkSpec {
+
+  test("empty params reproduce the registered endpoint exactly") {
+    val viaParams = ParamEndpoints
+      .docsNearDupPairs(spark, sf, Map.empty).collect()
+    val registered = TextDedup.nearDupPairs(spark, sf).collect()
+    assert(viaParams.toSeq == registered.toSeq)
+  }
+
+  test("min_jaccard tightens the pair set monotonically") {
+    val loose = ParamEndpoints
+      .docsNearDupPairs(spark, sf, Map("min_jaccard" -> "0.5"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val tight = ParamEndpoints
+      .docsNearDupPairs(spark, sf, Map("min_jaccard" -> "0.8"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(tight.subsetOf(loose), "raising the threshold must only drop pairs")
+    assert(tight == loose.filter(_._3 >= 0.8),
+      "the tightened set is exactly the loose set re-thresholded")
+  }
+
+  test("knn k param bounds the per-query neighbor count") {
+    val rows = ParamEndpoints
+      .embKnnIvf(spark, sf, Map("k" -> "2", "n_queries" -> "5"))
+      .groupBy("query_id").count().collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getLong(1) <= 2))
+  }
+
+  test("unknown and malformed params fail fast, not silently") {
+    intercept[IllegalArgumentException] {
+      ParamEndpoints.docsNearDupPairs(spark, sf, Map("min_jacard" -> "0.6"))
+    }
+    intercept[IllegalArgumentException] {
+      ParamEndpoints.docsNearDupPairs(spark, sf, Map("min_jaccard" -> "high"))
+    }
+  }
+}
