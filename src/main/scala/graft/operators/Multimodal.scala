@@ -9,13 +9,19 @@ import graft.functions.ChFunctions._
   * `binary` payloads with typed metadata, processed by per-partition
   * batch functions — the Scala analogue of `mapInPandas` batch UDFs.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked DETERMINISTIC STUB (see [[FakeDecode]]); everything
-  * around it — the binary column, the schema, the per-partition batch
-  * iteration, the partitioning — is real and is what matters for the
-  * 100 TB design: payloads stay distributed, only metadata/features
-  * shuffle, and the decode cost is linear per partition with no
-  * driver involvement.
+  * Decode paths, by codec availability:
+  *  - **Images are decoded for real** ([[decodeImages]]): the JDK's
+  *    javax.imageio handles PNG/JPEG/BMP/GIF with no external
+  *    dependency — dimensions, channels, luminance stats and an 8×8
+  *    pooled signature per payload, undecodable rows quarantined
+  *    (the S8 posture) instead of poisoning the batch.
+  *  - Audio/video codecs are NOT in this container, and the fixture
+  *    corpus carries utf-8 text payloads (not media), so the ORACLED
+  *    endpoints keep a clearly-marked deterministic stub
+  *    ([[FakeDecode]]) — the per-partition batch shape is identical,
+  *    which is what matters for the 100 TB design: payloads stay
+  *    distributed, only metadata/features shuffle, decode cost is
+  *    linear per partition with no driver involvement.
   */
 object Multimodal {
 
@@ -127,6 +133,75 @@ object Multimodal {
         length(col("col")).as("chunk_len"),
         md5(col("col")).as("chunk_md5"))
       .orderBy("doc_id", "chunk_idx")
+
+  /** One decoded image row: real dimensions/bands from the codec, an
+    * exact integer luminance sum (ITU-R BT.601 in 1000-unit fixed
+    * point: 299R+587G+114B — deterministic, no float accumulation),
+    * and an 8×8 average-pooled grayscale signature (the resize /
+    * feature-extract step, usable directly for perceptual near-dup
+    * hashing). `ok=false` rows are the quarantine lane: payload not
+    * decodable as an image, zeroed features. */
+  case class ImageFeatures(doc_id: Long, ok: Boolean, width: Int,
+                           height: Int, channels: Int, luma_sum: Long,
+                           signature: Array[Long])
+
+  /** REAL image decode over a binary media frame — javax.imageio (in
+    * every JDK, no external codec): per-partition batch iteration, one
+    * reusable raster buffer per row, only fixed-width features leave
+    * the executor. Deterministic: integer pixel arithmetic only, and
+    * the 8×8 pooling uses exact per-cell integer averages (floor), so
+    * any partitioning yields bit-identical rows. Undecodable payloads
+    * surface as `ok=false` quarantine rows — decode errors are data,
+    * not exceptions (one corrupt object must not kill a 100 TB scan).
+    *
+    * Spec-only (ImageDecodeSpec, on in-memory PNG/JPEG/BMP fixtures):
+    * the driver's fixture corpus has text payloads, and no DuckDB
+    * oracle can re-decode an image — the same structural
+    * un-oracle-ability as the streaming sinks. */
+  def decodeImages(media: Dataset[MediaRow], pool: Int = 8): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // codec lookup is per-JVM; per-partition we only pay stream setup
+      it.map { r =>
+        val img =
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload)))
+          catch { case _: java.io.IOException => None }
+        img match {
+          case None =>
+            ImageFeatures(r.doc_id, ok = false, 0, 0, 0, 0L, Array.fill(pool * pool)(0L))
+          case Some(im) =>
+            val w = im.getWidth
+            val h = im.getHeight
+            val channels = im.getRaster.getNumBands
+            var luma = 0L
+            val sig = Array.fill(pool * pool)(0L)
+            val cnt = Array.fill(pool * pool)(0L)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = im.getRGB(x, y) // sRGB regardless of storage
+                val l = 299L * ((rgb >> 16) & 0xff) +
+                  587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+                luma += l
+                val cell = (y * pool / h) * pool + (x * pool / w)
+                sig(cell) += l
+                cnt(cell) += 1L
+                x += 1
+              }
+              y += 1
+            }
+            var i = 0
+            while (i < sig.length) {
+              if (cnt(i) > 0) sig(i) = sig(i) / cnt(i)
+              i += 1
+            }
+            ImageFeatures(r.doc_id, ok = true, w, h, channels, luma, sig)
+        }
+      }
+    }
+  }
 
   /** Per-partition batch decode over the binary column (mapPartitions =
     * the batch-UDF shape: amortize codec init across a partition's rows).
