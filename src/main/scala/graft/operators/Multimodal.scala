@@ -203,6 +203,63 @@ object Multimodal {
     }
   }
 
+  case class ImageHash(doc_id: Long, ahash: Long)
+
+  /** Perceptual average-hash from the decoded 8×8 signature: bit i set
+    * iff cell i's pooled luminance ≥ the signature mean — the classic
+    * aHash, invariant to resolution (pooling) and to lossy re-encoding
+    * (JPEG noise rarely crosses the per-cell mean). Integer-only, so
+    * the hash is deterministic and engine-reproducible. */
+  def imageHashes(feats: Dataset[ImageFeatures]): Dataset[ImageHash] = {
+    import feats.sparkSession.implicits._
+    feats.filter(_.ok).map { f =>
+      val avg = f.signature.sum / f.signature.length
+      var h = 0L
+      var i = 0
+      while (i < f.signature.length) {
+        if (f.signature(i) >= avg) h |= (1L << i)
+        i += 1
+      }
+      ImageHash(f.doc_id, h)
+    }
+  }
+
+  /** Perceptual image near-duplicates — the multimodal member of the
+    * dedup suite (exact digest / MinHash / SimHash / embedding cosine
+    * for text, THIS for images): decode → aHash → candidate pairs by
+    * 8-bit band collision → exact hamming verify.
+    *
+    * Same LSH discipline as the text near-dup family: banding the
+    * 64-bit hash into 8×8-bit keys makes the candidate step an
+    * EQUI-join (hash-partitionable at 100 TB — never an all-pairs
+    * scan), and the pigeonhole bound makes recall EXACT, not
+    * probabilistic: two hashes within hamming distance 7 differ in at
+    * most 7 bands, so at least one of the 8 bands collides — every
+    * true pair with `maxHamming` ≤ 7 is guaranteed a candidate.
+    * Verification is one popcount per candidate. */
+  def imageNearDupPairs(media: Dataset[MediaRow],
+                        maxHamming: Int = 6): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      "8-band/8-bit banding guarantees recall only for maxHamming <= 7")
+    val hashes = imageHashes(decodeImages(media)).toDF()
+    val bands = hashes.select(col("doc_id"), col("ahash"),
+      explode(array((0 until 8).map(b => struct(lit(b).as("band"),
+        shiftright(col("ahash"), b * 8).bitwiseAND(lit(0xffL)).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("ahash"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.ahash").as("ha"), col("y.ahash").as("hb"))
+      .distinct()
+    cand
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Per-partition batch decode over the binary column (mapPartitions =
     * the batch-UDF shape: amortize codec init across a partition's rows).
     * Output is deterministic because FakeDecode is. */
