@@ -114,6 +114,7 @@ object SparkEntry {
     "q17_small_qty_revenue" -> ((s, d) => TpchPipes.q17SmallQuantityRevenue(s, d)),
     "q19_disjunctive_revenue" -> (TpchPipes.q19DisjunctiveRevenue _),
     "q22_sales_opportunity" -> ((s, d) => TpchPipes.q22SalesOpportunity(s, d)),
+    "q21_waiting_suppliers" -> (TpchPipes.q21WaitingSuppliers _),
     "orders_unpivot"        -> (TpchPipes.ordersUnpivot _),
     "orders_price_percentile" -> (TpchPipes.ordersPricePercentile _),
     "tpch_integrity_audit"  -> (operators.Audit.integrityAudit _),
@@ -1034,6 +1035,23 @@ object SparkEntry {
         |WHERE bal_cents * n > sum_cents
         |  AND c_custkey NOT IN (SELECT o_custkey FROM big)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // double correlation: EXISTS + NOT EXISTS on the same fact, equi
+    // key + supplier inequality (Q21 shape over available columns)
+    "q21_waiting_suppliers" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin,
     // the pivot round-trip: wide matrix melted back to long form
     "orders_unpivot" ->
       """WITH w AS (

@@ -510,4 +510,44 @@ object TpchPipes {
         (sum(col("bal_cents")) / 100.0).as("total_acctbal"))
       .orderBy("c_mktsegment")
   }
+
+  /** TPC-H Q21 shape (suppliers who kept waiting): the DOUBLE-correlated
+    * subquery — EXISTS and NOT EXISTS against the same fact table,
+    * correlated on the equi key (orderkey) PLUS an inequality on a
+    * second column (a DIFFERENT supplier's line) — the one correlation
+    * topology the suite's other Q-shapes lack. This corpus has no
+    * commit/receipt dates, so "failed" is a returned line
+    * (l_returnflag = 'R') in a finished order: per supplier, lines
+    * they returned where another supplier was ALSO in the order
+    * (multi-supplier: EXISTS) but no OTHER supplier returned theirs
+    * (sole blame: NOT EXISTS).
+    *
+    * Decorrelated the way the optimizer should run it at scale: one
+    * LEFT SEMI and one LEFT ANTI join, both hash equi-joins on
+    * orderkey with the supplier inequality as a residual — the fact
+    * table ships only (orderkey, suppkey) into each exchange, every
+    * l1 row emitted at most once, no distinct step, no window. The
+    * supplier name attaches after both correlations shrink the frame. */
+  def q21WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_returnflag")
+    val l1 = li.filter(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderstatus") === "F").select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "l_suppkey")
+    val l2 = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+    val l3 = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+    l1
+      .join(l2, col("l_orderkey") === col("o2") &&
+        col("s2") =!= col("l_suppkey"), "left_semi")
+      .join(l3, col("l_orderkey") === col("o3") &&
+        col("s3") =!= col("l_suppkey"), "left_anti")
+      .join(Tables.supplier(spark, dir),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
 }

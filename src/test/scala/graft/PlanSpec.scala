@@ -202,6 +202,17 @@ class PlanSpec extends SparkSpec {
       "top-k merges must be top-k, not a global sort")
   }
 
+  test("q21: double correlation is ONE semi + ONE anti join, no distinct") {
+    val p = plan("q21_waiting_suppliers")
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(p.contains("LeftAnti"), p.take(2000))
+    // the semi/anti joins themselves dedup matches — a distinct or a
+    // window over the fact table would mean the correlation was
+    // re-derived the slow way
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("edit-distance enrichment runs the O(len²) kernel once per pair") {
     // the ratio must derive from the materialized distance column —
     // CollapseProject re-inlining the expression would double the most
