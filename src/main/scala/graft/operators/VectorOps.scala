@@ -237,6 +237,57 @@ object VectorOps {
     topK(scored, k)
   }
 
+  /** Persist the IVF layout the search half assumes: the corpus stored
+    * `partitionBy(list_id)` (nearest-anchor assignment, same limitBy
+    * rule as [[knnIvf]]'s on-the-fly form). At 100 TB this is the
+    * write-once step that turns every subsequent probe into partition
+    * pruning instead of a full scan. */
+  def writeIvfLayout(spark: SparkSession, dir: String, out: String,
+                     nLists: Int = 8): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val anchors = emb.filter(col("vec_id") < nLists)
+      .select(col("vec_id").as("list_id"), col("embedding").as("anchor"))
+    limitBy(
+      emb.join(broadcast(anchors))
+        .select(col("vec_id"), col("label"), col("embedding"), col("list_id"),
+          dot(col("embedding"), col("anchor")).as("__sim")),
+      1, Seq(col("vec_id")), Seq(col("__sim").desc, col("list_id")))
+      .drop("__sim")
+      .write.partitionBy("list_id").mode("overwrite").parquet(out)
+  }
+
+  /** IVF search over the persisted layout — probe pruning happens in
+    * the SCAN, not in an operator: the broadcast probe frame joins on
+    * the partition column, so dynamic partition pruning pushes the
+    * probed list_ids into the parquet scan as a runtime partition
+    * filter and the nLists−nprobe unprobed partitions are never read.
+    * Value-identical to [[knnIvf]] (same assignment rule, asserted in
+    * IvfLayoutSpec along with the pruning subquery in the plan); the
+    * difference is WHERE the pruning runs — this is the form that
+    * scales, because scan bytes are nprobe/nLists of the corpus. */
+  def knnIvfOverLayout(spark: SparkSession, layout: String, dir: String,
+                       nQueries: Int = 20, k: Int = 5,
+                       nLists: Int = 8, nprobe: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val table = spark.read.parquet(layout)
+    val emb = Tables.embeddings(spark, dir)
+    val anchors = emb.filter(col("vec_id") < nLists)
+      .select(col("vec_id").as("list_id"), col("embedding").as("anchor"))
+    val probes = limitBy(
+      emb.filter(col("vec_id") < nQueries)
+        .join(broadcast(anchors))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("list_id"), dot(col("embedding"), col("anchor")).as("__sim")),
+      nprobe, Seq(col("query_id")), Seq(col("__sim").desc, col("list_id")))
+      .drop("__sim")
+    val scored = table.join(broadcast(probes), Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        floorRound(dot(col("qe"), col("embedding")), 6).as("cosine"))
+    topK(scored, k)
+  }
+
   /** Symmetric int8 quantization summary per vector: scale =
     * 127/max(|x|), q_i = floor(x·scale + 0.5) — the compression step
     * before shipping embeddings to an ANN index (4× smaller, dot
