@@ -43,11 +43,22 @@ final class ApiServer(spark: SparkSession, sfDir: String,
   private val server: HttpServer = {
     val s = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     s.createContext("/v0/pipes", (ex: HttpExchange) => handle(ex))
+    // without an executor the JDK server handles requests on its
+    // dispatch thread — one slow query would serialize every client.
+    // A small pool matches the dashboard concurrency the reference
+    // serves; SparkSession is thread-safe for concurrent actions.
+    s.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
     s
   }
 
   def start(): Int = { server.start(); server.getAddress.getPort }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    server.stop(0)
+    server.getExecutor match {
+      case es: java.util.concurrent.ExecutorService => es.shutdown()
+      case _ => ()
+    }
+  }
 
   private def handle(ex: HttpExchange): Unit =
     try {

@@ -115,20 +115,26 @@ object CdcStream {
     * minhash-band MV: every arriving embedding is assigned to its
     * nearest anchor list IN ROW
     * ([[graft.operators.VectorOps.perRowListAssign]] — the window-free
-    * form of the batch canon) and appended to the assignment log. At
-    * 100 TB this is how the ANN index stays current: assignment cost
-    * is per-vector, the log is partitionable by list_id, and search
-    * reads only its probed lists. */
+    * form of the batch canon) and appended to the layout PARTITIONED
+    * BY list_id — the same on-disk shape as
+    * [[graft.operators.VectorOps.writeIvfLayout]], so the
+    * streaming-maintained index is directly searchable by
+    * `knnIvfOverLayout` with probe pruning running as dynamic
+    * partition pruning in the scan. At 100 TB this is how the ANN
+    * index stays current: assignment cost is per-vector, the append
+    * lands in the probed-list partition, and search reads only its
+    * probed lists. */
   def startIvfAssignMv(spark: SparkSession, srcDir: String, outDir: String,
                        checkpointDir: String,
                        anchors: Seq[(Long, Array[Float])]): StreamingQuery = {
     graft.functions.GraftFunctions.register(spark)
     spark.readStream.schema(embSchema).parquet(srcDir)
-      .select(col("vec_id"),
+      .select(col("vec_id"), col("label"), col("embedding"),
         graft.operators.VectorOps.perRowListAssign(col("embedding"), anchors)
           .as("list_id"))
       .writeStream
       .format("parquet")
+      .partitionBy("list_id")
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)

@@ -63,6 +63,18 @@ class ApiServerSpec extends SparkSpec {
       Some("events_read")).statusCode() == 400)
   }
 
+  test("concurrent requests are served in parallel, all successfully") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val codes = Await.result(
+      Future.sequence(Seq.fill(6)(Future(
+        get("/v0/pipes/events_by_type_status.json", Some("events_read"))
+          .statusCode()))),
+      2.minutes)
+    assert(codes.forall(_ == 200), codes.toString)
+  }
+
   test("TOKEN declarations parse from the reference kit pipes") {
     val kit = new java.io.File("/root/reference/kits/airport/mysql/pipes")
     val pipes = kit.listFiles().filter(_.getName.endsWith(".pipe")).toSeq

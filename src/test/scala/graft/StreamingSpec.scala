@@ -384,9 +384,14 @@ class StreamingSpec extends SparkSpec {
         CdcStream.startIvfAssignMv(spark, s"$src/chunk*", outDir, ck, anchors)
           .awaitTermination()
       }
+    // list_id is now a PARTITION column (the searchable layout shape,
+    // same as writeIvfLayout) — directory-inferred as int, cast back
     val streamed = spark.read.parquet(outDir)
-      .select("vec_id", "list_id").collect()
+      .select(col("vec_id"), col("list_id").cast("long")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
+    assert(new java.io.File(outDir).listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("list_id=")),
+      "streamed index must land partitioned by list_id")
     assert(streamed.length == emb.count(), "every vector assigned exactly once")
     assert(streamed.map(_._1).distinct.length == streamed.length)
     // per-VECTOR agreement with a driver recompute of the assignment
