@@ -20,13 +20,34 @@ import graft.operators.Dedup
 object Layout {
 
   /** Write `df` as an append-only MergeTree-style table: partitioned by
-    * yyyymm of `tsCol`, sorted inside partitions by `sortCols`. */
+    * yyyymm of `tsCol`, sorted inside partitions by `sortCols`.
+    *
+    * `bloomNdv` (column → expected distinct count) adds a parquet
+    * bloom filter per listed column — the ClickHouse
+    * `bloom_filter` skip-index analogue, and the third leg of the
+    * physical design: partition pruning cuts directories, the sort key
+    * cuts row groups by min/max, and blooms cut row groups for point
+    * lookups on NON-sort columns (where min/max spans everything).
+    * Readers need no change: parquet row-group filtering consults the
+    * bloom automatically for `=` / IN predicates. */
   def writeAppendLog(df: DataFrame, tsCol: String, sortCols: Seq[String],
-                     path: String, mode: String = "append"): Unit =
-    df.withColumn("yyyymm", toYYYYMM(col(tsCol)))
+                     path: String, mode: String = "append",
+                     bloomNdv: Map[String, Long] = Map.empty): Unit = {
+    val w = df.withColumn("yyyymm", toYYYYMM(col(tsCol)))
       .repartition(col("yyyymm"))
       .sortWithinPartitions(sortCols.map(col): _*)
-      .write.mode(mode).partitionBy("yyyymm").parquet(path)
+      .write.mode(mode)
+    bloomNdv.foldLeft(w) { case (wr, (c, ndv)) =>
+      // dictionary off for bloom columns: parquet-mr omits the bloom
+      // when a chunk is fully dict-encoded (the dictionary already
+      // filters exactly), and a genuinely high-NDV lookup column blows
+      // past the dictionary size limit at real scale anyway — small-SF
+      // tests would otherwise never exercise the bloom path at all
+      wr.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+        .option(s"parquet.enable.dictionary#$c", "false")
+    }.partitionBy("yyyymm").parquet(path)
+  }
 
   /** Read a partitioned log; predicates on `yyyymm` prune directories. */
   def readLog(spark: SparkSession, path: String): DataFrame =

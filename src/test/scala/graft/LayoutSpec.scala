@@ -77,4 +77,35 @@ class LayoutSpec extends SparkSpec {
     assert(rowsAfter < rowsBefore)
     assert(rowsAfter == before.size)
   }
+
+  test("bloom filters land in the parquet footers for the requested column only") {
+    val path = java.nio.file.Files.createTempDirectory("graftbloom").toString + "/log"
+    Layout.writeAppendLog(Tables.events(spark, sf), "ts", Seq("user_id", "ts"),
+      path, mode = "overwrite", bloomNdv = Map("user_id" -> 1000L))
+    // read a data file's footer with the bundled parquet-hadoop API:
+    // the bloom offset is recorded per column chunk
+    val file = {
+      def find(f: java.io.File): Option[java.io.File] =
+        if (f.isFile && f.getName.endsWith(".parquet")) Some(f)
+        else Option(f.listFiles()).toSeq.flatten.sortBy(_.getName)
+          .flatMap(find).headOption
+      find(new java.io.File(path)).get
+    }
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.getAbsolutePath),
+        spark.sessionState.newHadoopConf()))
+    try {
+      import scala.jdk.CollectionConverters._
+      val cols = reader.getFooter.getBlocks.get(0).getColumns.asScala
+        .map(c => c.getPath.toDotString -> c.getBloomFilterOffset).toMap
+      assert(cols("user_id") >= 0, s"user_id must carry a bloom: $cols")
+      assert(cols("event_type") < 0, "unlisted columns must not pay bloom bytes")
+    } finally reader.close()
+    // and the filtered read still answers correctly through the bloom
+    val want = Tables.events(spark, sf)
+      .filter(col("user_id") === 7).count()
+    assert(Layout.readLog(spark, path)
+      .filter(col("user_id") === 7).count() == want)
+  }
 }
