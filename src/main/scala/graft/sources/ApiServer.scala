@@ -36,7 +36,8 @@ final class ApiServer(spark: SparkSession, sfDir: String,
     "docs_near_dup_pairs" -> (ParamEndpoints.docsNearDupPairs _),
     "docs_minhash_lsh_pairs" -> (ParamEndpoints.docsMinhashLshPairs _),
     "emb_near_dup_pairs" -> (ParamEndpoints.embNearDupPairs _),
-    "emb_knn_ivf" -> (ParamEndpoints.embKnnIvf _))
+    "emb_knn_ivf" -> (ParamEndpoints.embKnnIvf _),
+    "events_in_window" -> (ParamEndpoints.eventsInWindow _))
 
   private def pipeNames: Seq[String] = graft.SparkEntry.queries.keys.toSeq.sorted
 

@@ -51,6 +51,28 @@ object ParamEndpoints {
       nprobe = int(params, "nprobe", 3))
   }
 
+  /** Events in a time window; `start` / `end` as `DateTime` params
+    * (ISO local or `yyyy-MM-dd HH:mm:ss` — the reference's
+    * `{{DateTime(start)}}` accepts the same), both optional with the
+    * pipe's anchored defaults. The literal reference pattern
+    * (flights_missed_pct_minute.pipe:22,31-32). */
+  def eventsInWindow(spark: SparkSession, dir: String,
+                     params: Map[String, String]): DataFrame = {
+    validate(params, Set("start", "end"))
+    graft.pipes.CdcPipes.eventsInWindow(spark, dir,
+      start = timestamp(params, "start"), end = timestamp(params, "end"))
+  }
+
+  /** `{{DateTime(key)}}` — absent means the endpoint's default. */
+  private def timestamp(params: Map[String, String],
+                        key: String): Option[java.sql.Timestamp] =
+    params.get(key).map { v =>
+      try java.sql.Timestamp.valueOf(v.replace('T', ' '))
+      catch { case _: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"param $key: not a timestamp (want yyyy-MM-dd HH:mm:ss): $v") }
+    }
+
   /** `{{Float32(key, default)}}`. */
   private def double(params: Map[String, String], key: String,
                      default: Double): Double =

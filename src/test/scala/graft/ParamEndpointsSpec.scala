@@ -35,6 +35,23 @@ class ParamEndpointsSpec extends SparkSpec {
     assert(rows.forall(_.getLong(1) <= 2))
   }
 
+  test("DateTime params bound the events window like the reference template") {
+    import graft.sources.ParamEndpoints
+    val all = ParamEndpoints.eventsInWindow(spark, sf, Map.empty).collect()
+    assert(all.nonEmpty)
+    // pin [start, end] to exactly the default window's first day: the
+    // result must be that single day's row
+    val firstDay = all.head.getAs[java.time.LocalDateTime]("day")
+    val start = firstDay.toLocalDate.toString + " 00:00:00"
+    val end = firstDay.toLocalDate.toString + " 23:59:59"
+    val one = ParamEndpoints.eventsInWindow(spark, sf,
+      Map("start" -> start, "end" -> end)).collect()
+    assert(one.length == 1 && one.head.getAs[java.time.LocalDateTime]("day") == firstDay)
+    intercept[IllegalArgumentException] {
+      ParamEndpoints.eventsInWindow(spark, sf, Map("start" -> "not-a-time"))
+    }
+  }
+
   test("unknown and malformed params fail fast, not silently") {
     intercept[IllegalArgumentException] {
       ParamEndpoints.docsNearDupPairs(spark, sf, Map("min_jacard" -> "0.6"))
