@@ -1496,6 +1496,45 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
         |SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
         |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+    // multi-table multi-probe hyperplane LSH — fully re-derivable in
+    // SQL because the planes come from md5 (VectorOps.planeComponent):
+    // component (t,p,i) = first-4-bytes-BE of md5('p|t|p|i') mapped to
+    // [-1,1) and rounded to float, every step exact in double on both
+    // engines. Buckets are sign bits, probes flip one bit, candidates
+    // dedupe, cosines rank 6dp-rounded with neighbor tie-break.
+    "emb_knn_lsh" ->
+      """WITH planes AS (
+        |  SELECT t, p, list(CAST(
+        |      ('0x' || substring(md5('p|' || t || '|' || p || '|' || i), 1, 8))::UBIGINT
+        |        / 4294967296.0 * 2 - 1 AS FLOAT) ORDER BY i) AS pw
+        |  FROM generate_series(0, 5) g1(t),
+        |       generate_series(0, 2) g2(p),
+        |       generate_series(1, 64) g3(i)
+        |  GROUP BY t, p),
+        |buckets AS (
+        |  SELECT vec_id, t, CAST(sum(CASE WHEN
+        |      list_sum(list_transform(generate_series(1, len(embedding)),
+        |        i -> CAST(embedding[i] AS DOUBLE) * CAST(pw[i] AS DOUBLE))) >= 0
+        |    THEN 1 << p ELSE 0 END) AS INT) AS bucket
+        |  FROM embeddings, planes
+        |  GROUP BY vec_id, t),
+        |qprobe AS (
+        |  SELECT vec_id AS query_id, t, xor(bucket, flip) AS probe
+        |  FROM buckets, (SELECT unnest([0, 1, 2, 4]) AS flip)
+        |  WHERE vec_id < 20),
+        |cand AS (
+        |  SELECT DISTINCT query_id, b.vec_id AS neighbor_id
+        |  FROM qprobe q JOIN buckets b ON b.t = q.t AND b.bucket = q.probe
+        |  WHERE b.vec_id <> q.query_id),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    floor(list_sum(list_transform(generate_series(1, len(x.embedding)),
+        |      i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))) * 1000000 + 0.5) / 1000000.0 AS cosine
+        |  FROM cand JOIN embeddings x ON x.vec_id = cand.query_id
+        |            JOIN embeddings y ON y.vec_id = cand.neighbor_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
+        |SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
+        |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
     "emb_ivf_assign" ->
       """WITH anchors AS (SELECT vec_id AS list_id, embedding AS anchor FROM embeddings WHERE vec_id < 8),
         |s AS (

@@ -79,13 +79,29 @@ object VectorOps {
   private val PlanesPerTable = 3
   private val NumTables = 6
 
-  /** Deterministic pseudo-random hyperplanes (seeded at plan-build on
-    * the driver; shipped as float literal arrays with the plan, matching
-    * the embedding element type for the native dot). */
-  private def planes(dim: Int): Array[Array[Array[Float]]] = {
-    val rnd = new scala.util.Random(42)
-    Array.fill(NumTables, PlanesPerTable, dim)((rnd.nextDouble() * 2 - 1).toFloat)
+  /** Deterministic hyperplanes, derived from md5 so a second engine
+    * can re-derive them bit-for-bit (this is what makes the LSH
+    * endpoint fully DuckDB-oracle-able instead of rows-only):
+    * component (t, p, i) = first 4 bytes of md5("p|t|p|i") read
+    * big-endian as uint32 u, mapped to u/2^32·2−1 and rounded to
+    * float. Every step is exact in double (u has ≤32 significant
+    * bits, 2^32 is a power of two) and both engines round
+    * double→float to nearest, so the literal arrays shipped with the
+    * plan equal DuckDB's `('0x'||substring(md5(...),1,8))::UBIGINT`
+    * arithmetic exactly. Computed at plan-build on the driver; shipped
+    * as float literal arrays matching the embedding element type for
+    * the native dot. */
+  private[operators] def planeComponent(t: Int, p: Int, i: Int): Float = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"p|$t|$p|$i".getBytes("UTF-8"))
+    val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    (u / 4294967296.0 * 2 - 1).toFloat
   }
+
+  private def planes(dim: Int): Array[Array[Array[Float]]] =
+    Array.tabulate(NumTables, PlanesPerTable, dim)((t, p, i) =>
+      planeComponent(t, p, i + 1)) // 1-based i, matching SQL list indexing
 
   /** (table, bucket) pairs for a vector: sign-bit pattern per table. */
   private def tableBuckets(emb: Column, dim: Int): Column = {
