@@ -82,6 +82,8 @@ object SparkEntry {
     "customer_reconcile"    -> (CdcPipes.customerReconcile _),
     "active_users_per_hour_approx" -> (CdcPipes.activeUsersPerHourApprox _),
     "active_users_sketch_rollup" -> (CdcPipes.activeUsersSketchRollup _),
+    "active_users_kmv_per_hour" -> ((s, d) => CdcPipes.activeUsersKmvPerHour(s, d)),
+    "active_users_kmv_daily" -> ((s, d) => CdcPipes.activeUsersKmvDailyMerge(s, d)),
     "error_pct_per_hour"    -> (CdcPipes.errorPctPerHour _),
     "active_vs_errors"      -> (CdcPipes.activeVsErrors _),
     "user_activity"         -> (CdcPipes.userActivity _),
@@ -218,6 +220,35 @@ object SparkEntry {
     "ref_baggage_by_flight_status" -> ((s, _) =>
       pipes.AirportPipes.baggageByFlightStatus(s, fixtureDir(s))),
   )
+
+  /** KMV oracle pieces (mirror CdcPipes.kmvHourlyKept / kmvEstimate):
+    * the kept-partial CTE (≤ k smallest md5-low64 hashes per hour over
+    * the 30-day window) and the estimator query over a (group, h)
+    * relation — shared by the hourly endpoint and the daily merge so
+    * the two oracles cannot drift. */
+  private val KmvK = 64
+  private val kmvKeptCte: String = {
+    import graft.functions.OracleHash.duckLow64
+    s"""anchor AS (SELECT max(ts) AS a FROM events),
+       |hh AS (
+       |  SELECT DISTINCT date_trunc('hour', ts) AS time_interval,
+       |    ${duckLow64("(user_id)::VARCHAR")} AS h
+       |  FROM events, anchor WHERE ts > a - INTERVAL 30 DAY),
+       |kept AS (
+       |  SELECT time_interval, h FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY time_interval ORDER BY h) AS rn FROM hh)
+       |  WHERE rn <= $KmvK)""".stripMargin
+  }
+  private def kmvSelect(src: String, group: String): String =
+    s"""SELECT $group,
+       |  floor((CASE WHEN n < $KmvK THEN CAST(n AS DOUBLE)
+       |    ELSE ${KmvK - 1}.0 / ((CAST(hk AS DOUBLE) + 9223372036854775808.0) / 18446744073709551616.0)
+       |    END) * 100 + 0.5) / 100.0 AS active_users_est
+       |FROM (
+       |  SELECT $group, count(*) AS n, max(CASE WHEN rn = $KmvK THEN h END) AS hk
+       |  FROM (SELECT $group, h, row_number() OVER (PARTITION BY $group ORDER BY h) AS rn FROM $src)
+       |  GROUP BY $group)
+       |ORDER BY $group""".stripMargin
 
   /** Shared by the exact and salted variants: salting is a plan
     * rewrite, not a semantics change — one oracle states that in code. */
@@ -523,6 +554,19 @@ object SparkEntry {
         |SELECT cover_day, count(DISTINCT user_id) AS active_users_7d
         |FROM cov, mx WHERE cover_day <= max_day
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // KMV sketch: approximate distinct with DETERMINISTIC arithmetic —
+    // the hash, ranking, and double normalization reproduce exactly,
+    // so unlike HLL this sketch is hash-match oracled. The shared CTE
+    // is the stored partial (≤ k smallest hashes per hour).
+    "active_users_kmv_per_hour" ->
+      s"""WITH $kmvKeptCte
+        |${kmvSelect("kept", "time_interval")}""".stripMargin,
+    // merged day partials == direct day sketch, exactly (the k
+    // smallest of a union of per-hour k-minima are the day's k minima)
+    "active_users_kmv_daily" ->
+      s"""WITH $kmvKeptCte,
+        |dayu AS (SELECT DISTINCT date_trunc('day', time_interval) AS day, h FROM kept)
+        |${kmvSelect("dayu", "day")}""".stripMargin,
     "error_pct_per_hour" ->
       """WITH agg AS (
         |  SELECT date_trunc('hour', ts) AS h,

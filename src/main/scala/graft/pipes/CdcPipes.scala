@@ -296,6 +296,82 @@ object CdcPipes {
         count(lit(1)).as("events"))
   }
 
+  /** KMV (k-minimum-values) distinct sketch — the DETERMINISTIC member
+    * of the sketch family: per hour, the k smallest md5-low64 hashes
+    * of user_id; estimate = the exact count when fewer than k distinct
+    * hashes exist, else (k−1)/u_k with u_k the kth-smallest hash
+    * normalized to [0,1). Unlike HLL (engine-specific register
+    * layouts → rows-only at the gate), every step here — the hash,
+    * the ranking, the double normalization — is reproduced bit-for-bit
+    * by the DuckDB oracle, so this APPROXIMATE count is hash-match
+    * verified. Standard error ≈ 1/√(k−2) (~13% at k=64); deployments
+    * trade k for accuracy.
+    *
+    * Scale: one distinct + one ranking shuffle on (hour, hash); the
+    * kept state is ≤ k longs per group — the same mergeable-partials
+    * story as the HLL table, with determinism as the extra property
+    * ([[activeUsersKmvDailyMerge]] proves merge == direct exactly). */
+  def activeUsersKmvPerHour(spark: SparkSession, dir: String,
+                            k: Int = 64): DataFrame =
+    kmvEstimate(kmvHourlyKept(spark, dir, k), col("time_interval"), k)
+      .orderBy("time_interval")
+
+  /** The day-level rollup computed ONLY from the hour-level kept
+    * hashes (the stored partials), never the event log: the k smallest
+    * of a union of per-hour k-minima ARE the day's k minima, so the
+    * merged estimate equals the directly-computed day estimate
+    * EXACTLY — mergeability as a deterministic identity, not a
+    * property within error bars (asserted in OperatorsSpec and by the
+    * DuckDB oracle). */
+  def activeUsersKmvDailyMerge(spark: SparkSession, dir: String,
+                               k: Int = 64): DataFrame =
+    kmvEstimate(
+      kmvHourlyKept(spark, dir, k)
+        .select(toStartOfDay(col("time_interval")).as("day"), col("h"))
+        .distinct(),
+      col("day"), k)
+      .orderBy("day")
+
+  /** Per-hour kept hash set: the ≤ k smallest distinct md5-low64
+    * hashes per hour over the 30-day window — the stored partial. */
+  private def kmvHourlyKept(spark: SparkSession, dir: String,
+                            k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+    val asOf = e.agg(max(col("ts")).as("__asof"))
+    e.crossJoin(broadcast(asOf))
+      .filter(col("ts") > col("__asof") - interval(days = lit(30)))
+      .select(toStartOfHour(col("ts")).as("time_interval"),
+        graft.functions.OracleHash.low64(col("user_id").cast("string")).as("h"))
+      .distinct()
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("time_interval").orderBy("h")))
+      .filter(col("__rn") <= k)
+      .select("time_interval", "h")
+  }
+
+  /** The KMV estimator over a kept-hash frame: group → (n, kth hash) →
+    * estimate. Both engines round double(h) identically and 2^63/2^64
+    * are exact doubles, so the normalization is bit-reproducible. */
+  private def kmvEstimate(kept: DataFrame,
+                          group: org.apache.spark.sql.Column,
+                          k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    kept
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(group).orderBy("h")))
+      .groupBy(group)
+      .agg(count(lit(1)).as("__n"),
+        max(when(col("__rn") === k, col("h"))).as("__hk"))
+      .select(group,
+        floorRound(
+          when(col("__n") < k, col("__n").cast("double"))
+            .otherwise(lit((k - 1).toDouble) /
+              ((col("__hk").cast("double") + lit(9.223372036854776e18)) /
+                lit(1.8446744073709552e19))), 2)
+          .as("active_users_est"))
+  }
+
   /** Cohort retention — users bucketed by first-seen week, tracked by
     * weeks-since-cohort activity. Two aggregations over the same scan
     * (first-seen per user, distinct user-weeks) joined on user: both

@@ -19,6 +19,52 @@ class ExtensionOpsSpec extends SparkSpec {
     d
   }
 
+  test("KMV sketch: JVM recompute matches both endpoints; merge identity; error bounded") {
+    val k = 64
+    def low64(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      (8 until 16).foldLeft(0L)((a, i) => (a << 8) | (d(i) & 0xffL))
+    }
+    def estimate(hashes: Set[Long]): Double = {
+      val x =
+        if (hashes.size < k) hashes.size.toDouble
+        else {
+          val hk = hashes.toSeq.sorted.apply(k - 1)
+          (k - 1).toDouble / ((hk.toDouble + 9.223372036854776e18) / 1.8446744073709552e19)
+        }
+      math.floor(x * 100 + 0.5) / 100
+    }
+    val rows = graft.Tables.events(spark, sf).select("ts", "user_id").collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0), low64(r.get(1).toString)))
+    val cutoff = rows.map(_._1).max.minusDays(30)
+    val inWindow = rows.filter(_._1.isAfter(cutoff))
+    val byHour = inWindow
+      .groupBy(t => t._1.truncatedTo(java.time.temporal.ChronoUnit.HOURS))
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // hourly endpoint == JVM recompute, bit for bit
+    val gotHourly = CdcPipes.activeUsersKmvPerHour(spark, sf).collect()
+      .map(r => r.getAs[java.time.LocalDateTime](0) -> r.getDouble(1)).toMap
+    assert(gotHourly.keySet == byHour.keySet)
+    gotHourly.foreach { case (h, est) =>
+      assert(est == estimate(byHour(h)), s"hour $h") }
+    // merge identity: the daily endpoint (computed ONLY from hourly
+    // kept partials) equals the direct day-level sketch exactly
+    val byDay = inWindow
+      .groupBy(t => t._1.truncatedTo(java.time.temporal.ChronoUnit.DAYS))
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val gotDaily = CdcPipes.activeUsersKmvDailyMerge(spark, sf).collect()
+      .map(r => r.getAs[java.time.LocalDateTime](0) -> r.getDouble(1)).toMap
+    assert(gotDaily.keySet == byDay.keySet)
+    gotDaily.foreach { case (d, est) =>
+      assert(est == estimate(byDay(d)), s"day $d") }
+    // estimator accuracy where the sketch actually estimates
+    byDay.filter(_._2.size >= k).foreach { case (d, hs) =>
+      val exact = hs.size.toDouble
+      assert(math.abs(gotDaily(d) - exact) / exact <= 0.6,
+        s"day $d: est ${gotDaily(d)} vs exact $exact")
+    }
+  }
+
   test("usersScd2: contiguous versions, chained intervals, one current row per id") {
     val rows = UsersPipes.usersScd2(spark, cdcDir)
       .select("id", "version", "valid_from", "valid_to", "is_current")
