@@ -439,6 +439,10 @@ object SparkEntry {
       |  FROM terms GROUP BY doc_id)""".stripMargin
 
   private val nearDupCtes =
+    // the oracle joins the 3-gram STRINGS while the Spark side joins
+    // their xxhash64 (nearDupFrom's entry projection): jaccard depends
+    // only on shingle equality, so the two agree exactly — and the
+    // oracle differentially catches a hash collision as a count diff
     """tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, t[g] || ' ' || t[g+1] || ' ' || t[g+2] AS s

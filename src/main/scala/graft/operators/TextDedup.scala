@@ -110,7 +110,21 @@ object TextDedup {
     * (asserted). The self-contained query re-derives the shingle frame
     * per consumer; at 100 TB stage it once — see [[stageShingles]] /
     * [[nearDupPairsStaged]]. */
-  private[graft] def nearDupFrom(sh: DataFrame, minJaccard: Double, maxDf: Int): DataFrame = {
+  private[graft] def nearDupFrom(sh0: DataFrame, minJaccard: Double, maxDf: Int): DataFrame = {
+    // every downstream shuffle keys on the shingle, so hash it to 8
+    // bytes at entry: the counting self-join, both df aggregations,
+    // and the correction join then exchange fixed-width longs instead
+    // of multi-word strings — roughly half the shuffle bytes of the
+    // dedup pipeline. xxhash64 (codegen'd, ~free), NOT md5: jaccard
+    // depends only on shingle EQUALITY, so the ORACLE keeps joining
+    // the strings and still agrees exactly — it does not need to
+    // reproduce the hash, and it differentially catches a collision
+    // (~n²/2^65, negligible) as a count diff. An md5-low64 variant
+    // was measured 20% SLOWER end-to-end at sf0.1: the digest cost is
+    // paid once per re-derived scan of the shingle frame and outweighs
+    // the narrower exchange on a 32-thread in-memory shuffle.
+    val sh = sh0.select(col("doc_id"),
+      xxhash64(col("shingle")).as("shingle"))
     // set sizes and document frequencies via groupBy+join, NOT
     // count-over-window: an unbounded window is a full sort of the
     // shingle table per key, while the hash aggregate ships one long
