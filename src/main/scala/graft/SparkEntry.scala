@@ -153,6 +153,7 @@ object SparkEntry {
     // training-data pipeline: mix construction
     "docs_sample_stratified" -> (operators.TrainingMix.stratifiedSample _),
     "docs_sample_per_source" -> ((s, d) => operators.TrainingMix.samplePerSource(s, d)),
+    "docs_temperature_mix"  -> ((s, d) => operators.TrainingMix.temperatureMix(s, d)),
     "docs_top_quality_diverse" -> ((s, d) => operators.TrainingMix.topQualityDiverse(s, d)),
     "docs_sample_weighted_stats" -> (operators.TrainingMix.sampleWeightedStats _),
     "docs_pack_sequences"   -> ((s, d) => operators.TrainingMix.packSequences(s, d)),
@@ -1442,6 +1443,21 @@ object SparkEntry {
         |          AS rank_in_source
         |      FROM documents)
         |WHERE rank_in_source <= 10 ORDER BY source, rank_in_source""".stripMargin,
+    // temperature mixing: p_s = budget·√n_s/Σ√n/n_s (T=0.5 — sqrt is
+    // correctly rounded in every IEEE engine, general pow is not),
+    // selection by the same md5-uniform as the KMV sketch
+    "docs_temperature_mix" ->
+      s"""WITH ps AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+        |ss AS (SELECT sum(sqrt(n_s)) AS sum_sqrt FROM ps),
+        |sel AS (
+        |  SELECT d.doc_id, d.source, d.lang,
+        |    least(1.0, 300.0 * sqrt(n_s) / sum_sqrt / n_s) AS p_s,
+        |    (CAST(${graft.functions.OracleHash.duckLow64("(d.doc_id)::VARCHAR")} AS DOUBLE)
+        |      + 9223372036854775808.0) / 18446744073709551616.0 AS u
+        |  FROM documents d JOIN ps USING (source), ss)
+        |SELECT doc_id, source, lang,
+        |  floor(p_s * 1000000 + 0.5) / 1000000.0 AS sample_prob
+        |FROM sel WHERE u < p_s ORDER BY doc_id""".stripMargin,
     "docs_sample_stratified" ->
       """SELECT doc_id, lang, source,
         |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS sample_key,

@@ -195,6 +195,39 @@ object TrainingMix {
       .select("source", "rank_in_source", "doc_id", "lang", "n_chars")
       .orderBy("source", "rank_in_source")
   }
+  /** Temperature-scaled source mixing — the multi-source corpus
+    * balancing step (sample sources ∝ share^T with T<1 so low-resource
+    * sources are boosted relative to dominant dumps): per-source
+    * sampling probability p_s = budget·√n_s / Σ√n / n_s capped at 1
+    * (T = 0.5 — √ specifically, because IEEE sqrt is correctly rounded
+    * in every engine while general pow is not, which is what lets the
+    * DuckDB oracle reproduce the selection bit-for-bit), and a doc is
+    * selected when its md5-uniform u(doc_id) < p_s — the same
+    * deterministic-uniform trick as the KMV sketch, so re-runs,
+    * repartitions, and the second engine agree exactly.
+    *
+    * Scale: one tiny per-source aggregate joined back (AQE
+    * broadcasts), then a stateless per-row filter — no corpus shuffle
+    * at all. */
+  def temperatureMix(spark: SparkSession, dir: String,
+                     budget: Int = 300): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val perSource = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val sumSqrt = perSource.agg(sum(sqrt(col("n_s"))).as("sum_sqrt"))
+    docs
+      .join(perSource, "source")
+      .crossJoin(broadcast(sumSqrt))
+      .withColumn("p_s", least(lit(1.0),
+        lit(budget.toDouble) * sqrt(col("n_s")) / col("sum_sqrt") / col("n_s")))
+      .withColumn("u",
+        (graft.functions.OracleHash.low64(col("doc_id").cast("string"))
+          .cast("double") + lit(9.223372036854776e18)) / lit(1.8446744073709552e19))
+      .filter(col("u") < col("p_s"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        graft.functions.ChFunctions.floorRound(col("p_s"), 6).as("sample_prob"))
+      .orderBy("doc_id")
+  }
+
   /** Diversity-capped global top-k: the best `k` documents by quality
     * with at most `perSource` from any one source — the curation rule
     * that stops one crawler dump from monopolizing a premium data

@@ -65,6 +65,34 @@ class ExtensionOpsSpec extends SparkSpec {
     }
   }
 
+  test("temperature mix: JVM recompute of the exact selection; low-resource boosted") {
+    def low64(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      (8 until 16).foldLeft(0L)((a, i) => (a << 8) | (d(i) & 0xffL))
+    }
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val nS = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val sumSqrt = nS.values.map(n => math.sqrt(n.toDouble)).sum
+    def p(s: String): Double =
+      math.min(1.0, 300.0 * math.sqrt(nS(s).toDouble) / sumSqrt / nS(s))
+    val want = docs.filter { case (id, s) =>
+      val u = (low64(id.toString).toDouble + 9.223372036854776e18) / 1.8446744073709552e19
+      u < p(s)
+    }.map(_._1).toSet
+    val got = TrainingMix.temperatureMix(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == want, s"selection must be the exact deterministic set " +
+      s"(got ${got.size}, want ${want.size})")
+    // the temperature's purpose: every source's sampling PROBABILITY
+    // rises as its share falls (p ∝ 1/√n_s)
+    val bySize = nS.toSeq.sortBy(_._2)
+    bySize.sliding(2).foreach { case Seq((s1, n1), (s2, n2)) =>
+      if (n1 < n2) assert(p(s1) >= p(s2), s"$s1($n1) vs $s2($n2)")
+    }
+  }
+
   test("usersScd2: contiguous versions, chained intervals, one current row per id") {
     val rows = UsersPipes.usersScd2(spark, cdcDir)
       .select("id", "version", "valid_from", "valid_to", "is_current")
