@@ -63,6 +63,13 @@ final class ApiServer(spark: SparkSession, sfDir: String,
 
   private def handle(ex: HttpExchange): Unit =
     try {
+      if (ex.getRequestMethod != "GET") {
+        // the read API is GET-only (tb_functions.py uses requests.get
+        // for every pipe read; DELETE/POST address the control plane,
+        // which is out of engine scope)
+        respond(ex, 405, """{"error":"read API is GET-only"}""")
+        return
+      }
       val path = ex.getRequestURI.getPath
       authorized(ex) match {
         case None => respond(ex, 401, """{"error":"invalid or missing token"}""")

@@ -52,6 +52,16 @@ class ApiServerSpec extends SparkSpec {
     assert(rows(tight.body()) <= rows(loose.body()))
   }
 
+  test("non-GET methods are 405: the read API never executes on a write verb") {
+    val r = http.send(
+      HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:$port/v0/pipes/events_by_type_status.json"))
+        .header("Authorization", "Bearer events_read")
+        .POST(HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() == 405, r.body())
+  }
+
   test("status semantics: 401 unknown token, 403 out of scope, 404 no pipe, 400 bad param") {
     assert(get("/v0/pipes/events_by_type_status.json", None).statusCode() == 401)
     assert(get("/v0/pipes/events_by_type_status.json", Some("wrong")).statusCode() == 401)
