@@ -417,6 +417,30 @@ class StreamingSpec extends SparkSpec {
     assert(histStreamed == histBatch)
   }
 
+  test("schema drift at ingest: extra columns ignored, missing columns null, MV keeps running") {
+    val src = tmp(); val outDir = tmp() + "/drift"; val ck = tmp() + "/ck"
+    val docs = Tables.documents(spark, sf).limit(20)
+    // chunk0: canonical shape. chunk1: a NEW upstream column appears
+    // (producer upgraded first) AND n_chars is gone (producer bug) —
+    // the declared-schema read must ignore the former and null the
+    // latter instead of failing the query; the reference's posture is
+    // that malformed input is data (quarantine), never an outage.
+    docs.write.parquet(s"$src/chunk0")
+    docs.withColumn("v2_extra", lit("surprise")).drop("n_chars")
+      .write.parquet(s"$src/chunk1")
+    CdcStream.startScrubMv(spark, s"$src/chunk*", outDir, ck).awaitTermination()
+    val out = spark.read.parquet(outDir).select("doc_id").collect()
+    assert(out.length == 40, "both chunks must land despite the drift")
+    // and the dedup MV (which projects from the declared schema only)
+    // produces identical band rows for the drifted replay of a doc
+    val bands = tmp() + "/bands"; val ck2 = tmp() + "/ck2"
+    CdcStream.startMinhashMv(spark, s"$src/chunk*", bands, ck2).awaitTermination()
+    val perChunk = spark.read.parquet(bands)
+      .groupBy("doc_id").count().collect().map(_.getLong(1)).toSet
+    assert(perChunk.forall(_ % 2 == 0),
+      "every doc's band rows must appear once per replayed chunk, drifted or not")
+  }
+
   test("streaming PII scrub MV equals the batch scrub over a two-chunk replay") {
     val src = tmp(); val outDir = tmp() + "/scrubbed"; val ck = tmp() + "/ck"
     val docs = Tables.documents(spark, sf)
