@@ -79,7 +79,14 @@ final class ApiServer(spark: SparkSession, sfDir: String,
             s"""{"name":"$n","type":"endpoint"}""").mkString("[", ",", "]")
           respond(ex, 200, s"""{"pipes":$items}""")
         case Some(grants) =>
-          val name = path.stripPrefix("/v0/pipes/").stripSuffix(".json")
+          // format suffix selects the rendering, like the reference API
+          // (.json envelope, .csv, .ndjson; bare name defaults to json)
+          val tail = path.stripPrefix("/v0/pipes/")
+          val (name, format) = tail.lastIndexOf('.') match {
+            case i if i > 0 && Set("json", "csv", "ndjson")(tail.substring(i + 1)) =>
+              (tail.take(i), tail.substring(i + 1))
+            case _ => (tail, "json")
+          }
           if (!graft.SparkEntry.queries.contains(name))
             respond(ex, 404, s"""{"error":"pipe not found: $name"}""")
           else if (!(grants("*") || grants(name)))
@@ -93,7 +100,15 @@ final class ApiServer(spark: SparkSession, sfDir: String,
                   s"pipe $name takes no parameters: ${params.keys.mkString(", ")}")
                 graft.SparkEntry.queries(name)(spark, sfDir)
             }
-            respond(ex, 200, Endpoints.toJsonPayload(df, rowLimit))
+            format match {
+              case "csv" =>
+                respond(ex, 200, Endpoints.toCsv(df, rowLimit), "text/csv")
+              case "ndjson" =>
+                respond(ex, 200, Endpoints.toNdjson(df, rowLimit),
+                  "application/x-ndjson")
+              case _ =>
+                respond(ex, 200, Endpoints.toJsonPayload(df, rowLimit))
+            }
           }
       }
     } catch {
@@ -120,9 +135,10 @@ final class ApiServer(spark: SparkSession, sfDir: String,
       }.toMap
     }.getOrElse(Map.empty)
 
-  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+  private def respond(ex: HttpExchange, code: Int, body: String,
+                      contentType: String = "application/json"): Unit = {
     val bytes = body.getBytes("UTF-8")
-    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.getResponseHeaders.set("Content-Type", contentType)
     ex.sendResponseHeaders(code, bytes.length)
     val os = ex.getResponseBody
     try os.write(bytes) finally os.close()

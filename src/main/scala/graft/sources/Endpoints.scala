@@ -22,6 +22,26 @@ object Endpoints {
     s"""{"meta":$meta,"data":${rows.mkString("[", ",", "]")},"rows":${rows.length}}"""
   }
 
+  /** NDJSON rendering (`GET /v0/pipes/{name}.ndjson`): one JSON object
+    * per line, no envelope — the streaming-consumer format. */
+  def toNdjson(df: DataFrame, limit: Int = 10000): String =
+    df.limit(limit).toJSON.collect().mkString("", "\n", "\n")
+
+  /** CSV rendering (`GET /v0/pipes/{name}.csv`): header row + RFC-4180
+    * quoting (quote when the value holds comma/quote/newline). */
+  def toCsv(df: DataFrame, limit: Int = 10000): String = {
+    def cell(v: Any): String = {
+      val s = if (v == null) "" else v.toString
+      if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+        "\"" + s.replace("\"", "\"\"") + "\""
+      else s
+    }
+    val header = df.columns.map(cell).mkString(",")
+    val rows = df.limit(limit).collect()
+      .map(r => (0 until r.length).map(i => cell(r.get(i))).mkString(","))
+    (header +: rows).mkString("", "\n", "\n")
+  }
+
   private def q(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""

@@ -52,6 +52,18 @@ class ApiServerSpec extends SparkSpec {
     assert(rows(tight.body()) <= rows(loose.body()))
   }
 
+  test("format suffixes: .csv and .ndjson render the same rows as .json") {
+    val json = get("/v0/pipes/events_by_type_status.json", Some("events_read"))
+    val csv = get("/v0/pipes/events_by_type_status.csv", Some("events_read"))
+    val nd = get("/v0/pipes/events_by_type_status.ndjson", Some("events_read"))
+    assert(csv.statusCode() == 200 && nd.statusCode() == 200)
+    assert(csv.headers().firstValue("Content-Type").orElse("") == "text/csv")
+    val rows = "\"rows\":(\\d+)".r.findFirstMatchIn(json.body()).get.group(1).toInt
+    assert(csv.body().trim.split("\n").length == rows + 1, "header + one line per row")
+    assert(nd.body().trim.split("\n").length == rows)
+    assert(nd.body().linesIterator.forall(_.startsWith("{")))
+  }
+
   test("non-GET methods are 405: the read API never executes on a write verb") {
     val r = http.send(
       HttpRequest.newBuilder(URI.create(
