@@ -1448,7 +1448,8 @@ object SparkEntry {
     // selection by the same md5-uniform as the KMV sketch
     "docs_temperature_mix" ->
       s"""WITH ps AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
-        |ss AS (SELECT sum(sqrt(n_s)) AS sum_sqrt FROM ps),
+        |ss AS (SELECT CAST(sum(CAST(floor(sqrt(n_s) * 1000000) AS BIGINT)) AS BIGINT)
+        |         / 1000000.0 AS sum_sqrt FROM ps),
         |sel AS (
         |  SELECT d.doc_id, d.source, d.lang,
         |    least(1.0, 300.0 * sqrt(n_s) / sum_sqrt / n_s) AS p_s,

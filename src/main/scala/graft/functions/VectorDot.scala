@@ -117,10 +117,18 @@ case class SubspaceDist(left: Expression, right: Expression,
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    // slice() semantics: truncate at the shorter array's end
-    val end = math.min(start + len, math.min(x.numElements(), y.numElements()))
+    // fail fast on a vector shorter than the subspace, like
+    // VectorDot's dimension check: the interpreted zip_with form this
+    // replaced surfaced such rows as NULL (null-padding poisons the
+    // fold) — silently truncating would instead assign a PQ code to a
+    // corrupt row
+    if (x.numElements() < start + len || y.numElements() < start + len)
+      throw new IllegalArgumentException(
+        s"subspace_dist: vector shorter than subspace [$start, ${start + len}) " +
+          s"(${x.numElements()} vs ${y.numElements()})")
     var s = 0.0
     var i = start
+    val end = start + len
     while (i < end) {
       val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
       s += d * d
@@ -131,15 +139,17 @@ case class SubspaceDist(left: Expression, right: Expression,
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
-      val end = ctx.freshName("graftEnd")
       val s = ctx.freshName("graftS")
       val d = ctx.freshName("graftD")
       val i = ctx.freshName("graftI")
       s"""
-         |int $end = java.lang.Math.min($start + $len,
-         |  java.lang.Math.min($x.numElements(), $y.numElements()));
+         |if ($x.numElements() < ${start + len} || $y.numElements() < ${start + len}) {
+         |  throw new IllegalArgumentException(
+         |    "subspace_dist: vector shorter than subspace [$start, ${start + len}) (" +
+         |      $x.numElements() + " vs " + $y.numElements() + ")");
+         |}
          |double $s = 0.0;
-         |for (int $i = $start; $i < $end; $i++) {
+         |for (int $i = $start; $i < ${start + len}; $i++) {
          |  double $d = (double) $x.getFloat($i) - (double) $y.getFloat($i);
          |  $s += $d * $d;
          |}

@@ -166,7 +166,11 @@ object Multimodal {
         val img =
           try Option(javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(r.payload)))
-          catch { case _: java.io.IOException => None }
+          // NonFatal, not just IOException: JDK readers throw
+          // RuntimeExceptions on corrupt payloads (CMMException on a
+          // bad ICC profile, ArrayIndexOutOfBounds on a malformed GIF
+          // header) — any of them is quarantine data, not a task death
+          catch { case scala.util.control.NonFatal(_) => None }
         img match {
           case None =>
             ImageFeatures(r.doc_id, ok = false, 0, 0, 0, 0L, Array.fill(pool * pool)(0L))
@@ -177,11 +181,16 @@ object Multimodal {
             var luma = 0L
             val sig = Array.fill(pool * pool)(0L)
             val cnt = Array.fill(pool * pool)(0L)
+            // bulk row reads into one reused buffer: per-pixel
+            // getRGB(x,y) pays a ColorModel conversion call per pixel
+            // (~10-30× slower on megapixel media), identical ARGB out
+            val rowBuf = new Array[Int](w)
             var y = 0
             while (y < h) {
+              im.getRGB(0, y, w, 1, rowBuf, 0, w) // sRGB regardless of storage
               var x = 0
               while (x < w) {
-                val rgb = im.getRGB(x, y) // sRGB regardless of storage
+                val rgb = rowBuf(x)
                 val l = 299L * ((rgb >> 16) & 0xff) +
                   587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
                 luma += l

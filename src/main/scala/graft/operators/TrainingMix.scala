@@ -204,7 +204,12 @@ object TrainingMix {
     * DuckDB oracle reproduce the selection bit-for-bit), and a doc is
     * selected when its md5-uniform u(doc_id) < p_s — the same
     * deterministic-uniform trick as the KMV sketch, so re-runs,
-    * repartitions, and the second engine agree exactly.
+    * repartitions, and the second engine agree exactly. Σ√n sums as
+    * floor(√n·10⁶) LONGS, not doubles: integer addition is
+    * associative, so the total is identical under ANY partial-
+    * aggregation order — a raw double sum would be order-dependent in
+    * the last ulp, and a doc whose u sits within that ulp of p_s
+    * would flip between engines.
     *
     * Scale: one tiny per-source aggregate joined back (AQE
     * broadcasts), then a stateless per-row filter — no corpus shuffle
@@ -213,7 +218,8 @@ object TrainingMix {
                      budget: Int = 300): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val perSource = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
-    val sumSqrt = perSource.agg(sum(sqrt(col("n_s"))).as("sum_sqrt"))
+    val sumSqrt = perSource.agg(
+      (sum(floor(sqrt(col("n_s")) * 1e6).cast("long")) / 1e6).as("sum_sqrt"))
     docs
       .join(perSource, "source")
       .crossJoin(broadcast(sumSqrt))

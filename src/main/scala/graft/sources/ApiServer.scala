@@ -113,9 +113,9 @@ final class ApiServer(spark: SparkSession, sfDir: String,
       }
     } catch {
       case e: IllegalArgumentException =>
-        respond(ex, 400, s"""{"error":${jsonStr(e.getMessage)}}""")
+        respond(ex, 400, s"""{"error":${Endpoints.q(e.getMessage)}}""")
       case e: Throwable =>
-        respond(ex, 500, s"""{"error":${jsonStr(String.valueOf(e.getMessage))}}""")
+        respond(ex, 500, s"""{"error":${Endpoints.q(String.valueOf(e.getMessage))}}""")
     }
 
   /** Bearer token → its pipe grants, None when missing/unknown. */
@@ -144,13 +144,6 @@ final class ApiServer(spark: SparkSession, sfDir: String,
     try os.write(bytes) finally os.close()
   }
 
-  private def jsonStr(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
 }
 
 object ApiServer {

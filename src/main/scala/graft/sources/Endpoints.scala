@@ -23,9 +23,13 @@ object Endpoints {
   }
 
   /** NDJSON rendering (`GET /v0/pipes/{name}.ndjson`): one JSON object
-    * per line, no envelope — the streaming-consumer format. */
-  def toNdjson(df: DataFrame, limit: Int = 10000): String =
-    df.limit(limit).toJSON.collect().mkString("", "\n", "\n")
+    * per line, no envelope — the streaming-consumer format. Zero rows
+    * render as an EMPTY body, not a blank line (strict line-per-object
+    * consumers error on an empty line). */
+  def toNdjson(df: DataFrame, limit: Int = 10000): String = {
+    val rows = df.limit(limit).toJSON.collect()
+    if (rows.isEmpty) "" else rows.mkString("", "\n", "\n")
+  }
 
   /** CSV rendering (`GET /v0/pipes/{name}.csv`): header row + RFC-4180
     * quoting (quote when the value holds comma/quote/newline). */
@@ -42,7 +46,7 @@ object Endpoints {
     (header +: rows).mkString("", "\n", "\n")
   }
 
-  private def q(s: String): String =
+  private[sources] def q(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"

@@ -120,7 +120,13 @@ object CdcStream {
     * [[graft.operators.VectorOps.writeIvfLayout]], so the
     * streaming-maintained index is directly searchable by
     * `knnIvfOverLayout` with probe pruning running as dynamic
-    * partition pruning in the scan. At 100 TB this is how the ANN
+    * partition pruning in the scan. (One tie nuance: the per-row form
+    * assigns by 6dp-ROUNDED similarity, the batch writer by raw —
+    * a vector whose two best anchors agree to six decimals can land
+    * in a different list than the batch layout; assignment is still
+    * deterministic within each path, and IvfLayoutSpec's
+    * search-equality contract is stated for the batch-written
+    * layout.) At 100 TB this is how the ANN
     * index stays current: assignment cost is per-vector, the append
     * lands in the probed-list partition, and search reads only its
     * probed lists. */

@@ -74,7 +74,9 @@ class ExtensionOpsSpec extends SparkSpec {
       .select("doc_id", "source").collect()
       .map(r => r.getLong(0) -> r.getString(1))
     val nS = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
-    val sumSqrt = nS.values.map(n => math.sqrt(n.toDouble)).sum
+    // integer-unit Σ√n, mirroring the operator: order-free exact sum
+    val sumSqrt =
+      nS.values.map(n => math.floor(math.sqrt(n.toDouble) * 1e6).toLong).sum / 1e6
     def p(s: String): Double =
       math.min(1.0, 300.0 * math.sqrt(nS(s).toDouble) / sumSqrt / nS(s))
     val want = docs.filter { case (id, s) =>
