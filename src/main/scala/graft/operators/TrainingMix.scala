@@ -89,40 +89,61 @@ object TrainingMix {
     *         quality-dropped still sheds its duplicates)
     *         → md5 train/val/test split → token-budget packing
     *
-    * Scale: quality + digest-canonical are a scan + one shuffle. The
-    * cluster table is data-dependent and unbounded — duplicate-cluster
-    * membership routinely covers 30-50% of a web corpus — so it joins
-    * un-hinted on doc_id and AQE broadcasts only when it measures
-    * small; split/pack add one window shuffle. Catalyst sees the whole
-    * pipeline as a single plan — filters push down through every
-    * stage. */
+    * Scale: EVERYTHING downstream stages need from the text — the
+    * quality signal, the content digest, the split bucket (a function
+    * of the digest), the token count — is computed in ONE projection
+    * at the scan, so every shuffle in the pipeline (digest-canonical
+    * window, cluster join, packing window) carries doc_ids, 32-char
+    * digests, and counts — never document text. At 100 TB that is the
+    * difference between exchanging ~1% of the corpus bytes and
+    * exchanging the corpus twice. The cluster table is data-dependent
+    * and unbounded — duplicate-cluster membership routinely covers
+    * 30-50% of a web corpus — so it joins un-hinted on doc_id and AQE
+    * broadcasts only when it measures small. */
   def buildCorpus(spark: SparkSession, dir: String, budget: Int = 256,
                   nShards: Int = 4, minStopwordRatio: Double = 0.03): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val quality = docs.filter(
-      TextAnalysis.stopwordRatio(col("text")) >= minStopwordRatio)
-    val exactCanon = quality
-      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(
-        Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
-      .filter(col("__rn") === 1).drop("__rn")
+    val quality = slimDocs(spark, dir)
+      .filter(col("__quality") >= minStopwordRatio).drop("__quality")
     val clusters = TextDedup.dupClusters(spark, dir)
       .select("doc_id", "cluster_id")
-    val kept = exactCanon.join(clusters, Seq("doc_id"), "left")
+    val kept = exactCanon(quality).join(clusters, Seq("doc_id"), "left")
       .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
     splitAndPack(kept, budget, nShards)
   }
 
-  /** The shared tail of both corpus builds: md5 train/val/test split,
-    * sharding, token counting, running-sum packing — ONE definition so
-    * the two pipeline variants cannot drift in their output stage. */
+  /** The one projection that touches `text`: every per-document signal
+    * the corpus builds consume, reduced to fixed-width columns at the
+    * scan. The split bucket reuses the digest (same md5) instead of
+    * re-hashing, and the quality ratio rides along so the filter needs
+    * no second pass over text. */
+  private def slimDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        md5(col("text")).as("__digest"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        TextAnalysis.stopwordRatio(col("text")).as("__quality"))
+      .withColumn("split",
+        when(substring(col("__digest"), 1, 2) < "cd", "train")
+          .when(substring(col("__digest"), 1, 2) < "e6", "val")
+          .otherwise("test"))
+
+  /** Exact dedup on the slim frame: canonical = min doc_id per content
+    * digest. The window shuffles (doc_id, lang, digest, counts) only. */
+  private def exactCanon(slim: DataFrame): DataFrame =
+    slim
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__digest").orderBy("doc_id")))
+      .filter(col("__rn") === 1).drop("__rn", "__digest")
+
+  /** The shared tail of both corpus builds: sharding and running-sum
+    * packing over the pre-computed (split, lang, n_tokens) columns —
+    * ONE definition so the two pipeline variants cannot drift in their
+    * output stage. */
   private def splitAndPack(kept: DataFrame, budget: Int, nShards: Int): DataFrame = {
     val w = Window.partitionBy("split", "lang", "shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     kept
-      .select(col("doc_id"), col("lang"),
-        TextAnalysis.splitOf(col("text")).as("split"),
-        pmod(col("doc_id"), lit(nShards)).cast("int").as("shard"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("shard", pmod(col("doc_id"), lit(nShards)).cast("int"))
       .withColumn("tokens_before", coalesce(sum("n_tokens").over(w), lit(0L)))
       .withColumn("pack_id", floor(col("tokens_before") / lit(budget.toDouble)))
       .select("doc_id", "lang", "split", "shard", "n_tokens", "pack_id")
@@ -148,16 +169,12 @@ object TrainingMix {
       .select(col("doc_id"), col("keep"))
     val spans = TextDedup.spanDocStatsFrame(spark, dir)
       .select(col("doc_id"), col("has_long_dup"))
-    val quality = Tables.documents(spark, dir)
+    val quality = slimDocs(spark, dir).drop("__quality")
       .join(rep, "doc_id").filter(col("keep")).drop("keep")
       .join(spans, Seq("doc_id"), "left")
       .filter(col("has_long_dup").isNull || !col("has_long_dup"))
       .drop("has_long_dup")
-    val exactCanon = quality
-      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(
-        Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
-      .filter(col("__rn") === 1).drop("__rn")
-    splitAndPack(exactCanon, budget, nShards)
+    splitAndPack(exactCanon(quality), budget, nShards)
   }
 
   def packSequences(spark: SparkSession, dir: String,

@@ -139,6 +139,25 @@ class PlanSpec extends SparkSpec {
       "no frame in buildCorpus may force a broadcast")
   }
 
+  test("training corpus: no exchange carries document text (both variants)") {
+    // The round-5 plan shuffled the full corpus text twice (once for
+    // the digest-canonical window, again for the cluster join) — at
+    // 100 TB that is exchanging the corpus instead of its ids. Every
+    // text-derived signal must be projected at the scan, so every
+    // Exchange below moves doc_ids, digests, and counts only.
+    for (q <- Seq("docs_training_corpus", "docs_training_corpus_v2")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val fmt = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val exchangeParas = fmt.split("\n\n").filter(p =>
+        p.linesIterator.nextOption().exists(_.matches("""\(\d+\) Exchange.*""")))
+      assert(exchangeParas.nonEmpty, s"$q: expected at least one Exchange detail\n${fmt.take(1500)}")
+      for (p <- exchangeParas)
+        assert(!p.contains("text#"),
+          s"$q: an Exchange carries the text column — corpus bytes on the wire:\n$p")
+    }
+  }
+
   test("stratified sample: a pure scan+filter, no exchange before the presentation sort") {
     val p = plan("docs_sample_stratified")
     // the only acceptable exchange is the global orderBy at the end
