@@ -212,6 +212,20 @@ class PlanSpec extends SparkSpec {
       "the part-type predicate must reach the part parquet scan")
   }
 
+  test("q8 at bench SF: the FINAL adaptive plan broadcasts every dim join") {
+    // The sf0.001 assertion above can pass on static size estimates
+    // while the bench SF takes a different path — at sf0.1 the larger
+    // dims exceed the static broadcast threshold and must be converted
+    // by AQE from measured shuffle sizes. Assert the plan that actually
+    // executed, at the SF the bench runs.
+    val df = SparkEntry.queries("q8_market_share")(spark, "/root/testdata/sf0.1")
+    df.collect() // finalize AQE on THIS plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"),
+      "a dim SMJ'd in the final sf0.1 plan — AQE's size estimate missed:\n" + p.take(3000))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 6, p.take(3000))
+  }
+
   test("bpe merges: two agg levels (vocab then pairs), no join") {
     val p = plan("docs_bpe_merges")
     assert(!p.contains("Join"), "pair counting runs over the vocabulary alone")
