@@ -264,7 +264,8 @@ object SparkEntry {
     * cosine)` — shared by the pair endpoint and the embedding
     * dup-cluster closure so the two oracles can't drift apart. */
   private val embNearDupCtes =
-    """anchors AS (SELECT vec_id AS list_id, embedding AS anchor FROM embeddings WHERE vec_id < 8),
+    """anchors AS (SELECT vec_id AS list_id, embedding AS anchor FROM embeddings
+      |  WHERE vec_id < greatest(8, CAST(ceil((SELECT count(*) FROM embeddings) / 250.0) AS BIGINT))),
       |sims AS (
       |  SELECT e.vec_id, list_id,
       |    floor(list_sum(list_transform(generate_series(1, len(anchor)),

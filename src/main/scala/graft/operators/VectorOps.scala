@@ -164,10 +164,23 @@ object VectorOps {
     * random corpus, so "near" is the top of the cosine distribution).
     */
   def nearDupPairs(spark: SparkSession, dir: String, minCosine: Double = 0.4,
-                   nLists: Int = 8, nprobe: Int = 3): DataFrame = {
+                   nLists: Int = 0, nprobe: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, dir)
-    val anchors = emb.filter(col("vec_id") < nLists)
+    // nLists = 0 (default) derives the list count from the corpus:
+    // max(8, ceil(n/250)) — constant ~250-vector list occupancy, so the
+    // per-list self-join fan-out stays bounded and total candidate work
+    // scales LINEARLY with the corpus. A fixed list count is the scale
+    // bug the sf0.1→sf1 headroom check caught empirically: occupancy
+    // grows ∝ n, candidate pairs ∝ n² (26× time at 10× data). The
+    // count() is parquet-metadata-only. Beyond ~16 M vectors the derived
+    // anchor set outgrows a comfortable broadcast and the persisted
+    // layout ([[writeIvfLayout]] + [[knnIvfOverLayout]]) with a trained
+    // coarse quantizer is the intended surface.
+    val lists =
+      if (nLists > 0) nLists.toLong
+      else math.max(8L, math.ceil(emb.count() / 250.0).toLong)
+    val anchors = emb.filter(col("vec_id") < lists)
       .select(col("vec_id").as("list_id"), col("embedding").as("anchor"))
     // top-nprobe lists per vector (6dp-rounded sim, list_id tie-break:
     // deterministic in any engine, mirrored by the DuckDB oracle)
