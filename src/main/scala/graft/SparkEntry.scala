@@ -80,8 +80,8 @@ object SparkEntry {
     "users_weekly_churn"    -> (CdcPipes.usersWeeklyChurn _),
     "events_type_transitions" -> (CdcPipes.eventsTypeTransitions _),
     "customer_reconcile"    -> (CdcPipes.customerReconcile _),
-    "active_users_per_hour_approx" -> (CdcPipes.activeUsersPerHourApprox _),
-    "active_users_sketch_rollup" -> (CdcPipes.activeUsersSketchRollup _),
+    "active_users_per_hour_approx" -> ((s, d) => CdcPipes.activeUsersPerHourApprox(s, d)),
+    "active_users_sketch_rollup" -> ((s, d) => CdcPipes.activeUsersSketchRollup(s, d)),
     "active_users_kmv_per_hour" -> ((s, d) => CdcPipes.activeUsersKmvPerHour(s, d)),
     "active_users_kmv_daily" -> ((s, d) => CdcPipes.activeUsersKmvDailyMerge(s, d)),
     "error_pct_per_hour"    -> (CdcPipes.errorPctPerHour _),
@@ -228,7 +228,7 @@ object SparkEntry {
     * relation — shared by the hourly endpoint and the daily merge so
     * the two oracles cannot drift. */
   private val KmvK = 64
-  private val kmvKeptCte: String = {
+  private def kmvKeptCte(k: Int = KmvK): String = {
     import graft.functions.OracleHash.duckLow64
     s"""anchor AS (SELECT max(ts) AS a FROM events),
        |hh AS (
@@ -238,15 +238,16 @@ object SparkEntry {
        |kept AS (
        |  SELECT time_interval, h FROM (
        |    SELECT *, row_number() OVER (PARTITION BY time_interval ORDER BY h) AS rn FROM hh)
-       |  WHERE rn <= $KmvK)""".stripMargin
+       |  WHERE rn <= $k)""".stripMargin
   }
-  private def kmvSelect(src: String, group: String): String =
+  private def kmvSelect(src: String, group: String, k: Int = KmvK,
+                        alias: String = "active_users_est"): String =
     s"""SELECT $group,
-       |  floor((CASE WHEN n < $KmvK THEN CAST(n AS DOUBLE)
-       |    ELSE ${KmvK - 1}.0 / ((CAST(hk AS DOUBLE) + 9223372036854775808.0) / 18446744073709551616.0)
-       |    END) * 100 + 0.5) / 100.0 AS active_users_est
+       |  floor((CASE WHEN n < $k THEN CAST(n AS DOUBLE)
+       |    ELSE ${k - 1}.0 / ((CAST(hk AS DOUBLE) + 9223372036854775808.0) / 18446744073709551616.0)
+       |    END) * 100 + 0.5) / 100.0 AS $alias
        |FROM (
-       |  SELECT $group, count(*) AS n, max(CASE WHEN rn = $KmvK THEN h END) AS hk
+       |  SELECT $group, count(*) AS n, max(CASE WHEN rn = $k THEN h END) AS hk
        |  FROM (SELECT $group, h, row_number() OVER (PARTITION BY $group ORDER BY h) AS rn FROM $src)
        |  GROUP BY $group)
        |ORDER BY $group""".stripMargin
@@ -565,14 +566,28 @@ object SparkEntry {
     // so unlike HLL this sketch is hash-match oracled. The shared CTE
     // is the stored partial (≤ k smallest hashes per hour).
     "active_users_kmv_per_hour" ->
-      s"""WITH $kmvKeptCte
+      s"""WITH ${kmvKeptCte()}
         |${kmvSelect("kept", "time_interval")}""".stripMargin,
     // merged day partials == direct day sketch, exactly (the k
     // smallest of a union of per-hour k-minima are the day's k minima)
     "active_users_kmv_daily" ->
-      s"""WITH $kmvKeptCte,
+      s"""WITH ${kmvKeptCte()},
         |dayu AS (SELECT DISTINCT date_trunc('day', time_interval) AS day, h FROM kept)
         |${kmvSelect("dayu", "day")}""".stripMargin,
+    // the approximate endpoints, re-expressed over the deterministic
+    // KMV sketch at k=256 (the HLL variants remain spec-only): the
+    // APPROXIMATE estimates are hash-match oracled
+    "active_users_per_hour_approx" ->
+      s"""WITH ${kmvKeptCte(256)}
+        |${kmvSelect("kept", "time_interval", 256, "active_users_approx")}""".stripMargin,
+    "active_users_sketch_rollup" ->
+      s"""WITH ${kmvKeptCte(256)},
+        |weeku AS (SELECT DISTINCT date_trunc('week', time_interval) AS week, h FROM kept),
+        |est AS (${kmvSelect("weeku", "week", 256)}),
+        |ev AS (SELECT date_trunc('week', ts) AS week, count(*) AS events
+        |       FROM events, anchor WHERE ts > a - INTERVAL 30 DAY GROUP BY 1)
+        |SELECT est.week, active_users_est, events
+        |FROM est JOIN ev ON est.week = ev.week ORDER BY 1""".stripMargin,
     "error_pct_per_hour" ->
       """WITH agg AS (
         |  SELECT date_trunc('hour', ts) AS h,

@@ -246,12 +246,25 @@ object CdcPipes {
       .orderBy("user_id", "session_id")
   }
 
-  /** Sketch-based distinct counting (approx_count_distinct / HLL++):
-    * the perf alternative to the exact variants when ±2% error buys an
-    * order of magnitude less aggregation state at 100 TB. Rows-only
-    * check (sketch estimates are engine-specific); the spec bounds its
-    * error against the exact query. */
-  def activeUsersPerHourApprox(spark: SparkSession, dir: String): DataFrame = {
+  /** Approximate per-hour active users over the KMV sketch at k=256
+    * (SE ≈ 1/√(k−2) ≈ 6%) — the accuracy tier above the k=64 family,
+    * and the registered face of "approximate distinct" now that the
+    * deterministic sketch is fully DuckDB-oracled: every step (md5
+    * hash, ranking, double normalization) reproduces bit-for-bit in
+    * the oracle, so the APPROXIMATE estimate is hash-match verified.
+    * The HLL++ variant ([[activeUsersPerHourHll]]) survives as the
+    * spec-only alternate (engine-specific registers, error-bounded
+    * against the exact count in OperatorsSpec). */
+  def activeUsersPerHourApprox(spark: SparkSession, dir: String,
+                               k: Int = 256): DataFrame =
+    kmvEstimate(kmvHourlyKept(spark, dir, k), col("time_interval"), k)
+      .withColumnRenamed("active_users_est", "active_users_approx")
+      .orderBy("time_interval")
+
+  /** approx_count_distinct / HLL++ per hour — spec-only alternate
+    * (estimates are engine-specific; OperatorsSpec bounds the error
+    * against the exact query). */
+  def activeUsersPerHourHll(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
     val asOf = e.agg(max(col("ts")).as("__asof"))
     e.crossJoin(broadcast(asOf))
@@ -271,12 +284,35 @@ object CdcPipes {
     * are a few KB per group and merge associatively, so the rollup is
     * a tiny shuffle regardless of event volume.
     *
-    * Registered as the week-level rollup from day-level sketches.
-    * Sketch estimates are engine-specific → rows-only for the DuckDB
-    * gate; OperatorsSpec asserts (a) merge-invariance: merging daily
-    * sketches equals sketching the whole range directly, and (b) the
-    * estimate stays within 5% of the exact distinct count. */
-  def activeUsersSketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    * Registered face: the week-level rollup computed ONLY from the
+    * stored hour-level KMV partials (k=256) — the k smallest of a
+    * union of per-hour k-minima ARE the week's k minima, so the merged
+    * estimate equals the directly-computed week estimate EXACTLY, and
+    * the whole thing (hash, ranking, normalization, the events count)
+    * is reproduced bit-for-bit by the DuckDB oracle. The HLL version
+    * ([[activeUsersSketchRollupHll]]) survives as the spec-only
+    * alternate with the same -State/-Merge shape. */
+  def activeUsersSketchRollup(spark: SparkSession, dir: String,
+                              k: Int = 256): DataFrame = {
+    val weekly = kmvHourlyKept(spark, dir, k)
+      .select(date_trunc("week", col("time_interval")).cast("timestamp_ntz").as("week"),
+        col("h"))
+      .distinct()
+    val e = Tables.events(spark, dir)
+    val asOf = e.agg(max(col("ts")).as("__asof"))
+    val events = e.crossJoin(broadcast(asOf))
+      .filter(col("ts") > col("__asof") - interval(days = lit(30)))
+      .groupBy(date_trunc("week", col("ts")).cast("timestamp_ntz").as("week"))
+      .agg(count(lit(1)).as("events"))
+    kmvEstimate(weekly, col("week"), k)
+      .join(events, "week")
+      .orderBy("week")
+  }
+
+  /** Week-level rollup by MERGING day-level DataSketches HLL binaries
+    * — spec-only alternate (engine-specific registers): OperatorsSpec
+    * asserts merge-invariance and the ≤5% error bound. */
+  def activeUsersSketchRollupHll(spark: SparkSession, dir: String): DataFrame = {
     val daily = dailyUserSketches(spark, dir)
     daily
       .groupBy(date_trunc("week", col("day")).cast("timestamp_ntz").as("week"))

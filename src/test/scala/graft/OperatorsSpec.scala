@@ -545,7 +545,7 @@ class OperatorsSpec extends SparkSpec {
     // merging day-level sketches must equal sketching the range directly
     // (associative merge — the property that makes incremental rollup
     // tables correct), and the estimate must track the exact count
-    val viaMerge = pipes.CdcPipes.activeUsersSketchRollup(spark, sf)
+    val viaMerge = pipes.CdcPipes.activeUsersSketchRollupHll(spark, sf)
       .collect().map(r => (r.get(0).toString, r.getLong(1))).toMap
     val direct = Tables.events(spark, sf)
       .groupBy(date_trunc("week", col("ts")).cast("timestamp_ntz").as("week"))
@@ -566,7 +566,7 @@ class OperatorsSpec extends SparkSpec {
   test("approx distinct stays within 5% of exact per bucket") {
     val exact = pipes.CdcPipes.activeUsersPerHour(spark, sf)
       .collect().map(r => (r.get(0).toString, r.getLong(1))).toMap
-    val approx = pipes.CdcPipes.activeUsersPerHourApprox(spark, sf)
+    val approx = pipes.CdcPipes.activeUsersPerHourHll(spark, sf)
       .collect().map(r => (r.get(0).toString, r.getLong(1))).toMap
     assert(approx.keySet == exact.keySet)
     approx.foreach { case (k, a) =>
