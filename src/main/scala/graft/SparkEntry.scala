@@ -51,7 +51,7 @@ object SparkEntry {
   private def fixtureSqlPath(table: String): String =
     s"read_parquet('${fixtureFile.getAbsolutePath}/$table/*.parquet')"
 
-  private def fixtureDir(spark: SparkSession): String = synchronized {
+  private[graft] def fixtureDir(spark: SparkSession): String = synchronized {
     val dir = fixtureFile
     val marker = new java.io.File(dir, "_DONE")
     if (!marker.exists()) {

@@ -206,13 +206,19 @@ object CdcPipes {
     * becomes Option-typed Scala params with anchored defaults. The
     * registered endpoint uses the defaults (last 7 days before max ts). */
   def eventsInWindow(spark: SparkSession, dir: String,
-                     start: Option[java.sql.Timestamp] = None,
-                     end: Option[java.sql.Timestamp] = None): DataFrame = {
+                     start: Option[java.time.LocalDateTime] = None,
+                     end: Option[java.time.LocalDateTime] = None): DataFrame = {
+    // LocalDateTime, not java.sql.Timestamp: a Timestamp is an epoch
+    // instant read back through the driver JVM's DEFAULT timezone, so
+    // lit(ts).cast("timestamp_ntz") shifts the wall clock by the TZ
+    // offset on any non-UTC deployment. lit(LocalDateTime) maps
+    // directly to TimestampNTZType — no epoch round-trip, parameter
+    // meaning independent of driver/session timezones.
     val e = Tables.events(spark, dir)
     val bounds = e.agg(max(col("ts")).as("__maxts"))
       .select(
-        start.map(s => lit(s).cast("timestamp_ntz")).getOrElse(col("__maxts") - interval(days = lit(7))).as("__start"),
-        end.map(s => lit(s).cast("timestamp_ntz")).getOrElse(col("__maxts")).as("__end"))
+        start.map(s => lit(s)).getOrElse(col("__maxts") - interval(days = lit(7))).as("__start"),
+        end.map(s => lit(s)).getOrElse(col("__maxts")).as("__end"))
     e.crossJoin(broadcast(bounds))
       .filter(col("ts") >= col("__start") && col("ts") <= col("__end"))
       .groupBy(toStartOfDay(col("ts")).as("day"))

@@ -37,7 +37,8 @@ final class ApiServer(spark: SparkSession, sfDir: String,
     "docs_minhash_lsh_pairs" -> (ParamEndpoints.docsMinhashLshPairs _),
     "emb_near_dup_pairs" -> (ParamEndpoints.embNearDupPairs _),
     "emb_knn_ivf" -> (ParamEndpoints.embKnnIvf _),
-    "events_in_window" -> (ParamEndpoints.eventsInWindow _))
+    "events_in_window" -> (ParamEndpoints.eventsInWindow _),
+    "ref_flights_missed_pct_minute" -> (ParamEndpoints.refFlightsMissedPctMinute _))
 
   private def pipeNames: Seq[String] = graft.SparkEntry.queries.keys.toSeq.sorted
 
@@ -100,22 +101,31 @@ final class ApiServer(spark: SparkSession, sfDir: String,
                   s"pipe $name takes no parameters: ${params.keys.mkString(", ")}")
                 graft.SparkEntry.queries(name)(spark, sfDir)
             }
-            format match {
-              case "csv" =>
-                respond(ex, 200, Endpoints.toCsv(df, rowLimit), "text/csv")
+            val rendered = format match {
+              case "csv" => (Endpoints.renderCsv(df, rowLimit), "text/csv")
               case "ndjson" =>
-                respond(ex, 200, Endpoints.toNdjson(df, rowLimit),
-                  "application/x-ndjson")
-              case _ =>
-                respond(ex, 200, Endpoints.toJsonPayload(df, rowLimit))
+                (Endpoints.renderNdjson(df, rowLimit), "application/x-ndjson")
+              case _ => (Endpoints.renderJson(df, rowLimit), "application/json")
             }
+            // envelope-less formats signal a clipped result via header
+            // (the .json envelope carries rows_before_limit_at_least)
+            if (rendered._1.overflow)
+              ex.getResponseHeaders.set("X-Rows-Before-Limit-At-Least",
+                String.valueOf(rowLimit + 1))
+            respond(ex, 200, rendered._1.body, rendered._2)
           }
       }
     } catch {
+      // String.valueOf: an IAE raised inside Spark can carry a null
+      // message, and an NPE inside this handler would abandon the
+      // exchange with no response at all (client hangs to EOF)
       case e: IllegalArgumentException =>
-        respond(ex, 400, s"""{"error":${Endpoints.q(e.getMessage)}}""")
+        respond(ex, 400, s"""{"error":${Endpoints.q(String.valueOf(e.getMessage))}}""")
       case e: Throwable =>
-        respond(ex, 500, s"""{"error":${Endpoints.q(String.valueOf(e.getMessage))}}""")
+        // generic body: raw internal messages leak paths/plan fragments
+        // to any authenticated client; the detail goes to the server log
+        System.err.println(s"[api] 500 on ${ex.getRequestURI}: $e")
+        respond(ex, 500, """{"error":"internal error"}""")
     }
 
   /** Bearer token → its pipe grants, None when missing/unknown. */

@@ -63,12 +63,30 @@ object ParamEndpoints {
       start = timestamp(params, "start"), end = timestamp(params, "end"))
   }
 
-  /** `{{DateTime(key)}}` — absent means the endpoint's default. */
-  private def timestamp(params: Map[String, String],
-                        key: String): Option[java.sql.Timestamp] =
+  /** The reference's own parameterized pipe, served with its template
+    * contract (`{% if defined(start) %}` …
+    * flights_missed_pct_minute.pipe:22,31-32): `start` / `end` DateTime
+    * params bound the per-minute aggregation, defaults anchor to the
+    * pipe's now()-1h window. Runs on the generated CDC fixture log like
+    * every ref_* pipe (the sf dir param is ignored by convention). */
+  def refFlightsMissedPctMinute(spark: SparkSession, dir: String,
+                                params: Map[String, String]): DataFrame = {
+    validate(params, Set("start", "end"))
+    graft.pipes.AirportPipes.flightsMissedPctMinute(spark,
+      graft.SparkEntry.fixtureDir(spark),
+      start = timestamp(params, "start"), end = timestamp(params, "end"))
+  }
+
+  /** `{{DateTime(key)}}` — absent means the endpoint's default.
+    * Parsed as LocalDateTime (naive wall clock), never through
+    * java.sql.Timestamp: Timestamp.valueOf interprets the string in
+    * the driver JVM's default timezone, silently shifting the window
+    * by the TZ offset on any non-UTC deployment. */
+  private[sources] def timestamp(params: Map[String, String],
+                                 key: String): Option[java.time.LocalDateTime] =
     params.get(key).map { v =>
-      try java.sql.Timestamp.valueOf(v.replace('T', ' '))
-      catch { case _: IllegalArgumentException =>
+      try java.time.LocalDateTime.parse(v.replace(' ', 'T'))
+      catch { case _: java.time.format.DateTimeParseException =>
         throw new IllegalArgumentException(
           s"param $key: not a timestamp (want yyyy-MM-dd HH:mm:ss): $v") }
     }

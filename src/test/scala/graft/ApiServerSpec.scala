@@ -97,6 +97,69 @@ class ApiServerSpec extends SparkSpec {
     assert(codes.forall(_ == 200), codes.toString)
   }
 
+  test("the reference's parameterized pipe takes DateTime start/end over HTTP") {
+    // flights_missed_pct_minute.pipe:22,31-32 — {% if defined(start) %}
+    val default = get("/v0/pipes/ref_flights_missed_pct_minute.json",
+      Some("admin_token"))
+    assert(default.statusCode() == 200, default.body())
+    assert(default.body().contains("flights_missed_pct"))
+    // bounding the aggregation to a window before any fixture data
+    // zeroes every minute of the gap-filled series (same 61-row shape)
+    val bounded = get(
+      "/v0/pipes/ref_flights_missed_pct_minute.json" +
+        "?start=2000-01-01T00:00:00&end=2000-01-01T01:00:00",
+      Some("admin_token"))
+    assert(bounded.statusCode() == 200, bounded.body())
+    def rows(b: String) =
+      "\"rows\":(\\d+)".r.findFirstMatchIn(b).get.group(1).toInt
+    assert(rows(bounded.body()) == rows(default.body()))
+    assert(!bounded.body().replace("\"flights_missed_pct\":0.0", "")
+      .contains("\"flights_missed_pct\":"),
+      "a pre-data window must zero every minute's pct")
+    // malformed DateTime → 400, not a silently-defaulted window
+    assert(get(
+      "/v0/pipes/ref_flights_missed_pct_minute.json?start=not-a-time",
+      Some("admin_token")).statusCode() == 400)
+  }
+
+  test("clipped results are flagged: envelope field and truncation header") {
+    val tiny = new ApiServer(spark, sf, tokens, rowLimit = 3)
+    val p = tiny.start()
+    try {
+      def fetch(suffix: String) = http.send(
+        HttpRequest.newBuilder(URI.create(
+            s"http://127.0.0.1:$p/v0/pipes/events_by_type_status$suffix"))
+          .header("Authorization", "Bearer events_read").GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      val json = fetch(".json") // 5 source rows > limit 3
+      assert(json.body().contains("\"rows\":3"))
+      assert(json.body().contains("\"rows_before_limit_at_least\":4"),
+        json.body())
+      val csv = fetch(".csv")
+      assert(csv.headers().firstValue("X-Rows-Before-Limit-At-Least")
+        .orElse("") == "4", "envelope-less formats must signal the clip")
+      assert(csv.body().trim.split("\n").length == 4) // header + 3
+      // a COMPLETE result carries rows_before_limit_at_least == rows
+      // and no truncation header
+      val full = get("/v0/pipes/events_by_type_status.json", Some("events_read"))
+      val n = "\"rows\":(\\d+)".r.findFirstMatchIn(full.body()).get.group(1)
+      assert(full.body().contains(s""""rows_before_limit_at_least":$n"""))
+      val fullCsv = get("/v0/pipes/events_by_type_status.csv", Some("events_read"))
+      assert(fullCsv.headers().firstValue("X-Rows-Before-Limit-At-Least").isEmpty)
+    } finally tiny.stop()
+  }
+
+  test("CSV renders array columns as JSON lists, not JVM toString") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(0.5f, -1.0f), "plain"), (2L, Seq(2.0f), "b"))
+      .toDF("id", "embedding", "note")
+    val r = sources.Endpoints.renderCsv(df, limit = 10)
+    assert(!r.body.contains("WrappedArray"), r.body)
+    assert(r.body.contains("\"[0.5,-1.0]\""),
+      s"array cells must be the same JSON encoding .json uses, quoted for CSV:\n${r.body}")
+    assert(!r.overflow && r.rows == 2)
+  }
+
   test("TOKEN declarations parse from the reference kit pipes") {
     val kit = new java.io.File("/root/reference/kits/airport/mysql/pipes")
     val pipes = kit.listFiles().filter(_.getName.endsWith(".pipe")).toSeq
