@@ -25,13 +25,22 @@ class StreamingSpec extends SparkSpec {
       events.filter(col("event_id") % 3 === 0),
       events.filter(col("event_id") % 3 === 1),
       events.filter(col("event_id") % 3 === 2))
+    // generate vs propagate timed separately, reported like the
+    // reference's freshness probe (demo_users.py:239-262), so rounds
+    // can track CDC freshness the way the bench tracks query time
+    var genSec = 0.0; var propSec = 0.0
     val t0 = System.nanoTime()
     chunks.zipWithIndex.foreach { case (c, i) =>
+      val g0 = System.nanoTime()
       c.write.parquet(s"$src/chunk$i")
+      genSec += (System.nanoTime() - g0) / 1e9
+      val p0 = System.nanoTime()
       val q = CdcStream.startMv(spark, s"$src/chunk*", logDir, ck)
       q.awaitTermination()
+      propSec += (System.nanoTime() - p0) / 1e9
     }
     val elapsed = (System.nanoTime() - t0) / 1e9
+    info(f"FRESHNESS mv_replay generate=$genSec%.2fs propagate=$propSec%.2fs total=$elapsed%.2fs (SLO 15s)")
     val streamed = CdcStream.finalView(spark, logDir)
       .select("user_id", "event_id").orderBy("user_id")
       .collect().toSeq
@@ -51,11 +60,18 @@ class StreamingSpec extends SparkSpec {
     val mv = CdcStream.materializedView(events)
     // generation 1 over the first half of time
     val mid = expr("TIMESTAMP_NTZ '2024-07-01 00:00:00'")
+    val g0 = System.nanoTime()
     mv.filter(col("ts") <= mid).write.parquet(logDir)
+    val g1 = System.nanoTime()
     CdcStream.runCopyJob(spark, logDir, snapDir)
+    val g2 = System.nanoTime()
     // more events arrive, generation 2
     mv.filter(col("ts") > mid).write.mode("append").parquet(logDir)
+    val g3 = System.nanoTime()
     CdcStream.runCopyJob(spark, logDir, snapDir)
+    val g4 = System.nanoTime()
+    info(f"FRESHNESS copy_job generate=${((g1 - g0) + (g3 - g2)) / 1e9}%.2fs " +
+      f"propagate=${((g2 - g1) + (g4 - g3)) / 1e9}%.2fs total=${(g4 - g0) / 1e9}%.2fs (SLO 15s)")
     val snap = CdcStream.readSnapshot(spark, snapDir)
       .select("user_id", "event_id").orderBy("user_id").collect().toSeq
     val fin = CdcStream.finalView(spark, logDir)
@@ -522,5 +538,26 @@ class StreamingSpec extends SparkSpec {
       .first().getLong(0)
     assert(cents == wantCents)
     assert(metrics.map(_.getAs[Long]("rows_invalid")).sum == 0L)
+  }
+
+  test("Kafka ingest wiring runs against a live broker (KAFKA_BROKERS gate)") {
+    // The reference's ingestion is Kafka-first (users_raw.datasource:20-27)
+    // but this sandbox has no broker (and no spark-sql-kafka connector
+    // jar): the wiring is exercised the day KAFKA_BROKERS points at one
+    // (the deployment must also ship the connector on the classpath) and
+    // skips cleanly here. COVERAGE.md documents the gate.
+    val brokers = sys.env.get("KAFKA_BROKERS")
+    assume(brokers.isDefined, "KAFKA_BROKERS not set - no broker in this environment")
+    val dsText = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      "/root/reference/kits/users/pg/datasources/users_raw.datasource")), "UTF-8")
+    val ds = sources.KitParser.parseDatasource("users_raw", dsText)
+    val stream = streaming.CdcStream.readKafkaDatasource(spark, brokers.get, ds)
+    val q = stream.writeStream.format("memory").queryName("kafka_smoke")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(q.isActive, q.exception.map(_.toString).getOrElse(""))
+    } finally q.stop()
   }
 }
