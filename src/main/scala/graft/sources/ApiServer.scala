@@ -40,11 +40,23 @@ final class ApiServer(spark: SparkSession, sfDir: String,
     "events_in_window" -> (ParamEndpoints.eventsInWindow _),
     "ref_flights_missed_pct_minute" -> (ParamEndpoints.refFlightsMissedPctMinute _))
 
-  private def pipeNames: Seq[String] = graft.SparkEntry.queries.keys.toSeq.sorted
+  /** Control-plane state (`POST /v0/datafiles` — tb_functions.py's
+    * create_datasource/create_pipe at modules/tb_functions.py:225-252):
+    * pipes provisioned at runtime as parsed NODE sequences, their TOKEN
+    * grants, and parsed datasource definitions. Plain volatile maps —
+    * provisioning is rare and last-write-wins, like the reference's
+    * file push. */
+  @volatile private var dynamicPipes = Map.empty[String, Seq[graft.sql.PipeRunner.Node]]
+  @volatile private var dynamicTokens = Map.empty[String, Set[String]]
+  @volatile private var datasources = Map.empty[String, KitParser.DatasourceDef]
+
+  private def pipeNames: Seq[String] =
+    (graft.SparkEntry.queries.keys ++ dynamicPipes.keys).toSeq.sorted
 
   private val server: HttpServer = {
     val s = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     s.createContext("/v0/pipes", (ex: HttpExchange) => handle(ex))
+    s.createContext("/v0/datafiles", (ex: HttpExchange) => handleDatafiles(ex))
     // without an executor the JDK server handles requests on its
     // dispatch thread — one slow query would serialize every client.
     // A small pool matches the dashboard concurrency the reference
@@ -88,7 +100,7 @@ final class ApiServer(spark: SparkSession, sfDir: String,
               (tail.take(i), tail.substring(i + 1))
             case _ => (tail, "json")
           }
-          if (!graft.SparkEntry.queries.contains(name))
+          if (!graft.SparkEntry.queries.contains(name) && !dynamicPipes.contains(name))
             respond(ex, 404, s"""{"error":"pipe not found: $name"}""")
           else if (!(grants("*") || grants(name)))
             respond(ex, 403, s"""{"error":"token lacks READ on $name"}""")
@@ -96,7 +108,11 @@ final class ApiServer(spark: SparkSession, sfDir: String,
             val params = queryParams(ex)
             val df = parameterized.get(name) match {
               case Some(f) => f(spark, sfDir, params)
-              case None =>
+              case None if dynamicPipes.contains(name) =>
+                // POSTed pipes take template params through verbatim —
+                // the translator substitutes {{Type(name, default)}}
+                runDynamic(name, params)
+              case _ =>
                 require(params.isEmpty,
                   s"pipe $name takes no parameters: ${params.keys.mkString(", ")}")
                 graft.SparkEntry.queries(name)(spark, sfDir)
@@ -128,12 +144,127 @@ final class ApiServer(spark: SparkSession, sfDir: String,
         respond(ex, 500, """{"error":"internal error"}""")
     }
 
-  /** Bearer token → its pipe grants, None when missing/unknown. */
+  /** The control plane: `POST /v0/datafiles?name=<file>.pipe|.datasource`
+    * with the kit-file text as the body (the engine-side of
+    * tb_functions.py:225-252's file push), `DELETE /v0/datafiles/{name}`,
+    * `GET /v0/datafiles` to list. Write verbs require a workspace-admin
+    * token (a `*` grant — the reference's admin token manages datafiles
+    * and tokens, tb_functions.py:321-354). A POSTed pipe is parsed,
+    * ANALYZED against the serving views (bad SQL 400s at push time, not
+    * first fetch), its TOKEN declarations become live bearer grants, and
+    * it serves immediately at `/v0/pipes/{name}` in every format. */
+  private def handleDatafiles(ex: HttpExchange): Unit =
+    try {
+      authorized(ex) match {
+        case None => respond(ex, 401, """{"error":"invalid or missing token"}""")
+        case Some(grants) if !grants("*") =>
+          respond(ex, 403, """{"error":"datafiles require a workspace admin token"}""")
+        case Some(_) =>
+          val path = ex.getRequestURI.getPath
+          ex.getRequestMethod match {
+            case "GET" =>
+              val items =
+                (dynamicPipes.keys.map(n => s"""{"name":${Endpoints.q(n + ".pipe")}}""") ++
+                  datasources.keys.map(n => s"""{"name":${Endpoints.q(n + ".datasource")}}"""))
+                  .toSeq.sorted.mkString("[", ",", "]")
+              respond(ex, 200, s"""{"datafiles":$items}""")
+            case "POST" =>
+              val fileName = queryParams(ex).getOrElse("name",
+                throw new IllegalArgumentException("missing ?name=<file>.pipe|.datasource"))
+              val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+              if (fileName.endsWith(".pipe")) {
+                val pipeName = fileName.stripSuffix(".pipe")
+                val nodes = graft.sql.PipeRunner.parse(body)
+                require(nodes.nonEmpty, s"no SQL nodes in $fileName")
+                require(!graft.SparkEntry.queries.contains(pipeName),
+                  s"$pipeName shadows a built-in pipe")
+                // analyze now: a pipe that doesn't resolve must 400 at
+                // push time, not surprise the first dashboard fetch
+                graft.sql.PipeRunner.runNodes(servingSession(), nodes)
+                dynamicPipes += pipeName -> nodes
+                val toks = ApiServer.tokensFromPipes(Seq(pipeName -> body))
+                dynamicTokens = merge(dynamicTokens, toks)
+                respond(ex, 200, s"""{"name":${Endpoints.q(pipeName)},"type":"pipe","nodes":${nodes.length},"tokens":${toks.keys.toSeq.sorted.map(Endpoints.q).mkString("[", ",", "]")}}""")
+              } else if (fileName.endsWith(".datasource")) {
+                val dsName = fileName.stripSuffix(".datasource")
+                val ds = KitParser.parseDatasource(dsName, body)
+                datasources += dsName -> ds
+                val cols = ds.columns.map(c =>
+                  s"""{"name":${Endpoints.q(c.name)},"type":${Endpoints.q(c.dataType.simpleString)}}""")
+                  .mkString("[", ",", "]")
+                respond(ex, 200, s"""{"name":${Endpoints.q(dsName)},"type":"datasource","columns":$cols}""")
+              } else throw new IllegalArgumentException(
+                s"unsupported datafile (want .pipe or .datasource): $fileName")
+            case "DELETE" =>
+              val fileName = path.stripPrefix("/v0/datafiles/")
+              val (pipeName, dsName) =
+                (fileName.stripSuffix(".pipe"), fileName.stripSuffix(".datasource"))
+              if (dynamicPipes.contains(pipeName)) {
+                dynamicPipes -= pipeName
+                respond(ex, 200, s"""{"deleted":${Endpoints.q(pipeName)}}""")
+              } else if (datasources.contains(dsName)) {
+                datasources -= dsName
+                respond(ex, 200, s"""{"deleted":${Endpoints.q(dsName)}}""")
+              } else respond(ex, 404, s"""{"error":"datafile not found: $fileName"}""")
+            case _ => respond(ex, 405, """{"error":"datafiles support GET/POST/DELETE"}""")
+          }
+      }
+    } catch {
+      case e: IllegalArgumentException =>
+        respond(ex, 400, s"""{"error":${Endpoints.q(String.valueOf(e.getMessage))}}""")
+      case e: org.apache.spark.sql.AnalysisException =>
+        // unresolved tables/columns in a pushed pipe are a client error
+        respond(ex, 400, s"""{"error":${Endpoints.q(String.valueOf(e.getMessage))}}""")
+      case e: Throwable =>
+        System.err.println(s"[api] 500 on ${ex.getRequestURI}: $e")
+        respond(ex, 500, """{"error":"internal error"}""")
+    }
+
+  /** Execute a provisioned pipe: a FRESH child session per request (own
+    * temp-view namespace — concurrent pipes with colliding node names
+    * cannot cross-talk; shares the SparkContext, so no startup cost)
+    * with the serving views registered. */
+  private def runDynamic(name: String, params: Map[String, String]): DataFrame =
+    graft.sql.PipeRunner.runNodes(servingSession(), dynamicPipes(name), params)
+
+  /** A child session exposing what the reference workspace exposes to
+    * pipes: the harness star schema under its table names, and the CDC
+    * fixture log's datasource tables (raw logs + the users FINAL view +
+    * the copy-job snapshot — the views the reference kit pipes query).
+    * Views are lazy plans over parquet; nothing is computed here. */
+  private def servingSession(): SparkSession = {
+    val s = spark.newSession()
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents", "embeddings"))
+      s.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
+    graft.Tables.events(s, sfDir).createOrReplaceTempView("events")
+    val fx = graft.SparkEntry.fixtureDir(s)
+    for (t <- Seq("flights_raw", "passengers_raw", "baggage_raw", "users_raw"))
+      s.read.parquet(s"$fx/$t").createOrReplaceTempView(t)
+    s.read.parquet(s"$fx/users_batch").createOrReplaceTempView("users_batch")
+    val mv = graft.pipes.UsersPipes.usersMv(graft.pipes.UsersPipes.usersRaw(s, fx))
+    graft.operators.Dedup.latestByKey(mv, Seq("id"),
+        org.apache.spark.sql.functions.col("updated_at"),
+        mv.columns.filter(_ != "id").toSeq)
+      .select("id", "name", "email", "address", "phone_number",
+        "email_verified", "onboarded", "deleted", "event_timestamp", "lang",
+        "created_at", "updated_at")
+      .createOrReplaceTempView("users_latest__final")
+    s
+  }
+
+  private def merge(a: Map[String, Set[String]],
+                    b: Map[String, Set[String]]): Map[String, Set[String]] =
+    (a.keySet ++ b.keySet).map(k =>
+      k -> (a.getOrElse(k, Set.empty) ++ b.getOrElse(k, Set.empty))).toMap
+
+  /** Bearer token → its pipe grants, None when missing/unknown. Tokens
+    * declared by POSTed pipes extend the constructor set. */
   private def authorized(ex: HttpExchange): Option[Set[String]] =
     Option(ex.getRequestHeaders.getFirst("Authorization"))
       .filter(_.startsWith("Bearer "))
       .map(_.stripPrefix("Bearer "))
-      .flatMap(tokens.get)
+      .flatMap(t => merge(tokens, dynamicTokens).get(t))
 
   private def queryParams(ex: HttpExchange): Map[String, String] =
     Option(ex.getRequestURI.getRawQuery).map {

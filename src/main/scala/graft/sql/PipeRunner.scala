@@ -48,6 +48,15 @@ object PipeRunner {
     val text = new String(java.nio.file.Files.readAllBytes(pipeFile.toPath), "UTF-8")
     val nodes = parse(text)
     require(nodes.nonEmpty, s"no SQL nodes in ${pipeFile.getName}")
+    runNodes(spark, nodes, params, asOf)
+  }
+
+  /** The node-sequence form of [[run]] — the entry the control plane
+    * uses for pipes that arrive as POSTed text rather than files. */
+  def runNodes(spark: SparkSession, nodes: Seq[Node],
+               params: Map[String, String] = Map.empty,
+               asOf: Option[String] = None): DataFrame = {
+    require(nodes.nonEmpty, "no SQL nodes in pipe")
     nodes.map { n =>
       val df = dedupColumns(spark.sql(ChSqlTranslator.translate(n.sql, params, asOf)))
       df.createOrReplaceTempView(n.name)

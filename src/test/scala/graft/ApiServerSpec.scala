@@ -160,6 +160,93 @@ class ApiServerSpec extends SparkSpec {
     assert(!r.overflow && r.rows == 2)
   }
 
+  private def post(path: String, token: Option[String], body: String): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+    token.foreach(t => b.header("Authorization", s"Bearer $t"))
+    http.send(b.POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+  }
+
+  test("control plane: POST a pipe datafile, fetch its endpoint, DELETE it") {
+    // the tb_functions.py loop: push a datafile, read its endpoint
+    val pipe =
+      """TOKEN "orders_dash_read" READ
+        |
+        |NODE count_by_status
+        |SQL >
+        |    SELECT o_orderstatus, count() AS n FROM orders GROUP BY o_orderstatus
+        |
+        |NODE endpoint
+        |SQL >
+        |    SELECT * FROM count_by_status ORDER BY o_orderstatus
+        |""".stripMargin
+    // write verbs demand the workspace admin token
+    assert(post("/v0/datafiles?name=orders_by_status.pipe", Some("events_read"), pipe)
+      .statusCode() == 403)
+    assert(post("/v0/datafiles?name=orders_by_status.pipe", None, pipe)
+      .statusCode() == 401)
+    val created = post("/v0/datafiles?name=orders_by_status.pipe", Some("admin_token"), pipe)
+    assert(created.statusCode() == 200, created.body())
+    assert(created.body().contains("\"nodes\":2"))
+    assert(created.body().contains("orders_dash_read"))
+    // listed, and served like any built-in pipe — including under the
+    // token the pipe itself declared
+    assert(get("/v0/pipes", Some("admin_token")).body().contains("orders_by_status"))
+    val fetched = get("/v0/pipes/orders_by_status.json", Some("orders_dash_read"))
+    assert(fetched.statusCode() == 200, fetched.body())
+    assert("\"rows\":(\\d+)".r.findFirstMatchIn(fetched.body())
+      .exists(_.group(1).toInt > 0))
+    // DELETE retires it
+    val del = http.send(
+      HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:$port/v0/datafiles/orders_by_status.pipe"))
+        .header("Authorization", "Bearer admin_token").DELETE().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(del.statusCode() == 200, del.body())
+    assert(get("/v0/pipes/orders_by_status.json", Some("admin_token")).statusCode() == 404)
+  }
+
+  test("control plane: a REFERENCE kit pipe posts verbatim and serves") {
+    val text = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      "/root/reference/kits/airport/mysql/pipes/latest_flight_info.pipe")), "UTF-8")
+    val r = post("/v0/datafiles?name=latest_flight_info_posted.pipe",
+      Some("admin_token"), text)
+    assert(r.statusCode() == 200, r.body())
+    val fetched = get("/v0/pipes/latest_flight_info_posted.json", Some("admin_token"))
+    assert(fetched.statusCode() == 200, fetched.body())
+    assert("\"rows\":(\\d+)".r.findFirstMatchIn(fetched.body())
+      .exists(_.group(1).toInt > 0), fetched.body())
+  }
+
+  test("control plane: bad pushes 400 at POST time, not first fetch") {
+    // unresolvable table
+    val bad = "NODE n0\nSQL >\n    SELECT * FROM no_such_table\n"
+    val r = post("/v0/datafiles?name=bad.pipe", Some("admin_token"), bad)
+    assert(r.statusCode() == 400, r.body())
+    assert(get("/v0/pipes/bad.json", Some("admin_token")).statusCode() == 404)
+    // no SQL nodes at all
+    assert(post("/v0/datafiles?name=empty.pipe", Some("admin_token"),
+      "DESCRIPTION nothing here\n").statusCode() == 400)
+    // shadowing a built-in pipe name
+    assert(post("/v0/datafiles?name=q1_pricing_summary.pipe", Some("admin_token"),
+      "NODE n0\nSQL >\n    SELECT 1 AS x\n").statusCode() == 400)
+    // unsupported extension
+    assert(post("/v0/datafiles?name=foo.txt", Some("admin_token"), "x")
+      .statusCode() == 400)
+  }
+
+  test("control plane: datasource datafiles parse to their schema") {
+    val text = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      "/root/reference/kits/users/pg/datasources/users_raw.datasource")), "UTF-8")
+    val r = post("/v0/datafiles?name=users_raw_posted.datasource",
+      Some("admin_token"), text)
+    assert(r.statusCode() == 200, r.body())
+    assert(r.body().contains("\"type\":\"datasource\""))
+    assert(r.body().contains("\"columns\":["), r.body())
+    val listing = get("/v0/datafiles", Some("admin_token"))
+    assert(listing.body().contains("users_raw_posted.datasource"))
+  }
+
   test("TOKEN declarations parse from the reference kit pipes") {
     val kit = new java.io.File("/root/reference/kits/airport/mysql/pipes")
     val pipes = kit.listFiles().filter(_.getName.endsWith(".pipe")).toSeq
