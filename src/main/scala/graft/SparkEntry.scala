@@ -187,6 +187,7 @@ object SparkEntry {
     // training-data pipeline: multimodal binary columns
     "docs_binary_meta"      -> (operators.Multimodal.binaryMeta _),
     "docs_decode_features"  -> (operators.Multimodal.decodeFeatures _),
+    "docs_audio_features"   -> (operators.Multimodal.audioFeatures _),
     "docs_frame_sample"     -> ((s, d) => operators.Multimodal.frameSample(s, d)),
     "docs_binary_chunks"    -> ((s, d) => operators.Multimodal.binaryChunks(s, d)),
     // pipe-for-pipe reference endpoints over generated CDC fixtures
@@ -1804,6 +1805,21 @@ object SparkEntry {
         |  CAST(64 + (n % 512) AS INT) AS height,
         |  3 AS channels, CAST(s AS BIGINT) AS feature_sum
         |FROM b ORDER BY doc_id""".stripMargin,
+    // closed forms of the synthesized square wave: the Spark side
+    // builds a real RIFF/WAVE payload from these parameters and decodes
+    // it with the REAL javax.sound codec — a match means the full
+    // synth→header→codec→features round-trip is byte-correct
+    "docs_audio_features" ->
+      """SELECT doc_id,
+        |  CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+        |  CAST(1 + (doc_id % 2) AS INT) AS channels,
+        |  16 AS bits,
+        |  CAST(400 + (n_chars % 256) AS BIGINT) AS n_frames,
+        |  CAST((400 + (n_chars % 256)) * 1000 // (8000 + (doc_id % 3) * 4000) AS BIGINT) AS duration_ms,
+        |  CAST(1000 + (doc_id % 100) * 10 AS INT) AS peak,
+        |  CAST(400 + (n_chars % 256) AS BIGINT) * (1 + (doc_id % 2))
+        |    * (1000 + (doc_id % 100) * 10) * (1000 + (doc_id % 100) * 10) AS energy_sum
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // byte-level mirror of the frame sampler: the payload is utf-8 of
     // ASCII text, so ascii(substring(...)) IS the byte value
     "docs_frame_sample" ->

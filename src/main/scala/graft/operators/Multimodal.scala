@@ -15,13 +15,20 @@ import graft.functions.ChFunctions._
   *    dependency — dimensions, channels, luminance stats and an 8×8
   *    pooled signature per payload, undecodable rows quarantined
   *    (the S8 posture) instead of poisoning the batch.
-  *  - Audio/video codecs are NOT in this container, and the fixture
-  *    corpus carries utf-8 text payloads (not media), so the ORACLED
-  *    endpoints keep a clearly-marked deterministic stub
-  *    ([[FakeDecode]]) — the per-partition batch shape is identical,
-  *    which is what matters for the 100 TB design: payloads stay
-  *    distributed, only metadata/features shuffle, decode cost is
-  *    linear per partition with no driver involvement.
+  *  - **Audio (WAV/PCM) is decoded for real too** ([[decodeAudioRow]]):
+  *    javax.sound.sampled is the JDK's built-in RIFF/WAVE codec. The
+  *    oracled endpoint ([[audioFeatures]]) synthesizes deterministic
+  *    PCM payloads from row-derived parameters, runs them through the
+  *    REAL codec, and the DuckDB oracle verifies the decoded features
+  *    against the construction arithmetic's closed forms — an
+  *    end-to-end codec round-trip check.
+  *  - Video codecs are NOT in the JDK, and the fixture corpus carries
+  *    utf-8 text payloads (not media), so the video-shaped endpoints
+  *    keep a clearly-marked deterministic stub ([[FakeDecode]]) /
+  *    byte-window kernels ([[frameSample]]) — the per-partition batch
+  *    shape is identical, which is what matters for the 100 TB design:
+  *    payloads stay distributed, only metadata/features shuffle, decode
+  *    cost is linear per partition with no driver involvement.
   */
 object Multimodal {
 
@@ -267,6 +274,111 @@ object Multimodal {
         bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** One decoded audio row: real format fields from the codec
+    * (javax.sound.sampled), frame count from the stream length, and
+    * integer-only signal features — peak amplitude and Σ sample²
+    * (energy) — so every value is deterministic and engine-checkable.
+    * `ok=false` is the quarantine lane (payload not decodable as
+    * audio), mirroring [[ImageFeatures]]. */
+  case class AudioFeatures(doc_id: Long, ok: Boolean, sample_rate: Int,
+                           channels: Int, bits: Int, n_frames: Long,
+                           duration_ms: Long, peak: Int, energy_sum: Long)
+
+  /** REAL audio decode — javax.sound.sampled (in every JDK, no external
+    * codec) parses RIFF/WAVE PCM: format fields come from the codec's
+    * parsed header, samples from its stream. 16-bit signed PCM only
+    * (the synth below emits exactly that; other encodings quarantine).
+    * Integer arithmetic throughout — peak and Σ s² are exact, so the
+    * decode is reproducible bit-for-bit on any partitioning. */
+  def decodeAudioRow(r: MediaRow): AudioFeatures =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      val fmt = in.getFormat
+      require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        && fmt.getSampleSizeInBits == 16, s"unsupported encoding: $fmt")
+      val bytes = in.readAllBytes()
+      val rate = fmt.getSampleRate.toInt
+      val nFrames = bytes.length.toLong / fmt.getFrameSize
+      val be = fmt.isBigEndian
+      var energy = 0L
+      var peak = 0
+      var i = 0
+      while (i + 1 < bytes.length) {
+        val s: Int =
+          if (be) ((bytes(i) << 8) | (bytes(i + 1) & 0xff)).toShort.toInt
+          else ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort.toInt
+        energy += s.toLong * s
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        i += 2
+      }
+      AudioFeatures(r.doc_id, ok = true, rate, fmt.getChannels,
+        fmt.getSampleSizeInBits, nFrames, nFrames * 1000L / rate, peak, energy)
+    } catch { case scala.util.control.NonFatal(_) =>
+      AudioFeatures(r.doc_id, ok = false, 0, 0, 0, 0L, 0L, 0, 0L)
+    }
+
+  /** In-memory RIFF/WAVE synthesis (PCM signed 16-bit LE): a square
+    * wave alternating ±amp per frame across all channels. Byte-exact
+    * deterministic, and every feature of the result has a CLOSED FORM
+    * (peak = amp; energy = frames·channels·amp²; duration = frames/rate)
+    * — which is what lets the DuckDB oracle verify the REAL codec
+    * round-trip without parsing WAV itself. */
+  def synthWav(rate: Int, channels: Int, nFrames: Int, amp: Int): Array[Byte] = {
+    require(amp > 0 && amp <= Short.MaxValue, s"amp out of 16-bit range: $amp")
+    val dataLen = nFrames * channels * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(channels.toShort)
+    bb.putInt(rate); bb.putInt(rate * channels * 2)
+    bb.putShort((channels * 2).toShort); bb.putShort(16)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    var f = 0
+    while (f < nFrames) {
+      val s = (if (f % 2 == 0) amp else -amp).toShort
+      var c = 0
+      while (c < channels) { bb.putShort(s); c += 1 }
+      f += 1
+    }
+    bb.array()
+  }
+
+  case class AudioParams(doc_id: Long, rate: Int, channels: Int,
+                         n_frames: Int, amp: Int)
+
+  /** The ORACLED audio endpoint: per document, synthesize a WAV whose
+    * parameters derive from the row (rate/channels/frames/amplitude),
+    * decode it with the REAL javax.sound codec, and emit the decoded
+    * features. The oracle recomputes the same features from the
+    * construction arithmetic's closed forms — so the gate hash-verifies
+    * the full synth→RIFF→codec→features round-trip end to end (a wrong
+    * header field, endianness slip, or off-by-one in the frame count
+    * breaks the match). Per-partition batch shape: payloads are built
+    * and decoded inside the executor, only fixed-width features
+    * shuffle — the 100 TB posture for media columns. */
+  def audioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val params = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (lit(8000) + pmod(col("doc_id"), lit(3)) * 4000).cast("int").as("rate"),
+        (lit(1) + pmod(col("doc_id"), lit(2))).cast("int").as("channels"),
+        (lit(400) + pmod(col("n_chars"), lit(256))).cast("int").as("n_frames"),
+        (lit(1000) + pmod(col("doc_id"), lit(100)) * 10).cast("int").as("amp"))
+      .as[AudioParams]
+    params.mapPartitions { it =>
+      it.map(p => decodeAudioRow(MediaRow(p.doc_id,
+        synthWav(p.rate, p.channels, p.n_frames, p.amp))))
+    }.toDF()
+      .filter(col("ok"))
+      .select("doc_id", "sample_rate", "channels", "bits", "n_frames",
+        "duration_ms", "peak", "energy_sum")
+      .orderBy("doc_id")
   }
 
   /** Per-partition batch decode over the binary column (mapPartitions =
