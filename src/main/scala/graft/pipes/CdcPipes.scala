@@ -392,6 +392,16 @@ object CdcPipes {
       .select("time_interval", "h")
   }
 
+  /** Merge a (time_interval, h) partial log into per-hour estimates:
+    * distinct absorbs redelivered partials (KMV partials are
+    * duplicate-idempotent — the k smallest of a union are unchanged by
+    * repeated elements), then the estimator re-ranks. The read view of
+    * the streaming KMV MV ([[graft.streaming.CdcStream.startKmvMv]]),
+    * and the batch half of its replay==batch spec. */
+  private[graft] def kmvMergeEstimate(kept: DataFrame, k: Int = 64): DataFrame =
+    kmvEstimate(kept.distinct(), col("time_interval"), k)
+      .orderBy("time_interval")
+
   /** The KMV estimator over a kept-hash frame: group → (n, kth hash) →
     * estimate. Both engines round double(h) identically and 2^63/2^64
     * are exact doubles, so the normalization is bit-reproducible. */

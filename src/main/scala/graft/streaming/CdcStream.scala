@@ -518,6 +518,43 @@ object CdcStream {
     * aggregate lives in storage as mergeable partials, not in a state
     * store, so the stream scales with source partitions and restarts
     * cold. */
+  /** Streaming KMV distinct-sketch MV — the `-State` half of the
+    * oracled KMV family (CdcPipes.activeUsersKmvPerHour): each micro
+    * batch appends its per-hour ≤ k smallest distinct md5-low64 user
+    * hashes to a partial log; [[kmvView]] is the `-Merge` read.
+    *
+    * Unlike the summing MV — whose partials double-count on replay and
+    * need the overwrite-per-batch-id discipline — KMV partials are
+    * DUPLICATE-IDEMPOTENT: the k smallest of a union are unchanged by
+    * repeated elements, so plain append is exactly-once-equivalent
+    * under ANY at-least-once redelivery (StreamingSpec replays the
+    * whole stream twice and asserts the view is unchanged). At 100 TB
+    * the log grows by ≤ k longs per (hour, batch) — metadata scale —
+    * and the view's merge is a shuffle of kept hashes, never events. */
+  def startKmvMv(spark: SparkSession, srcDir: String, partialsDir: String,
+                 checkpointDir: String, k: Int = 64): StreamingQuery =
+    readEvents(spark, srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        batch
+          .select(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("time_interval"),
+            graft.functions.OracleHash.low64(col("user_id").cast("string")).as("h"))
+          .distinct()
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy("time_interval").orderBy("h")))
+          .filter(col("__rn") <= k).drop("__rn")
+          .write.mode("append").parquet(partialsDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** The `-Merge` read view over the KMV partial log. */
+  def kmvView(spark: SparkSession, partialsDir: String, k: Int = 64): DataFrame =
+    graft.pipes.CdcPipes.kmvMergeEstimate(spark.read.parquet(partialsDir), k)
+
   def startSummingMv(spark: SparkSession, srcDir: String, sumsDir: String,
                      checkpointDir: String): StreamingQuery =
     readEvents(spark, srcDir)

@@ -540,6 +540,34 @@ class StreamingSpec extends SparkSpec {
     assert(metrics.map(_.getAs[Long]("rows_invalid")).sum == 0L)
   }
 
+  test("streaming KMV sketch MV: merged partials equal the batch sketch; replay-idempotent") {
+    val src = tmp(); val pd = tmp() + "/kmv"; val ck = tmp() + "/ck"
+    val events = Tables.events(spark, sf)
+    val chunks = Seq(
+      events.filter(col("event_id") % 2 === 0),
+      events.filter(col("event_id") % 2 === 1))
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      c.write.parquet(s"$src/chunk$i")
+      CdcStream.startKmvMv(spark, s"$src/chunk*", pd, ck).awaitTermination()
+    }
+    val streamed = CdcStream.kmvView(spark, pd)
+      .collect().map(_.toString).toSeq
+    // batch truth: the same per-hour k-min rule over all events at once
+    val kept = events.select(
+        date_trunc("hour", col("ts")).cast("timestamp_ntz").as("time_interval"),
+        graft.functions.OracleHash.low64(col("user_id").cast("string")).as("h"))
+      .distinct()
+    val batch = pipes.CdcPipes.kmvMergeEstimate(kept)
+      .collect().map(_.toString).toSeq
+    assert(streamed == batch, s"streamed ${streamed.size} vs batch ${batch.size}")
+    // at-least-once: re-deliver the ENTIRE stream (fresh checkpoint) —
+    // KMV partials are duplicate-idempotent, so the view is unchanged
+    CdcStream.startKmvMv(spark, s"$src/chunk*", pd, tmp() + "/ck2").awaitTermination()
+    val replayed = CdcStream.kmvView(spark, pd)
+      .collect().map(_.toString).toSeq
+    assert(replayed == streamed, "full redelivery must not move the estimates")
+  }
+
   test("Kafka ingest wiring runs against a live broker (KAFKA_BROKERS gate)") {
     // The reference's ingestion is Kafka-first (users_raw.datasource:20-27)
     // but this sandbox has no broker (and no spark-sql-kafka connector
