@@ -188,6 +188,7 @@ object SparkEntry {
     "docs_binary_meta"      -> (operators.Multimodal.binaryMeta _),
     "docs_decode_features"  -> (operators.Multimodal.decodeFeatures _),
     "docs_audio_features"   -> (operators.Multimodal.audioFeatures _),
+    "docs_video_frames"     -> (operators.Multimodal.videoFrameFeatures _),
     "docs_frame_sample"     -> ((s, d) => operators.Multimodal.frameSample(s, d)),
     "docs_binary_chunks"    -> ((s, d) => operators.Multimodal.binaryChunks(s, d)),
     // pipe-for-pipe reference endpoints over generated CDC fixtures
@@ -1820,6 +1821,29 @@ object SparkEntry {
         |  CAST(400 + (n_chars % 256) AS BIGINT) * (1 + (doc_id % 2))
         |    * (1000 + (doc_id % 100) * 10) * (1000 + (doc_id % 100) * 10) AS energy_sum
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // closed forms of the synthesized gray ramp: the Spark side builds
+    // a real animated GIF from these parameters and decodes it with the
+    // REAL javax.imageio multi-frame reader — a match means the whole
+    // container→LZW→palette→frame-stats round-trip is byte-correct
+    "docs_video_frames" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(6 + (doc_id % 6) AS INT) AS width,
+        |    CAST(6 + (doc_id % 5) AS INT) AS height,
+        |    CAST(3 + (n_chars % 6) AS INT) AS n_frames,
+        |    CAST((doc_id * 7) % 200 AS INT) AS base,
+        |    CAST(1 + (doc_id % 9) AS INT) AS step
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, width, height, n_frames,
+        |    list_transform(generate_series(0, n_frames - 1),
+        |      i -> (base + i * step) % 256) AS means
+        |  FROM p)
+        |SELECT doc_id, width, height, n_frames,
+        |  CAST(list_sum(means) AS BIGINT) AS mean_sum,
+        |  CAST(list_max(means) AS INT) AS peak_mean,
+        |  CAST(means[n_frames // 2 + 1] AS INT) AS mid_mean
+        |FROM g ORDER BY doc_id""".stripMargin,
     // byte-level mirror of the frame sampler: the payload is utf-8 of
     // ASCII text, so ascii(substring(...)) IS the byte value
     "docs_frame_sample" ->
