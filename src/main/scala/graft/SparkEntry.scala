@@ -149,6 +149,7 @@ object SparkEntry {
     "docs_lm_buckets"       -> (operators.TextAnalysis.lmBuckets _),
     "docs_boilerplate"      -> ((s, d) => operators.TextAnalysis.boilerplateCoverage(s, d)),
     "customer_pii_scrub"    -> (operators.Privacy.customerPiiScrub _),
+    "docs_pii_scrub"        -> (operators.Privacy.docsPiiScrub _),
     "lineitem_zorder"       -> (operators.Zorder.lineitemZorder _),
     // training-data pipeline: mix construction
     "docs_sample_stratified" -> (operators.TrainingMix.stratifiedSample _),
@@ -1283,6 +1284,37 @@ object SparkEntry {
         |  CAST(length(c_name) - length(regexp_replace(c_name, '[0-9]', '', 'g')) AS BIGINT) AS n_pii_chars,
         |  md5(regexp_replace(c_name, '[0-9]', 'X', 'g')) AS redacted_digest
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // the full scrub chain (emails → IPs → phones → digits) replayed in
+    // RE2 over the SAME injected-PII construction: the md5 hash-match
+    // proves the masker patterns behave identically under Java regex
+    // and RE2 — the portability contract the pattern set is designed to
+    "docs_pii_scrub" ->
+      """WITH t AS (
+        |  SELECT doc_id, text ||
+        |    ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@mail' || CAST(doc_id % 10 AS VARCHAR) || '.example.com' ||
+        |    ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) ||
+        |    ' call +1 (555) 01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+        |    '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |    ' ref A' || CAST((doc_id * 13) % 100000 AS VARCHAR) AS s
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, s,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |          '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |        '\+?(?:[0-9][() .-]{0,2}){6,}[0-9]', '<PHONE>', 'g'),
+        |      '[0-9]', 'X', 'g') AS r
+        |  FROM t)
+        |SELECT doc_id, md5(r) AS scrubbed_digest,
+        |  CAST((length(r) - length(replace(r, '<EMAIL>', ''))) // 7 AS INT) AS n_emails,
+        |  CAST((length(r) - length(replace(r, '<IP>', ''))) // 4 AS INT) AS n_ips,
+        |  CAST((length(r) - length(replace(r, '<PHONE>', ''))) // 7 AS INT) AS n_phones,
+        |  CAST(length(s) - length(regexp_replace(s, '[0-9]', '', 'g')) AS BIGINT) AS n_pii_chars,
+        |  CAST(length(r) AS INT) AS scrubbed_len
+        |FROM m ORDER BY doc_id""".stripMargin,
     "lineitem_zorder" ->
       """WITH s0 AS (
         |  SELECT l_partkey, l_suppkey,

