@@ -143,6 +143,7 @@ object SparkEntry {
     "docs_split_assign"     -> (operators.TextAnalysis.splitAssign _),
     "docs_top_bigrams"      -> ((s, d) => operators.TextAnalysis.topBigrams(s, d)),
     "docs_bpe_merges"       -> ((s, d) => operators.TextAnalysis.bpeMergeCandidates(s, d)),
+    "docs_bpe_encode"       -> ((s, d) => operators.TextAnalysis.bpeEncode(s, d)),
     "docs_top_terms"        -> ((s, d) => operators.TextAnalysis.topTermsPerDoc(s, d)),
     "docs_repetition_filters" -> ((s, d) => operators.TextAnalysis.repetitionFilters(s, d)),
     "docs_lm_score"         -> (operators.TextAnalysis.lmScore _),
@@ -1184,6 +1185,42 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT pair, pair_freq FROM pairs
         |ORDER BY pair_freq DESC, pair LIMIT 20""".stripMargin,
+    // BPE encode: same mining CTE as docs_bpe_merges, then list_reduce
+    // applies the ranked merges over the spatialized doc (`~c ` per
+    // letter; `~a ~b ` → `~ab `) — leftmost non-overlapping replace in
+    // both engines IS sequential BPE application. md5 of the encoded
+    // string pins every token boundary.
+    "docs_bpe_encode" ->
+      """WITH words AS (
+        |  SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE len(word) >= 2 GROUP BY 1),
+        |pairs AS (
+        |  SELECT substring(word, CAST(g AS INTEGER), 2) AS pair,
+        |    CAST(sum(freq) AS BIGINT) AS pair_freq
+        |  FROM words, LATERAL (SELECT unnest(generate_series(1, len(word) - 1)) AS g)
+        |  GROUP BY 1),
+        |ml AS (
+        |  SELECT list(pair ORDER BY pair_freq DESC, pair) AS ms FROM (
+        |    SELECT pair, pair_freq FROM pairs
+        |    ORDER BY pair_freq DESC, pair LIMIT 20)),
+        |enc AS (
+        |  SELECT doc_id, text,
+        |    list_reduce(
+        |      list_prepend(regexp_replace(text, '([a-z])', '~\1 ', 'g'),
+        |                   (SELECT ms FROM ml)),
+        |      (s, m) -> replace(s, '~' || m[1] || ' ~' || m[2] || ' ',
+        |                        '~' || m || ' ')) AS s
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS INT) AS n_words,
+        |  CAST(len(replace(text, ' ', '')) AS INT) AS n_chars,
+        |  CAST(len(s) - len(replace(s, '~', '')) AS INT) AS n_tokens,
+        |  md5(s) AS enc_digest,
+        |  floor(CAST(len(replace(text, ' ', '')) AS DOUBLE)
+        |        / (len(s) - len(replace(s, '~', ''))) * 1000000 + 0.5)
+        |    / 1000000 AS chars_per_token
+        |FROM enc ORDER BY doc_id""".stripMargin,
     "docs_top_bigrams" ->
       """WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
         |ng AS (

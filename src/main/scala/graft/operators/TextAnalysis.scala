@@ -375,6 +375,62 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** BPE ENCODING — apply the k ranked merges [[bpeMergeCandidates]]
+    * mines to the whole corpus, emitting per-doc token statistics and
+    * an md5 digest of the full encoded string (so the oracle verifies
+    * every token boundary, not just the counts).
+    *
+    * Representation: the doc is "spatialized" — every letter becomes
+    * `~c ` (marker + char + space), so `the cat` reads
+    * `~t ~h ~e  ~c ~a ~t `. A merge of pair `ab` is then the plain
+    * string replace `~a ~b ` → `~ab `: the leading `~` anchors a token
+    * START (a token whose text merely ends in `a` cannot false-match),
+    * the trailing space anchors the second token's END, and the double
+    * space left between words makes cross-word merges impossible
+    * without any per-word bookkeeping. `replace` is leftmost
+    * non-overlapping in both Java and DuckDB, which IS the BPE
+    * left-to-right application order, so `aaaa` under merge `aa`
+    * becomes `[aa][aa]`, not `[aa][a][a]`. Merges apply in mined rank
+    * order (freq desc, pair asc) via a single `aggregate` fold.
+    *
+    * This is one-shot BPE (rank the first iteration's pair statistics,
+    * apply as a batch) rather than re-mining after every merge — the
+    * standard cheap approximation; earlier merges still shadow later
+    * overlapping ones exactly as in sequential application.
+    *
+    * Scale: the merge table is k rows (one bounded broadcast); the
+    * encode itself is a pure per-row projection — regexp spatialize +
+    * k replaces + md5, all inside whole-stage codegen, zero shuffles
+    * before the presentation sort. Unlike a vocab-join design
+    * (distinct words → encode → join back), nothing corpus-sized is
+    * ever shuffled: the only acceptable shape for tokenizing 100 TB. */
+  def bpeEncode(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val merges = bpeMergeCandidates(spark, dir, k)
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(-pair_freq AS nf, pair))), x -> x.pair)")
+        .as("ms"))
+    Tables.documents(spark, dir)
+      .crossJoin(broadcast(merges))
+      .withColumn("enc", expr(
+        """aggregate(ms, regexp_replace(text, '([a-z])', '~$1 '),
+          |  (s, m) -> replace(s,
+          |    concat('~', substr(m, 1, 1), ' ~', substr(m, 2, 1), ' '),
+          |    concat('~', m, ' ')))""".stripMargin))
+      .withColumn("n_chars",
+        length(regexp_replace(col("text"), " ", "")).cast("int"))
+      .withColumn("n_tokens",
+        (length(col("enc")) - length(regexp_replace(col("enc"), "~", ""))).cast("int"))
+      .select(
+        col("doc_id"),
+        expr("cast(size(filter(split(text, ' '), w -> w != '')) as int)").as("n_words"),
+        col("n_chars"),
+        col("n_tokens"),
+        md5(col("enc")).as("enc_digest"),
+        floorRound(col("n_chars").cast("double") / col("n_tokens"), 6)
+          .as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
   def topBigrams(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
     Tables.documents(spark, dir)
       .select(split(col("text"), " ").as("t"))

@@ -113,6 +113,40 @@ class OperatorsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("bpe encode: token counts match an independent list-based BPE") {
+    // reference tokenizer on token LISTS (not the operator's string
+    // trick): apply each char-pair merge left-to-right non-overlapping
+    def encodeWord(w: String, merges: Seq[String]): Int = {
+      var toks = w.map(_.toString).toVector
+      for (m <- merges) {
+        val (a, b) = (m.substring(0, 1), m.substring(1, 2))
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+            out += m; i += 2
+          } else { out += toks(i); i += 1 }
+        }
+        toks = out.result()
+      }
+      toks.length
+    }
+    val merges = operators.TextAnalysis.bpeMergeCandidates(spark, sf)
+      .collect().map(_.getString(0)).toSeq
+    val got = operators.TextAnalysis.bpeEncode(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(texts.nonEmpty && got.size == texts.length)
+    texts.foreach { case (id, text) =>
+      val words = text.split(" ").filter(_.nonEmpty).toSeq
+      val want =
+        (words.length, words.map(_.length).sum,
+          words.map(encodeWord(_, merges)).sum)
+      assert(got(id) == want, s"doc $id: ${got(id)} vs $want")
+    }
+  }
+
   test("connected components: worst-case chain converges, maxRounds throws") {
     import spark.implicits._
     // a 10-node path is the diameter-9 worst case for min-label
