@@ -616,6 +616,40 @@ object CdcStream {
         col("window.start").cast("timestamp_ntz").as("window_start"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming gap-sessionization via the native `session_window`
+    * aggregation — the in-stream counterpart of the oracled batch
+    * sessionization (`CdcPipes.eventsSessionization`): per-user
+    * sessions close after `gapMinutes` of inactivity and are emitted
+    * exactly once when the watermark passes their end (Append mode).
+    *
+    * Boundary semantics: `session_window` merges two events when their
+    * gap is STRICTLY less than the gap duration (window ends are
+    * exclusive), while the batch operator keeps an exactly-equal gap in
+    * the same session (`diff > gap` starts a new one). The two agree on
+    * every dataset with no boundary-exact inter-event gap — measure-zero
+    * for µs timestamps; StreamingSpec asserts the fixture has none
+    * before comparing replay to batch.
+    *
+    * Scale: state is one (user, open-session) entry, evicted as the
+    * watermark passes — bounded by concurrently-active users in the
+    * gap horizon, not history. Session value sums integer cents
+    * ([[graft.functions.ChFunctions.exactSum]]), so emitted rows are
+    * bit-identical to the batch aggregate regardless of merge order. */
+  def sessionizedStream(raw: DataFrame, gapMinutes: Int = 30,
+                        watermarkMinutes: Int = 60): DataFrame =
+    raw
+      .withColumn("ts_ltz", col("ts").cast("timestamp"))
+      .withWatermark("ts_ltz", s"$watermarkMinutes minutes")
+      .groupBy(col("user_id"),
+        session_window(col("ts_ltz"), s"$gapMinutes minutes"))
+      .agg(
+        min(col("ts_ltz")).cast("timestamp_ntz").as("session_start"),
+        max(col("ts_ltz")).cast("timestamp_ntz").as("session_end"),
+        count(lit(1)).as("n_events"),
+        graft.functions.ChFunctions.exactSum(col("value"), 2).as("session_value"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("session_value"))
+
   case class LatestState(event_id: Long, ts: java.time.LocalDateTime,
                          event_type: String, value: Double)
   case class LatestRow(user_id: Long, event_id: Long,

@@ -236,6 +236,52 @@ class StreamingSpec extends SparkSpec {
     streamed.foreach { case (k, n) => assert(batch(k) == n, s"window $k") }
   }
 
+  test("streaming session_window: closed sessions equal the batch sessionization") {
+    val src = tmp(); val ck = tmp() + "/ck"
+    val events = Tables.events(spark, sf)
+    events.write.parquet(s"$src/all")
+    // a far-future sentinel event pushes the global watermark past every
+    // real session's end, so Append mode emits ALL of them
+    val maxTs = events.agg(max(col("ts"))).first()
+      .getAs[java.time.LocalDateTime](0)
+    events.limit(1).select(
+        lit(-1L).as("event_id"),
+        lit(maxTs.plusHours(10)).cast("timestamp_ntz").as("ts"),
+        lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+      .write.parquet(s"$src/sentinel")
+    // fixture precondition for the boundary-semantics difference noted
+    // in sessionizedStream's scaladoc: no inter-event gap is EXACTLY
+    // the 30-minute session boundary
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val boundary = events
+      .withColumn("d", us - lag(us, 1).over(w))
+      .filter(col("d") === 1800L * 1000000L).count()
+    assert(boundary == 0, "fixture has a boundary-exact gap; pick another gap")
+    val q = CdcStream.sessionizedStream(CdcStream.readEvents(spark, s"$src/*"))
+      .writeStream.format("memory").queryName("sess_mem")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.sql(
+        "SELECT user_id, session_start, session_end, n_events, session_value " +
+          "FROM sess_mem WHERE user_id >= 0")
+      .collect()
+      .map(r => ((r.getLong(0), r.get(1).toString),
+        (r.get(2).toString, r.getLong(3), r.getDouble(4)))).toMap
+    val batch = graft.pipes.CdcPipes.eventsSessionization(spark, sf)
+      .collect()
+      .map(r => ((r.getLong(0), r.get(2).toString),
+        (r.get(3).toString, r.getLong(4), r.getDouble(5)))).toMap
+    assert(streamed.nonEmpty && streamed.size == batch.size,
+      s"${streamed.size} streamed vs ${batch.size} batch sessions")
+    batch.foreach { case (k, v) => assert(streamed(k) == v, s"session $k") }
+  }
+
   test("stateful latest-per-key stream agrees with dedup view") {
     val src = tmp(); val ck = tmp() + "/ck"
     val events = Tables.events(spark, sf)
