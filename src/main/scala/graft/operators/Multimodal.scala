@@ -421,34 +421,40 @@ object Multimodal {
     * quarantine as `ok=false` rather than failing the batch. */
   def decodeVideoRow(r: MediaRow): VideoFeatures =
     try {
+      // close the ImageInputStream in ALL paths (including quarantined
+      // failures): with the default ImageIO.useCache it is backed by a
+      // temp file + open fd, and a long-lived executor decoding a large
+      // corpus would otherwise exhaust the ulimit
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(r.payload))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      require(readers.hasNext, "no installed codec recognizes the payload")
-      val reader = readers.next()
       try {
-        reader.setInput(iis, false)
-        val n = reader.getNumImages(true)
-        require(n > 0, "container holds no frames")
-        var meanSum = 0L; var peak = 0; var mid = 0
-        var w = 0; var h = 0; var i = 0
-        while (i < n) {
-          val img = reader.read(i)
-          if (i == 0) { w = img.getWidth; h = img.getHeight }
-          var px = 0L; var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) { px += (img.getRGB(x, y) >> 16) & 0xff; x += 1 }
-            y += 1
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext, "no installed codec recognizes the payload")
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, false)
+          val n = reader.getNumImages(true)
+          require(n > 0, "container holds no frames")
+          var meanSum = 0L; var peak = 0; var mid = 0
+          var w = 0; var h = 0; var i = 0
+          while (i < n) {
+            val img = reader.read(i)
+            if (i == 0) { w = img.getWidth; h = img.getHeight }
+            var px = 0L; var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) { px += (img.getRGB(x, y) >> 16) & 0xff; x += 1 }
+              y += 1
+            }
+            val mean = (px / (img.getWidth.toLong * img.getHeight)).toInt
+            meanSum += mean
+            if (mean > peak) peak = mean
+            if (i == n / 2) mid = mean
+            i += 1
           }
-          val mean = (px / (img.getWidth.toLong * img.getHeight)).toInt
-          meanSum += mean
-          if (mean > peak) peak = mean
-          if (i == n / 2) mid = mean
-          i += 1
-        }
-        VideoFeatures(r.doc_id, ok = true, w, h, n, meanSum, peak, mid)
-      } finally reader.dispose()
+          VideoFeatures(r.doc_id, ok = true, w, h, n, meanSum, peak, mid)
+        } finally reader.dispose()
+      } finally iis.close()
     } catch { case scala.util.control.NonFatal(_) =>
       VideoFeatures(r.doc_id, ok = false, 0, 0, 0, 0L, 0, 0)
     }

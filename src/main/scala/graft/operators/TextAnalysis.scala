@@ -45,11 +45,18 @@ object TextAnalysis {
         .cast("double") / tokenCount(text), 4)
 
   /** The md5-bucket split rule shared by splitAssign and the corpus
-    * builder (80/10/10 at thresholds 'cd'/'e6'). */
-  private[operators] def splitOf(text: org.apache.spark.sql.Column) = {
-    val bucket = substring(md5(text), 1, 2)
+    * builders (80/10/10 at thresholds 'cd'/'e6'). The digest overload
+    * is the ONE place the thresholds live: the corpus builds already
+    * carry `md5(text)` for exact-dedup, so they derive the split from
+    * that column instead of re-hashing — both call sites stay in
+    * lockstep by construction. */
+  private[operators] def splitOfDigest(digest: org.apache.spark.sql.Column) = {
+    val bucket = substring(digest, 1, 2)
     when(bucket < "cd", "train").when(bucket < "e6", "val").otherwise("test")
   }
+
+  private[operators] def splitOf(text: org.apache.spark.sql.Column) =
+    splitOfDigest(md5(text))
 
   /** Quality scoring: stopword ratio, vowel ratio, length band — the
     * length/punct/stopword-ratio family used to filter web corpora. */

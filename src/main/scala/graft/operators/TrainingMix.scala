@@ -122,10 +122,7 @@ object TrainingMix {
         md5(col("text")).as("__digest"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         TextAnalysis.stopwordRatio(col("text")).as("__quality"))
-      .withColumn("split",
-        when(substring(col("__digest"), 1, 2) < "cd", "train")
-          .when(substring(col("__digest"), 1, 2) < "e6", "val")
-          .otherwise("test"))
+      .withColumn("split", TextAnalysis.splitOfDigest(col("__digest")))
 
   /** Exact dedup on the slim frame: canonical = min doc_id per content
     * digest. The window shuffles (doc_id, lang, digest, counts) only. */

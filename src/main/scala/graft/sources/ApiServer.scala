@@ -43,12 +43,15 @@ final class ApiServer(spark: SparkSession, sfDir: String,
   /** Control-plane state (`POST /v0/datafiles` — tb_functions.py's
     * create_datasource/create_pipe at modules/tb_functions.py:225-252):
     * pipes provisioned at runtime as parsed NODE sequences, their TOKEN
-    * grants, and parsed datasource definitions. Plain volatile maps —
-    * provisioning is rare and last-write-wins, like the reference's
-    * file push. */
+    * grants, and parsed datasource definitions. */
   @volatile private var dynamicPipes = Map.empty[String, Seq[graft.sql.PipeRunner.Node]]
   @volatile private var dynamicTokens = Map.empty[String, Set[String]]
   @volatile private var datasources = Map.empty[String, KitParser.DatasourceDef]
+  // reads stay lock-free on the volatiles; every read-modify-write goes
+  // through this lock — two concurrent POSTs on the request pool would
+  // otherwise each publish snapshot+own-entry and silently drop the
+  // other's pipe/token/datasource (lost update, not last-write-wins)
+  private val stateLock = new Object
 
   private def pipeNames: Seq[String] =
     (graft.SparkEntry.queries.keys ++ dynamicPipes.keys).toSeq.sorted
@@ -72,6 +75,9 @@ final class ApiServer(spark: SparkSession, sfDir: String,
       case es: java.util.concurrent.ExecutorService => es.shutdown()
       case _ => ()
     }
+    if (viewsBuilt)
+      servingViews.foreach(n =>
+        spark.catalog.dropGlobalTempView(s"graft_serving_${viewTag}_$n"))
   }
 
   private def handle(ex: HttpExchange): Unit =
@@ -174,21 +180,47 @@ final class ApiServer(spark: SparkSession, sfDir: String,
               val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
               if (fileName.endsWith(".pipe")) {
                 val pipeName = fileName.stripSuffix(".pipe")
+                // a name like `*` would make its TOKEN declarations
+                // workspace-admin grants (the `grants("*")` check), and
+                // dots collide with the format-suffix parser
+                require(pipeName.matches("[A-Za-z0-9_]+"),
+                  s"invalid pipe name (want [A-Za-z0-9_]+): $pipeName")
                 val nodes = graft.sql.PipeRunner.parse(body)
                 require(nodes.nonEmpty, s"no SQL nodes in $fileName")
                 require(!graft.SparkEntry.queries.contains(pipeName),
                   s"$pipeName shadows a built-in pipe")
                 // analyze now: a pipe that doesn't resolve must 400 at
-                // push time, not surprise the first dashboard fetch
-                graft.sql.PipeRunner.runNodes(servingSession(), nodes)
-                dynamicPipes += pipeName -> nodes
+                // push time, not surprise the first dashboard fetch.
+                // Required template params get type-shaped placeholders
+                // (a pipe with a bare {{DateTime(start)}} is legal — the
+                // param arrives with the fetch); the no-params pass then
+                // covers the {% else %} branches, tolerating only the
+                // unbound-param error that a required-param pipe raises
+                // by construction.
+                val tmpl = graft.sql.ChSqlTranslator.templateParams(
+                  nodes.map(_.sql).mkString("\n"))
+                val placeholders = tmpl.map { case (p, t) =>
+                  p -> ApiServer.placeholderFor(t) }
+                graft.sql.PipeRunner.runNodes(servingSession(), nodes, placeholders)
+                if (placeholders.nonEmpty)
+                  try graft.sql.PipeRunner.runNodes(servingSession(), nodes)
+                  catch {
+                    case e: IllegalArgumentException
+                      if String.valueOf(e.getMessage)
+                        .startsWith("unbound template param") => ()
+                  }
                 val toks = ApiServer.tokensFromPipes(Seq(pipeName -> body))
-                dynamicTokens = merge(dynamicTokens, toks)
+                stateLock.synchronized {
+                  dynamicPipes += pipeName -> nodes
+                  dynamicTokens = merge(dynamicTokens, toks)
+                }
                 respond(ex, 200, s"""{"name":${Endpoints.q(pipeName)},"type":"pipe","nodes":${nodes.length},"tokens":${toks.keys.toSeq.sorted.map(Endpoints.q).mkString("[", ",", "]")}}""")
               } else if (fileName.endsWith(".datasource")) {
                 val dsName = fileName.stripSuffix(".datasource")
+                require(dsName.matches("[A-Za-z0-9_]+"),
+                  s"invalid datasource name (want [A-Za-z0-9_]+): $dsName")
                 val ds = KitParser.parseDatasource(dsName, body)
-                datasources += dsName -> ds
+                stateLock.synchronized { datasources += dsName -> ds }
                 val cols = ds.columns.map(c =>
                   s"""{"name":${Endpoints.q(c.name)},"type":${Endpoints.q(c.dataType.simpleString)}}""")
                   .mkString("[", ",", "]")
@@ -200,10 +232,19 @@ final class ApiServer(spark: SparkSession, sfDir: String,
               val (pipeName, dsName) =
                 (fileName.stripSuffix(".pipe"), fileName.stripSuffix(".datasource"))
               if (dynamicPipes.contains(pipeName)) {
-                dynamicPipes -= pipeName
+                stateLock.synchronized {
+                  dynamicPipes -= pipeName
+                  // grants die with the pipe: a token it minted must not
+                  // survive deletion and silently read a LATER pipe
+                  // provisioned under the same name
+                  dynamicTokens = dynamicTokens.flatMap { case (t, g) =>
+                    val g2 = g - pipeName
+                    if (g2.isEmpty) None else Some(t -> g2)
+                  }
+                }
                 respond(ex, 200, s"""{"deleted":${Endpoints.q(pipeName)}}""")
               } else if (datasources.contains(dsName)) {
-                datasources -= dsName
+                stateLock.synchronized { datasources -= dsName }
                 respond(ex, 200, s"""{"deleted":${Endpoints.q(dsName)}}""")
               } else respond(ex, 404, s"""{"error":"datafile not found: $fileName"}""")
             case _ => respond(ex, 405, """{"error":"datafiles support GET/POST/DELETE"}""")
@@ -227,29 +268,53 @@ final class ApiServer(spark: SparkSession, sfDir: String,
   private def runDynamic(name: String, params: Map[String, String]): DataFrame =
     graft.sql.PipeRunner.runNodes(servingSession(), dynamicPipes(name), params)
 
-  /** A child session exposing what the reference workspace exposes to
-    * pipes: the harness star schema under its table names, and the CDC
-    * fixture log's datasource tables (raw logs + the users FINAL view +
-    * the copy-job snapshot — the views the reference kit pipes query).
-    * Views are lazy plans over parquet; nothing is computed here. */
+  /** The serving views, analyzed ONCE and published as global temp
+    * views (visible to every child session): the harness star schema
+    * under its table names, and the CDC fixture log's datasource tables
+    * (raw logs + the users FINAL view + the copy-job snapshot — the
+    * views the reference kit pipes query). Building these per request
+    * would pay ~15 parquet schema resolutions (driver footer I/O) plus
+    * the users-MV dedup plan on every dynamic-pipe fetch. */
+  // per-instance namespace: two servers over different sfDirs share the
+  // one global_temp catalog, so unprefixed names would cross-wire them
+  private val viewTag = ApiServer.tagCounter.incrementAndGet()
+  @volatile private var viewsBuilt = false
+
+  private lazy val servingViews: Seq[String] = {
+    def reg(name: String, df: DataFrame): String = {
+      df.createOrReplaceGlobalTempView(s"graft_serving_${viewTag}_$name"); name
+    }
+    val base = for (t <- Seq("region", "nation", "customer", "supplier",
+        "part", "orders", "lineitem", "documents", "embeddings"))
+      yield reg(t, spark.read.parquet(s"$sfDir/$t.parquet"))
+    val ev = reg("events", graft.Tables.events(spark, sfDir))
+    val fx = graft.SparkEntry.fixtureDir(spark)
+    val raw = for (t <- Seq("flights_raw", "passengers_raw",
+        "baggage_raw", "users_raw"))
+      yield reg(t, spark.read.parquet(s"$fx/$t"))
+    val batch = reg("users_batch", spark.read.parquet(s"$fx/users_batch"))
+    val mv = graft.pipes.UsersPipes.usersMv(
+      graft.pipes.UsersPipes.usersRaw(spark, fx))
+    val fin = reg("users_latest__final",
+      graft.operators.Dedup.latestByKey(mv, Seq("id"),
+          org.apache.spark.sql.functions.col("updated_at"),
+          mv.columns.filter(_ != "id").toSeq)
+        .select("id", "name", "email", "address", "phone_number",
+          "email_verified", "onboarded", "deleted", "event_timestamp",
+          "lang", "created_at", "updated_at"))
+    viewsBuilt = true
+    base ++ Seq(ev) ++ raw ++ Seq(batch, fin)
+  }
+
+  /** A child session per request (own temp-view namespace — concurrent
+    * pipes with colliding node names cannot cross-talk) that aliases
+    * the cached [[servingViews]] under their bare names: per-request
+    * cost is a few catalog entries, not plan/schema rebuilds. */
   private def servingSession(): SparkSession = {
     val s = spark.newSession()
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "documents", "embeddings"))
-      s.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
-    graft.Tables.events(s, sfDir).createOrReplaceTempView("events")
-    val fx = graft.SparkEntry.fixtureDir(s)
-    for (t <- Seq("flights_raw", "passengers_raw", "baggage_raw", "users_raw"))
-      s.read.parquet(s"$fx/$t").createOrReplaceTempView(t)
-    s.read.parquet(s"$fx/users_batch").createOrReplaceTempView("users_batch")
-    val mv = graft.pipes.UsersPipes.usersMv(graft.pipes.UsersPipes.usersRaw(s, fx))
-    graft.operators.Dedup.latestByKey(mv, Seq("id"),
-        org.apache.spark.sql.functions.col("updated_at"),
-        mv.columns.filter(_ != "id").toSeq)
-      .select("id", "name", "email", "address", "phone_number",
-        "email_verified", "onboarded", "deleted", "event_timestamp", "lang",
-        "created_at", "updated_at")
-      .createOrReplaceTempView("users_latest__final")
+    for (n <- servingViews)
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW $n AS " +
+        s"SELECT * FROM global_temp.graft_serving_${viewTag}_$n")
     s
   }
 
@@ -295,8 +360,20 @@ object ApiServer {
     * one token (the kits' "Dashboard_Read"). */
   private val TokenRe = """TOKEN\s+"([^"]+)"\s+READ""".r
 
+  private val tagCounter = new java.util.concurrent.atomic.AtomicInteger()
+
   def tokensFromPipes(pipes: Seq[(String, String)]): Map[String, Set[String]] =
     pipes.flatMap { case (pipeName, text) =>
       TokenRe.findAllMatchIn(text).map(m => m.group(1) -> pipeName)
     }.groupBy(_._1).map { case (tok, grants) => tok -> grants.map(_._2).toSet }
+
+  /** Type-shaped placeholder for push-time analysis of a pipe whose
+    * template params are required (no `{% if defined %}` guard). */
+  private[sources] def placeholderFor(t: String): String = t match {
+    case "DateTime" => "2024-01-01 00:00:00"
+    case "Date" => "2024-01-01"
+    case "String" => "x"
+    case "Boolean" => "true"
+    case _ => "0"
+  }
 }

@@ -94,6 +94,14 @@ object ChSqlTranslator {
       if (cut >= 0) line.substring(0, cut) else line
     }.mkString("\n")
 
+  /** Template params appearing anywhere in a pipe's SQL: name →
+    * declared type (`{{DateTime(start)}}` → `start -> DateTime`).
+    * Used by the control plane to bind placeholder values when
+    * analyzing a pushed pipe that requires params. */
+  def templateParams(s: String): Map[String, String] =
+    """\{\{\s*(\w+)\((\w+)\)\s*\}\}""".r
+      .findAllMatchIn(s).map(m => m.group(2) -> m.group(1)).toMap
+
   /** `{% if defined(p) %} A {% else %} B {% end %}` → A (p bound) or B;
     * `{{Type(p)}}` → typed literal from params. */
   private def expandTemplates(s: String, params: Map[String, String]): String = {
@@ -104,13 +112,46 @@ object ChSqlTranslator {
         if (params.contains(m.group(1))) m.group(2) else m.group(3)))
     val valRe = """\{\{\s*(\w+)\((\w+)\)\s*\}\}""".r
     valRe.replaceAllIn(expanded, m => {
-      val v = params.getOrElse(m.group(2),
-        throw new IllegalArgumentException(s"unbound template param ${m.group(2)}"))
-      m.group(1) match {
-        case "DateTime" => s"TIMESTAMP_NTZ '$v'"
-        case "String" => s"'$v'"
-        case _ => v
+      val p = m.group(2)
+      val v = params.getOrElse(p,
+        throw new IllegalArgumentException(s"unbound template param $p"))
+      // every branch VALIDATES and re-emits — template params reach
+      // spark.sql as text, so a verbatim substitution would let any
+      // scoped read token break out of its literal (quote-close +
+      // UNION) and read past its grants; parse-or-400 instead
+      val lit = m.group(1) match {
+        case "DateTime" =>
+          val ldt =
+            try java.time.LocalDateTime.parse(v.replace(' ', 'T'))
+            catch { case _: java.time.format.DateTimeParseException =>
+              throw new IllegalArgumentException(
+                s"malformed DateTime for param $p: $v") }
+          s"TIMESTAMP_NTZ '${ldt.toString.replace('T', ' ')}'"
+        case "Date" =>
+          val d =
+            try java.time.LocalDate.parse(v)
+            catch { case _: java.time.format.DateTimeParseException =>
+              throw new IllegalArgumentException(
+                s"malformed Date for param $p: $v") }
+          s"DATE '$d'"
+        case "String" =>
+          // escape BOTH literal syntaxes Spark honors: doubled quotes
+          // and backslash escapes (a value ending in \ would otherwise
+          // swallow the closing quote)
+          "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        case "Boolean" =>
+          require(v == "true" || v == "false" || v == "0" || v == "1",
+            s"malformed Boolean for param $p: $v")
+          if (v == "1") "true" else if (v == "0") "false" else v
+        case t if t.startsWith("Int") || t.startsWith("UInt") ||
+            t.startsWith("Float") || t == "Decimal" =>
+          require(v.matches("""-?\d+(\.\d+)?([eE][+-]?\d+)?"""),
+            s"malformed $t for param $p: $v")
+          v
+        case t => throw new IllegalArgumentException(
+          s"unsupported template type $t for param $p")
       }
+      java.util.regex.Matcher.quoteReplacement(lit)
     })
   }
 

@@ -642,9 +642,13 @@ object CdcStream {
       .withWatermark("ts_ltz", s"$watermarkMinutes minutes")
       .groupBy(col("user_id"),
         session_window(col("ts_ltz"), s"$gapMinutes minutes"))
+      // aggregate the ORIGINAL ntz ts, not ts_ltz: an ltz→ntz cast-back
+      // would re-extract the wall clock through the session timezone and
+      // diverge from the batch operator for clocks inside a DST gap on
+      // any non-UTC deployment (the watermark column alone needs LTZ)
       .agg(
-        min(col("ts_ltz")).cast("timestamp_ntz").as("session_start"),
-        max(col("ts_ltz")).cast("timestamp_ntz").as("session_end"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"),
         graft.functions.ChFunctions.exactSum(col("value"), 2).as("session_value"))
       .select(col("user_id"), col("session_start"), col("session_end"),

@@ -235,6 +235,71 @@ class ApiServerSpec extends SparkSpec {
       .statusCode() == 400)
   }
 
+  test("control plane: template params are typed literals, not SQL text") {
+    // a REQUIRED param (no {% if defined %} guard) must provision fine —
+    // the value arrives with each fetch
+    val pipe = "TOKEN \"inj_read\" READ\n\nNODE n0\nSQL >\n" +
+      "    SELECT count(*) AS n FROM events WHERE event_type = {{String(t)}}\n"
+    val r = post("/v0/datafiles?name=by_type.pipe", Some("admin_token"), pipe)
+    assert(r.statusCode() == 200, r.body())
+    val ok = get("/v0/pipes/by_type.json?t=click", Some("inj_read"))
+    assert(ok.statusCode() == 200, ok.body())
+    // a quote-breakout payload stays INSIDE the string literal: one row
+    // with n=0, never a second SELECT's data riding the scoped grant
+    val inj = "click' UNION ALL SELECT count(*) FROM users_latest__final--"
+    val attacked = get("/v0/pipes/by_type.json?t=" +
+      java.net.URLEncoder.encode(inj, "UTF-8"), Some("inj_read"))
+    assert(attacked.statusCode() == 200, attacked.body())
+    assert(attacked.body().contains("\"rows\":1"), attacked.body())
+    assert(attacked.body().contains("\"n\":0"), attacked.body())
+    // fetching a required-param pipe without the param is the client's 400
+    assert(get("/v0/pipes/by_type.json", Some("inj_read")).statusCode() == 400)
+    // DateTime params parse-or-400 instead of reaching SQL
+    val dt = "NODE n0\nSQL >\n" +
+      "    SELECT count(*) AS n FROM events WHERE ts > {{DateTime(start)}}\n"
+    assert(post("/v0/datafiles?name=after.pipe", Some("admin_token"), dt)
+      .statusCode() == 200)
+    assert(get("/v0/pipes/after.json?start=2024-01-01%2000:00:00",
+      Some("admin_token")).statusCode() == 200)
+    assert(get("/v0/pipes/after.json?start=" +
+      java.net.URLEncoder.encode("bogus'--", "UTF-8"),
+      Some("admin_token")).statusCode() == 400)
+  }
+
+  test("control plane: DELETE revokes the tokens the pipe minted") {
+    val pipe = "TOKEN \"ephemeral_read\" READ\n\nNODE n0\nSQL >\n    SELECT 1 AS x\n"
+    assert(post("/v0/datafiles?name=ephem.pipe", Some("admin_token"), pipe)
+      .statusCode() == 200)
+    assert(get("/v0/pipes/ephem.json", Some("ephemeral_read")).statusCode() == 200)
+    val del = http.send(
+      HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:$port/v0/datafiles/ephem.pipe"))
+        .header("Authorization", "Bearer admin_token").DELETE().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(del.statusCode() == 200, del.body())
+    // the minted credential dies with the pipe: a LATER pipe provisioned
+    // under the same name must not honor it
+    val pipe2 = "TOKEN \"other_read\" READ\n\nNODE n0\nSQL >\n    SELECT 2 AS y\n"
+    assert(post("/v0/datafiles?name=ephem.pipe", Some("admin_token"), pipe2)
+      .statusCode() == 200)
+    assert(get("/v0/pipes/ephem.json", Some("ephemeral_read")).statusCode() == 401)
+    assert(get("/v0/pipes/ephem.json", Some("other_read")).statusCode() == 200)
+  }
+
+  test("control plane: datafile names are validated") {
+    val body = "TOKEN \"star_read\" READ\n\nNODE n0\nSQL >\n    SELECT 1 AS x\n"
+    // '*' would turn the declared token into a workspace-admin grant
+    assert(post("/v0/datafiles?name=" +
+      java.net.URLEncoder.encode("*.pipe", "UTF-8"),
+      Some("admin_token"), body).statusCode() == 400)
+    // dots collide with the format-suffix parser
+    assert(post("/v0/datafiles?name=a.b.pipe", Some("admin_token"), body)
+      .statusCode() == 400)
+    assert(post("/v0/datafiles?name=" +
+      java.net.URLEncoder.encode("x y.datasource", "UTF-8"),
+      Some("admin_token"), "SCHEMA >\n    `a` Int64\n").statusCode() == 400)
+  }
+
   test("control plane: datasource datafiles parse to their schema") {
     val text = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
       "/root/reference/kits/users/pg/datasources/users_raw.datasource")), "UTF-8")

@@ -58,10 +58,15 @@ class PrivacySpec extends SparkSpec {
       assert(r.getInt(2) == 1 && r.getInt(3) == 1 && r.getInt(4) == 1, r)
       assert(r.getLong(5) > 0, r) // the injected tail always carries digits
     }
-    // the scrub is digit-free by construction: re-scrubbing is a no-op
-    import spark.implicits._
-    val doubled = Privacy.docsPiiScrub(spark, sf)
-      .select(col("scrubbed_digest")).as[String].collect().toSet
-    assert(doubled.size > 1, "digests must vary with the underlying text")
+    // idempotence: the scrubbed output is digit-free and marker-inert,
+    // so scrub(scrub(x)) == scrub(x) for every row
+    val once = Privacy.scrub(col("c_name"))
+    val reScrubbed = Tables.customer(spark, sf)
+      .select(md5(once).as("a"), md5(Privacy.scrub(once)).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(reScrubbed == 0, "re-scrubbing changed a scrubbed value")
+    // and digests vary with the underlying text (not a constant hash)
+    val digests = rows.map(_.getString(1)).toSet
+    assert(digests.size > 1, "digests must vary with the underlying text")
   }
 }
