@@ -84,6 +84,7 @@ object SparkEntry {
     "active_users_sketch_rollup" -> ((s, d) => CdcPipes.activeUsersSketchRollup(s, d)),
     "active_users_kmv_per_hour" -> ((s, d) => CdcPipes.activeUsersKmvPerHour(s, d)),
     "active_users_kmv_daily" -> ((s, d) => CdcPipes.activeUsersKmvDailyMerge(s, d)),
+    "events_kmv_overlap"    -> ((s, d) => operators.Sketches.kmvTypeOverlap(s, d)),
     "error_pct_per_hour"    -> (CdcPipes.errorPctPerHour _),
     "active_vs_errors"      -> (CdcPipes.activeVsErrors _),
     "user_activity"         -> (CdcPipes.userActivity _),
@@ -139,6 +140,8 @@ object SparkEntry {
     "docs_fingerprint"      -> (operators.TextAnalysis.fingerprint _),
     "docs_rolling_fingerprints" -> ((s, d) => operators.TextAnalysis.rollingFingerprints(s, d)),
     "docs_contamination"    -> ((s, d) => operators.TextAnalysis.contaminationCheck(s, d)),
+    "docs_cms_top_terms"    -> ((s, d) => operators.Sketches.cmsTopTerms(s, d)),
+    "docs_bloom_contamination" -> ((s, d) => operators.Sketches.bloomContamination(s, d)),
     "docs_chunks"           -> ((s, d) => operators.TextAnalysis.chunks(s, d)),
     "docs_split_assign"     -> (operators.TextAnalysis.splitAssign _),
     "docs_top_bigrams"      -> ((s, d) => operators.TextAnalysis.topBigrams(s, d)),
@@ -255,6 +258,35 @@ object SparkEntry {
        |  FROM (SELECT $group, h, row_number() OVER (PARTITION BY $group ORDER BY h) AS rn FROM $src)
        |  GROUP BY $group)
        |ORDER BY $group""".stripMargin
+
+  /** CMS lane rows (mirror Sketches.cmsLanes): one row per hash lane
+    * with its md5-seeded bucket — UNION ALL because the DuckDB seeded32
+    * mirror is generated per compile-time lane index. `carry` prefixes
+    * columns to thread through (e.g. "term, exact_n, "). */
+  private def cmsLanesSql(src: String, carry: String,
+                          depth: Int = 4, width: Int = 1024): String = {
+    import graft.functions.OracleHash.duckSeeded32
+    (0 until depth).map(r =>
+      s"SELECT $carry$r AS r, ${duckSeeded32(r, "term")} % $width AS bucket FROM $src")
+      .mkString("\n  UNION ALL ")
+  }
+
+  /** Bloom position rows (mirror Sketches.bloomContamination's
+    * `positions`): k md5-seeded bit positions per gram. */
+  private def bloomPosSql(src: String, carry: String,
+                          kHashes: Int = 4, mBits: Long = 1024L * 63): String = {
+    import graft.functions.OracleHash.duckSeeded32
+    (0 until kHashes).map(j =>
+      s"SELECT $carry${duckSeeded32(j, "gram")} % $mBits AS p FROM $src")
+      .mkString("\n  UNION ALL ")
+  }
+
+  /** The KMV estimator expression over (n, hk) columns at sketch size
+    * `k` (mirror Sketches.kmvTypeOverlap's `est`). */
+  private def kmvEstSql(n: String, hk: String, k: Int): String =
+    s"""CASE WHEN $n < $k THEN CAST($n AS DOUBLE)
+       |  ELSE ${k - 1}.0 / ((CAST($hk AS DOUBLE) + 9223372036854775808.0) / 18446744073709551616.0)
+       |  END""".stripMargin
 
   /** Shared by the exact and salted variants: salting is a plan
     * rewrite, not a semantics change — one oracle states that in code. */
@@ -592,6 +624,49 @@ object SparkEntry {
         |       FROM events, anchor WHERE ts > a - INTERVAL 30 DAY GROUP BY 1)
         |SELECT est.week, active_users_est, events
         |FROM est JOIN ev ON est.week = ev.week ORDER BY 1""".stripMargin,
+    // KMV set-operation estimates: union = k smallest of merged
+    // k-minima; intersection = union est × fraction of the union
+    // sketch's minima present in both sides — every hash, rank and
+    // IEEE step mirrored, so the approximate Jaccard is hash-matched
+    "events_kmv_overlap" ->
+      s"""WITH hashed AS (
+        |  SELECT DISTINCT event_type, ${graft.functions.OracleHash.duckLow64("(user_id)::VARCHAR")} AS h FROM events),
+        |kept AS (
+        |  SELECT event_type, h, rn FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM hashed)
+        |  WHERE rn <= 128),
+        |pte AS (
+        |  SELECT event_type, ${kmvEstSql("n", "hk", 128)} AS est_users
+        |  FROM (SELECT event_type, count(*) AS n, max(CASE WHEN rn = 128 THEN h END) AS hk
+        |        FROM kept GROUP BY 1)),
+        |ty AS (SELECT DISTINCT event_type FROM kept),
+        |pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+        |       FROM ty a, ty b WHERE a.event_type < b.event_type),
+        |mem AS (
+        |  SELECT type_a, type_b, h,
+        |    max(CASE WHEN k.event_type = type_a THEN 1 ELSE 0 END) AS in_a,
+        |    max(CASE WHEN k.event_type = type_b THEN 1 ELSE 0 END) AS in_b
+        |  FROM pr JOIN kept k ON k.event_type = type_a OR k.event_type = type_b
+        |  GROUP BY 1, 2, 3),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn FROM mem),
+        |ag AS (
+        |  SELECT type_a, type_b, count(*) AS n_union,
+        |    max(CASE WHEN rn = 128 THEN h END) AS hk,
+        |    sum(CASE WHEN rn <= 128 AND in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS n_both
+        |  FROM rk GROUP BY 1, 2),
+        |fin AS (
+        |  SELECT type_a, type_b, ${kmvEstSql("n_union", "hk", 128)} AS eu,
+        |    CAST(n_both AS DOUBLE) / CAST(least(n_union, 128) AS DOUBLE) AS jr
+        |  FROM ag)
+        |SELECT type_a, type_b,
+        |  floor(a.est_users * 100 + 0.5) / 100.0 AS est_users_a,
+        |  floor(b.est_users * 100 + 0.5) / 100.0 AS est_users_b,
+        |  floor(eu * 100 + 0.5) / 100.0 AS est_union,
+        |  floor(jr * eu * 100 + 0.5) / 100.0 AS est_intersection,
+        |  floor(jr * 10000 + 0.5) / 10000.0 AS est_jaccard
+        |FROM fin JOIN pte a ON a.event_type = fin.type_a
+        |         JOIN pte b ON b.event_type = fin.type_b
+        |ORDER BY type_a, type_b""".stripMargin,
     "error_pct_per_hour" ->
       """WITH agg AS (
         |  SELECT date_trunc('hour', ts) AS h,
@@ -1053,6 +1128,61 @@ object SparkEntry {
         |FROM ev JOIN tr USING (fingerprint)
         |GROUP BY 1, 2, 3 HAVING count(*) >= 2
         |ORDER BY eval_doc_id, train_doc_id""".stripMargin,
+    // count-min sketch: the estimate (min over lanes of the bucket
+    // counter) is recomputed from the same md5 lanes, so the sketch's
+    // approximate counts are hash-match verified, not just bounded
+    "docs_cms_top_terms" ->
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |lanes AS (
+        |  ${cmsLanesSql("tok", "")}),
+        |counters AS (SELECT r, bucket, count(*) AS c FROM lanes GROUP BY 1, 2),
+        |cnt AS (SELECT term, count(*) AS exact_n FROM tok GROUP BY 1),
+        |top AS (SELECT * FROM cnt ORDER BY exact_n DESC, term LIMIT 20),
+        |probe AS (
+        |  ${cmsLanesSql("top", "term, exact_n, ")})
+        |SELECT term, exact_n, min(c) AS cms_est, min(c) - exact_n AS overcount
+        |FROM probe JOIN counters USING (r, bucket)
+        |GROUP BY term, exact_n
+        |ORDER BY exact_n DESC, term""".stripMargin,
+    // Bloom filter over the test split's bigrams probed by every train
+    // doc: n_bloom_hits >= n_exact_hits row by row; the gap IS the
+    // false-positive count, audited rather than assumed from theory
+    "docs_bloom_contamination" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t,
+        |    CASE WHEN substr(md5(text), 1, 2) < 'cd' THEN 'train'
+        |         WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, split, t[i] || ' ' || t[i+1] AS gram
+        |  FROM d, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+        |  WHERE len(t) >= 2),
+        |tg AS (SELECT DISTINCT gram FROM g WHERE split = 'test'),
+        |pos AS (
+        |  ${bloomPosSql("tg", "")}),
+        |bm AS (SELECT p // 63 AS word_idx,
+        |         bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS bits
+        |       FROM pos GROUP BY 1),
+        |tr AS (SELECT DISTINCT doc_id, gram FROM g WHERE split = 'train'),
+        |pp AS (
+        |  ${bloomPosSql("tr", "doc_id, gram, ")}),
+        |pj AS (
+        |  SELECT doc_id, gram,
+        |    CASE WHEN bits IS NOT NULL AND ((bits >> CAST(p % 63 AS INT)) & 1) = 1
+        |         THEN 1 ELSE 0 END AS hit
+        |  FROM pp LEFT JOIN bm ON pp.p // 63 = bm.word_idx),
+        |mb AS (SELECT doc_id, gram, min(hit) AS maybe FROM pj GROUP BY 1, 2),
+        |ex AS (
+        |  SELECT tr.doc_id, tr.gram,
+        |    max(CASE WHEN tg.gram IS NOT NULL THEN 1 ELSE 0 END) AS exact_hit
+        |  FROM tr LEFT JOIN tg ON tr.gram = tg.gram GROUP BY 1, 2)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(sum(maybe) AS BIGINT) AS n_bloom_hits,
+        |  CAST(sum(exact_hit) AS BIGINT) AS n_exact_hits
+        |FROM mb JOIN ex USING (doc_id, gram)
+        |GROUP BY 1 HAVING sum(maybe) > 0
+        |ORDER BY doc_id""".stripMargin,
     "docs_chunks" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |c AS (

@@ -44,6 +44,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1)") && p.contains("*(2)"), p.take(1500))
   }
 
+  test("sketch probes join their parameter-bounded summaries as broadcasts") {
+    // CMS counters (depth × width cells) and the Bloom bitmap (mWords
+    // longs) are size-bounded by parameters, not by the corpus — the
+    // probe joins must broadcast them, never shuffle the corpus side
+    val cms = plan("docs_cms_top_terms")
+    assert(cms.contains("BroadcastHashJoin"), cms.take(2000))
+    val bloom = plan("docs_bloom_contamination")
+    assert(bloom.contains("BroadcastHashJoin"), bloom.take(2000))
+  }
+
   test("emb_knn_bruteforce: query side broadcast (no corpus shuffle for the join)") {
     val p = plan("emb_knn_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(2000))

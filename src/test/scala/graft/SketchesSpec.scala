@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sketches
+
+/** Semantic properties of the mergeable-sketch family — the DuckDB
+  * oracle pins the exact values; these pin the guarantees a user
+  * relies on (one-sided error, supersets, error bounds) so a future
+  * rewrite cannot silently trade them away. */
+class SketchesSpec extends SparkSpec {
+
+  test("CMS never undercounts, and is exact when lanes don't collide") {
+    val rows = Sketches.cmsTopTerms(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (exact, est) = (r.getAs[Long]("exact_n"), r.getAs[Long]("cms_est"))
+      assert(est >= exact, s"CMS undercounted ${r.getAs[String]("term")}")
+      assert(r.getAs[Long]("overcount") == est - exact)
+    }
+    // a wide sketch on the same corpus collides less: estimates can
+    // only move toward exact
+    val wide = Sketches.cmsTopTerms(spark, sf, width = 16384)
+      .select(col("term"), col("cms_est").as("wide_est"))
+    val narrow = Sketches.cmsTopTerms(spark, sf)
+      .join(wide, "term")
+      .filter(col("wide_est") > col("cms_est"))
+    assert(narrow.count() == 0, "widening the sketch increased an estimate")
+  }
+
+  test("Bloom hits are a superset of exact containment per doc") {
+    val rows = Sketches.bloomContamination(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_bloom_hits") >= r.getAs[Long]("n_exact_hits"),
+        s"bloom missed a true member for doc ${r.get(0)}")
+      assert(r.getAs[Long]("n_bloom_hits") <= r.getAs[Long]("n_grams"))
+    }
+    // the filter admits every true member by construction; the docs
+    // with exact hits must all be present among the flagged
+    val flagged = Sketches.bloomContamination(spark, sf)
+      .filter(col("n_exact_hits") > 0).count()
+    assert(flagged > 0, "synthetic corpus should have cross-split duplicates")
+  }
+
+  test("KMV overlap estimates are error-bounded against exact Jaccard") {
+    val est = Sketches.kmvTypeOverlap(spark, sf, k = 128)
+    val e = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id")).distinct()
+    val a = e.select(col("event_type").as("type_a"), col("user_id"))
+    val b = e.select(col("event_type").as("type_b"), col("user_id"))
+    val exact = a.join(b, "user_id")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_inter"))
+    val sizes = e.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val joined = est
+      .join(exact, Seq("type_a", "type_b"), "left")
+      .join(sizes.withColumnRenamed("event_type", "type_a")
+        .withColumnRenamed("n", "na"), "type_a")
+      .join(sizes.withColumnRenamed("event_type", "type_b")
+        .withColumnRenamed("n", "nb"), "type_b")
+      .withColumn("n_union_exact",
+        col("na") + col("nb") - coalesce(col("n_inter"), lit(0L)))
+      .withColumn("jacc_exact",
+        coalesce(col("n_inter"), lit(0L)).cast("double") / col("n_union_exact"))
+      .collect()
+    assert(joined.nonEmpty)
+    for (r <- joined) {
+      // SE ≈ 1/√(k−2) ≈ 9% at k=128; allow 4 SE on the union estimate
+      val (eu, nu) = (r.getAs[Double]("est_union"), r.getAs[Long]("n_union_exact"))
+      assert(math.abs(eu - nu) <= math.max(4 * nu / math.sqrt(126.0), 4.0),
+        s"union estimate $eu vs exact $nu for ${r.getAs[String]("type_a")}/${r.getAs[String]("type_b")}")
+      // Jaccard is a ratio of two sketch reads; give it a wider band
+      val (ej, xj) = (r.getAs[Double]("est_jaccard"), r.getAs[Double]("jacc_exact"))
+      assert(math.abs(ej - xj) <= 0.35,
+        s"jaccard estimate $ej vs exact $xj for ${r.getAs[String]("type_a")}/${r.getAs[String]("type_b")}")
+    }
+  }
+}
