@@ -42,6 +42,10 @@ object GenScale {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // events.parquet stores TIMESTAMP(NANOS): read ts as a plain
+      // long (same contract Tables.events relies on) so the copy
+      // round-trips; consumers div to micros either way
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
