@@ -32,6 +32,22 @@ object Sketches {
       lit(r).as("r"),
       pmod(OracleHash.seeded32(r, term), lit(width.toLong)).as("bucket"))): _*)
 
+  /** CMS counter cells over `df`'s `key` expression, additionally
+    * grouped by `groupCols` (e.g. an hour column for time-partitioned
+    * sketches): one row per (group…, lane, bucket) with its count —
+    * ≤ groups × depth × width rows regardless of input size, mergeable
+    * across partials by cell-wise addition (which is also why the
+    * build is just a count aggregate: Spark's partial/final split IS
+    * the sketch merge). Shared by [[cmsTopTerms]] and the streaming MV
+    * ([[graft.streaming.CdcStream.startCmsMv]]) so batch and stream
+    * cannot drift. */
+  def cmsCounters(df: DataFrame, key: Column, groupCols: Seq[String],
+                  depth: Int = 4, width: Int = 1024): DataFrame =
+    df.select(groupCols.map(col) :+ explode(cmsLanes(key, depth, width)).as("rb"): _*)
+      .select(groupCols.map(col) :+ col("rb.r").as("r") :+ col("rb.bucket").as("bucket"): _*)
+      .groupBy((groupCols :+ "r" :+ "bucket").map(col): _*)
+      .agg(count(lit(1)).as("c"))
+
   /** Count-min sketch over the corpus vocabulary, evaluated on the
     * exact top-`topN` heavy hitters: per term, the exact count next to
     * the CMS estimate (min over `depth` lanes of the lane's bucket
@@ -53,10 +69,7 @@ object Sketches {
                   topN: Int = 20): DataFrame = {
     val terms = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("term"))
-    val counters = terms
-      .select(explode(cmsLanes(col("term"), depth, width)).as("rb"))
-      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
-      .agg(count(lit(1)).as("c"))
+    val counters = cmsCounters(terms, col("term"), Nil, depth, width)
     val top = terms.groupBy("term").agg(count(lit(1)).as("exact_n"))
       .orderBy(col("exact_n").desc, col("term"))
       .limit(topN)

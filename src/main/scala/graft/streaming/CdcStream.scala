@@ -555,6 +555,43 @@ object CdcStream {
   def kmvView(spark: SparkSession, partialsDir: String, k: Int = 64): DataFrame =
     graft.pipes.CdcPipes.kmvMergeEstimate(spark.read.parquet(partialsDir), k)
 
+  /** Streaming count-min MV: each micro-batch writes its own CMS
+    * counter cells (≤ hours × depth × width rows — sketch scale, not
+    * event scale); [[cmsView]] is the `-Merge` read (cell-wise sum).
+    *
+    * CMS partials, like sums and UNLIKE KMV minima, are NOT
+    * duplicate-idempotent — a replayed batch's cells would
+    * double-count — so this MV uses the same overwrite-per-batch-id
+    * discipline as [[startSummingMv]]: re-execution of a batch id
+    * rewrites the same directory and is a no-op. At 100 TB the counter
+    * log grows by a bounded number of cells per (hour, batch) while
+    * answering per-key frequency probes over any time range by merging
+    * stored cells — never re-scanning events. */
+  def startCmsMv(spark: SparkSession, srcDir: String, cellsDir: String,
+                 checkpointDir: String,
+                 depth: Int = 4, width: Int = 1024): StreamingQuery =
+    readEvents(spark, srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Sketches.cmsCounters(
+            batch.select(
+              date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"),
+              col("user_id")),
+            col("user_id").cast("string"), Seq("hour"), depth, width)
+          .write.mode("overwrite").parquet(s"$cellsDir/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** The `-Merge` read over the CMS cell log: cell-wise addition (the
+    * batch=N layout column is bookkeeping, not payload). */
+  def cmsView(spark: SparkSession, cellsDir: String): DataFrame =
+    spark.read.parquet(cellsDir)
+      .groupBy("hour", "r", "bucket")
+      .agg(sum(col("c")).as("c"))
+
   def startSummingMv(spark: SparkSession, srcDir: String, sumsDir: String,
                      checkpointDir: String): StreamingQuery =
     readEvents(spark, srcDir)

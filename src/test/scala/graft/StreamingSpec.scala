@@ -365,6 +365,34 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(sumsDir).count() > merged.size)
   }
 
+  test("CMS MV: merged cells equal the batch sketch; restart is a no-op") {
+    val src = tmp(); val cellsDir = tmp() + "/cells"; val ck = tmp() + "/ck"
+    val events = Tables.events(spark, sf)
+    // modulo chunks: each micro-batch contributes cells to overlapping
+    // (hour, lane, bucket) groups — merge-on-read must ADD them
+    Seq(0, 1, 2).foreach { i =>
+      events.filter(col("event_id") % 3 === i).write.parquet(s"$src/chunk$i")
+      CdcStream.startCmsMv(spark, s"$src/chunk*", cellsDir, ck).awaitTermination()
+    }
+    def snap(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy("hour", "r", "bucket").collect().map(_.toString).toSeq
+    val streamed = snap(CdcStream.cmsView(spark, cellsDir))
+    val batch = snap(operators.Sketches.cmsCounters(
+      events.select(
+        date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"),
+        col("user_id")),
+      col("user_id").cast("string"), Seq("hour")))
+    assert(streamed == batch,
+      s"streamed ${streamed.size} cells vs batch ${batch.size}")
+    // restart against the same checkpoint: no new data → no new batch,
+    // and a re-executed batch id would overwrite its own directory —
+    // either way the view must not move (CMS cells are NOT
+    // duplicate-idempotent, so this is the discipline under test)
+    CdcStream.startCmsMv(spark, s"$src/chunk*", cellsDir, ck).awaitTermination()
+    assert(snap(CdcStream.cmsView(spark, cellsDir)) == streamed,
+      "restart moved the counters")
+  }
+
   test("streaming as-of enrichment equals the batch as-of join under ordered replay") {
     val src = tmp(); val ck = tmp() + "/ck"
     val events = Tables.events(spark, sf)
