@@ -105,13 +105,47 @@ object Sketches {
     * (here the audit column) is the expensive path the filter exists
     * to avoid. The filter is mergeable (word-wise OR) across benchmark
     * shards. */
+  /** The k md5-seeded bit positions of a key in an mWords×63-bit
+    * filter. */
+  private def bloomPositions(key: Column, mWords: Int, kHashes: Int): Column = {
+    val mBits = mWords.toLong * BitsPerWord
+    array((0 until kHashes).map(j =>
+      pmod(OracleHash.seeded32(j, key), lit(mBits))): _*)
+  }
+
+  /** OR-partial Bloom words over `df`'s `key` expression: (word_idx,
+    * bits) — ≤ mWords rows regardless of input size, mergeable across
+    * partials/shards by word-wise OR (and therefore duplicate-
+    * idempotent: re-adding a key re-ORs the same bits). Shared by
+    * [[bloomContamination]] and the streaming MV
+    * ([[graft.streaming.CdcStream.startBloomMv]]). */
+  def bloomWords(df: DataFrame, key: Column,
+                 mWords: Int = 1024, kHashes: Int = 4): DataFrame =
+    df.select(explode(bloomPositions(key, mWords, kHashes)).as("p"))
+      .select(expr(s"p div $BitsPerWord").as("word_idx"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(p % $BitsPerWord AS INT))").as("w"))
+      .groupBy("word_idx").agg(bit_or(col("w")).as("bits"))
+
+  /** Probe `df` (rows must be DISTINCT — they are grouped back to
+    * themselves) against a [[bloomWords]] bitmap: appends `maybe` = 1
+    * iff all k of the key's bits are set. The bitmap is parameter-
+    * bounded and joined as an explicit broadcast — probing N rows is a
+    * scan, never a shuffle. */
+  def bloomProbe(df: DataFrame, key: Column, bitmap: DataFrame,
+                 mWords: Int = 1024, kHashes: Int = 4): DataFrame = {
+    val keep = df.columns.map(col)
+    df.withColumn("__p", explode(bloomPositions(key, mWords, kHashes)))
+      .withColumn("__word_idx", expr(s"__p div $BitsPerWord"))
+      .withColumn("__bit", expr(s"CAST(__p % $BitsPerWord AS INT)"))
+      .join(broadcast(bitmap), col("__word_idx") === bitmap("word_idx"), "left")
+      .withColumn("__hit", when(col("bits").isNotNull &&
+        expr("(shiftright(bits, __bit) & 1) = 1"), 1).otherwise(0))
+      .groupBy(keep: _*)
+      .agg(min(col("__hit")).as("maybe"))
+  }
+
   def bloomContamination(spark: SparkSession, dir: String,
                          mWords: Int = 1024, kHashes: Int = 4): DataFrame = {
-    val mBits = mWords.toLong * BitsPerWord
-    def positions(gram: Column): Column =
-      array((0 until kHashes).map(j =>
-        pmod(OracleHash.seeded32(j, gram), lit(mBits))): _*)
-
     val grams = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("t"),
         TextAnalysis.splitOf(col("text")).as("split"))
@@ -122,25 +156,11 @@ object Sketches {
 
     val testGrams = grams.filter(col("split") === "test")
       .select("gram").distinct()
-    val bitmap = testGrams
-      .select(explode(positions(col("gram"))).as("p"))
-      .select(expr(s"p div $BitsPerWord").as("word_idx"),
-        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(p % $BitsPerWord AS INT))").as("w"))
-      .groupBy("word_idx").agg(bit_or(col("w")).as("bits"))
+    val bitmap = bloomWords(testGrams, col("gram"), mWords, kHashes)
 
     val trainGrams = grams.filter(col("split") === "train")
       .select("doc_id", "gram").distinct()
-    val probed = trainGrams
-      .select(col("doc_id"), col("gram"), explode(positions(col("gram"))).as("p"))
-      .select(col("doc_id"), col("gram"),
-        expr(s"p div $BitsPerWord").as("word_idx"),
-        expr(s"CAST(p % $BitsPerWord AS INT)").as("bit"))
-      // mWords rows — parameter-bounded, broadcast by design
-      .join(broadcast(bitmap), Seq("word_idx"), "left")
-      .withColumn("hit", when(col("bits").isNotNull &&
-        expr("(shiftright(bits, bit) & 1) = 1"), 1).otherwise(0))
-      .groupBy("doc_id", "gram")
-      .agg(min(col("hit")).as("maybe"))
+    val probed = bloomProbe(trainGrams, col("gram"), bitmap, mWords, kHashes)
     val exact = trainGrams
       .join(testGrams.withColumn("present", lit(1)), Seq("gram"), "left")
       .groupBy("doc_id", "gram")

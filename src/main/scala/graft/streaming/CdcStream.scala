@@ -592,6 +592,39 @@ object CdcStream {
       .groupBy("hour", "r", "bucket")
       .agg(sum(col("c")).as("c"))
 
+  /** Streaming Bloom-filter MV over per-user event membership: each
+    * micro-batch appends its words' OR-partials. The third idempotence
+    * discipline of the sketch-MV family, completing the set: KMV
+    * minima are duplicate-idempotent (plain append, [[startKmvMv]]),
+    * CMS counters are not (overwrite-per-batch-id, [[startCmsMv]]),
+    * and Bloom bits are OR-idempotent — re-delivered batches re-OR the
+    * same bits, so plain append survives any at-least-once replay,
+    * like KMV. The log grows by ≤ mWords longs per batch; the read
+    * view ORs words — membership probes over the full history without
+    * re-scanning events. */
+  def startBloomMv(spark: SparkSession, srcDir: String, wordsDir: String,
+                   checkpointDir: String,
+                   mWords: Int = 1024, kHashes: Int = 4): StreamingQuery =
+    readEvents(spark, srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Sketches.bloomWords(
+            batch.select(col("user_id").cast("string").as("key")),
+            col("key"), mWords, kHashes)
+          .write.mode("append").parquet(wordsDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** The `-Merge` read over the Bloom word log (word-wise OR), probed
+    * with [[graft.operators.Sketches.bloomProbe]]. */
+  def bloomView(spark: SparkSession, wordsDir: String): DataFrame =
+    spark.read.parquet(wordsDir)
+      .groupBy("word_idx")
+      .agg(bit_or(col("bits")).as("bits"))
+
   def startSummingMv(spark: SparkSession, srcDir: String, sumsDir: String,
                      checkpointDir: String): StreamingQuery =
     readEvents(spark, srcDir)

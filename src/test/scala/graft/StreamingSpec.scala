@@ -393,6 +393,33 @@ class StreamingSpec extends SparkSpec {
       "restart moved the counters")
   }
 
+  test("Bloom MV: OR-merged words equal the batch filter; redelivery-idempotent") {
+    val src = tmp(); val wordsDir = tmp() + "/words"; val ck = tmp() + "/ck"
+    val events = Tables.events(spark, sf)
+    Seq(0, 1, 2).foreach { i =>
+      events.filter(col("event_id") % 3 === i).write.parquet(s"$src/chunk$i")
+      CdcStream.startBloomMv(spark, s"$src/chunk*", wordsDir, ck).awaitTermination()
+    }
+    def snap(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy("word_idx").collect().map(_.toString).toSeq
+    val streamed = snap(CdcStream.bloomView(spark, wordsDir))
+    val batch = snap(operators.Sketches.bloomWords(
+      events.select(col("user_id").cast("string").as("key")), col("key")))
+    assert(streamed == batch, s"streamed ${streamed.size} vs batch ${batch.size}")
+    // no false negatives: every user in the log probes maybe=1
+    val misses = operators.Sketches.bloomProbe(
+        events.select(col("user_id").cast("string").as("key")).distinct(),
+        col("key"), CdcStream.bloomView(spark, wordsDir))
+      .filter(col("maybe") === 0).count()
+    assert(misses == 0, "bloom filter missed a member it was built from")
+    // at-least-once: re-deliver the ENTIRE stream (fresh checkpoint) —
+    // bits are OR-idempotent, so plain append leaves the view unchanged
+    CdcStream.startBloomMv(spark, s"$src/chunk*", wordsDir, tmp() + "/ck2")
+      .awaitTermination()
+    assert(snap(CdcStream.bloomView(spark, wordsDir)) == streamed,
+      "full redelivery must not move the filter")
+  }
+
   test("streaming as-of enrichment equals the batch as-of join under ordered replay") {
     val src = tmp(); val ck = tmp() + "/ck"
     val events = Tables.events(spark, sf)
