@@ -85,6 +85,8 @@ object SparkEntry {
     "active_users_kmv_per_hour" -> ((s, d) => CdcPipes.activeUsersKmvPerHour(s, d)),
     "active_users_kmv_daily" -> ((s, d) => CdcPipes.activeUsersKmvDailyMerge(s, d)),
     "events_kmv_overlap"    -> ((s, d) => operators.Sketches.kmvTypeOverlap(s, d)),
+    "events_quantile_sketch" -> ((s, d) => operators.Sketches.quantileSketch(s, d)),
+    "docs_source_overlap"   -> ((s, d) => operators.Sketches.sourceShingleOverlap(s, d)),
     "error_pct_per_hour"    -> (CdcPipes.errorPctPerHour _),
     "active_vs_errors"      -> (CdcPipes.activeVsErrors _),
     "user_activity"         -> (CdcPipes.userActivity _),
@@ -142,6 +144,7 @@ object SparkEntry {
     "docs_contamination"    -> ((s, d) => operators.TextAnalysis.contaminationCheck(s, d)),
     "docs_cms_top_terms"    -> ((s, d) => operators.Sketches.cmsTopTerms(s, d)),
     "docs_bloom_contamination" -> ((s, d) => operators.Sketches.bloomContamination(s, d)),
+    "docs_bm25_search"      -> ((s, d) => operators.Search.bm25Search(s, d)),
     "docs_chunks"           -> ((s, d) => operators.TextAnalysis.chunks(s, d)),
     "docs_split_assign"     -> (operators.TextAnalysis.splitAssign _),
     "docs_top_bigrams"      -> ((s, d) => operators.TextAnalysis.topBigrams(s, d)),
@@ -667,6 +670,86 @@ object SparkEntry {
         |FROM fin JOIN pte a ON a.event_type = fin.type_a
         |         JOIN pte b ON b.event_type = fin.type_b
         |ORDER BY type_a, type_b""".stripMargin,
+    // bottom-k quantile sketch: sample membership by md5 rank of the
+    // unique event_id; quantile indices are PURE INTEGER ceil(q·n) =
+    // (q_num·n + q_den−1) // q_den, values only selected, never
+    // transformed — so the APPROXIMATE quantiles hash-match
+    "events_quantile_sketch" ->
+      s"""WITH base AS (SELECT event_type, event_id, value FROM events),
+        |samp AS (
+        |  SELECT event_type, event_id, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h, event_id) AS rn
+        |    FROM (SELECT event_type, event_id, value,
+        |            ${graft.functions.OracleHash.duckLow64("(event_id)::VARCHAR")} AS h
+        |          FROM base))
+        |  WHERE rn <= 256),
+        |eq AS (
+        |  SELECT event_type, max(n) AS n,
+        |    max(CASE WHEN vrn = greatest((1 * n + 1) // 2, 1) THEN value END) AS exact_p50,
+        |    max(CASE WHEN vrn = greatest((9 * n + 9) // 10, 1) THEN value END) AS exact_p90,
+        |    max(CASE WHEN vrn = greatest((99 * n + 99) // 100, 1) THEN value END) AS exact_p99
+        |  FROM (SELECT event_type, value,
+        |          count(*) OVER (PARTITION BY event_type) AS n,
+        |          row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS vrn
+        |        FROM base) GROUP BY 1),
+        |sq AS (
+        |  SELECT event_type, max(n) AS n_sample,
+        |    max(CASE WHEN vrn = greatest((1 * n + 1) // 2, 1) THEN value END) AS est_p50,
+        |    max(CASE WHEN vrn = greatest((9 * n + 9) // 10, 1) THEN value END) AS est_p90,
+        |    max(CASE WHEN vrn = greatest((99 * n + 99) // 100, 1) THEN value END) AS est_p99
+        |  FROM (SELECT event_type, value,
+        |          count(*) OVER (PARTITION BY event_type) AS n,
+        |          row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS vrn
+        |        FROM samp) GROUP BY 1)
+        |SELECT event_type, n, n_sample, est_p50, est_p90, est_p99,
+        |       exact_p50, exact_p90, exact_p99
+        |FROM sq JOIN eq USING (event_type) ORDER BY event_type""".stripMargin,
+    // cross-source shingle overlap: the events_kmv_overlap kernel over
+    // word-3-gram shingle sets per document source
+    "docs_source_overlap" ->
+      s"""WITH sh AS (
+        |  SELECT DISTINCT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |  FROM (SELECT source, string_split(text, ' ') AS t FROM documents),
+        |       LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
+        |  WHERE len(t) >= 3),
+        |hashed AS (
+        |  SELECT DISTINCT source, ${graft.functions.OracleHash.duckLow64("shingle")} AS h FROM sh),
+        |kept AS (
+        |  SELECT source, h, rn FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM hashed)
+        |  WHERE rn <= 128),
+        |pte AS (
+        |  SELECT source, ${kmvEstSql("n", "hk", 128)} AS est_n
+        |  FROM (SELECT source, count(*) AS n, max(CASE WHEN rn = 128 THEN h END) AS hk
+        |        FROM kept GROUP BY 1)),
+        |ty AS (SELECT DISTINCT source FROM kept),
+        |pr AS (SELECT a.source AS source_a, b.source AS source_b
+        |       FROM ty a, ty b WHERE a.source < b.source),
+        |mem AS (
+        |  SELECT source_a, source_b, h,
+        |    max(CASE WHEN k.source = source_a THEN 1 ELSE 0 END) AS in_a,
+        |    max(CASE WHEN k.source = source_b THEN 1 ELSE 0 END) AS in_b
+        |  FROM pr JOIN kept k ON k.source = source_a OR k.source = source_b
+        |  GROUP BY 1, 2, 3),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY source_a, source_b ORDER BY h) AS rn FROM mem),
+        |ag AS (
+        |  SELECT source_a, source_b, count(*) AS n_union,
+        |    max(CASE WHEN rn = 128 THEN h END) AS hk,
+        |    sum(CASE WHEN rn <= 128 AND in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS n_both
+        |  FROM rk GROUP BY 1, 2),
+        |fin AS (
+        |  SELECT source_a, source_b, ${kmvEstSql("n_union", "hk", 128)} AS eu,
+        |    CAST(n_both AS DOUBLE) / CAST(least(n_union, 128) AS DOUBLE) AS jr
+        |  FROM ag)
+        |SELECT source_a, source_b,
+        |  floor(a.est_n * 100 + 0.5) / 100.0 AS est_shingles_a,
+        |  floor(b.est_n * 100 + 0.5) / 100.0 AS est_shingles_b,
+        |  floor(eu * 100 + 0.5) / 100.0 AS est_union,
+        |  floor(jr * eu * 100 + 0.5) / 100.0 AS est_intersection,
+        |  floor(jr * 10000 + 0.5) / 10000.0 AS est_jaccard
+        |FROM fin JOIN pte a ON a.source = fin.source_a
+        |         JOIN pte b ON b.source = fin.source_b
+        |ORDER BY source_a, source_b""".stripMargin,
     "error_pct_per_hour" ->
       """WITH agg AS (
         |  SELECT date_trunc('hour', ts) AS h,
@@ -1183,6 +1266,10 @@ object SparkEntry {
         |FROM mb JOIN ex USING (doc_id, gram)
         |GROUP BY 1 HAVING sum(maybe) > 0
         |ORDER BY doc_id""".stripMargin,
+    // BM25 with rational idf and micro-unit long partials: every IEEE
+    // step mirrored op-for-op (Search.bm25OracleSql lives next to the
+    // operator so the two arithmetic definitions review side-by-side)
+    "docs_bm25_search" -> operators.Search.bm25OracleSql(),
     "docs_chunks" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |c AS (

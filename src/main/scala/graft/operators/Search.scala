@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Keyword retrieval over the document corpus — the search primitive a
+  * training-data pipeline leans on for benchmark decontamination
+  * triage, targeted corpus audits ("show me the docs that talk about
+  * X"), and eval-set curation. Classic BM25 ranking, re-expressed so
+  * the SCORE itself is deterministic across engines and therefore
+  * hash-verifiable by the DuckDB oracle:
+  *
+  *  - idf uses the RATIONAL BM25 form (N − df + 0.5)/(df + 0.5), not
+  *    log-idf: like [[TextAnalysis.topTermsPerDoc]]'s rational tf-idf,
+  *    every step is an IEEE exactly-rounded +,−,×,÷ — bit-identical in
+  *    any IEEE-754 engine — where transcendental log implementations
+  *    may differ in the last ulp. Rational idf preserves BM25's
+  *    ranking ORDER (it is monotone in df) — only the score scale
+  *    changes, which callers don't contract on.
+  *  - each term's partial score is floored to integer MICRO-units and
+  *    the per-document total is a sum of LONGS — associative, so any
+  *    partial-aggregation order (and any engine) produces the same
+  *    total, where a raw double sum would be order-dependent in the
+  *    last ulp.
+  *
+  * Scale: the inverted-index probe without materializing the index —
+  * postings are filtered to the query's terms AT THE SCAN (the filter
+  * sits directly on the exploded token stream, before any exchange),
+  * so the only shuffled data is the matching postings: one map-side-
+  * combinable tf shuffle on (doc_id, term), a vocabulary-sized-in-
+  * theory but query-bounded-in-practice df aggregate, and a top-k. The
+  * corpus stats (N, avgdl) are a 1-row broadcast. At 100 TB the same
+  * plan serves ad-hoc search; a standing search service would persist
+  * the tf table bucketed by term ([[graft.sources.Layout.writeBucketed]])
+  * and skip the scan entirely.
+  */
+object Search {
+
+  val DefaultQuery = "spark vector join"
+
+  /** BM25 constants. Every constant that reaches the arithmetic is
+    * spelled as the SAME decimal literal in both engines (1.2, 2.2,
+    * 0.25, 0.75): `K1 + 1.0` computed in Scala could round differently
+    * from DuckDB parsing the literal "2.2", so the k1+1 numerator
+    * factor is its own literal, never derived. */
+  private val K1 = 1.2
+  private val K1p1 = 2.2
+  private val B = 0.75
+  private val OneMinusB = 0.25
+
+  /** The per-(doc, query-term) micro-unit BM25 partial — the one
+    * arithmetic definition shared by operator and oracle docs. All
+    * inputs arrive as doubles; the op ORDER below is mirrored
+    * token-for-token in the oracle SQL so every intermediate rounds
+    * identically. */
+  private def termMicros(tf: Column, df: Column, nDocs: Column,
+                         dl: Column, avgdl: Column): Column = {
+    val idf = (nDocs - df + lit(0.5)) / (df + lit(0.5))
+    val norm = lit(OneMinusB) + (lit(B) * dl) / avgdl
+    val denom = tf + lit(K1) * norm
+    floor(idf * ((tf * lit(K1p1)) / denom) * lit(1e6)).cast("long")
+  }
+
+  /** Top-`k` documents for a whitespace-tokenized query, BM25-ranked.
+    * Output: rank, doc_id, lang, source, n_terms_matched,
+    * score_micros (the exact long the rank is decided on) and its
+    * double rendering. Ties break on doc_id ascending. */
+  def bm25Search(spark: SparkSession, dir: String,
+                 query: String = DefaultQuery, k: Int = 10): DataFrame = {
+    val qTerms = query.trim.split("\\s+").toSeq.filter(_.nonEmpty).distinct
+    require(qTerms.nonEmpty, "bm25Search: empty query")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(col("t")).cast("long").as("dl"), col("t"))
+    // 1-row corpus stats: N and avgdl (long sum / long count, divided
+    // as doubles — exactly one IEEE division in both engines)
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+    // postings restricted to the query BEFORE any exchange: the only
+    // shuffled rows are matches
+    val postings = docs
+      .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
+      .filter(col("term").isin(qTerms: _*))
+    val tf = postings.groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+    // df per query term — ≤ |query| rows; un-hinted join (AQE
+    // broadcasts a frame this small on its own)
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(df, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("term_micros", termMicros(
+        col("tf").cast("double"), col("df").cast("double"),
+        col("n_docs").cast("double"), col("dl").cast("double"), col("avgdl")))
+      .groupBy("doc_id")
+      .agg(sum(col("term_micros")).as("score_micros"),
+        count(lit(1)).as("n_terms_matched"))
+    scored
+      .join(docs.select("doc_id", "lang", "source"), "doc_id")
+      .orderBy(col("score_micros").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_micros").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("lang"), col("source"),
+        col("n_terms_matched"), col("score_micros"),
+        (col("score_micros").cast("double") / lit(1e6)).as("score"))
+      .orderBy("rank")
+  }
+
+  /** The oracle-side rendering of [[bm25Search]] for a literal query:
+    * the same CTE chain with the same op order. Lives next to the
+    * operator so the two arithmetic definitions can be reviewed
+    * side-by-side. */
+  def bm25OracleSql(query: String = DefaultQuery, k: Int = 10): String = {
+    val qTerms = query.trim.split("\\s+").toSeq.filter(_.nonEmpty).distinct
+    val inList = qTerms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    s"""WITH d AS (
+      |  SELECT doc_id, lang, source, string_split(text, ' ') AS t FROM documents),
+      |dd AS (SELECT doc_id, lang, source, CAST(len(t) AS BIGINT) AS dl, t FROM d),
+      |stats AS (
+      |  SELECT count(*) AS n_docs,
+      |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dd),
+      |post AS (
+      |  SELECT doc_id, dl, unnest(t) AS term FROM dd),
+      |tf AS (
+      |  SELECT doc_id, dl, term, count(*) AS tf FROM post
+      |  WHERE term IN ($inList) GROUP BY 1, 2, 3),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CAST(floor(
+      |      ((CAST(n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5))
+      |      * ((CAST(tf.tf AS DOUBLE) * 2.2) /
+      |         (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / avgdl)))
+      |      * 1e6) AS BIGINT)) AS BIGINT) AS score_micros,
+      |    count(*) AS n_terms_matched
+      |  FROM tf JOIN df USING (term) CROSS JOIN stats GROUP BY doc_id),
+      |ranked AS (
+      |  SELECT row_number() OVER (ORDER BY score_micros DESC, scored.doc_id) AS rank,
+      |    scored.doc_id, lang, source, n_terms_matched, score_micros,
+      |    CAST(score_micros AS DOUBLE) / 1e6 AS score
+      |  FROM scored JOIN dd ON scored.doc_id = dd.doc_id)
+      |SELECT rank, doc_id, lang, source, n_terms_matched, score_micros, score
+      |FROM ranked WHERE rank <= $k ORDER BY rank""".stripMargin
+  }
+}

@@ -192,38 +192,140 @@ object Sketches {
     * Jaccard is hash-match verified. */
   def kmvTypeOverlap(spark: SparkSession, dir: String,
                      k: Int = 128): DataFrame = {
+    val hashed = Tables.events(spark, dir)
+      .select(col("event_type").as("key"),
+        OracleHash.low64(col("user_id").cast("string")).as("h"))
+      .distinct()
+    kmvOverlapMatrix(hashed, "type_a", "type_b", "est_users_a", "est_users_b", k)
+  }
+
+  /** KMV overlap matrix between DOCUMENT SOURCES by word-3-gram
+    * shingle sets — "how much does crawl dump A repeat dump B", the
+    * corpus-planning question cross-source dedup budgeting starts
+    * from. Per source pair: estimated distinct shingles of each side,
+    * of the union, of the intersection, and the Jaccard estimate.
+    *
+    * Scale: the only corpus-sized work is one distinct-(source,
+    * shingle-hash) shuffle over the token stream; every row after is
+    * bounded by |sources| × k longs. The per-source k-minima are the
+    * stored partials — mergeable across corpus shards by
+    * keep-k-smallest — so refreshing the matrix after an append never
+    * re-scans old shards, and |sources|² stays driver-trivial (a
+    * corpus has tens of sources, not millions). */
+  def sourceShingleOverlap(spark: SparkSession, dir: String,
+                           k: Int = 128): DataFrame = {
+    val hashed = Tables.documents(spark, dir)
+      .select(col("source"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("source").as("key"), explode(expr(
+        "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"))
+        .as("shingle"))
+      .select(col("key"), OracleHash.low64(col("shingle")).as("h"))
+      .distinct()
+    kmvOverlapMatrix(hashed, "source_a", "source_b",
+      "est_shingles_a", "est_shingles_b", k)
+  }
+
+  /** Mergeable quantile sketch per event type: a bottom-`k` uniform
+    * row sample — membership decided by md5 rank of the row's unique
+    * event_id, the same deterministic-uniform device as the KMV
+    * distinct sketch — carrying the sampled VALUES, from which any
+    * quantile is answered as the sample's type-1 order statistic. The
+    * exact corpus quantiles ride along as the audit columns (the gate
+    * verifies estimate AND truth; dashboards at scale would read only
+    * the sketch).
+    *
+    * Quantile indices are PURE INTEGER arithmetic: ceil(q·n) computed
+    * as (q_num·n + q_den − 1) div q_den — no float multiply whose
+    * rounding could straddle an integer boundary differently across
+    * engines. Values are never transformed, only selected, so the
+    * outputs are input bytes — exact in any engine.
+    *
+    * Scale: the sketch is ≤ k rows per type regardless of input size
+    * and MERGEABLE — the bottom-k of a union of per-shard bottom-k
+    * partials is the global bottom-k (same argument as KMV), so
+    * quantile dashboards over 100 TB read stored ≤k-row partials and
+    * never re-scan the log; the full-data exact side here is the
+    * audit the sketch exists to avoid. One ranking shuffle per side
+    * on event_type. */
+  def quantileSketch(spark: SparkSession, dir: String,
+                     k: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+
+    // type-1 quantile order statistics of `df`'s value column per
+    // type, under the (value, event_id) total order; n supplied by a
+    // count window (one shuffle, reused by the rank window)
+    def quantiles(df: DataFrame, prefix: String): DataFrame = {
+      val byType = Window.partitionBy("event_type")
+      val vrn = row_number().over(byType.orderBy("value", "event_id"))
+      def idx(qNum: Int, qDen: Int): Column =
+        expr(s"($qNum * __n + ${qDen - 1}) div $qDen")
+      df
+        .withColumn("__n", count(lit(1)).over(byType))
+        .withColumn("__vrn", vrn)
+        .groupBy("event_type")
+        .agg(max(col("__n")).as(s"${prefix}n"),
+          max(when(col("__vrn") === greatest(idx(1, 2), lit(1L)), col("value"))).as(s"${prefix}p50"),
+          max(when(col("__vrn") === greatest(idx(9, 10), lit(1L)), col("value"))).as(s"${prefix}p90"),
+          max(when(col("__vrn") === greatest(idx(99, 100), lit(1L)), col("value"))).as(s"${prefix}p99"))
+    }
+
+    val sample = base
+      .withColumn("__h", OracleHash.low64(col("event_id").cast("string")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("__h", "event_id")))
+      .filter(col("__rn") <= k)
+      .select("event_type", "event_id", "value")
+
+    quantiles(sample, "est_")
+      .withColumnRenamed("est_n", "n_sample")
+      .join(quantiles(base, "exact_"), "event_type")
+      .select(col("event_type"), col("exact_n").as("n"), col("n_sample"),
+        col("est_p50"), col("est_p90"), col("est_p99"),
+        col("exact_p50"), col("exact_p90"), col("exact_p99"))
+      .orderBy("event_type")
+  }
+
+  /** The KMV set-operation kernel shared by [[kmvTypeOverlap]] and
+    * [[sourceShingleOverlap]]: `hashed` carries DISTINCT (key, h) set
+    * memberships; the result is one row per unordered key pair with
+    * per-side / union / intersection estimates and the Jaccard. Union
+    * = k smallest of the merged k-minima; intersection = union est ×
+    * the fraction of the union sketch's minima present in BOTH sides.
+    * Everything downstream of the caller's distinct-hash shuffle is
+    * parameter-bounded (≤ |keys| × k rows). */
+  private def kmvOverlapMatrix(hashed: DataFrame, aName: String, bName: String,
+                               aEst: String, bEst: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val norm = (h: Column) =>
       (h.cast("double") + lit(9.223372036854776e18)) / lit(1.8446744073709552e19)
     val est = (n: Column, hk: Column) =>
       when(n < k, n.cast("double")).otherwise(lit((k - 1).toDouble) / norm(hk))
 
-    val hashed = Tables.events(spark, dir)
-      .select(col("event_type"),
-        OracleHash.low64(col("user_id").cast("string")).as("h"))
-      .distinct()
     val kept = hashed
       .withColumn("rn", row_number().over(
-        Window.partitionBy("event_type").orderBy("h")))
+        Window.partitionBy("key").orderBy("h")))
       .filter(col("rn") <= k)
-    val perType = kept.groupBy("event_type")
+    val perKey = kept.groupBy("key")
       .agg(count(lit(1)).as("n"), max(when(col("rn") === k, col("h"))).as("hk"))
-      .select(col("event_type"), est(col("n"), col("hk")).as("est_users"))
+      .select(col("key"), est(col("n"), col("hk")).as("est_n"))
 
-    val types = kept.select("event_type").distinct()
-    val pairs = types.select(col("event_type").as("type_a"))
-      .crossJoin(broadcast(types.select(col("event_type").as("type_b"))))
-      .filter(col("type_a") < col("type_b"))
+    val keys = kept.select("key").distinct()
+    val pairs = keys.select(col("key").as(aName))
+      .crossJoin(broadcast(keys.select(col("key").as(bName))))
+      .filter(col(aName) < col(bName))
     val members = pairs
-      .join(kept.select(col("event_type"), col("h")),
-        col("event_type") === col("type_a") || col("event_type") === col("type_b"))
-      .groupBy("type_a", "type_b", "h")
-      .agg(max(when(col("event_type") === col("type_a"), 1).otherwise(0)).as("in_a"),
-        max(when(col("event_type") === col("type_b"), 1).otherwise(0)).as("in_b"))
+      .join(kept.select(col("key"), col("h")),
+        col("key") === col(aName) || col("key") === col(bName))
+      .groupBy(aName, bName, "h")
+      .agg(max(when(col("key") === col(aName), 1).otherwise(0)).as("in_a"),
+        max(when(col("key") === col(bName), 1).otherwise(0)).as("in_b"))
     val agg = members
       .withColumn("rn", row_number().over(
-        Window.partitionBy("type_a", "type_b").orderBy("h")))
-      .groupBy("type_a", "type_b")
+        Window.partitionBy(aName, bName).orderBy("h")))
+      .groupBy(aName, bName)
       .agg(count(lit(1)).as("n_union"),
         max(when(col("rn") === k, col("h"))).as("hk"),
         sum(when(col("rn") <= k && col("in_a") === 1 && col("in_b") === 1, 1L)
@@ -233,16 +335,16 @@ object Sketches {
         col("n_both").cast("double") / least(col("n_union"), lit(k.toLong)).cast("double"))
 
     agg
-      .join(broadcast(perType.withColumnRenamed("event_type", "type_a")
-        .withColumnRenamed("est_users", "ua")), "type_a")
-      .join(broadcast(perType.withColumnRenamed("event_type", "type_b")
-        .withColumnRenamed("est_users", "ub")), "type_b")
-      .select(col("type_a"), col("type_b"),
-        floorRound(col("ua"), 2).as("est_users_a"),
-        floorRound(col("ub"), 2).as("est_users_b"),
+      .join(broadcast(perKey.withColumnRenamed("key", aName)
+        .withColumnRenamed("est_n", "ua")), aName)
+      .join(broadcast(perKey.withColumnRenamed("key", bName)
+        .withColumnRenamed("est_n", "ub")), bName)
+      .select(col(aName), col(bName),
+        floorRound(col("ua"), 2).as(aEst),
+        floorRound(col("ub"), 2).as(bEst),
         floorRound(col("est_union_raw"), 2).as("est_union"),
         floorRound(col("jacc_raw") * col("est_union_raw"), 2).as("est_intersection"),
         floorRound(col("jacc_raw"), 4).as("est_jaccard"))
-      .orderBy("type_a", "type_b")
+      .orderBy(aName, bName)
   }
 }

@@ -38,6 +38,7 @@ final class ApiServer(spark: SparkSession, sfDir: String,
     "emb_near_dup_pairs" -> (ParamEndpoints.embNearDupPairs _),
     "emb_knn_ivf" -> (ParamEndpoints.embKnnIvf _),
     "events_in_window" -> (ParamEndpoints.eventsInWindow _),
+    "docs_bm25_search" -> (ParamEndpoints.docsBm25Search _),
     "ref_flights_missed_pct_minute" -> (ParamEndpoints.refFlightsMissedPctMinute _))
 
   /** Control-plane state (`POST /v0/datafiles` — tb_functions.py's

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{TextDedup, VectorOps}
+import graft.operators.{Search, TextDedup, VectorOps}
 
 /** §2.10 for the LLM-operator surface: the reference's typed template
   * parameters (`{{Float32(min_jaccard, 0.5)}}`, `{% if defined(p) %}` —
@@ -49,6 +49,17 @@ object ParamEndpoints {
       nQueries = int(params, "n_queries", 20),
       k = int(params, "k", 5),
       nprobe = int(params, "nprobe", 3))
+  }
+
+  /** BM25 keyword search; `q` (`{{String(q, …)}}` — whitespace-
+    * tokenized query) and `k` result count. An empty or blank `q`
+    * fails fast like any unparseable param. */
+  def docsBm25Search(spark: SparkSession, dir: String,
+                     params: Map[String, String]): DataFrame = {
+    validate(params, Set("q", "k"))
+    val q = params.getOrElse("q", Search.DefaultQuery)
+    require(q.trim.nonEmpty, "param q: empty query")
+    Search.bm25Search(spark, dir, q, int(params, "k", 10))
   }
 
   /** Events in a time window; `start` / `end` as `DateTime` params

@@ -52,6 +52,18 @@ class ApiServerSpec extends SparkSpec {
     assert(rows(tight.body()) <= rows(loose.body()))
   }
 
+  test("BM25 search endpoint: q/k params, 400 on bad k and empty q") {
+    val r = get("/v0/pipes/docs_bm25_search.json?q=vector&k=3", Some("admin_token"))
+    assert(r.statusCode() == 200, r.body())
+    assert("\"rows\":(\\d+)".r.findFirstMatchIn(r.body())
+      .exists(m => m.group(1).toInt > 0 && m.group(1).toInt <= 3))
+    assert(r.body().contains("score_micros"))
+    assert(get("/v0/pipes/docs_bm25_search.json?k=three",
+      Some("admin_token")).statusCode() == 400)
+    assert(get("/v0/pipes/docs_bm25_search.json?q=%20",
+      Some("admin_token")).statusCode() == 400)
+  }
+
   test("format suffixes: .csv and .ndjson render the same rows as .json") {
     val json = get("/v0/pipes/events_by_type_status.json", Some("events_read"))
     val csv = get("/v0/pipes/events_by_type_status.csv", Some("events_read"))

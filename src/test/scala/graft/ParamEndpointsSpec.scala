@@ -60,4 +60,19 @@ class ParamEndpointsSpec extends SparkSpec {
       ParamEndpoints.docsNearDupPairs(spark, sf, Map("min_jaccard" -> "high"))
     }
   }
+
+  test("BM25 q/k params: k caps rows, q retunes the match set, blank q rejected") {
+    val top3 = ParamEndpoints.docsBm25Search(spark, sf,
+      Map("q" -> "vector", "k" -> "3")).collect()
+    assert(top3.length <= 3 && top3.nonEmpty)
+    val other = ParamEndpoints.docsBm25Search(spark, sf,
+      Map("q" -> "customer table", "k" -> "3")).collect()
+    assert(other.nonEmpty)
+    intercept[IllegalArgumentException] {
+      ParamEndpoints.docsBm25Search(spark, sf, Map("q" -> "  "))
+    }
+    intercept[IllegalArgumentException] {
+      ParamEndpoints.docsBm25Search(spark, sf, Map("kk" -> "3"))
+    }
+  }
 }

@@ -75,4 +75,67 @@ class SketchesSpec extends SparkSpec {
         s"jaccard estimate $ej vs exact $xj for ${r.getAs[String]("type_a")}/${r.getAs[String]("type_b")}")
     }
   }
+
+  /** md5-low64 of a string, driver-side — mirrors OracleHash.low64
+    * (last 8 digest bytes, big-endian). */
+  private def low64(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.nio.ByteBuffer.wrap(d, 8, 8).getLong
+  }
+
+  test("quantile sketch: full driver recompute (sample membership, both quantile sides)") {
+    val events = Tables.events(spark, sf)
+      .select("event_type", "event_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    def typeOne(vs: Seq[(Double, Long)], qNum: Int, qDen: Int): Double = {
+      val sorted = vs.sortBy(identity)
+      val idx = math.max((qNum.toLong * sorted.size + qDen - 1) / qDen, 1L)
+      sorted(idx.toInt - 1)._1
+    }
+    val want = events.groupBy(_._1).map { case (tpe, rows) =>
+      val sample = rows.sortBy(r => (low64(r._2.toString), r._2)).take(256)
+      val sVs = sample.map(r => (r._3, r._2)).toSeq
+      val eVs = rows.map(r => (r._3, r._2)).toSeq
+      (tpe, (rows.size.toLong, sample.size.toLong,
+        typeOne(sVs, 1, 2), typeOne(sVs, 9, 10), typeOne(sVs, 99, 100),
+        typeOne(eVs, 1, 2), typeOne(eVs, 9, 10), typeOne(eVs, 99, 100)))
+    }
+    val got = Sketches.quantileSketch(spark, sf).collect().map { r =>
+      (r.getAs[String]("event_type"),
+        (r.getAs[Long]("n"), r.getAs[Long]("n_sample"),
+          r.getAs[Double]("est_p50"), r.getAs[Double]("est_p90"), r.getAs[Double]("est_p99"),
+          r.getAs[Double]("exact_p50"), r.getAs[Double]("exact_p90"), r.getAs[Double]("exact_p99")))
+    }.toMap
+    assert(got.keySet == want.keySet)
+    for ((tpe, w) <- want) assert(got(tpe) == w, s"type $tpe")
+  }
+
+  test("quantile sketch sample merges: bottom-k of shard partials == direct sketch") {
+    // the mergeability claim, executed: split the log in two by
+    // event_id parity, keep each shard's bottom-k, merge, re-cut at k
+    // — membership must equal the single-pass sample
+    val events = Tables.events(spark, sf)
+      .select("event_id").collect().map(_.getLong(0))
+    val ranked = events.map(id => (low64(id.toString), id)).sortBy(identity)
+    val direct = ranked.take(256).map(_._2).toSet
+    val merged = (events.filter(_ % 2 == 0).map(id => (low64(id.toString), id)).sortBy(identity).take(256) ++
+      events.filter(_ % 2 == 1).map(id => (low64(id.toString), id)).sortBy(identity).take(256))
+      .sortBy(identity).take(256).map(_._2).toSet
+    assert(direct == merged)
+  }
+
+  test("source overlap: jaccard in [0,1], union >= each side within rounding") {
+    val rows = Sketches.sourceShingleOverlap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val j = r.getAs[Double]("est_jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+      val (ea, eb, eu) = (r.getAs[Double]("est_shingles_a"),
+        r.getAs[Double]("est_shingles_b"), r.getAs[Double]("est_union"))
+      assert(eu + 0.01 >= math.max(ea, eb) - math.max(ea, eb) * 0.2,
+        s"union $eu far below max side ${math.max(ea, eb)}")
+      assert(r.getAs[Double]("est_intersection") <= eu + 0.01)
+    }
+  }
 }
