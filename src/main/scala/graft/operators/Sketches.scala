@@ -250,42 +250,67 @@ object Sketches {
     * on event_type. */
   def quantileSketch(spark: SparkSession, dir: String,
                      k: Int = 256): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = Tables.events(spark, dir)
       .select(col("event_type"), col("event_id"), col("value"))
-
-    // type-1 quantile order statistics of `df`'s value column per
-    // type, under the (value, event_id) total order; n supplied by a
-    // count window (one shuffle, reused by the rank window)
-    def quantiles(df: DataFrame, prefix: String): DataFrame = {
-      val byType = Window.partitionBy("event_type")
-      val vrn = row_number().over(byType.orderBy("value", "event_id"))
-      def idx(qNum: Int, qDen: Int): Column =
-        expr(s"($qNum * __n + ${qDen - 1}) div $qDen")
-      df
-        .withColumn("__n", count(lit(1)).over(byType))
-        .withColumn("__vrn", vrn)
-        .groupBy("event_type")
-        .agg(max(col("__n")).as(s"${prefix}n"),
-          max(when(col("__vrn") === greatest(idx(1, 2), lit(1L)), col("value"))).as(s"${prefix}p50"),
-          max(when(col("__vrn") === greatest(idx(9, 10), lit(1L)), col("value"))).as(s"${prefix}p90"),
-          max(when(col("__vrn") === greatest(idx(99, 100), lit(1L)), col("value"))).as(s"${prefix}p99"))
-    }
-
-    val sample = base
-      .withColumn("__h", OracleHash.low64(col("event_id").cast("string")))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("event_type").orderBy("__h", "event_id")))
-      .filter(col("__rn") <= k)
-      .select("event_type", "event_id", "value")
-
-    quantiles(sample, "est_")
-      .withColumnRenamed("est_n", "n_sample")
-      .join(quantiles(base, "exact_"), "event_type")
+    quantileMerge(quantilePartial(base, k), k)
+      .join(typeOneQuantiles(base, "exact_"), "event_type")
       .select(col("event_type"), col("exact_n").as("n"), col("n_sample"),
         col("est_p50"), col("est_p90"), col("est_p99"),
         col("exact_p50"), col("exact_p90"), col("exact_p99"))
       .orderBy("event_type")
+  }
+
+  /** The `-State` half of the quantile sketch: a micro-batch's (or
+    * shard's) bottom-`k` rows per event type, carrying the md5 rank
+    * hash so partials re-rank on merge. Duplicate-IDEMPOTENT:
+    * identical rows hash to identical (h, event_id) positions, so the
+    * merge view's distinct absorbs any at-least-once redelivery —
+    * plain append, like KMV minima and Bloom words. */
+  def quantilePartial(rows: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    rows
+      .withColumn("h", OracleHash.low64(col("event_id").cast("string")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("h", "event_id")))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** The `-Merge` read over a quantile-partial log: distinct rows
+    * (append-idempotence), re-rank, cut at `k` — the bottom-k of a
+    * union of bottom-k partials IS the global bottom-k — then the
+    * type-1 order statistics of the merged sample. */
+  def quantileMerge(partials: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val merged = partials
+      .select("event_type", "event_id", "value", "h")
+      .distinct()
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("h", "event_id")))
+      .filter(col("__rn") <= k)
+      .select("event_type", "event_id", "value")
+    typeOneQuantiles(merged, "est_")
+      .withColumnRenamed("est_n", "n_sample")
+  }
+
+  /** Type-1 quantile order statistics of `df`'s value column per
+    * event type, under the (value, event_id) total order; n supplied
+    * by a count window (one shuffle, reused by the rank window).
+    * Quantile indices are PURE INTEGER ceil(q·n) = (q_num·n + q_den−1)
+    * div q_den — no float multiply near an integer boundary. */
+  private def typeOneQuantiles(df: DataFrame, prefix: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byType = Window.partitionBy("event_type")
+    val vrn = row_number().over(byType.orderBy("value", "event_id"))
+    def idx(qNum: Int, qDen: Int): Column =
+      expr(s"($qNum * __n + ${qDen - 1}) div $qDen")
+    df
+      .withColumn("__n", count(lit(1)).over(byType))
+      .withColumn("__vrn", vrn)
+      .groupBy("event_type")
+      .agg(max(col("__n")).as(s"${prefix}n"),
+        max(when(col("__vrn") === greatest(idx(1, 2), lit(1L)), col("value"))).as(s"${prefix}p50"),
+        max(when(col("__vrn") === greatest(idx(9, 10), lit(1L)), col("value"))).as(s"${prefix}p90"),
+        max(when(col("__vrn") === greatest(idx(99, 100), lit(1L)), col("value"))).as(s"${prefix}p99"))
   }
 
   /** The KMV set-operation kernel shared by [[kmvTypeOverlap]] and

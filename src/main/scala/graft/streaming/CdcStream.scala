@@ -625,6 +625,34 @@ object CdcStream {
       .groupBy("word_idx")
       .agg(bit_or(col("bits")).as("bits"))
 
+  /** Streaming quantile-sketch MV: each micro-batch appends its
+    * bottom-`k` value sample per event type
+    * ([[graft.operators.Sketches.quantilePartial]] — md5-rank
+    * membership); [[quantileView]] is the `-Merge` read answering any
+    * quantile from the merged sample. Like KMV minima and Bloom
+    * words, the partials are duplicate-IDEMPOTENT (identical rows
+    * re-rank to identical positions and the merge's distinct absorbs
+    * them), so plain append survives any at-least-once redelivery.
+    * The log grows by ≤ k rows per (type, batch) — sketch scale — and
+    * p99 dashboards over the full history never re-scan events. */
+  def startQuantileMv(spark: SparkSession, srcDir: String, partialsDir: String,
+                      checkpointDir: String, k: Int = 64): StreamingQuery =
+    readEvents(spark, srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Sketches.quantilePartial(
+            batch.select(col("event_type"), col("event_id"), col("value")), k)
+          .write.mode("append").parquet(partialsDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** The `-Merge` read over the quantile-partial log. */
+  def quantileView(spark: SparkSession, partialsDir: String, k: Int = 64): DataFrame =
+    graft.operators.Sketches.quantileMerge(spark.read.parquet(partialsDir), k)
+
   def startSummingMv(spark: SparkSession, srcDir: String, sumsDir: String,
                      checkpointDir: String): StreamingQuery =
     readEvents(spark, srcDir)

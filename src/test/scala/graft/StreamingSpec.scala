@@ -669,6 +669,32 @@ class StreamingSpec extends SparkSpec {
     assert(replayed == streamed, "full redelivery must not move the estimates")
   }
 
+  test("streaming quantile-sketch MV: merged partials equal the batch sketch; replay-idempotent") {
+    val src = tmp(); val pd = tmp() + "/q"; val ck = tmp() + "/ck"
+    val events = Tables.events(spark, sf)
+    val chunks = Seq(
+      events.filter(col("event_id") % 2 === 0),
+      events.filter(col("event_id") % 2 === 1))
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      c.write.parquet(s"$src/chunk$i")
+      CdcStream.startQuantileMv(spark, s"$src/chunk*", pd, ck).awaitTermination()
+    }
+    val streamed = CdcStream.quantileView(spark, pd)
+      .orderBy("event_type").collect().map(_.toString).toSeq
+    // batch truth: the same bottom-k sample rule over all events at once
+    val batch = operators.Sketches.quantileMerge(
+        operators.Sketches.quantilePartial(
+          events.select(col("event_type"), col("event_id"), col("value")), 64), 64)
+      .orderBy("event_type").collect().map(_.toString).toSeq
+    assert(streamed == batch, s"streamed ${streamed.size} vs batch ${batch.size}")
+    // at-least-once: re-deliver the ENTIRE stream (fresh checkpoint) —
+    // sample partials are duplicate-idempotent, so the view is unchanged
+    CdcStream.startQuantileMv(spark, s"$src/chunk*", pd, tmp() + "/ck2").awaitTermination()
+    val replayed = CdcStream.quantileView(spark, pd)
+      .orderBy("event_type").collect().map(_.toString).toSeq
+    assert(replayed == streamed, "full redelivery must not move the estimates")
+  }
+
   test("Kafka ingest wiring runs against a live broker (KAFKA_BROKERS gate)") {
     // The reference's ingestion is Kafka-first (users_raw.datasource:20-27)
     // but this sandbox has no broker (and no spark-sql-kafka connector
