@@ -188,6 +188,7 @@ object SparkEntry {
     "emb_knn_pq"            -> ((s, d) => operators.VectorOps.knnPq(s, d)),
     "emb_knn_ivf_pq"        -> ((s, d) => operators.VectorOps.knnIvfPq(s, d)),
     "emb_centroid_update"   -> ((s, d) => operators.VectorOps.centroidUpdate(s, d)),
+    "emb_source_outliers"   -> ((s, d) => operators.VectorOps.sourceOutliers(s, d)),
     "emb_kmeans"            -> ((s, d) => operators.VectorOps.kmeans(s, d)),
     "emb_dup_clusters"      -> ((s, d) => operators.VectorOps.dupClusters(s, d)),
     "emb_knn_ivf"           -> ((s, d) => operators.VectorOps.knnIvf(s, d)),
@@ -1838,6 +1839,38 @@ object SparkEntry {
         |SELECT list_id, dim, count(*) AS n_vectors,
         |  floor(CAST(sum(xs) AS BIGINT) / (count(*) * 1000000.0) * 1000000 + 0.5) / 1000000.0 AS centroid
         |FROM ex GROUP BY list_id, dim ORDER BY list_id, dim""".stripMargin,
+    // per-source integer-unit centroid (the centroidUpdate contract),
+    // cosine of each doc to its OWN source's centroid, bottom-m per
+    // source; inner join — docs without embeddings have no signal
+    "emb_source_outliers" ->
+      """WITH j AS (
+        |  SELECT d.doc_id, d.source, e.embedding
+        |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+        |x AS (
+        |  SELECT source, CAST(g - 1 AS INT) AS dim,
+        |    CAST(floor(CAST(embedding[g] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xs
+        |  FROM j, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS g)),
+        |c AS (
+        |  SELECT source, dim,
+        |    floor(CAST(sum(xs) AS BIGINT) / (count(*) * 1000000.0) * 1000000 + 0.5) / 1000000.0 AS centroid
+        |  FROM x GROUP BY 1, 2),
+        |cv AS (
+        |  SELECT source, list_transform(list(centroid ORDER BY dim), c -> CAST(c AS REAL)) AS cvec
+        |  FROM c GROUP BY 1),
+        |s AS (
+        |  SELECT j.doc_id, j.source,
+        |    floor(
+        |      list_sum(list_transform(generate_series(1, len(cvec)),
+        |        i -> CAST(j.embedding[i] AS DOUBLE) * CAST(cvec[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(j.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+        |      * 1000000 + 0.5) / 1000000.0 AS cosine
+        |  FROM j JOIN cv USING (source)),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY cosine, doc_id) AS outlier_rank
+        |  FROM s)
+        |SELECT source, outlier_rank, doc_id, cosine
+        |FROM r WHERE outlier_rank <= 5 ORDER BY source, outlier_rank""".stripMargin,
     "docs_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, lang, CAST(doc_id % 4 AS INT) AS shard,

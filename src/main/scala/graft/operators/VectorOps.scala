@@ -375,6 +375,47 @@ object VectorOps {
           sum(floor(col("x").cast("double") * 1e6 + 0.5).cast("long")) /
             (count(lit(1)) * 1e6), 6).as("centroid"))
 
+  /** Semantic outlier scoring per document source — the embedding-side
+    * quality gate next to the text-side LM terciles
+    * ([[TextAnalysis.lmBuckets]]): each source's integer-unit centroid
+    * (same arithmetic contract as [[centroidUpdate]]/[[kmeans]], so a
+    * 1000-executor run reproduces it bit-for-bit), then every doc's
+    * cosine to its OWN source's centroid, and the `m` least-typical
+    * docs per source — the rows a curation pass reviews for
+    * mislabeled/contaminated content before a dump enters the mix.
+    *
+    * Scale: the centroid is one (source, dim) shuffle with map-side
+    * combine (|sources| × dims rows per mapper, corpus-size-
+    * independent); the rebuilt centroid vectors are a |sources|-row
+    * broadcast; scoring is a codegen'd per-row dot; the bottom-m cut
+    * is one ranking shuffle on source. Docs without embeddings drop
+    * out (inner join) — they have no semantic signal to score. */
+  def sourceOutliers(spark: SparkSession, dir: String, m: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val joined = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+        col("vec_id") === col("doc_id"))
+      .select(col("doc_id"), col("source"), col("embedding"))
+    val cvec = integerUnitCentroids(
+        joined.select(col("source").as("list_id"), col("embedding")))
+      .groupBy("list_id")
+      .agg(array_sort(collect_list(struct(col("dim"), col("centroid")))).as("cs"))
+      .select(col("list_id").as("source"),
+        expr("transform(cs, c -> CAST(c.centroid AS FLOAT))").as("cvec"))
+    joined
+      .join(broadcast(cvec), "source")
+      .select(col("source"), col("doc_id"),
+        floorRound(dot(col("embedding"), col("cvec")) /
+          (sqrt(dot(col("embedding"), col("embedding"))) *
+            sqrt(dot(col("cvec"), col("cvec")))), 6).as("cosine"))
+      .withColumn("outlier_rank", row_number().over(
+        Window.partitionBy("source").orderBy(col("cosine"), col("doc_id"))))
+      .filter(col("outlier_rank") <= m)
+      .select("source", "outlier_rank", "doc_id", "cosine")
+      .orderBy("source", "outlier_rank")
+  }
+
   /** Full k-means refinement for the IVF index: `iters` rounds of
     * assign-to-nearest-centroid / recompute-centroids, starting from
     * the first `nLists` corpus vectors (the [[ivfAssign]] seed).

@@ -958,6 +958,26 @@ class OperatorsSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("source outliers: bottom-m per source, ranks dense, cosine ascending") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.VectorOps.sourceOutliers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    // sf fixtures embed every doc, 25 docs/source — each source fills m
+    val perSource = Tables.documents(spark, sf).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((src, rs) <- bySource) {
+      val sorted = rs.sortBy(_.getAs[Int]("outlier_rank"))
+      assert(sorted.map(_.getAs[Int]("outlier_rank")).toSeq ==
+        (1 to math.min(5, perSource(src).toInt)))
+      val cosines = sorted.map(_.getAs[Double]("cosine")).toSeq
+      assert(cosines == cosines.sorted, s"$src cosines not ascending")
+      // an outlier is less typical than the source's docs at large:
+      // its cosine can't exceed 1 and the rank-1 doc is the minimum
+      assert(cosines.forall(c => c >= -1.000001 && c <= 1.000001))
+    }
+  }
+
   test("endpoint JSON payload has the reference shape") {
     val payload = sources.Endpoints.toJsonPayload(
       pipes.TpchPipes.q1PricingSummary(spark, sf), limit = 3)
