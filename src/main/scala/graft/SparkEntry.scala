@@ -163,6 +163,7 @@ object SparkEntry {
     "docs_sample_per_source" -> ((s, d) => operators.TrainingMix.samplePerSource(s, d)),
     "docs_temperature_mix"  -> ((s, d) => operators.TrainingMix.temperatureMix(s, d)),
     "docs_top_quality_diverse" -> ((s, d) => operators.TrainingMix.topQualityDiverse(s, d)),
+    "docs_budget_select"    -> ((s, d) => operators.TrainingMix.budgetSelect(s, d)),
     "docs_sample_weighted_stats" -> (operators.TrainingMix.sampleWeightedStats _),
     "docs_pack_sequences"   -> ((s, d) => operators.TrainingMix.packSequences(s, d)),
     "docs_training_corpus"  -> ((s, d) => operators.TrainingMix.buildCorpus(s, d)),
@@ -177,6 +178,7 @@ object SparkEntry {
     "docs_near_dup_edit_distance" -> ((s, d) => operators.TextDedup.nearDupEditDistance(s, d)),
     "docs_minhash_bands"    -> (operators.TextDedup.minhashBands _),
     "docs_minhash_lsh_pairs" -> ((s, d) => operators.TextDedup.minhashLshPairs(s, d)),
+    "docs_screen_increment" -> ((s, d) => operators.TextDedup.screenIncrement(s, d)),
     "docs_simhash"          -> (operators.TextDedup.simhash _),
     // training-data pipeline: similarity search
     "emb_norms"             -> (operators.VectorOps.norms _),
@@ -189,6 +191,7 @@ object SparkEntry {
     "emb_knn_ivf_pq"        -> ((s, d) => operators.VectorOps.knnIvfPq(s, d)),
     "emb_centroid_update"   -> ((s, d) => operators.VectorOps.centroidUpdate(s, d)),
     "emb_source_outliers"   -> ((s, d) => operators.VectorOps.sourceOutliers(s, d)),
+    "emb_hard_negatives"    -> ((s, d) => operators.VectorOps.hardNegatives(s, d)),
     "emb_kmeans"            -> ((s, d) => operators.VectorOps.kmeans(s, d)),
     "emb_dup_clusters"      -> ((s, d) => operators.VectorOps.dupClusters(s, d)),
     "emb_knn_ivf"           -> ((s, d) => operators.VectorOps.knnIvf(s, d)),
@@ -1615,6 +1618,46 @@ object SparkEntry {
     "docs_minhash_bands" ->
       s"""WITH $minhashBandCtes
         |SELECT doc_id, band, band_hash FROM bands ORDER BY doc_id, band""".stripMargin,
+    // incremental screening: the 10% increment (doc_id ≡ 0 mod 10)
+    // probed against the existing corpus's digest + band index —
+    // exact_dup / near_dup (best verified match) / novel per doc
+    "docs_screen_increment" ->
+      s"""WITH $minhashBandCtes,
+        |exidx AS (
+        |  SELECT md5(text) AS digest, min(doc_id) AS exact_match
+        |  FROM documents WHERE doc_id % 10 <> 0 GROUP BY 1),
+        |exact AS (
+        |  SELECT d.doc_id, exact_match
+        |  FROM (SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id % 10 = 0) d
+        |  LEFT JOIN exidx USING (digest)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.band_hash = y.band_hash
+        |  WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS ic
+        |  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+        |              JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+        |  GROUP BY 1, 2),
+        |jac AS (
+        |  SELECT doc_a, doc_b, ic * 1.0 / (sa.n + sb.n - ic) AS jr
+        |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+        |             JOIN sizes sb ON doc_b = sb.doc_id),
+        |near AS (
+        |  SELECT doc_a AS doc_id, doc_b AS near_match, jaccard FROM (
+        |    SELECT doc_a, doc_b, floor(jr * 10000 + 0.5) / 10000.0 AS jaccard,
+        |      row_number() OVER (PARTITION BY doc_a
+        |        ORDER BY floor(jr * 10000 + 0.5) / 10000.0 DESC, doc_b) AS rn
+        |    FROM jac WHERE jr >= 0.5) WHERE rn = 1)
+        |SELECT exact.doc_id,
+        |  CASE WHEN exact_match IS NOT NULL THEN 'exact_dup'
+        |       WHEN near_match IS NOT NULL THEN 'near_dup'
+        |       ELSE 'novel' END AS verdict,
+        |  coalesce(exact_match, near_match) AS matched_doc,
+        |  CASE WHEN exact_match IS NULL THEN jaccard END AS jaccard
+        |FROM exact LEFT JOIN near USING (doc_id) ORDER BY doc_id""".stripMargin,
     // LSH candidates (band-bucket self-join) verified with exact jaccard
     // over the FULL shingle sets — mirror of minhashLshPairs
     "docs_minhash_lsh_pairs" ->
@@ -1772,6 +1815,39 @@ object SparkEntry {
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
         |      < CASE WHEN lang = 'en' THEN '8000' ELSE '3333' END
         |ORDER BY doc_id""".stripMargin,
+    // token-budget selection: integer quality buckets, whole buckets
+    // admitted while they fit (bulk), the one straddling bucket filled
+    // greedily by (quality desc, doc_id) — a doc is in while tokens
+    // admitted BEFORE it are under budget
+    "docs_budget_select" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS BIGINT) AS nstop,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS ntok,
+        |    floor(CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS DOUBLE)
+        |      / (length(text) - length(replace(text, ' ', '')) + 1) * 10000 + 0.5) / 10000.0 AS quality
+        |  FROM documents),
+        |s2 AS (SELECT *, CAST((nstop * 100) // ntok AS INT) AS bucket FROM s),
+        |b AS (SELECT bucket, CAST(sum(n_tokens) AS BIGINT) AS btok FROM s2 GROUP BY 1),
+        |b2 AS (
+        |  SELECT bucket, btok,
+        |    CAST(coalesce(sum(btok) OVER (ORDER BY bucket DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_above
+        |  FROM b),
+        |t AS (SELECT s2.*, b2.btok, b2.tokens_above FROM s2 JOIN b2 USING (bucket)),
+        |bulk AS (
+        |  SELECT doc_id, bucket, quality, n_tokens, 'bulk' AS tier FROM t
+        |  WHERE tokens_above + btok <= 10000),
+        |bnd AS (
+        |  SELECT doc_id, bucket, quality, n_tokens, 'boundary' AS tier FROM (
+        |    SELECT *, CAST(coalesce(sum(n_tokens) OVER (PARTITION BY bucket
+        |        ORDER BY quality DESC, doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS run
+        |    FROM t WHERE tokens_above < 10000 AND tokens_above + btok > 10000)
+        |  WHERE tokens_above + run < 10000)
+        |SELECT * FROM (SELECT * FROM bulk UNION ALL SELECT * FROM bnd)
+        |ORDER BY doc_id""".stripMargin,
     // the full corpus build: quality filter → exact-digest canonical →
     // near-dup cluster canonical (recursive closure) → split → pack
     "docs_training_corpus" ->
@@ -1897,6 +1973,20 @@ object SparkEntry {
         |  FROM q, embeddings e WHERE e.vec_id != q.query_id),
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
         |SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
+        |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+    // hard negatives: the brute-force scoring contract with the label
+    // inequality in the join — top-k most-similar DIFFERENT-label
+    "emb_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qe, label AS query_label
+        |  FROM embeddings WHERE vec_id < 20),
+        |s AS (
+        |  SELECT query_id, query_label, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+        |    floor(list_sum(list_transform(generate_series(1, len(qe)),
+        |      i -> CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) * 1000000 + 0.5) / 1000000.0 AS cosine
+        |  FROM q, embeddings e WHERE e.vec_id != q.query_id AND e.label != q.query_label),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
+        |SELECT query_id, query_label, neighbor_id, neighbor_label, cosine, CAST(rn AS INT) AS rank
         |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
     // multi-table multi-probe hyperplane LSH — fully re-derivable in
     // SQL because the planes come from md5 (VectorOps.planeComponent):

@@ -310,6 +310,58 @@ object TextDedup {
     verifyJaccard(cand, shingles(docs), minJaccard)
   }
 
+  /** Incremental screening dedup — the PRODUCTION shape of dedup at
+    * 100 TB: an append never re-dedups the corpus against itself; a
+    * persisted index of the EXISTING corpus (content digests +
+    * MinHash band buckets) is probed by the increment alone. Here the
+    * increment is every doc_id ≡ 0 (mod 10) — a deterministic 10%
+    * stand-in for "today's crawl" that the oracle reproduces — and
+    * each incoming doc gets a verdict: `exact_dup` (its digest is in
+    * the index), `near_dup` (a band-bucket candidate verified at
+    * 3-gram Jaccard ≥ minJaccard), else `novel`, with the canonical
+    * matched existing doc and the verified similarity.
+    *
+    * Scale: index cost is amortized (built once, extended per append
+    * — digests and band rows are both append-only); screening cost is
+    * |increment| digest lookups + band-bucket equi-joins + Jaccard
+    * verification of candidates only. Nothing is ever corpus ×
+    * corpus, and the increment-side frames are a day's data, not the
+    * archive. */
+  def screenIncrement(spark: SparkSession, dir: String,
+                      minJaccard: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val incoming = docs.filter(col("doc_id") % 10 === 0)
+    val existing = docs.filter(col("doc_id") % 10 =!= 0)
+    val exIdx = existing.groupBy(md5(col("text")).as("digest"))
+      .agg(min(col("doc_id")).as("exact_match"))
+    val exact = incoming.select(col("doc_id"), md5(col("text")).as("digest"))
+      .join(exIdx, Seq("digest"), "left")
+      .select(col("doc_id"), col("exact_match"))
+    val cand = bandsOf(minhashSignatures(incoming)).as("x")
+      .join(bandsOf(minhashSignatures(existing)).as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.band_hash") === col("y.band_hash"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // best verified match per incoming doc: highest (rounded) jaccard,
+    // lowest existing id on ties — the canonical attribution
+    val near = verifyJaccard(cand, shingles(docs), minJaccard)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("doc_a").orderBy(col("jaccard").desc, col("doc_b"))))
+      .filter(col("__rn") === 1)
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("near_match"),
+        col("jaccard"))
+    exact.join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_match").isNotNull, "exact_dup")
+          .when(col("near_match").isNotNull, "near_dup")
+          .otherwise("novel").as("verdict"),
+        coalesce(col("exact_match"), col("near_match")).as("matched_doc"),
+        when(col("exact_match").isNull, col("jaccard")).as("jaccard"))
+      .orderBy("doc_id")
+  }
+
   /** Duplicate clusters: connected components over the near-dup pair
     * graph (3-gram Jaccard >= 0.5), one row per clustered doc with the
     * component's canonical label (min doc_id) and size — what a dedup

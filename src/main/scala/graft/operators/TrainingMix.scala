@@ -248,6 +248,56 @@ object TrainingMix {
       .orderBy("doc_id")
   }
 
+  /** Token-budget corpus selection: fill a token budget with the
+    * highest-quality documents — the "give me the best 10B tokens"
+    * curation primitive. NOT a global sort: quality is discretized
+    * into integer buckets ((n_stopwords · 100) div n_tokens — pure
+    * integer, no float boundary), per-bucket token totals (≤ 101 rows)
+    * decide which buckets fit the budget wholly (`bulk` tier), and
+    * only the ONE straddling bucket is ordered internally (quality
+    * desc, doc_id) to greedily fill the remainder (`boundary` tier) —
+    * the quantile-threshold + boundary-refinement shape that selects
+    * from 100 TB with one small aggregate, one broadcast of 101 rows,
+    * and one per-bucket window over a single bucket's docs, never a
+    * corpus-wide sort.
+    *
+    * Greedy rule (both tiers, both engines): a doc is in while the
+    * tokens admitted BEFORE it are under budget — the straddler is
+    * included, like [[packSequences]]' concat-then-chunk. */
+  def budgetSelect(spark: SparkSession, dir: String,
+                   budget: Long = 10000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        expr("CAST(size(filter(split(text, ' '), x -> x IN ('the', 'a'))) AS BIGINT)")
+          .as("__nstop"),
+        (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+          .cast("long").as("__ntok"),
+        TextAnalysis.stopwordRatio(col("text")).as("quality"))
+      .withColumn("bucket", expr("CAST((__nstop * 100) div __ntok AS INT)"))
+    val buckets = scored.groupBy("bucket").agg(sum("n_tokens").as("btok"))
+      .withColumn("tokens_above", coalesce(sum("btok").over(
+        Window.orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val tagged = scored
+      .join(broadcast(buckets.select("bucket", "btok", "tokens_above")), "bucket")
+    val bulk = tagged
+      .filter(col("tokens_above") + col("btok") <= budget)
+      .withColumn("tier", lit("bulk"))
+    val boundary = tagged
+      .filter(col("tokens_above") < budget && col("tokens_above") + col("btok") > budget)
+      .withColumn("__run", coalesce(sum("n_tokens").over(
+        Window.partitionBy("bucket").orderBy(col("quality").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("tokens_above") + col("__run") < budget)
+      .withColumn("tier", lit("boundary"))
+    val cols = Seq("doc_id", "bucket", "quality", "n_tokens", "tier")
+    bulk.select(cols.map(col): _*)
+      .union(boundary.select(cols.map(col): _*))
+      .orderBy("doc_id")
+  }
+
   /** Diversity-capped global top-k: the best `k` documents by quality
     * with at most `perSource` from any one source — the curation rule
     * that stops one crawler dump from monopolizing a premium data

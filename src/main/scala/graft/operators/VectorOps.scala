@@ -59,6 +59,34 @@ object VectorOps {
     topK(scored, k)
   }
 
+  /** Hard-negative mining for contrastive embedding training: for
+    * each query vector, the `k` MOST similar vectors with a DIFFERENT
+    * label — the near-miss negatives a trainer pairs with positives
+    * (the label column stands in for "same document / same class").
+    * Same scoring contract as [[knnBruteForce]] (6dp-rounded cosine,
+    * neighbor-id tie-break); the label inequality rides the join
+    * condition so mismatches are dropped BEFORE the ranking window
+    * ever sees them.
+    *
+    * Scale: identical to the brute-force baseline (queries broadcast,
+    * one codegen'd scan); at corpus scale the candidate side swaps to
+    * the IVF layout exactly as [[knnIvf]] does — the label filter
+    * composes unchanged. */
+  def hardNegatives(spark: SparkSession, dir: String,
+                    nQueries: Int = 20, k: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("label").as("query_label"))
+    val scored = emb.join(broadcast(q),
+        col("vec_id") =!= col("query_id") && col("label") =!= col("query_label"))
+      .select(col("query_id"), col("query_label"),
+        col("vec_id").as("neighbor_id"), col("label").as("neighbor_label"),
+        floorRound(dot(col("qe"), col("embedding")), 6).as("cosine"))
+    topK(scored, k)
+  }
+
   /** One ranking window evaluation: row_number IS the rank — computing
     * it via limitBy and then a second identical window would double the
     * window work on the hot scored set. */

@@ -958,6 +958,72 @@ class OperatorsSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("screening dedup: verdicts partition the increment; matches verified") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = operators.TextDedup.screenIncrement(spark, sf).collect()
+    // one row per incoming doc, every incoming doc present
+    val incoming = docs.keySet.filter(_ % 10 == 0)
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == incoming)
+    for (r <- rows) {
+      val (id, verdict) = (r.getAs[Long]("doc_id"), r.getAs[String]("verdict"))
+      verdict match {
+        case "exact_dup" =>
+          val m = r.getAs[Long]("matched_doc")
+          assert(m % 10 != 0 && docs(m) == docs(id), s"$id exact match wrong")
+          assert(r.isNullAt(r.fieldIndex("jaccard")))
+        case "near_dup" =>
+          val m = r.getAs[Long]("matched_doc")
+          assert(m % 10 != 0 && r.getAs[Double]("jaccard") >= 0.5)
+        case "novel" =>
+          assert(r.isNullAt(r.fieldIndex("matched_doc")))
+          // no existing doc shares this text exactly
+          assert(!docs.exists { case (k, t) => k % 10 != 0 && t == docs(id) },
+            s"$id marked novel but has an exact twin")
+        case other => fail(s"unknown verdict $other")
+      }
+    }
+    assert(rows.exists(_.getAs[String]("verdict") != "novel"),
+      "synthetic corpus should screen some duplicates")
+  }
+
+  test("budget select: admitted tokens respect the greedy budget rule") {
+    import org.apache.spark.sql.functions._
+    val budget = 10000L
+    val rows = operators.TrainingMix.budgetSelect(spark, sf, budget).collect()
+    assert(rows.nonEmpty)
+    val byTier = rows.groupBy(_.getAs[String]("tier"))
+    val bulkBuckets = byTier.getOrElse("bulk", Array()).map(_.getAs[Int]("bucket")).toSet
+    val bndBuckets = byTier.getOrElse("boundary", Array()).map(_.getAs[Int]("bucket")).toSet
+    assert(bndBuckets.size <= 1, "only one bucket may straddle the budget")
+    // every bulk bucket outranks the boundary bucket
+    for (b <- bndBuckets; bb <- bulkBuckets) assert(bb > b)
+    // total admitted minus the one straddler is under budget; with the
+    // straddler's full token count it can exceed it only by that doc
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum
+    val maxDoc = rows.map(_.getAs[Long]("n_tokens")).max
+    assert(total - maxDoc < budget, s"selected $total tokens for budget $budget")
+  }
+
+  test("hard negatives: never the query's own label, cosine <= unrestricted kNN") {
+    import org.apache.spark.sql.functions._
+    val hn = operators.VectorOps.hardNegatives(spark, sf).collect()
+    assert(hn.nonEmpty)
+    for (r <- hn)
+      assert(r.getAs[Int]("neighbor_label") != r.getAs[Int]("query_label"))
+    // restricting candidates can only lower the best cosine per rank
+    val free = operators.VectorOps.knnBruteForce(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) -> r.getAs[Double]("cosine"))
+      .toMap
+    for (r <- hn) {
+      val key = (r.getAs[Long]("query_id"), r.getAs[Int]("rank"))
+      free.get(key).foreach(f =>
+        assert(r.getAs[Double]("cosine") <= f + 1e-9, s"$key hard-negative beats free kNN"))
+    }
+  }
+
   test("source outliers: bottom-m per source, ranks dense, cosine ascending") {
     import org.apache.spark.sql.functions._
     val rows = operators.VectorOps.sourceOutliers(spark, sf).collect()
