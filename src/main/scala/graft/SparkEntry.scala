@@ -79,6 +79,9 @@ object SparkEntry {
     "active_users_7d_sliding" -> (CdcPipes.activeUsers7dSliding _),
     "users_weekly_churn"    -> (CdcPipes.usersWeeklyChurn _),
     "events_type_transitions" -> (CdcPipes.eventsTypeTransitions _),
+    "events_cohort_retention" -> (CdcPipes.eventsCohortRetention _),
+    "q18_large_orders"      -> ((s, d) => TpchPipes.q18LargeOrders(s, d)),
+    "q20_dominant_suppliers" -> ((s, d) => TpchPipes.q20DominantSuppliers(s, d)),
     "customer_reconcile"    -> (CdcPipes.customerReconcile _),
     "active_users_per_hour_approx" -> ((s, d) => CdcPipes.activeUsersPerHourApprox(s, d)),
     "active_users_sketch_rollup" -> ((s, d) => CdcPipes.activeUsersSketchRollup(s, d)),
@@ -559,6 +562,45 @@ object SparkEntry {
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "active_users_per_hour" -> activeUsersOracle,
     "active_users_per_hour_salted" -> activeUsersOracle,
+    // Q18 shape: IN-subquery-with-HAVING decorrelated to an aggregate
+    // join on the fact's own key; quantity sums are integral doubles
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 200.0)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |            JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    // Q20 shape adapted (no partsupp): supplier dominates a part when
+    // its shipped qty > share × the part's total shipped qty
+    "q20_dominant_suppliers" ->
+      """WITH sp AS (
+        |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |pt AS (SELECT l_partkey, sum(supp_qty) AS part_qty FROM sp GROUP BY 1),
+        |f AS (
+        |  SELECT l_suppkey, count(*) AS n_parts_dominated,
+        |    floor(max(supp_qty / part_qty) * 10000 + 0.5) / 10000.0 AS max_share
+        |  FROM sp JOIN pt USING (l_partkey)
+        |  WHERE supp_qty > 0.3 * part_qty GROUP BY 1)
+        |SELECT s_suppkey, s_name, n_parts_dominated, max_share
+        |FROM f JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY n_parts_dominated DESC, s_suppkey""".stripMargin,
+    // cohort triangle: first-seen week per user, per-cell distinct
+    // actives; day diff of week-truncated stamps div 7 is pure integer
+    "events_cohort_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events),
+        |f AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1),
+        |sz AS (SELECT cohort_week, count(*) AS cohort_size FROM f GROUP BY 1),
+        |m AS (
+        |  SELECT cohort_week,
+        |    CAST(date_diff('day', cohort_week, week) // 7 AS INT) AS weeks_since,
+        |    count(DISTINCT uw.user_id) AS n_active
+        |  FROM uw JOIN f USING (user_id) GROUP BY 1, 2)
+        |SELECT m.cohort_week, weeks_since, n_active, cohort_size,
+        |  floor(CAST(n_active AS DOUBLE) * 100.0 / cohort_size * 100 + 0.5) / 100.0 AS retention_pct
+        |FROM m JOIN sz USING (cohort_week) ORDER BY 1, 2""".stripMargin,
     "events_type_transitions" ->
       """WITH t AS (
         |  SELECT event_type AS from_type,

@@ -741,4 +741,36 @@ object CdcPipes {
         sum(col("n")).over(Window.partitionBy("from_type")), 4))
       .orderBy("from_type", "to_type")
   }
+
+  /** Weekly cohort retention matrix — the classic product-analytics
+    * triangle: users grouped by first-seen week, each cell the share
+    * of that cohort still active k weeks later. Weeks are
+    * date_trunc'd, so the day difference is an exact multiple of 7
+    * and `div 7` is pure integer — no float near a boundary.
+    *
+    * Scale: distinct (user, week) pairs are one map-side-combinable
+    * shuffle over the log; first-seen is a per-user min on that pair
+    * table (shuffle on user_id); the matrix groupBy and the
+    * |cohorts|-row size join are sketch-scale. Nothing holds per-user
+    * state beyond the aggregation — 10⁹ users is just a wider
+    * shuffle. */
+  def eventsCohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(spark, dir)
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("timestamp_ntz").as("week"))
+      .distinct()
+    val first = uw.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    val sizes = first.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+    uw.join(first, "user_id")
+      .withColumn("weeks_since",
+        expr("CAST(datediff(week, cohort_week) div 7 AS INT)"))
+      .groupBy("cohort_week", "weeks_since")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(sizes, "cohort_week")
+      .select(col("cohort_week"), col("weeks_since"), col("n_active"),
+        col("cohort_size"),
+        floorRound(col("n_active").cast("double") * 100.0 / col("cohort_size"), 2)
+          .as("retention_pct"))
+      .orderBy("cohort_week", "weeks_since")
+  }
 }

@@ -550,4 +550,65 @@ object TpchPipes {
       .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
   }
+
+  /** TPC-H Q18 shape (large-volume orders): the IN-subquery-with-
+    * HAVING pattern — orders whose total lineitem quantity exceeds the
+    * threshold, enriched with the customer. The subquery decorrelates
+    * to one map-side-combinable aggregate on the fact's own join key
+    * (l_orderkey), so the "IN" is an equi-join of orders against a
+    * pre-filtered aggregate — no per-order re-scan. Quantities are
+    * integral doubles; their sums are exact integers in IEEE
+    * arithmetic, hence partition-order-invariant without integer-unit
+    * scaling.
+    *
+    * Scale: one lineitem shuffle on l_orderkey (shared by the HAVING
+    * aggregate and the join — AQE co-partitions), customer un-hinted
+    * (broadcasts while it fits). */
+  def q18LargeOrders(spark: SparkSession, dir: String,
+                     minQty: Double = 200.0): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q20 shape (excess-supply correlation), adapted to this
+    * schema — there is no partsupp table, so lineitem is the supply
+    * evidence: a supplier DOMINATES a part when its shipped quantity
+    * exceeds `share` of the part's total shipped quantity across all
+    * suppliers. Per qualifying supplier: how many parts it dominates
+    * and its widest share. The nested-subquery correlation
+    * decorrelates into two aggregates joined on the part key — the
+    * (supplier, part) totals and the part totals arrive co-partitioned
+    * from the same shuffle key, and the comparison is a per-row
+    * predicate, never a re-scan per supplier.
+    *
+    * share · total is an IEEE double product of a literal and an
+    * exact-integer double — identical in any engine; the output share
+    * is 4dp floor-rounded for display only (ranking uses counts). */
+  def q20DominantSuppliers(spark: SparkSession, dir: String,
+                           share: Double = 0.3): DataFrame = {
+    val sp = Tables.lineitem(spark, dir)
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("l_quantity")).as("supp_qty"))
+    val pt = sp.groupBy("l_partkey")
+      .agg(sum(col("supp_qty")).as("part_qty"))
+    sp.join(pt, "l_partkey")
+      .filter(col("supp_qty") > lit(share) * col("part_qty"))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_parts_dominated"),
+        floorRound(max(col("supp_qty") / col("part_qty")), 4).as("max_share"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("n_parts_dominated"), col("max_share"))
+      .orderBy(col("n_parts_dominated").desc, col("s_suppkey"))
+  }
 }
