@@ -329,10 +329,16 @@ object Sketches {
     val est = (n: Column, hk: Column) =>
       when(n < k, n.cast("double")).otherwise(lit((k - 1).toDouble) / norm(hk))
 
+    // `kept` (≤ |keys| × k rows) feeds FOUR consumers (perKey, keys,
+    // members twice via the pair join); without materialization each
+    // re-derives the corpus-sized distinct-hash shuffle — measured 4×
+    // the scan cost at 10× data. localCheckpoint pins the tiny frame
+    // so the corpus is hashed exactly once.
     val kept = hashed
       .withColumn("rn", row_number().over(
         Window.partitionBy("key").orderBy("h")))
       .filter(col("rn") <= k)
+      .localCheckpoint(false)
     val perKey = kept.groupBy("key")
       .agg(count(lit(1)).as("n"), max(when(col("rn") === k, col("h"))).as("hk"))
       .select(col("key"), est(col("n"), col("hk")).as("est_n"))
