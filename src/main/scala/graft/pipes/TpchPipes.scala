@@ -580,6 +580,204 @@ object TpchPipes {
       .limit(100)
   }
 
+  /** TPC-H Q6 shape (forecast revenue change): the no-join baseline —
+    * a tightly filtered scan with a single global aggregate. The whole
+    * query is one parquet scan with ALL THREE predicates pushed to the
+    * reader (date range prunable by row-group stats, discount band,
+    * quantity cap) and a one-row partial-agg tree; at 100 TB this is
+    * the shape whose cost is pure I/O, so the thing to verify is the
+    * `PushedFilters` line, not the plan topology. Revenue =
+    * Σ extendedprice·discount in integer 4dp units (order-invariant,
+    * engine-exact). */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val lo = expr("TIMESTAMP '1996-01-01 00:00:00'")
+    val hi = expr("TIMESTAMP '1997-01-01 00:00:00'")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n_lines"),
+        exactSum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"))
+  }
+
+  /** TPC-H Q9 shape (product-type profit): a LIKE-contains filter on
+    * the part name gating a 4-way join, profit grouped by supplier
+    * nation × order year. No partsupp/supplycost in this corpus, so
+    * profit is net revenue (extendedprice·(1−discount)) — the join
+    * topology and the contains-filter pushdown are the Q9 content.
+    * Scale: the substring filter shrinks part before its exchange
+    * (contains can't prune row groups, but the dim is filtered before
+    * the join either way); nation broadcast by hint; part/supplier
+    * un-hinted (SF-scaled); lineitem⋈orders the one big shuffle. */
+  def q9ProductProfit(spark: SparkSession, dir: String,
+                      nameContains: String = "red"): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_name").contains(nameContains)).select("p_partkey")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val n = broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name"))
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), col("o_year"))
+      .agg(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+        .as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q10 shape (returned-item reporting): lost revenue per
+    * customer from returned lines in one quarter, top 20. The selective
+    * filters (return flag on the fact, one quarter of orders) run
+    * before the joins; customer/nation enrich after the revenue frame
+    * has shrunk to ≤ #customers rows; the top-k is a TakeOrdered. */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val lo = expr("TIMESTAMP '1996-10-01 00:00:00'")
+    val hi = expr("TIMESTAMP '1997-01-01 00:00:00'")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val n = broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+        .as("revenue"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q12 shape (shipping-mode priority audit), adapted — this
+    * corpus has no l_shipmode/commit/receipt dates, so the "mode" is
+    * l_linestatus and "late" is shipped > 30 days after the order
+    * date. The Q12 content survives: a fact⋈fact join whose residual
+    * predicate compares columns across sides, then a two-class
+    * conditional count per group — one shuffle, one conditional agg. */
+  def q12LatePriorityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val lo = expr("TIMESTAMP '1996-01-01 00:00:00'")
+    val hi = expr("TIMESTAMP '1997-01-01 00:00:00'")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select("l_orderkey", "l_linestatus", "l_shipdate")
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li.join(o, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT" ||
+          col("o_orderpriority") === "2-HIGH", 1).otherwise(0))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+          col("o_orderpriority") =!= "2-HIGH", 1).otherwise(0))
+          .as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  /** TPC-H Q13 shape (customer order-count distribution): the
+    * aggregate-of-an-aggregate histogram — orders per customer
+    * (LEFT OUTER, so zero-order customers keep a bucket), then
+    * customers per order-count. Two shuffles by construction: the
+    * first on custkey carries (custkey) pairs only; the second groups
+    * ≤ #distinct-counts rows. The priority exclusion stands in for
+    * Q13's comment NOT LIKE. */
+  def q13OrderCountDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+      .select("o_orderkey", "o_custkey")
+    Tables.customer(spark, dir).select("c_custkey")
+      .join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q14 shape (promo revenue share): the conditional-ratio
+    * aggregate — % of one month's revenue from PROMO-type parts. Both
+    * numerator and denominator come from ONE pass as integer-unit
+    * longs (the q8 discipline); the percentage is a post-agg
+    * projection, floor-rounded at 4dp. p_type='PROMO' exists verbatim
+    * in this corpus, so no adaptation needed. */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val lo = expr("TIMESTAMP '1996-09-01 00:00:00'")
+    val hi = expr("TIMESTAMP '1996-10-01 00:00:00'")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val p = Tables.part(spark, dir).select("p_partkey", "p_type")
+    val volUnits = floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000 + 0.5)
+      .cast("long")
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .agg(sum(when(col("p_type") === "PROMO", volUnits).otherwise(0L))
+          .as("promo_units"),
+        sum(volUnits).as("total_units"))
+      .select(
+        (col("promo_units") / 10000.0).as("promo_revenue"),
+        (col("total_units") / 10000.0).as("total_revenue"),
+        floorRound(col("promo_units") * lit(100.0) / col("total_units"), 4)
+          .as("promo_pct"))
+  }
+
+  /** TPC-H Q15 shape (top supplier): a scalar MAX over an aggregate
+    * view joined back by EQUALITY — the tie-preserving argmax (unlike
+    * limitBy's deterministic single winner). Revenue lives in integer
+    * units end-to-end, so the equality join is engine-exact — the one
+    * pattern where float revenue would silently drop ties. The rev
+    * frame is ≤ #suppliers rows; its max is a 1-row broadcast. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val lo = expr("TIMESTAMP '1996-01-01 00:00:00'")
+    val hi = expr("TIMESTAMP '1996-04-01 00:00:00'")
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000 + 0.5)
+        .cast("long")).as("rev_units"))
+    val mx = rev.agg(max(col("rev_units")).as("__mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("rev_units") === col("__mx"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("rev_units") / 10000.0).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q16 shape (supplier-relationship counts): DISTINCT-count of
+    * suppliers per (brand, type, size) over the observed part-supplier
+    * relationships (lineitem's distinct pairs stand in for partsupp),
+    * minus an excluded-supplier set (negative balance stands in for
+    * complaints) — the distinct-agg + decorrelated NOT IN topology.
+    * Scale: the pair frame dedups BEFORE the dim join (shrinks the
+    * fact to ≤ |partsupp|), the exclusion is a left-anti against a
+    * tiny frame, and countDistinct over the grouped pairs is exact. */
+  def q16SupplierRelationships(spark: SparkSession, dir: String,
+                               excludeBrand: String = "Brand#15",
+                               sizes: Seq[Int] = Seq(1, 9, 14, 19, 23, 36, 45, 49)): DataFrame = {
+    val rel = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey").distinct()
+    val complaints = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= excludeBrand && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(sizes: _*))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    rel
+      .join(complaints, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
   /** TPC-H Q20 shape (excess-supply correlation), adapted to this
     * schema — there is no partsupp table, so lineitem is the supply
     * evidence: a supplier DOMINATES a part when its shipped quantity
