@@ -25,18 +25,33 @@ object Bench {
     // anyway). Cold times are preserved alongside in the full output
     // file. NOTE: totals are therefore not comparable to rounds <= 5,
     // which summed single cold runs (documented in DESIGN.md).
-    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A query that THROWS must never masquerade as a fast result (round 6:
+    // 34 broken queries landed as 0.07 s "timings" inside a healthy-looking
+    // total). time() reports the error; errored queries are excluded from
+    // n_queries/total/queries and surfaced in an "errors" array instead.
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+        }
+      ((System.nanoTime() - t0) / 1e9, err)
     }
     val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val cold = time(fn)
-      val best = if (cold >= 1.0) math.min(cold, time(fn)) else cold
-      (name, cold, best)
+      val (cold, err) = time(fn)
+      val best =
+        if (err.isDefined) cold
+        else if (cold >= 1.0) math.min(cold, time(fn)._1)
+        else cold
+      (name, cold, best, err)
     }
-    val colds = timed.map { case (n, c, _) => n -> c }.toMap
-    val results = timed.map { case (n, _, b) => n -> b }.toMap
+    val errors = timed.collect { case (n, _, _, Some(msg)) =>
+      System.err.println(s"[bench] ERROR $n: $msg"); n -> msg
+    }
+    val colds = timed.collect { case (n, c, _, None) => n -> c }.toMap
+    val results = timed.collect { case (n, _, b, None) => n -> b }.toMap
     def f2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     def toJson(rs: Seq[(String, Double)]): String =
@@ -49,8 +64,17 @@ object Bench {
     // line — total + the 20 slowest queries — and write the complete
     // per-query map to a file for anyone who wants the rest.
     val slowest = results.toSeq.sortBy(-_._2).take(20).sortBy(_._1)
-    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","n_queries":${results.size},"queries":${toJson(slowest)},"sf":"$sfDir"}"""
-    val full = s"""{"metric":"total","value":${f2(total)},"unit":"sec","n_queries":${results.size},"queries":${toJson(results.toSeq.sortBy(_._1))},"cold":${toJson(colds.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    // stdout line carries error NAMES only (space budget); the full file
+    // carries name → message so a crash is diagnosable from the artifact
+    val errNames = errors.map { case (n, _) => jstr(n) }.mkString("[", ",", "]")
+    val errFull = errors.map { case (n, m) => s"${jstr(n)}:${jstr(m)}" }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errNames,"queries":${toJson(slowest)},"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${f2(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errNames,"error_messages":$errFull,"queries":${toJson(results.toSeq.sortBy(_._1))},"cold":${toJson(colds.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
     println(line)
     System.out.flush()
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

@@ -82,6 +82,14 @@ object SparkEntry {
     "events_cohort_retention" -> (CdcPipes.eventsCohortRetention _),
     "q18_large_orders"      -> ((s, d) => TpchPipes.q18LargeOrders(s, d)),
     "q20_dominant_suppliers" -> ((s, d) => TpchPipes.q20DominantSuppliers(s, d)),
+    "q6_forecast_revenue"   -> (TpchPipes.q6ForecastRevenue _),
+    "q9_product_profit"     -> ((s, d) => TpchPipes.q9ProductProfit(s, d)),
+    "q10_returned_items"    -> (TpchPipes.q10ReturnedItems _),
+    "q12_late_priority_audit" -> (TpchPipes.q12LatePriorityAudit _),
+    "q13_order_count_distribution" -> (TpchPipes.q13OrderCountDistribution _),
+    "q14_promo_revenue"     -> (TpchPipes.q14PromoRevenue _),
+    "q15_top_supplier"      -> (TpchPipes.q15TopSupplier _),
+    "q16_supplier_relationships" -> ((s, d) => TpchPipes.q16SupplierRelationships(s, d)),
     "customer_reconcile"    -> (CdcPipes.customerReconcile _),
     "active_users_per_hour_approx" -> ((s, d) => CdcPipes.activeUsersPerHourApprox(s, d)),
     "active_users_sketch_rollup" -> ((s, d) => CdcPipes.activeUsersSketchRollup(s, d)),
@@ -587,6 +595,92 @@ object SparkEntry {
         |SELECT s_suppkey, s_name, n_parts_dominated, max_share
         |FROM f JOIN supplier ON l_suppkey = s_suppkey
         |ORDER BY n_parts_dominated DESC, s_suppkey""".stripMargin,
+    // Q6 shape: triple-pushed-filter scan, one-row aggregate
+    "q6_forecast_revenue" ->
+      """SELECT count(*) AS n_lines,
+        |  CAST(sum(CAST(floor(l_extendedprice * l_discount * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    // Q9 shape: LIKE-gated 4-way join, profit by supplier nation × year
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    // Q10 shape: one-quarter returned-line revenue per customer, top 20
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
+        |  c_acctbal, n_name
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1, 2, 4, 5
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    // Q12 adapted: late = shipped >30 days after order date; mode = linestatus
+    "q12_late_priority_audit" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders
+        |  ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY l_linestatus""".stripMargin,
+    // Q13 shape: histogram of orders-per-customer (LEFT JOIN keeps zeros)
+    "q13_order_count_distribution" ->
+      """WITH c AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN (
+        |    SELECT o_orderkey, o_custkey FROM orders
+        |    WHERE o_orderpriority <> '4-NOT SPECIFIED') o
+        |  ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist
+        |FROM c GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // Q14 shape: conditional-ratio aggregate from ONE integer-unit pass
+    "q14_promo_revenue" ->
+      """WITH t AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN p_type = 'PROMO' THEN CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_units,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS total_units
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01')
+        |SELECT promo_units / 10000.0 AS promo_revenue,
+        |  total_units / 10000.0 AS total_revenue,
+        |  CASE WHEN total_units > 0
+        |    THEN floor(promo_units * 100.0 / total_units * 10000 + 0.5) / 10000.0 END AS promo_pct
+        |FROM t""".stripMargin,
+    // Q15 shape: tie-preserving argmax over integer-unit revenue
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS rev_units
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, rev_units / 10000.0 AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_units = (SELECT max(rev_units) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    // Q16 shape: distinct-supplier counts per part class, NOT-IN exclusion
+    "q16_supplier_relationships" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) rel
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |  AND p_brand <> 'Brand#15' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
     // cohort triangle: first-seen week per user, per-cell distinct
     // actives; day diff of week-truncated stamps div 7 is pure integer
     "events_cohort_retention" ->

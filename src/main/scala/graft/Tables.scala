@@ -26,20 +26,31 @@ object Tables {
   /** `events` — the CDC-shaped stream table (event_id, ts, user_id,
     * event_type, value, props).
     *
-    * The files store `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects; we read it as raw Long nanos
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to
-    * microseconds — exactly what DuckDB does when it reads the same file
-    * (ns → µs truncation toward zero for post-epoch values), so oracle
-    * comparisons see identical instants.
+    * The harness has shipped `ts` in two physical encodings across
+    * regenerations: parquet TIMESTAMP(NANOS) read as a raw Long (older
+    * data), and plain TIMESTAMP_MICROS with isAdjustedToUTC=false, which
+    * Spark scans as `timestamp_ntz` (current data). Branch on the actual
+    * scanned dtype so a future regen can't silently break every events
+    * reader again: either way downstream sees wall-clock µs `timestamp_ntz`
+    * — the same logical instants DuckDB reads from the same file, so
+    * oracle comparisons match. (Do NOT rely on
+    * `spark.sql.legacy.parquet.nanosAsLong` — inert on Spark 4.1.2 when
+    * set post-launch; the LongType branch only fires if the harness ever
+    * writes int64 nanos again.)
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw(spark, dir, "events")
-      // timestamp_ntz: wall-clock µs in the UTC session zone — the same
-      // logical type DuckDB reads, so dumped parquet carries identical
-      // (naive, µs) timestamps instead of tz-adjusted ones.
-      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    val df = raw(spark, dir, "events")
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case TimestampNTZType => df
+      case TimestampType    => df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      case LongType =>
+        // int64 nanos → truncate toward zero to µs (DuckDB's read behavior)
+        df.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other — update Tables.events for the new testdata encoding")
+    }
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = raw(spark, dir, "lineitem")

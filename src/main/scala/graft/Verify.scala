@@ -15,9 +15,6 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet stores TIMESTAMP(NANOS): read as Long nanos (Tables
-      // truncates to µs, matching DuckDB's read-time behavior)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // write µs-precision timestamps (not INT96) so the driver's reader
       // sees the same logical type DuckDB produces
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
@@ -36,10 +33,19 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = dumpSession()
     new java.io.File(outDir).mkdirs()
+    // A failed dump must be LOUD: round 6's schema break surfaced only as
+    // 34 silent absences in the driver's correctness file. Record every
+    // failure as a per-query marker file plus a summary, so "missing
+    // parquet" is always distinguishable from "never attempted".
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.keys.foreach { name =>
       try dumpQuery(spark, sfDir, outDir, name)
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getName}: ${e.getMessage}"
+        failed(name) = msg
+        System.err.println(s"[verify] ERROR $name: $msg")
+        try Files.writeString(Paths.get(s"$outDir/$name.ERROR.txt"), msg + "\n")
+        catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -57,6 +63,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} of ${SparkEntry.queries.size} queries FAILED to dump")
     spark.stop()
   }
 }

@@ -88,9 +88,18 @@ object ChFunctions {
     * stays hash-identical to the DuckDB oracle: double summation order
     * differs between engines, integer summation cannot.
     */
-  def exactSum(c: Column, decimals: Int): Column = {
+  def exactSum(c: Column, decimals: Int): Column =
+    sum(units(c, decimals)) / math.pow(10, decimals)
+
+  /** The integer-unit scaling rule itself: round half-up at `decimals`
+    * via pure IEEE ops and return the scaled Long. This is the ONE home
+    * of the cross-engine rounding discipline — every money/metric sum
+    * that must hash-match the DuckDB oracle goes through here (directly
+    * or via [[exactSum]]); don't re-inline `floor(x*f+0.5)` at call
+    * sites, or the rule drifts. */
+  def units(c: Column, decimals: Int): Column = {
     val factor = math.pow(10, decimals)
-    sum(floor(c * factor + 0.5).cast("long")) / factor
+    floor(c * factor + 0.5).cast("long")
   }
 
   /** Deterministic half-up rounding of a computed double via pure IEEE

@@ -320,9 +320,22 @@ object Sketches {
     * = k smallest of the merged k-minima; intersection = union est ×
     * the fraction of the union sketch's minima present in BOTH sides.
     * Everything downstream of the caller's distinct-hash shuffle is
-    * parameter-bounded (≤ |keys| × k rows). */
+    * parameter-bounded (≤ |keys| × k rows).
+    *
+    * CARDINALITY BOUND: the pair matrix is |keys|·(|keys|−1)/2 rows and
+    * the member join fans each sketch row into every pair containing its
+    * key — total work is O(|keys|² · k). That is fine for the intended
+    * group keys (event types, document sources: tens of values) and
+    * UNACCEPTABLE for high-cardinality keys (user_id, doc_id) at 100 TB,
+    * so the guard below hard-fails past `maxKeys` distinct keys rather
+    * than detonating a quadratic join. Counting `kept.key` is cheap —
+    * `kept` is the already-localCheckpointed ≤ |keys|×k frame. Callers
+    * with a legitimately wider (still bounded) domain raise `maxKeys`
+    * explicitly; for genuinely high-cardinality similarity use the LSH
+    * band-join operators in [[graft.operators.TextDedup]] instead. */
   private def kmvOverlapMatrix(hashed: DataFrame, aName: String, bName: String,
-                               aEst: String, bEst: String, k: Int): DataFrame = {
+                               aEst: String, bEst: String, k: Int,
+                               maxKeys: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val norm = (h: Column) =>
       (h.cast("double") + lit(9.223372036854776e18)) / lit(1.8446744073709552e19)
@@ -344,6 +357,11 @@ object Sketches {
       .select(col("key"), est(col("n"), col("hk")).as("est_n"))
 
     val keys = kept.select("key").distinct()
+    val nKeys = keys.count()
+    require(nKeys <= maxKeys,
+      s"kmvOverlapMatrix: $nKeys distinct keys exceeds maxKeys=$maxKeys — " +
+        s"the pair matrix is quadratic in key count; this operator is for " +
+        s"bounded group keys (types/sources), not high-cardinality ids")
     val pairs = keys.select(col("key").as(aName))
       .crossJoin(broadcast(keys.select(col("key").as(bName))))
       .filter(col(aName) < col(bName))

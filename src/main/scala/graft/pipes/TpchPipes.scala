@@ -178,8 +178,7 @@ object TpchPipes {
       .select(col("s_suppkey"), col("s_nationkey").as("sn_key"))
     val sn = broadcast(Tables.nation(spark, dir)
       .select(col("n_nationkey").as("sn_nationkey"), col("n_name").as("supp_nation")))
-    val volUnits = floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000 + 0.5)
-      .cast("long")
+    val volUnits = units(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
     li.join(p, col("l_partkey") === col("p_partkey"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
@@ -715,8 +714,7 @@ object TpchPipes {
       .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
       .select("l_partkey", "l_extendedprice", "l_discount")
     val p = Tables.part(spark, dir).select("p_partkey", "p_type")
-    val volUnits = floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000 + 0.5)
-      .cast("long")
+    val volUnits = units(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
     li.join(p, col("l_partkey") === col("p_partkey"))
       .agg(sum(when(col("p_type") === "PROMO", volUnits).otherwise(0L))
           .as("promo_units"),
@@ -724,7 +722,10 @@ object TpchPipes {
       .select(
         (col("promo_units") / 10000.0).as("promo_revenue"),
         (col("total_units") / 10000.0).as("total_revenue"),
-        floorRound(col("promo_units") * lit(100.0) / col("total_units"), 4)
+        // empty/zero-window guard: NULL instead of a div-by-zero Infinity
+        // if the shipdate window is ever parameterized to match no rows
+        when(col("total_units") > 0,
+          floorRound(col("promo_units") * lit(100.0) / col("total_units"), 4))
           .as("promo_pct"))
   }
 
@@ -740,8 +741,7 @@ object TpchPipes {
     val rev = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
       .groupBy(col("l_suppkey"))
-      .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000 + 0.5)
-        .cast("long")).as("rev_units"))
+      .agg(sum(units(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)).as("rev_units"))
     val mx = rev.agg(max(col("rev_units")).as("__mx"))
     rev.crossJoin(broadcast(mx))
       .filter(col("rev_units") === col("__mx"))
@@ -758,7 +758,13 @@ object TpchPipes {
     * complaints) — the distinct-agg + decorrelated NOT IN topology.
     * Scale: the pair frame dedups BEFORE the dim join (shrinks the
     * fact to ≤ |partsupp|), the exclusion is a left-anti against a
-    * tiny frame, and countDistinct over the grouped pairs is exact. */
+    * tiny frame, and countDistinct over the grouped pairs is exact.
+    *
+    * SF note: the complaints set (s_acctbal < 0) is EMPTY at sf0.001
+    * (min balance 537.46) — the anti-join is a no-op at smoke scale and
+    * only becomes load-bearing at sf0.01+ (where the correctness gate
+    * runs, 6/100 suppliers negative). A smoke-only run does NOT cover
+    * the exclusion path. */
   def q16SupplierRelationships(spark: SparkSession, dir: String,
                                excludeBrand: String = "Brand#15",
                                sizes: Seq[Int] = Seq(1, 9, 14, 19, 23, 36, 45, 49)): DataFrame = {

@@ -42,10 +42,9 @@ object GenScale {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      // events.parquet stores TIMESTAMP(NANOS): read ts as a plain
-      // long (same contract Tables.events relies on) so the copy
-      // round-trips; consumers div to micros either way
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // write µs timestamps so replicated events round-trip with the same
+      // logical type Tables.events scans from the harness data
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

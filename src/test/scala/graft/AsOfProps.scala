@@ -16,7 +16,6 @@ object AsOfProps extends Properties("AsOfJoin") {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .getOrCreate()
 

@@ -11,7 +11,6 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the library's deployment posture: native functions + CH-dialect
     // parser active for every suite, so a dialect-detection false
     // positive on plain Spark SQL would surface anywhere, not just in
