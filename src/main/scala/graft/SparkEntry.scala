@@ -162,6 +162,9 @@ object SparkEntry {
     "docs_bpe_merges"       -> ((s, d) => operators.TextAnalysis.bpeMergeCandidates(s, d)),
     "docs_bpe_encode"       -> ((s, d) => operators.TextAnalysis.bpeEncode(s, d)),
     "docs_top_terms"        -> ((s, d) => operators.TextAnalysis.topTermsPerDoc(s, d)),
+    "docs_tfidf_pairs"      -> ((s, d) => operators.TextAnalysis.tfidfPairs(s, d)),
+    "docs_tfidf_neighbors"  -> ((s, d) => operators.TextAnalysis.tfidfNeighbors(s, d)),
+    "docs_topic_clusters"   -> ((s, d) => operators.TextAnalysis.topicClusters(s, d)),
     "docs_repetition_filters" -> ((s, d) => operators.TextAnalysis.repetitionFilters(s, d)),
     "docs_lm_score"         -> (operators.TextAnalysis.lmScore _),
     "docs_lm_buckets"       -> (operators.TextAnalysis.lmBuckets _),
@@ -494,6 +497,37 @@ object SparkEntry {
       |  SELECT doc_id, count(*) AS n_bigrams,
       |    floor(CAST(sum(u) AS BIGINT) / (count(*) * 1000000000.0) * 1000000 + 0.5) / 1000000.0 AS lm_score
       |  FROM terms GROUP BY doc_id)""".stripMargin
+
+  /** Sparse TF-IDF weighting + pair-cosine pipeline as DuckDB CTEs,
+    * ending in `tp(doc_a, doc_b, cos_raw)` — shared by the pair,
+    * neighbor, and topic-cluster oracles. Integer-unit weights (capped
+    * tf × clamped rational idf) make dot/norm sums exact BIGINTs; the
+    * oracle joins term STRINGS where Spark joins xxhash64 longs
+    * (equality-only role — a collision surfaces as a differential
+    * failure, it cannot hide). */
+  private val tfidfCtes =
+    """tfr AS (
+      |  SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      |  GROUP BY 1, 2),
+      |dft AS (SELECT term, count(*) AS df FROM tfr GROUP BY 1),
+      |ndocs AS (SELECT count(*) AS n_docs FROM documents),
+      |tw AS (
+      |  SELECT doc_id, term,
+      |    least(tf, 255) * least(CAST(floor((n_docs + 1.0) / (df + 1.0) * 100 + 0.5) AS BIGINT), 100000) AS wu
+      |  FROM tfr JOIN dft USING (term) CROSS JOIN ndocs
+      |  WHERE df <= 100),
+      |tnorms AS (SELECT doc_id, CAST(sum(wu * wu) AS BIGINT) AS norm2 FROM tw GROUP BY 1),
+      |tdots AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(sum(a.wu * b.wu) AS BIGINT) AS dot
+      |  FROM tw a JOIN tw b ON a.term = b.term AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |tp AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(dot AS DOUBLE) / (sqrt(CAST(na.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE))) AS cos_raw
+      |  FROM tdots
+      |  JOIN tnorms na ON na.doc_id = doc_a
+      |  JOIN tnorms nb ON nb.doc_id = doc_b)""".stripMargin
 
   private val nearDupCtes =
     // the oracle joins the 3-gram STRINGS while the Spark side joins
@@ -1904,6 +1938,52 @@ object SparkEntry {
         |SELECT doc_id, term, tf, df,
         |  floor(wr * 1000000 + 0.5) / 1000000.0 AS weight, CAST(term_rank AS INT) AS term_rank
         |FROM r WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin,
+    // sparse TF-IDF cosine pairs: integer-unit weights (capped tf ×
+    // clamped rational idf) make dot/norm sums exact BIGINTs; cosine is
+    // then exactly-rounded IEEE ops on exact integers — identical in
+    // both engines. df-capped terms excluded from weights AND norms on
+    // both sides (the documented operator semantics, not an oracle
+    // approximation). Oracle joins term STRINGS where Spark joins
+    // xxhash64 longs — equality-only role, so a (negligible-probability)
+    // collision would surface as a differential failure, not hide.
+    "docs_tfidf_pairs" ->
+      s"""WITH $tfidfCtes
+        |SELECT doc_a, doc_b, floor(cos_raw * 10000 + 0.5) / 10000.0 AS cosine
+        |FROM tp WHERE cos_raw >= 0.6 ORDER BY doc_a, doc_b""".stripMargin,
+    // retrieval view of the pair frame (threshold 0.3): symmetrize and
+    // rank per doc on the ROUNDED cosine (the published value) so the
+    // top-k cut is engine-independent under 4dp ties
+    "docs_tfidf_neighbors" ->
+      s"""WITH $tfidfCtes,
+        |pairs AS (
+        |  SELECT doc_a, doc_b, floor(cos_raw * 10000 + 0.5) / 10000.0 AS cosine
+        |  FROM tp WHERE cos_raw >= 0.3),
+        |sym AS (
+        |  SELECT doc_a AS doc_id, doc_b AS neighbor, cosine FROM pairs
+        |  UNION ALL
+        |  SELECT doc_b AS doc_id, doc_a AS neighbor, cosine FROM pairs)
+        |SELECT doc_id, rank, neighbor, cosine FROM (
+        |  SELECT doc_id, neighbor, cosine,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY cosine DESC, neighbor) AS INT) AS rank
+        |  FROM sym)
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // transitive closure of the tfidf pair graph — topical clusters
+    // without any embedding model; same recursive min-label closure as
+    // docs_dup_clusters, over cosine edges instead of jaccard edges
+    "docs_topic_clusters" ->
+      s"""WITH RECURSIVE $tfidfCtes,
+        |pairs AS (SELECT doc_a, doc_b FROM tp WHERE cos_raw >= 0.6),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT src AS doc_id, src AS r FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id),
+        |lab AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
+        |SELECT doc_id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM lab ORDER BY cluster_id, doc_id""".stripMargin,
     // per-source cap first, then the global ranking on the capped frame
     "docs_top_quality_diverse" ->
       """WITH scored AS (

@@ -507,4 +507,114 @@ object TextAnalysis {
           .otherwise("tail").as("bucket"))
       .orderBy("doc_id")
   }
+
+  /** Sparse TF-IDF cosine document-pair similarity — the sparse-vector
+    * complement to the corpus's other similarity families: MinHash/
+    * Jaccard measures SET overlap (term identity only), BM25 scores a
+    * QUERY against docs, dense ANN needs a trained embedding; TF-IDF
+    * cosine weighs shared vocabulary by rarity with no model at all,
+    * the classic first pass for topical near-dup mining.
+    *
+    * Determinism discipline (the exactSum idea lifted to vectors): all
+    * weights are INTEGER UNITS, so dot products and squared norms are
+    * exact Long sums — partition-order-invariant in Spark and
+    * bit-identical in the DuckDB oracle. wu = min(tf, 255) ·
+    * min(floor(((n_docs+1)/(df+1))·100 + 0.5), 100000): sublinear tf
+    * saturation (BM25-style — a term repeated 10k times is topical
+    * evidence, not 10k× the evidence) times a clamped RATIONAL idf
+    * (no ln — transcendental libm results aren't specified bitwise
+    * across engines; the rational (N+1)/(df+1) ranks identically).
+    * The caps also bound the arithmetic: wu ≤ 2.55e7, wu² ≤ 6.6e14,
+    * so a doc needs >10⁴ distinct rare terms before a Long norm could
+    * overflow — and cosine itself (dot / (√na·√nb)) is exactly-rounded
+    * IEEE ops on exact integers, identical everywhere.
+    *
+    * Scale shape: ONE df-capped inverted-index self-join (fan-out ≤
+    * maxDf² per term — the nearDupPairs bound), term keys pre-hashed
+    * to 8-byte longs for the exchanges (equality-only role, same
+    * argument as nearDupFrom). Terms with df > maxDf are EXCLUDED from
+    * weights and norms alike — by construction they carry the lowest
+    * idf mass, and dropping them on both sides keeps the operator
+    * single-pass (no correction join) and the oracle exact. */
+  def tfidfPairs(spark: SparkSession, dir: String, minCos: Double = 0.6,
+                 maxDf: Int = 100): DataFrame =
+    tfidfPairsFrom(Tables.documents(spark, dir), minCos, maxDf)
+
+  private[graft] def tfidfPairsFrom(docs: DataFrame, minCos: Double,
+                                    maxDf: Int): DataFrame = {
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    // hash terms AT THE EXPLODE: every downstream role (tf group, df
+    // group, the join and the index self-join) is equality-only, so all
+    // corpus-sized exchanges carry fixed-width longs, never strings —
+    // the nearDupFrom argument; the oracle keeps joining the strings
+    // and differentially catches a (~2⁻⁶⁴) collision as a value diff
+    val tf = docs
+      .select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term_s"))
+      .select(col("doc_id"), xxhash64(col("term_s")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = tf.join(dft, "term").filter(col("df") <= maxDf)
+      .crossJoin(broadcast(nDocs))
+      .withColumn("wu",
+        least(col("tf"), lit(255L)) *
+          least(floor((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)) * 100 + 0.5)
+            .cast("long"), lit(100000L)))
+      .select(col("doc_id"), col("term"), col("wu"))
+    val norms = w.groupBy("doc_id").agg(sum(col("wu") * col("wu")).as("norm2"))
+    val dots = w.as("a")
+      .join(w.as("b"),
+        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.wu") * col("b.wu")).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("norm2").as("na2")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("norm2").as("nb2")), "doc_b")
+      .withColumn("cos_raw",
+        col("dot").cast("double") /
+          (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))))
+      .filter(col("cos_raw") >= minCos)
+      .select(col("doc_a"), col("doc_b"),
+        floorRound(col("cos_raw"), 4).as("cosine"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Top-k sparse-TF-IDF neighbors per document — the retrieval view of
+    * [[tfidfPairs]]: symmetrize the (doc_a < doc_b) pair frame and keep
+    * each document's k most-similar neighbors. Ranking uses the ROUNDED
+    * cosine (the published value) with neighbor-id tiebreak, so the
+    * cut is reproducible in any engine regardless of sub-ulp cosine
+    * differences that 4dp rounding erases. Scale: the pair frame is
+    * already threshold-pruned; the window shuffles pairs (ids +
+    * doubles), never text. */
+  def tfidfNeighbors(spark: SparkSession, dir: String, k: Int = 3,
+                     minCos: Double = 0.3, maxDf: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = tfidfPairsFrom(Tables.documents(spark, dir), minCos, maxDf)
+    val sym = pairs
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("neighbor"), col("cosine"))
+      .unionAll(pairs
+        .select(col("doc_b").as("doc_id"), col("doc_a").as("neighbor"), col("cosine")))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("cosine").desc, col("neighbor"))
+    sym.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("neighbor"), col("cosine"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Topical document clusters WITHOUT an embedding model: connected
+    * components over the [[tfidfPairs]] graph — docs sharing enough
+    * rare weighted vocabulary land in one component. The model-free
+    * counterpart of [[VectorOps.dupClusters]] (embedding CC) and the
+    * topical counterpart of [[TextDedup.dupClusters]] (verbatim-overlap
+    * CC); reuses the same checkpointed min-label propagation, so the
+    * scale argument is unchanged (edge list ≪ corpus, rounds =
+    * component diameter). */
+  def topicClusters(spark: SparkSession, dir: String, minCos: Double = 0.6,
+                    maxDf: Int = 100, maxRounds: Int = 64): DataFrame =
+    ConnectedComponents.clusters(spark,
+        tfidfPairs(spark, dir, minCos, maxDf).select("doc_a", "doc_b"), maxRounds)
+      .toDF("doc_id", "cluster_id", "cluster_size")
+      .orderBy("cluster_id", "doc_id")
 }

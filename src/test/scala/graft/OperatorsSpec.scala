@@ -1051,4 +1051,34 @@ class OperatorsSpec extends SparkSpec {
     assert(payload.contains(""""data":[{"""))
     assert(payload.contains(""""rows":3"""))
   }
+
+  test("tfidf pairs: integer-unit cosine, df cap, threshold") {
+    import spark.implicits._
+    // 1/2 identical → cosine 1.0; 3 shares only the common term with
+    // them; 4/5 share a rare bigram-ish vocabulary → high but <1;
+    // 6 is disjoint. "the" appears in 5 docs → capped out at maxDf=4,
+    // so 3 shares NOTHING scored and must not pair with anyone.
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quick brown fox"),
+      (3L, "the unrelated totally different words here"),
+      (4L, "the alpha beta gamma delta"),
+      (5L, "the alpha beta gamma epsilon"),
+      (6L, "zeta eta theta iota")
+    ).toDF("doc_id", "text")
+    val got = operators.TextAnalysis.tfidfPairsFrom(docs, minCos = 0.5, maxDf = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(t => (t._1, t._2)) == Seq((1L, 2L), (4L, 5L)))
+    // identical docs: dot == norm2, cosine rounds to exactly 1.0
+    assert(got.head._3 == 1.0)
+    // 4/5: 3 shared df=2 terms (idf units 233) + 1 unique df=1 term
+    // (350) each → dot 3·233² = 162867, norms 285367 → 0.5707. The
+    // rare unique term correctly drags the pair BELOW the 3/4 naive
+    // token overlap — idf weighting is load-bearing, not cosmetic.
+    assert(got(1)._3 == 0.5707)
+    // threshold is load-bearing: raising it past the pair drops it
+    val strict = operators.TextAnalysis.tfidfPairsFrom(docs, minCos = 0.9, maxDf = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(strict == Seq((1L, 2L)))
+  }
 }
