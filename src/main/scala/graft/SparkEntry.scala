@@ -165,6 +165,8 @@ object SparkEntry {
     "docs_tfidf_pairs"      -> ((s, d) => operators.TextAnalysis.tfidfPairs(s, d)),
     "docs_tfidf_neighbors"  -> ((s, d) => operators.TextAnalysis.tfidfNeighbors(s, d)),
     "docs_topic_clusters"   -> ((s, d) => operators.TextAnalysis.topicClusters(s, d)),
+    "docs_split_leakage"    -> ((s, d) => operators.TextDedup.splitLeakageAudit(s, d)),
+    "docs_dedup_canonical"  -> ((s, d) => operators.TextDedup.canonicalSelect(s, d)),
     "docs_repetition_filters" -> ((s, d) => operators.TextAnalysis.repetitionFilters(s, d)),
     "docs_lm_score"         -> (operators.TextAnalysis.lmScore _),
     "docs_lm_buckets"       -> (operators.TextAnalysis.lmBuckets _),
@@ -1887,6 +1889,50 @@ object SparkEntry {
         |SELECT doc_id, cluster_id,
         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
         |FROM lab ORDER BY cluster_id, doc_id""".stripMargin,
+    // near-dup pairs straddling the content-digest train/val/test split
+    // — exact dups can't leak (same digest → same bucket), so every row
+    // is a non-identical near-dup crossing splits
+    "docs_split_leakage" ->
+      s"""WITH $nearDupCtes,
+        |pairs AS (
+        |  SELECT doc_a, doc_b, floor(jr * 10000 + 0.5) / 10000.0 AS jaccard
+        |  FROM j WHERE jr >= 0.5),
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substr(md5(text), 1, 2) < 'cd' THEN 'train'
+        |         WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT doc_a, doc_b, jaccard, sa.split AS split_a, sb.split AS split_b
+        |FROM pairs
+        |JOIN sp sa ON sa.doc_id = doc_a
+        |JOIN sp sb ON sb.doc_id = doc_b
+        |WHERE sa.split <> sb.split ORDER BY doc_a, doc_b""".stripMargin,
+    // per dup cluster: the member to KEEP — quality argmax (rounded
+    // 4dp stopword ratio, doc_id tiebreak), not the structural min id
+    "docs_dedup_canonical" ->
+      s"""WITH RECURSIVE $nearDupCtes,
+        |pairs AS (SELECT doc_a, doc_b FROM j WHERE jr >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT src AS doc_id, src AS r FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id),
+        |lab AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+        |cl AS (SELECT doc_id, cluster_id,
+        |         count(*) OVER (PARTITION BY cluster_id) AS cluster_size FROM lab),
+        |q AS (
+        |  SELECT doc_id,
+        |    floor(CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS DOUBLE)
+        |          / (length(text) - length(replace(text, ' ', '')) + 1) * 10000 + 0.5) / 10000.0 AS q
+        |  FROM documents),
+        |rnk AS (
+        |  SELECT cluster_id, cl.doc_id, q, cluster_size,
+        |    row_number() OVER (PARTITION BY cluster_id ORDER BY q DESC, cl.doc_id) AS rn
+        |  FROM cl JOIN q USING (doc_id) WHERE cluster_size > 1)
+        |SELECT cluster_id, doc_id AS canonical_doc, q AS canonical_quality, cluster_size
+        |FROM rnk WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     // positional winnowing (shares the rh rolling-hash arithmetic with
     // winnowCtes) → df-cap → fingerprint join → offset-consistent runs
     "docs_substring_spans" ->

@@ -553,4 +553,53 @@ object TextDedup {
           .as("edit_ratio"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Split-leakage audit — the eval-integrity check every training
+    * pipeline needs: near-duplicate pairs whose members landed in
+    * DIFFERENT train/val/test splits ([[TextAnalysis.splitAssign]]'s
+    * content-digest split). A near-dup of a training document sitting
+    * in the test split silently inflates eval scores; this surfaces
+    * exactly those pairs (exact duplicates can't leak — identical text
+    * hashes to the same split bucket — so every emitted row is a
+    * NON-identical near-dup straddling splits, the dangerous kind).
+    * Scale: the pair frame is already candidate-bounded; the two split
+    * lookups are id→split projections of the corpus (no text moves),
+    * joined on the pair ids. */
+  /** Quality-aware canonical selection: for every duplicate cluster
+    * ([[dupClusters]]), the member to KEEP — highest stopword-ratio
+    * quality, doc_id tiebreak — rather than the structural min-id the
+    * cluster label uses. This is the curation decision real dedup
+    * pipelines make (keep the best copy, not the first-crawled copy);
+    * ranking on the ROUNDED 4dp quality keeps the argmax
+    * engine-reproducible. Scale: clusters and the id→quality projection
+    * join on doc_id (no text moves past the scan); the ranking window
+    * shuffles cluster-member rows — the dup subset, ≪ corpus. */
+  def canonicalSelect(spark: SparkSession, dir: String,
+                      maxRounds: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quality = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.stopwordRatio(col("text")).as("q"))
+    val w = Window.partitionBy("cluster_id").orderBy(col("q").desc, col("doc_id"))
+    dupClusters(spark, dir, maxRounds)
+      .filter(col("cluster_size") > 1)
+      .join(quality, "doc_id")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("canonical_doc"),
+        col("q").as("canonical_quality"), col("cluster_size"))
+      .orderBy("cluster_id")
+  }
+
+  def splitLeakageAudit(spark: SparkSession, dir: String,
+                        minJaccard: Double = 0.5, maxDf: Int = 100): DataFrame = {
+    val splits = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.splitOf(col("text")).as("split"))
+    nearDupPairs(spark, dir, minJaccard, maxDf)
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        col("split_a"), col("split_b"))
+      .orderBy("doc_a", "doc_b")
+  }
 }

@@ -168,6 +168,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("tfidf family: no exchange carries text or term strings") {
+    // terms are xxhash64'd AT THE EXPLODE, so the tf/df aggregations
+    // and the inverted-index self-join all exchange fixed-width longs;
+    // shipping raw terms (or worse, text) would put corpus bytes on
+    // the wire at 100 TB
+    for (q <- Seq("docs_tfidf_pairs", "docs_tfidf_neighbors", "docs_topic_clusters")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val fmt = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val exchangeParas = fmt.split("\n\n").filter(p =>
+        p.linesIterator.nextOption().exists(_.matches("""\(\d+\) Exchange.*""")))
+      assert(exchangeParas.nonEmpty, s"$q: expected at least one Exchange detail\n${fmt.take(1500)}")
+      for (p <- exchangeParas) {
+        assert(!p.contains("text#"),
+          s"$q: an Exchange carries the text column:\n$p")
+        assert(!p.contains("term_s#"),
+          s"$q: an Exchange carries raw term strings (hash them at the explode):\n$p")
+      }
+    }
+  }
+
   test("stratified sample: a pure scan+filter, no exchange before the presentation sort") {
     val p = plan("docs_sample_stratified")
     // the only acceptable exchange is the global orderBy at the end
