@@ -111,6 +111,11 @@ object SparkEntry {
     "events_grouping_sets"  -> (CdcPipes.eventsGroupingSets _),
     "events_rolling_value"  -> (CdcPipes.eventsRollingValue _),
     "user_value_deciles"    -> (CdcPipes.userValueDeciles _),
+    "user_rfm_segments"     -> (CdcPipes.userRfmSegments _),
+    "user_attribution"      -> (CdcPipes.userAttribution _),
+    "events_transition_matrix" -> (CdcPipes.eventsTransitionMatrix _),
+    "user_event_paths"      -> ((s, d) => CdcPipes.userEventPaths(s, d)),
+    "q11_important_stock"   -> ((s, d) => TpchPipes.q11ImportantStock(s, d)),
     "orders_pivot"          -> (TpchPipes.ordersPivot _),
     "events_funnel"         -> ((s, d) => CdcPipes.eventsFunnel(s, d)),
     "cheapest_supplier_per_part" -> (TpchPipes.cheapestSupplierPerPart _),
@@ -1124,6 +1129,102 @@ object SparkEntry {
         |SELECT user_id, total_value,
         |  CAST(ntile(10) OVER (ORDER BY total_value DESC, user_id) AS INT) AS decile
         |FROM t ORDER BY user_id""".stripMargin,
+    // RFM quintiles over deterministic total orders (metric + user_id
+    // tiebreak; monetary coalesced to 0 — Spark and DuckDB disagree on
+    // default NULL placement in ORDER BY)
+    "user_rfm_segments" ->
+      """WITH ref AS (SELECT max(ts) AS ref_ts FROM events),
+        |per AS (
+        |  SELECT user_id, max(ts) AS last_ts, count(*) AS frequency,
+        |    coalesce(CAST(sum(CAST(floor(coalesce(value, 0) * 100 + 0.5) AS BIGINT)) AS BIGINT), 0) AS m_units
+        |  FROM events GROUP BY 1),
+        |base AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', CAST(last_ts AS DATE), CAST(ref_ts AS DATE)) AS INT) AS recency_days,
+        |    frequency, m_units
+        |  FROM per CROSS JOIN ref),
+        |scored AS (
+        |  SELECT user_id, recency_days, frequency, m_units,
+        |    6 - CAST(ntile(5) OVER (ORDER BY recency_days ASC, user_id) AS INT) AS r_score,
+        |    6 - CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS INT) AS f_score,
+        |    6 - CAST(ntile(5) OVER (ORDER BY m_units DESC, user_id) AS INT) AS m_score
+        |  FROM base)
+        |SELECT user_id, recency_days, frequency, m_units / 100.0 AS monetary,
+        |  r_score, f_score, m_score,
+        |  CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+        |       WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'
+        |       WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+        |       WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+        |       ELSE 'regular' END AS segment
+        |FROM scored ORDER BY user_id""".stripMargin,
+    // first/last-touch credit before the user's FIRST purchase; edges
+    // ordered by the total (ts, event_id) order on both engines
+    "user_attribution" ->
+      """WITH fp AS (
+        |  SELECT user_id, ts AS purchase_ts, event_id AS p_eid, value AS attributed_value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |        FROM events WHERE event_type = 'purchase')
+        |  WHERE rn = 1),
+        |t AS (
+        |  SELECT e.user_id, e.event_type AS t_type, e.ts AS t_ts, e.event_id AS t_eid,
+        |         fp.purchase_ts, fp.attributed_value
+        |  FROM events e JOIN fp ON e.user_id = fp.user_id
+        |  WHERE e.event_type IN ('click', 'view')
+        |    AND (e.ts < fp.purchase_ts OR (e.ts = fp.purchase_ts AND e.event_id < fp.p_eid))),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY t_ts, t_eid) AS fr,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY t_ts DESC, t_eid DESC) AS lr,
+        |    count(*) OVER (PARTITION BY user_id) AS n_touches
+        |  FROM t)
+        |SELECT f.user_id, f.t_type AS first_touch_type, f.t_ts AS first_touch_ts,
+        |       l.t_type AS last_touch_type, l.t_ts AS last_touch_ts,
+        |       f.purchase_ts, f.attributed_value,
+        |       CAST(f.n_touches AS BIGINT) AS n_touches
+        |FROM r f JOIN r l ON f.user_id = l.user_id AND l.lr = 1
+        |WHERE f.fr = 1
+        |ORDER BY f.user_id""".stripMargin,
+    // first-order Markov transitions over the (ts, event_id) total order;
+    // pct floor-rounded at 4dp on both engines
+    "events_transition_matrix" ->
+      """WITH nxt AS (
+        |  SELECT user_id, event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  floor(n * 100.0 / sum(n) OVER (PARTITION BY from_type) * 10000 + 0.5) / 10000 AS pct
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+    // first-5-event journey prefixes; (n_users DESC, path) total order
+    // makes the LIMIT deterministic
+    "user_event_paths" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 5 GROUP BY 1)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_users
+        |FROM p GROUP BY 1
+        |ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
+    // Q11 group-vs-global-scalar HAVING; value in integer units end-to-end
+    "q11_important_stock" ->
+      """WITH lv AS (
+        |  SELECT l_partkey AS p_partkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS value_units
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_7'
+        |  GROUP BY 1),
+        |tot AS (SELECT sum(value_units) AS t FROM lv)
+        |SELECT p_partkey, value_units / 10000.0 AS stock_value
+        |FROM lv CROSS JOIN tot
+        |WHERE value_units > t * 0.0001
+        |ORDER BY value_units DESC, p_partkey""".stripMargin,
     "orders_pivot" ->
       """SELECT o_orderpriority,
         |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,

@@ -548,6 +548,154 @@ object CdcPipes {
       .orderBy("user_id")
   }
 
+  /** RFM user segmentation — recency/frequency/monetary quintile
+    * scoring, the classic behavioral-segmentation endpoint: per user,
+    * days since last event (vs the corpus max — a 1-row broadcast
+    * scalar, the reference's watermark pattern), event count, and
+    * integer-unit value total, each ntile(5)-scored over a
+    * DETERMINISTIC total order (metric + user_id tiebreak; monetary
+    * coalesced to 0 so null orderings can't diverge between engines —
+    * Spark and DuckDB default NULL placement differs). Scores fold
+    * into the standard segment labels (champion / loyal / at_risk /
+    * hibernating / regular).
+    *
+    * Scale: the heavy aggregation is one map-side-combined shuffle of
+    * the events table; every window runs on the PER-USER frame (≪
+    * events). The unpartitioned ntile windows are a deliberate bound:
+    * quintile cuts need a global order of users — fine for an
+    * endpoint-sized user dimension; a 100 TB user table would swap
+    * ntile for approx-percentile cut points and a broadcast bucket
+    * join (the histogram-quantile path below). */
+  def userRfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+    val ref = ev.agg(max(col("ts")).as("ref_ts"))
+    val per = ev.groupBy("user_id").agg(
+      max(col("ts")).as("last_ts"),
+      count(lit(1)).as("frequency"),
+      coalesce(sum(units(coalesce(col("value"), lit(0.0)), 2)), lit(0L))
+        .as("m_units"))
+    val scored = per.crossJoin(broadcast(ref))
+      .select(col("user_id"),
+        datediff(to_date(col("ref_ts")), to_date(col("last_ts"))).as("recency_days"),
+        col("frequency"), col("m_units"))
+      .withColumn("r_score", lit(6) - ntile(5).over(
+        Window.orderBy(col("recency_days").asc, col("user_id"))))
+      .withColumn("f_score", lit(6) - ntile(5).over(
+        Window.orderBy(col("frequency").desc, col("user_id"))))
+      .withColumn("m_score", lit(6) - ntile(5).over(
+        Window.orderBy(col("m_units").desc, col("user_id"))))
+    scored
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        (col("m_units") / 100.0).as("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4, "champion")
+          .when(col("r_score") >= 3 && col("f_score") >= 3, "loyal")
+          .when(col("r_score") <= 2 && col("f_score") >= 3, "at_risk")
+          .when(col("r_score") <= 2 && col("f_score") <= 2, "hibernating")
+          .otherwise("regular").as("segment"))
+      .orderBy("user_id")
+  }
+
+  /** First/last-touch attribution — per converting user, the marketing
+    * touches (click/view) preceding their FIRST purchase, reduced to
+    * the classic first-touch / last-touch credit assignment plus the
+    * touch count. "Preceding" is the total (ts, event_id) event order,
+    * so simultaneous-timestamp edges resolve identically in any
+    * engine; users whose first purchase has no prior touch are
+    * excluded (no journey to attribute).
+    *
+    * Scale: first-purchase is the D1 LIMIT-1-BY window on the purchase
+    * subset; touch reduction is ONE aggregation using struct min/max —
+    * (ts, event_id) is unique, so the lexicographic struct extremum IS
+    * the first/last touch, with map-side partials instead of a second
+    * window pass. Both shuffles key on user_id; AQE co-partitions. */
+  def userAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+    val wP = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val firstPurchase = ev.filter(col("event_type") === "purchase")
+      .withColumn("__rn", row_number().over(wP)).filter(col("__rn") === 1)
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("p_eid"), col("value").as("attributed_value"))
+    val touches = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_type").as("t_type"),
+        col("ts").as("t_ts"), col("event_id").as("t_eid"))
+    touches.join(firstPurchase, "user_id")
+      .filter(col("t_ts") < col("purchase_ts") ||
+        (col("t_ts") === col("purchase_ts") && col("t_eid") < col("p_eid")))
+      .groupBy("user_id")
+      .agg(
+        min(struct(col("t_ts"), col("t_eid"), col("t_type"))).as("f"),
+        max(struct(col("t_ts"), col("t_eid"), col("t_type"))).as("l"),
+        max(col("purchase_ts")).as("purchase_ts"),
+        max(col("attributed_value")).as("attributed_value"),
+        count(lit(1)).as("n_touches"))
+      .select(col("user_id"),
+        col("f.t_type").as("first_touch_type"), col("f.t_ts").as("first_touch_ts"),
+        col("l.t_type").as("last_touch_type"), col("l.t_ts").as("last_touch_ts"),
+        col("purchase_ts"), col("attributed_value"), col("n_touches"))
+      .orderBy("user_id")
+  }
+
+  /** Event-type transition matrix — the first-order Markov view of the
+    * event stream: for every (from, to) pair of consecutive events in a
+    * user's (ts, event_id)-ordered history, the transition count and
+    * the row-normalized percentage. `lead` over the per-user frame
+    * pairs each event with its successor; the unique (ts, event_id)
+    * order makes the successor engine-deterministic.
+    *
+    * Scale: the window is per-user (one user_id shuffle, frames ≪
+    * events); the transition aggregate is map-side combined down to
+    * ≤ k² rows for k event types, and the normalizing row-total window
+    * runs on that k²-row frame, not the stream. */
+  def eventsTransitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wP = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val counts = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(wP))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wF = Window.partitionBy("from_type")
+    counts
+      .select(col("from_type"), col("to_type"), col("n"),
+        floorRound(col("n") * lit(100.0) / sum(col("n")).over(wF), 4).as("pct"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Top user journey prefixes — each user's first `k` events collapsed
+    * to an ordered `a>b>c` path string, ranked by how many users share
+    * the prefix. The LIMIT-1-BY window machinery generalized to
+    * LIMIT-k-BY, then a path aggregate: collect_list gives no order
+    * guarantee, so the (rn, event_type) structs are array_sorted before
+    * joining — the sort is per-user over ≤ k elements, not a shuffle.
+    *
+    * Scale: one user_id window pass + two map-side-combined aggregates;
+    * path cardinality is bounded by kᵏ over the event-type alphabet,
+    * and the final global top-N sorts that bounded frame only. */
+  def userEventPaths(spark: SparkSession, dir: String,
+                     k: Int = 5, topN: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wP = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("rn", row_number().over(wP))
+      .filter(col("rn") <= k)
+      .groupBy("user_id")
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(rn, event_type))), x -> x.event_type)"),
+        ">").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(topN)
+  }
+
   /** Mergeable histogram quantiles: the value distribution per event
     * type as fixed-width integer bins (1 dollar), with p50/p95
     * estimated from the cumulative histogram — the MERGEABLE quantile

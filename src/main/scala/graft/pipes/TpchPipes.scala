@@ -815,4 +815,38 @@ object TpchPipes {
         col("n_parts_dominated"), col("max_share"))
       .orderBy(col("n_parts_dominated").desc, col("s_suppkey"))
   }
+
+  /** TPC-H Q11 shape (important stock), adapted — no partsupp table, so
+    * shipped line value is the stock evidence: per-part value of the
+    * lineitems sold by ONE nation's suppliers, keeping parts whose value
+    * exceeds `fraction` of that nation's grand total. The Q11 topology
+    * is the group-vs-global-scalar HAVING: one shuffle builds the
+    * per-part aggregate, its 1-row global re-aggregate broadcasts back,
+    * and the threshold is a per-row predicate — the scalar subquery
+    * never rescans the fact.
+    *
+    * Scale: supplier⋈nation prunes the fact at the scan-side join
+    * (broadcast dims), so only the chosen nation's ~1/25 of lineitem
+    * shuffles. Value lives in integer units end-to-end; the
+    * long > total·fraction comparison promotes to double, exact well
+    * past 2^53 headroom at sf1000. */
+  def q11ImportantStock(spark: SparkSession, dir: String,
+                        nationName: String = "NATION_7",
+                        fraction: Double = 0.0001): DataFrame = {
+    val supp = Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir),
+        col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === nationName)
+      .select("s_suppkey")
+    val perPart = Tables.lineitem(spark, dir)
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(sum(units(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+        .as("value_units"))
+    val total = perPart.agg(sum(col("value_units")).as("__total"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("value_units") > col("__total") * fraction)
+      .select(col("p_partkey"), (col("value_units") / 10000.0).as("stock_value"))
+      .orderBy(col("value_units").desc, col("p_partkey"))
+  }
 }
