@@ -113,7 +113,6 @@ object SparkEntry {
     "user_value_deciles"    -> (CdcPipes.userValueDeciles _),
     "user_rfm_segments"     -> (CdcPipes.userRfmSegments _),
     "user_attribution"      -> (CdcPipes.userAttribution _),
-    "events_transition_matrix" -> (CdcPipes.eventsTransitionMatrix _),
     "user_event_paths"      -> ((s, d) => CdcPipes.userEventPaths(s, d)),
     "q11_important_stock"   -> ((s, d) => TpchPipes.q11ImportantStock(s, d)),
     "orders_pivot"          -> (TpchPipes.ordersPivot _),
@@ -1184,19 +1183,6 @@ object SparkEntry {
         |FROM r f JOIN r l ON f.user_id = l.user_id AND l.lr = 1
         |WHERE f.fr = 1
         |ORDER BY f.user_id""".stripMargin,
-    // first-order Markov transitions over the (ts, event_id) total order;
-    // pct floor-rounded at 4dp on both engines
-    "events_transition_matrix" ->
-      """WITH nxt AS (
-        |  SELECT user_id, event_type AS from_type,
-        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
-        |  FROM events),
-        |c AS (
-        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
-        |  FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2)
-        |SELECT from_type, to_type, n,
-        |  floor(n * 100.0 / sum(n) OVER (PARTITION BY from_type) * 10000 + 0.5) / 10000 AS pct
-        |FROM c ORDER BY from_type, to_type""".stripMargin,
     // first-5-event journey prefixes; (n_users DESC, path) total order
     // makes the LIMIT deterministic
     "user_event_paths" ->

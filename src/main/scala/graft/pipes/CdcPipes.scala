@@ -639,34 +639,6 @@ object CdcPipes {
       .orderBy("user_id")
   }
 
-  /** Event-type transition matrix — the first-order Markov view of the
-    * event stream: for every (from, to) pair of consecutive events in a
-    * user's (ts, event_id)-ordered history, the transition count and
-    * the row-normalized percentage. `lead` over the per-user frame
-    * pairs each event with its successor; the unique (ts, event_id)
-    * order makes the successor engine-deterministic.
-    *
-    * Scale: the window is per-user (one user_id shuffle, frames ≪
-    * events); the transition aggregate is map-side combined down to
-    * ≤ k² rows for k event types, and the normalizing row-total window
-    * runs on that k²-row frame, not the stream. */
-  def eventsTransitionMatrix(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wP = Window.partitionBy("user_id")
-      .orderBy(col("ts").asc, col("event_id").asc)
-    val counts = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
-      .withColumn("to_type", lead(col("event_type"), 1).over(wP))
-      .filter(col("to_type").isNotNull)
-      .groupBy(col("event_type").as("from_type"), col("to_type"))
-      .agg(count(lit(1)).as("n"))
-    val wF = Window.partitionBy("from_type")
-    counts
-      .select(col("from_type"), col("to_type"), col("n"),
-        floorRound(col("n") * lit(100.0) / sum(col("n")).over(wF), 4).as("pct"))
-      .orderBy("from_type", "to_type")
-  }
-
   /** Top user journey prefixes — each user's first `k` events collapsed
     * to an ordered `a>b>c` path string, ranked by how many users share
     * the prefix. The LIMIT-1-BY window machinery generalized to
