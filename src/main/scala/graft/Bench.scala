@@ -99,6 +99,10 @@ object BenchSome {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // an unknown name must abort, not time a NoSuchElementException as
+    // a 0.00 s no-op (the round-6 silent-failure lesson)
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // per-table scan warmup: the first query touching a table pays its
     // footer-read/codegen init (~4.5 s measured) — same as Bench's order

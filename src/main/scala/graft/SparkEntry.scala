@@ -1204,7 +1204,7 @@ object SparkEntry {
         |  FROM lineitem
         |  JOIN supplier ON l_suppkey = s_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey
-        |  WHERE n_name = 'NATION_7'
+        |  WHERE n_name = 'NATION_15'
         |  GROUP BY 1),
         |tot AS (SELECT sum(value_units) AS t FROM lv)
         |SELECT p_partkey, value_units / 10000.0 AS stock_value

@@ -831,7 +831,7 @@ object TpchPipes {
     * long > total·fraction comparison promotes to double, exact well
     * past 2^53 headroom at sf1000. */
   def q11ImportantStock(spark: SparkSession, dir: String,
-                        nationName: String = "NATION_7",
+                        nationName: String = "NATION_15",
                         fraction: Double = 0.0001): DataFrame = {
     val supp = Tables.supplier(spark, dir)
       .join(Tables.nation(spark, dir),

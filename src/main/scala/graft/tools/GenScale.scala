@@ -83,7 +83,21 @@ object GenScale {
       l.withColumn("l_orderkey", col("l_orderkey") + lit(k.toLong * 100000000L)))
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
-    for (t <- Seq("region", "nation", "customer", "supplier", "part", "events"))
+    // events: replica k shifts the entity key and the event id — each
+    // user's history replicates VERBATIM (same per-user event sequence,
+    // same (ts, event_id) relative order), so per-user window /
+    // sessionization / dedup workloads see factor× the users with
+    // identical per-user work, and the wall-clock span stays fixed —
+    // event density scales, which is how real traffic grows. Shifts are
+    // disjoint ranges (ids observed ≪ 10⁸/10¹²), so replicas never
+    // collide on either key.
+    val events = spark.read.parquet(s"$src/events.parquet")
+    replicas(events, (e, k) =>
+      e.withColumn("user_id", col("user_id") + lit(k.toLong * 100000000L))
+        .withColumn("event_id", col("event_id") + lit(k.toLong * 1000000000000L)))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    for (t <- Seq("region", "nation", "customer", "supplier", "part"))
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
 

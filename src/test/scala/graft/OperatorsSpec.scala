@@ -944,6 +944,68 @@ class OperatorsSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("rfm segments: scores in 1..5, labels consistent with the score rule") {
+    val rows = pipes.CdcPipes.userRfmSegments(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (rs, fs, ms) = (r.getAs[Int]("r_score"), r.getAs[Int]("f_score"), r.getAs[Int]("m_score"))
+      assert(rs >= 1 && rs <= 5 && fs >= 1 && fs <= 5 && ms >= 1 && ms <= 5)
+      assert(r.getAs[Int]("recency_days") >= 0)
+      val expect =
+        if (rs >= 4 && fs >= 4 && ms >= 4) "champion"
+        else if (rs >= 3 && fs >= 3) "loyal"
+        else if (rs <= 2 && fs >= 3) "at_risk"
+        else if (rs <= 2 && fs <= 2) "hibernating"
+        else "regular"
+      assert(r.getAs[String]("segment") == expect, s"user ${r.get(0)}: $rs/$fs/$ms")
+    }
+  }
+
+  test("attribution: touch order sane, touches precede the first purchase") {
+    val rows = pipes.CdcPipes.userAttribution(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val types = Set("click", "view")
+    for (r <- rows) {
+      val ft = r.getAs[java.time.LocalDateTime]("first_touch_ts")
+      val lt = r.getAs[java.time.LocalDateTime]("last_touch_ts")
+      val pt = r.getAs[java.time.LocalDateTime]("purchase_ts")
+      assert(!ft.isAfter(lt), "first touch after last touch")
+      assert(!lt.isAfter(pt), "touch after the purchase")
+      assert(types(r.getAs[String]("first_touch_type")))
+      assert(types(r.getAs[String]("last_touch_type")))
+      assert(r.getAs[Long]("n_touches") >= 1L)
+    }
+  }
+
+  test("journey paths: <=5 known components, counts descending, users conserved") {
+    val rows = pipes.CdcPipes.userEventPaths(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val alphabet = Set("click", "view", "purchase", "signup", "error")
+    for (r <- rows) {
+      val parts = r.getAs[String]("path").split(">")
+      assert(parts.length <= 5 && parts.forall(alphabet), r.getAs[String]("path"))
+    }
+    val counts = rows.map(_.getAs[Long]("n_users"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b }, "top-N not descending")
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(counts.sum <= nUsers, "paths claim more users than exist")
+  }
+
+  test("q11 shape: kept parts are exactly those above fraction of the global total") {
+    // fraction=0 keeps every part -> recompute the threshold independently
+    val all = pipes.TpchPipes.q11ImportantStock(spark, sf, fraction = 0.0).collect()
+    val totalUnits = all.map(r => math.round(r.getAs[Double]("stock_value") * 10000)).sum
+    val expectKept = all.count(r =>
+      math.round(r.getAs[Double]("stock_value") * 10000) > totalUnits * 0.0001)
+    val kept = pipes.TpchPipes.q11ImportantStock(spark, sf).collect()
+    assert(kept.length == expectKept, s"${kept.length} vs $expectKept of ${all.length}")
+    val vals = kept.map(_.getAs[Double]("stock_value"))
+    if (vals.length > 1)
+      assert(vals.zip(vals.tail).forall { case (a, b) => a >= b }, "not value-descending")
+    // the fraction=0 frame must itself be non-trivial at every SF
+    assert(all.nonEmpty, "NATION_7 has no shipped lineitems at this SF")
+  }
+
   test("every registered query runs at sf0.001") {
     val mayBeEmpty = Set("events_quarantine", "customers_without_orders",
       "docs_near_dup_pairs", "docs_minhash_lsh_pairs", "emb_knn_lsh")
