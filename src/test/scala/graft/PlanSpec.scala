@@ -287,6 +287,28 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one levenshtein node:\n${p.take(2000)}")
   }
 
+  test("q11: dims broadcast, the only sort-merge-free shuffle is the part agg") {
+    val p = plan("q11_important_stock")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "fact side must not shuffle for the dim joins")
+  }
+
+  test("attribution: one window pass (purchase subset), extrema as aggregation") {
+    val p = plan("user_attribution")
+    // design claim: first/last touch come from struct min/max partials,
+    // not a second window over the touch stream (WindowGroupLimit rows
+    // are the limit-1-by pushdown of the SAME pass, so count only the
+    // Window exec itself)
+    assert("Window \\[".r.findAllIn(p).size == 1, p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("journey paths: one window pass, global top-N is TakeOrdered") {
+    val p = plan("user_event_paths")
+    assert("Window \\[".r.findAllIn(p).size == 1, p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), "orderBy+limit must plan as top-k, not global sort")
+  }
+
   test("no registered query plans a cartesian product") {
     // BNLJ is allowed only for 1-row scalar-anchor crossJoins and the
     // broadcast-query brute-force scorer; a true cartesian never is.
