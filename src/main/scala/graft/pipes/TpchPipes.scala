@@ -849,4 +849,87 @@ object TpchPipes {
       .select(col("p_partkey"), (col("value_units") / 10000.0).as("stock_value"))
       .orderBy(col("value_units").desc, col("p_partkey"))
   }
+
+  /** TPC-H Q5 shape (local supplier volume): revenue per nation within
+    * one region, counting only lines where the supplier and the
+    * ordering customer share a nation. The "local" constraint is the
+    * Q5 content — it lives as a residual equality on the supplier join
+    * (c_nationkey = s_nationkey), not a separate filter pass.
+    * Scale: lineitem⋈orders is the one fact shuffle; customer joins on
+    * custkey (SF-scaled, planner-chosen); supplier is keyed by suppkey
+    * with the nation equality as residual; nation⋈region broadcast and
+    * pre-filtered to the region, so the nation probe also shrinks the
+    * customer side before the fact join. Revenue integer-unit summed. */
+  def q5LocalSupplierVolume(spark: SparkSession, dir: String,
+                            regionName: String = "ASIA"): DataFrame = {
+    val lo = expr("TIMESTAMP '1996-01-01 00:00:00'")
+    val hi = expr("TIMESTAMP '1997-01-01 00:00:00'")
+    val n = broadcast(
+      Tables.nation(spark, dir)
+        .join(Tables.region(spark, dir),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === regionName)
+        .select("n_nationkey", "n_name"))
+    val c = Tables.customer(spark, dir)
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "c_nationkey", "n_name")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_custkey")
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q7 shape (volume shipping): bilateral trade between two
+    * named nations by ship year — supplier nation on one side,
+    * customer nation on the other, both directions kept. The nation
+    * pair filter is applied per side BEFORE the fact join (each dim
+    * broadcast pre-filtered to the 2 nations), so the fact shuffle
+    * only carries lines touching either nation; the (A,B)|(B,A)
+    * disjunction is a residual on the already-joined pair of
+    * nation names, 2×2 at most.
+    * Ref: the reference's flights dashboard joins two labeled copies
+    * of the same dim the same way (origin/destination). */
+  def q7VolumeShipping(spark: SparkSession, dir: String,
+                       nationA: String = "NATION_1",
+                       nationB: String = "NATION_2"): DataFrame = {
+    val lo = expr("TIMESTAMP '1996-01-01 00:00:00'")
+    val hi = expr("TIMESTAMP '1998-01-01 00:00:00'")
+    val nations = Tables.nation(spark, dir)
+      .filter(col("n_name").isin(nationA, nationB))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(nations.select(col("n_nationkey"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "supp_nation")
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nations.select(col("n_nationkey").as("cn_key"),
+        col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("cn_key"))
+      .select("c_custkey", "cust_nation")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select("l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount")
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+        .as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
 }

@@ -1143,4 +1143,79 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(strict == Seq((1L, 2L)))
   }
+
+  /** Driver-side re-derivation of the Q5/Q7 joins from raw collected
+    * tables — an oracle independent of the DataFrame join topology, so
+    * a wrong join key or a dropped residual predicate fails here, not
+    * just at the DuckDB gate. Smoke-scale only (sf0.001 lineitem fits
+    * in the driver easily). */
+  private def tradeLines(): Seq[(Long, java.time.LocalDateTime, Int, Int, Long)] = {
+    // (orderkey, shipdate, suppNation, custNation, revenueUnits)
+    val nation = Tables.nation(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getInt(2)).toMap // nationkey -> regionkey
+    val supp = Tables.supplier(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val cust = Tables.customer(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderdate").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getAs[java.time.LocalDateTime](2)))).toMap
+    assert(nation.nonEmpty && supp.nonEmpty && cust.nonEmpty)
+    Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+      .collect().toSeq.flatMap { r =>
+        val ok = r.getLong(0)
+        orders.get(ok).map { case (ck, _) =>
+          val units = math.floor(r.getDouble(3) * (1 - r.getDouble(4)) * 10000 + 0.5).toLong
+          (ok, r.getAs[java.time.LocalDateTime](2), supp(r.getLong(1)), cust(ck), units)
+        }
+      }
+  }
+
+  test("q5 shape: matches a driver-side recomputation; ASIA nations only") {
+    val nationRows = Tables.nation(spark, sf).collect()
+    val regionOf = Tables.region(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val nameOf = nationRows.map(r => r.getInt(0) -> r.getString(1)).toMap
+    val asiaKeys = nationRows.filter(r => regionOf(r.getInt(2)) == "ASIA")
+      .map(_.getInt(0)).toSet
+    val orderDate = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderdate").collect()
+      .map(r => r.getLong(0) -> r.getAs[java.time.LocalDateTime](1)).toMap
+    val lo = java.time.LocalDateTime.parse("1996-01-01T00:00")
+    val hi = java.time.LocalDateTime.parse("1997-01-01T00:00")
+    val expect = tradeLines()
+      .filter { case (ok, _, sn, cn, _) =>
+        sn == cn && asiaKeys(cn) &&
+          !orderDate(ok).isBefore(lo) && orderDate(ok).isBefore(hi)
+      }
+      .groupBy { case (_, _, _, cn, _) => nameOf(cn) }
+      .map { case (n, ls) => n -> ls.map(_._5).sum }
+    val got = pipes.TpchPipes.q5LocalSupplierVolume(spark, sf).collect()
+      .map(r => r.getString(0) -> math.round(r.getDouble(1) * 10000)).toSeq
+    assert(got.toMap == expect, s"got ${got.toMap} expect $expect")
+    val revs = got.map(_._2)
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b }, "not DESC")
+  }
+
+  test("q7 shape: matches a driver-side recomputation; both directions, in-window years") {
+    val nameOf = Tables.nation(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val lo = java.time.LocalDateTime.parse("1996-01-01T00:00")
+    val hi = java.time.LocalDateTime.parse("1998-01-01T00:00")
+    val pair = Set("NATION_1", "NATION_2")
+    val expect = tradeLines()
+      .filter { case (_, sd, sn, cn, _) =>
+        pair(nameOf(sn)) && pair(nameOf(cn)) && nameOf(sn) != nameOf(cn) &&
+          !sd.isBefore(lo) && sd.isBefore(hi)
+      }
+      .groupBy { case (_, sd, sn, cn, _) => (nameOf(sn), nameOf(cn), sd.getYear) }
+      .map { case (k, ls) => k -> ls.map(_._5).sum }
+    val got = pipes.TpchPipes.q7VolumeShipping(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) ->
+        math.round(r.getDouble(3) * 10000)).toMap
+    assert(got == expect, s"got $got expect $expect")
+    assert(got.keys.map(_._1).toSet.subsetOf(pair))
+    assert(got.keys.forall { case (a, b, y) => a != b && y >= 1996 && y <= 1997 })
+  }
 }

@@ -309,6 +309,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "orderBy+limit must plan as top-k, not global sort")
   }
 
+  test("q5: nation/region reach the plan as broadcasts; no cartesian") {
+    val p = plan("q5_local_supplier_volume")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q7: both nation-labeled dims broadcast before the fact join") {
+    val p = plan("q7_volume_shipping")
+    // supplier and customer each enriched via a broadcast of the
+    // 2-nation filtered dim; the lineitem⋈orders shuffle is the only
+    // sort-merge candidate
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("no registered query plans a cartesian product") {
     // BNLJ is allowed only for 1-row scalar-anchor crossJoins and the
     // broadcast-query brute-force scorer; a true cartesian never is.
