@@ -114,6 +114,7 @@ object SparkEntry {
     "events_rolling_value"  -> (CdcPipes.eventsRollingValue _),
     "user_value_deciles"    -> (CdcPipes.userValueDeciles _),
     "user_rfm_segments"     -> (CdcPipes.userRfmSegments _),
+    "user_window_features"  -> (CdcPipes.userWindowFeatures _),
     "user_attribution"      -> (CdcPipes.userAttribution _),
     "user_event_paths"      -> ((s, d) => CdcPipes.userEventPaths(s, d)),
     "q11_important_stock"   -> ((s, d) => TpchPipes.q11ImportantStock(s, d)),
@@ -171,6 +172,7 @@ object SparkEntry {
     "docs_tfidf_pairs"      -> ((s, d) => operators.TextAnalysis.tfidfPairs(s, d)),
     "docs_tfidf_neighbors"  -> ((s, d) => operators.TextAnalysis.tfidfNeighbors(s, d)),
     "docs_topic_clusters"   -> ((s, d) => operators.TextAnalysis.topicClusters(s, d)),
+    "docs_source_divergence" -> ((s, d) => operators.TextAnalysis.sourceDivergence(s, d)),
     "docs_split_leakage"    -> ((s, d) => operators.TextDedup.splitLeakageAudit(s, d)),
     "docs_dedup_canonical"  -> ((s, d) => operators.TextDedup.canonicalSelect(s, d)),
     "docs_repetition_filters" -> ((s, d) => operators.TextAnalysis.repetitionFilters(s, d)),
@@ -1160,6 +1162,28 @@ object SparkEntry {
         |FROM t ORDER BY user_id""".stripMargin,
     // RFM quintiles over deterministic total orders (metric + user_id
     // tiebreak; monetary coalesced to 0 — Spark and DuckDB disagree on
+    // feature-store shape: 1/7/28-day trailing windows from ONE scan,
+    // anchored to max(ts); last event = argmax by (ts, event_id)
+    "user_window_features" ->
+      """WITH ref AS (SELECT max(ts) AS ref_ts FROM events),
+        |lastev AS (
+        |  SELECT user_id, event_type AS last_type
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn FROM events)
+        |  WHERE rn = 1),
+        |agg AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN ts > ref_ts - INTERVAL 1 DAY THEN 1 ELSE 0 END) AS BIGINT) AS n_1d,
+        |    CAST(sum(CASE WHEN ts > ref_ts - INTERVAL 7 DAY THEN 1 ELSE 0 END) AS BIGINT) AS n_7d,
+        |    CAST(sum(CASE WHEN ts > ref_ts - INTERVAL 28 DAY THEN 1 ELSE 0 END) AS BIGINT) AS n_28d,
+        |    coalesce(CAST(sum(CASE WHEN ts > ref_ts - INTERVAL 1 DAY THEN CAST(floor(coalesce(value, 0) * 100 + 0.5) AS BIGINT) END) AS BIGINT), 0) / 100.0 AS value_1d,
+        |    coalesce(CAST(sum(CASE WHEN ts > ref_ts - INTERVAL 7 DAY THEN CAST(floor(coalesce(value, 0) * 100 + 0.5) AS BIGINT) END) AS BIGINT), 0) / 100.0 AS value_7d,
+        |    coalesce(CAST(sum(CASE WHEN ts > ref_ts - INTERVAL 28 DAY THEN CAST(floor(coalesce(value, 0) * 100 + 0.5) AS BIGINT) END) AS BIGINT), 0) / 100.0 AS value_28d,
+        |    CAST(count(DISTINCT CASE WHEN ts > ref_ts - INTERVAL 28 DAY THEN event_type END) AS BIGINT) AS n_types_28d,
+        |    max(ts) AS last_ts
+        |  FROM events CROSS JOIN ref GROUP BY 1)
+        |SELECT user_id, n_1d, n_7d, n_28d, value_1d, value_7d, value_28d,
+        |  n_types_28d, last_ts, last_type
+        |FROM agg JOIN lastev USING (user_id) ORDER BY user_id""".stripMargin,
     // default NULL placement in ORDER BY)
     "user_rfm_segments" ->
       """WITH ref AS (SELECT max(ts) AS ref_ts FROM events),
@@ -2147,6 +2171,28 @@ object SparkEntry {
         |SELECT doc_id, cluster_id,
         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
         |FROM lab ORDER BY cluster_id, doc_id""".stripMargin,
+    // χ² term-distribution divergence per source vs the corpus; the
+    // absent-term tail is the closed form (N - Σ C_t∈s)/N; per-term
+    // contributions floor to 1e-9 units so the long sum is associative
+    "docs_source_divergence" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+        |st AS (SELECT source, term, count(*) AS c FROM tok GROUP BY 1, 2),
+        |ct AS (SELECT term, CAST(sum(c) AS BIGINT) AS ct FROM st GROUP BY 1),
+        |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns, count(*) AS n_terms FROM st GROUP BY 1),
+        |n AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM ct),
+        |pres AS (
+        |  SELECT source,
+        |    CAST(sum(CAST(floor(
+        |      (CAST(c * n - ct * ns AS DOUBLE) * CAST(c * n - ct * ns AS DOUBLE)) /
+        |      ((CAST(ns AS DOUBLE) * ns) * (CAST(n AS DOUBLE) * ct))
+        |      * 1.0E9 + 0.5) AS BIGINT)) AS BIGINT) AS present_units,
+        |    CAST(sum(ct) AS BIGINT) AS cs
+        |  FROM st JOIN ct USING (term) JOIN ns USING (source) CROSS JOIN n
+        |  GROUP BY 1)
+        |SELECT source, n_terms, ns AS n_tokens,
+        |  (present_units + CAST(floor(CAST(n - cs AS DOUBLE) * 1.0E9 / n + 0.5) AS BIGINT)) / 1.0E9 AS chi2
+        |FROM pres JOIN ns USING (source) CROSS JOIN n
+        |ORDER BY source""".stripMargin,
     // per-source cap first, then the global ranking on the capped frame
     "docs_top_quality_diverse" ->
       """WITH scored AS (

@@ -617,4 +617,53 @@ object TextAnalysis {
         tfidfPairs(spark, dir, minCos, maxDf).select("doc_a", "doc_b"), maxRounds)
       .toDF("doc_id", "cluster_id", "cluster_size")
       .orderBy("cluster_id", "doc_id")
+
+  /** Domain-shift audit: χ² divergence of each source's term
+    * distribution from the corpus distribution — the curation signal
+    * for "this dump's vocabulary doesn't look like the rest of the
+    * data" (tokenizer drift, boilerplate dumps, wrong-language
+    * batches). χ²(p‖q) = Σ_t (p_t − q_t)²/q_t over the corpus vocab;
+    * deliberately χ² and not KL: every step is counts, one subtract,
+    * one square, one divide — no transcendental log whose last-ulp
+    * behavior could differ between engines, so the gate verifies the
+    * divergence hash-for-hash. Terms absent from a source contribute
+    * q_t exactly; that whole tail folds into ONE closed-form value
+    * (N − Σ_{t∈s} C_t)/N — no anti-join against the vocabulary.
+    * Per-term contributions floor to 1e-9 units and sum as longs
+    * (associative → partial-agg order free). The c·N and C·N_s cross
+    * products stay in longs (exact up to ~3e9 tokens per shard; a
+    * 100 TB deployment runs this per-shard and merges the unit sums,
+    * which the integer lanes make a plain +).
+    *
+    * Scale: ONE map-side-combined shuffle of the token stream to
+    * (source, term); everything after runs on vocabulary-sized frames
+    * (per-term corpus counts re-aggregated from that frame, not the
+    * stream). Per-source totals broadcast (sources are bounded); the
+    * 1-row corpus total broadcasts; the divergence sum is a second
+    * shuffle of the (source, term) frame only. */
+  def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val st = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("c"))
+    val ct = st.groupBy("term").agg(sum(col("c")).as("ct"))
+    val ns = st.groupBy("source")
+      .agg(sum(col("c")).as("ns"), count(lit(1)).as("n_terms"))
+    val n = ct.agg(sum(col("ct")).as("n"))
+    val d = col("c") * col("n") - col("ct") * col("ns")
+    val contrib = (d.cast("double") * d.cast("double")) /
+      ((col("ns").cast("double") * col("ns")) *
+        (col("n").cast("double") * col("ct")))
+    val present = st.join(ct, "term")
+      .join(broadcast(ns), "source").crossJoin(broadcast(n))
+      .groupBy("source")
+      .agg(sum(floor(contrib * lit(1e9) + lit(0.5)).cast("long"))
+          .as("present_units"),
+        sum(col("ct")).as("cs"))
+    present.join(broadcast(ns), "source").crossJoin(broadcast(n))
+      .select(col("source"), col("n_terms"), col("ns").as("n_tokens"),
+        ((col("present_units") +
+          floor((col("n") - col("cs")).cast("double") * lit(1e9) / col("n")
+            + lit(0.5)).cast("long")) / lit(1e9)).as("chi2"))
+      .orderBy("source")
+  }
 }

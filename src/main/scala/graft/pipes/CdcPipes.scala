@@ -893,4 +893,36 @@ object CdcPipes {
           .as("retention_pct"))
       .orderBy("cohort_week", "weeks_since")
   }
+
+  /** Feature-store assembly — per-user trailing-window features over
+    * 1/7/28 days, all from ONE scan of the event log: the multi-window
+    * shape every ML feature pipeline needs ("activity last day / week
+    * / month" as model inputs). Each window is a conditional aggregate
+    * against the corpus-max anchor (broadcast 1-row scalar), NOT three
+    * separate filtered scans — at 100 TB the log is read once and the
+    * per-user shuffle carries one row per user regardless of how many
+    * windows ride along. Value sums are integer-unit (2dp); the
+    * last-event column is max_by over (ts, event_id) — event_id
+    * uniqueness makes the argmax deterministic. */
+  def userWindowFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val asOf = ev.agg(max(col("ts")).as("__asof"))
+    def inWin(days: Int) =
+      col("ts") > col("__asof") - interval(days = lit(days))
+    def cntW(days: Int) =
+      sum(when(inWin(days), 1L).otherwise(0L)).as(s"n_${days}d")
+    def valW(days: Int) =
+      (coalesce(sum(when(inWin(days),
+        units(coalesce(col("value"), lit(0.0)), 2))), lit(0L)) / 100.0)
+        .as(s"value_${days}d")
+    ev.crossJoin(broadcast(asOf))
+      .groupBy("user_id")
+      .agg(cntW(1), cntW(7), cntW(28),
+        valW(1), valW(7), valW(28),
+        countDistinct(when(inWin(28), col("event_type"))).as("n_types_28d"),
+        max(col("ts")).as("last_ts"),
+        max_by(col("event_type"), struct(col("ts"), col("event_id")))
+          .as("last_type"))
+      .orderBy("user_id")
+  }
 }

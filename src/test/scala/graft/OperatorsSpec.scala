@@ -1218,4 +1218,55 @@ class OperatorsSpec extends SparkSpec {
     assert(got.keys.map(_._1).toSet.subsetOf(pair))
     assert(got.keys.forall { case (a, b, y) => a != b && y >= 1996 && y <= 1997 })
   }
+
+  test("source divergence: nonneg, token conservation, matches a driver recompute") {
+    val rows = operators.TextAnalysis.sourceDivergence(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("chi2") >= 0.0))
+    // independent recompute from raw text (same unit discipline)
+    val byST = Tables.documents(spark, sf).select("source", "text").collect()
+      .flatMap(r => r.getString(1).split(" ", -1).map(t => (r.getString(0), t)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ct = byST.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val ns = byST.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n = ct.values.sum
+    for (r <- rows) {
+      val s = r.getString(0)
+      assert(r.getAs[Long]("n_tokens") == ns(s))
+      assert(r.getAs[Long]("n_terms") == byST.keys.count(_._1 == s))
+      val present = byST.collect { case ((`s`, t), c) =>
+        val d = (c * n - ct(t) * ns(s)).toDouble
+        math.floor(d * d / ((ns(s).toDouble * ns(s)) * (n.toDouble * ct(t))) * 1e9 + 0.5).toLong
+      }.sum
+      val cs = byST.collect { case ((`s`, t), _) => ct(t) }.sum
+      val absent = math.floor((n - cs).toDouble * 1e9 / n + 0.5).toLong
+      assert(r.getAs[Double]("chi2") == (present + absent) / 1e9, s)
+    }
+    // a source identical to the corpus mix would score ~0; distinct
+    // sources must not all collapse to the same value
+    assert(rows.map(_.getAs[Double]("chi2")).distinct.length > 1)
+  }
+
+  test("window features: windows nest, last_type matches the argmax event") {
+    val rows = pipes.CdcPipes.userWindowFeatures(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_1d") <= r.getAs[Long]("n_7d"))
+      assert(r.getAs[Long]("n_7d") <= r.getAs[Long]("n_28d"))
+      // values are nonnegative in this corpus, so nesting holds for sums too
+      assert(r.getAs[Double]("value_1d") <= r.getAs[Double]("value_7d"))
+      assert(r.getAs[Double]("value_7d") <= r.getAs[Double]("value_28d"))
+      if (r.getAs[Long]("n_28d") > 0) assert(r.getAs[Long]("n_types_28d") >= 1)
+    }
+    val lastByUser = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .groupBy(_.getLong(0)).view.mapValues(
+        _.maxBy { r =>
+          val t = r.getAs[java.time.LocalDateTime](1)
+          (t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+            t.getNano / 1000, r.getLong(2))
+        }.getString(3)).toMap
+    for (r <- rows)
+      assert(r.getAs[String]("last_type") == lastByUser(r.getAs[Long]("user_id")))
+  }
 }

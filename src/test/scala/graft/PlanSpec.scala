@@ -324,6 +324,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("window features: aggregation-only (no Window exec), events scanned twice") {
+    val p = plan("user_window_features")
+    // all three windows + the argmax ride ONE conditional aggregation;
+    // the only other scan is the 1-row max(ts) anchor
+    assert(!p.contains("Window ["), p.take(2000))
+    assert("events.parquet".r.findAllIn(p).size == 2, p.take(2000))
+  }
+
+  test("source divergence: per-source totals broadcast; no cartesian beyond 1-row anchors") {
+    val p = plan("docs_source_divergence")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("no registered query plans a cartesian product") {
     // BNLJ is allowed only for 1-row scalar-anchor crossJoins and the
     // broadcast-query brute-force scorer; a true cartesian never is.
