@@ -900,8 +900,8 @@ object TpchPipes {
     * Ref: the reference's flights dashboard joins two labeled copies
     * of the same dim the same way (origin/destination). */
   def q7VolumeShipping(spark: SparkSession, dir: String,
-                       nationA: String = "NATION_1",
-                       nationB: String = "NATION_2"): DataFrame = {
+                       nationA: String = "NATION_12",
+                       nationB: String = "NATION_10"): DataFrame = {
     val lo = expr("TIMESTAMP '1996-01-01 00:00:00'")
     val hi = expr("TIMESTAMP '1998-01-01 00:00:00'")
     val nations = Tables.nation(spark, dir)

@@ -684,6 +684,69 @@ object CdcStream {
       .agg((sum(col("partial_cents")) / 100.0).as("total_value"),
         sum(col("partial_n")).as("n"))
 
+  /** Streaming feature store, write side: per micro-batch, fold the
+    * event stream to (user, day, event_type) partials — count, integer
+    * cents, and the running (ts, event_id, event_type) argmax struct.
+    * The day grain is the feature-store contract: serving windows cut
+    * at day boundaries, so partials are mergeable forever (counts and
+    * cents add; the argmax struct maxes) and a day's partial stops
+    * changing once its day has passed. Same idempotence discipline as
+    * [[startSummingMv]]: one overwritten directory per batch id, so
+    * at-least-once replay can't double-count. */
+  def startUserDayFeaturesMv(spark: SparkSession, srcDir: String,
+                             partialsDir: String,
+                             checkpointDir: String): StreamingQuery =
+    readEvents(spark, srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .groupBy(col("user_id"),
+            date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"),
+            col("event_type"))
+          .agg(count(lit(1)).as("partial_n"),
+            sum(floor(coalesce(col("value"), lit(0.0)) * 100 + 0.5).cast("long"))
+              .as("partial_cents"),
+            max(struct(col("ts"), col("event_id"), col("event_type")))
+              .as("partial_last"))
+          .write.mode("overwrite").parquet(s"$partialsDir/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Streaming feature store, read side: serve per-user 1/7/28-day
+    * features from the day-partial log — the merge-on-read twin of the
+    * batch [[graft.pipes.CdcPipes.userWindowFeatures]], at DAY grain
+    * (windows are "the last k complete days through the newest day in
+    * the log", so the serving cut is reproducible from partials alone;
+    * the batch endpoint's exact-instant windows need the raw log).
+    * Reading ≤28×|types| tiny rows per user replaces a rescan of the
+    * full event history — the point of the MV at 100 TB: feature
+    * freshness is one micro-batch behind, serving cost is partial-sized.
+    * All lanes merge associatively (sums of longs, max of structs), so
+    * replay/merge order can't change a served value. */
+  def userDayFeaturesView(spark: SparkSession, partialsDir: String): DataFrame = {
+    val p = spark.read.parquet(partialsDir)
+    val anchor = p.agg(max(col("day")).as("__d"))
+    def inWin(days: Int) = col("day") > col("__d") - expr(s"INTERVAL $days DAYS")
+    p.crossJoin(broadcast(anchor))
+      .groupBy("user_id")
+      .agg(
+        sum(when(inWin(1), col("partial_n")).otherwise(0L)).as("n_1d"),
+        sum(when(inWin(7), col("partial_n")).otherwise(0L)).as("n_7d"),
+        sum(when(inWin(28), col("partial_n")).otherwise(0L)).as("n_28d"),
+        (sum(when(inWin(1), col("partial_cents")).otherwise(0L)) / 100.0).as("value_1d"),
+        (sum(when(inWin(7), col("partial_cents")).otherwise(0L)) / 100.0).as("value_7d"),
+        (sum(when(inWin(28), col("partial_cents")).otherwise(0L)) / 100.0).as("value_28d"),
+        countDistinct(when(inWin(28), col("event_type"))).as("n_types_28d"),
+        max(col("partial_last")).as("__last"))
+      .select(col("user_id"), col("n_1d"), col("n_7d"), col("n_28d"),
+        col("value_1d"), col("value_7d"), col("value_28d"), col("n_types_28d"),
+        col("__last.ts").as("last_ts"),
+        col("__last.event_type").as("last_type"))
+  }
+
   /** At-least-once delivery dedup in the stream itself:
     * dropDuplicatesWithinWatermark keeps state only for the watermark
     * horizon, so redelivered events (Kafka consumer restarts, §2.9's

@@ -1203,7 +1203,7 @@ class OperatorsSpec extends SparkSpec {
       .map(r => r.getInt(0) -> r.getString(1)).toMap
     val lo = java.time.LocalDateTime.parse("1996-01-01T00:00")
     val hi = java.time.LocalDateTime.parse("1998-01-01T00:00")
-    val pair = Set("NATION_1", "NATION_2")
+    val pair = Set("NATION_12", "NATION_10")
     val expect = tradeLines()
       .filter { case (_, sd, sn, cn, _) =>
         pair(nameOf(sn)) && pair(nameOf(cn)) && nameOf(sn) != nameOf(cn) &&

@@ -365,6 +365,50 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(sumsDir).count() > merged.size)
   }
 
+  test("feature MV: day partials serve the batch day-grain features after any replay") {
+    val src = tmp(); val pDir = tmp() + "/partials"; val ck = tmp() + "/ck"
+    val events = Tables.events(spark, sf)
+    Seq(0, 1, 2).foreach { i =>
+      events.filter(col("event_id") % 3 === i).write.parquet(s"$src/chunk$i")
+      CdcStream.startUserDayFeaturesMv(spark, s"$src/chunk*", pDir, ck)
+        .awaitTermination()
+    }
+    val served = CdcStream.userDayFeaturesView(spark, pDir)
+      .orderBy("user_id").collect().map(_.toString).toSeq
+    // batch recompute of the SAME day-grain contract from the raw log
+    val withDay = events.withColumn("day",
+      date_trunc("day", col("ts")).cast("timestamp_ntz"))
+    val anchor = withDay.agg(max(col("day")).as("__d"))
+    def inWin(days: Int) = col("day") > col("__d") - expr(s"INTERVAL $days DAYS")
+    val batch = withDay.crossJoin(broadcast(anchor))
+      .groupBy("user_id")
+      .agg(
+        sum(when(inWin(1), 1L).otherwise(0L)).as("n_1d"),
+        sum(when(inWin(7), 1L).otherwise(0L)).as("n_7d"),
+        sum(when(inWin(28), 1L).otherwise(0L)).as("n_28d"),
+        (sum(when(inWin(1), floor(coalesce(col("value"), lit(0.0)) * 100 + 0.5)
+          .cast("long")).otherwise(0L)) / 100.0).as("value_1d"),
+        (sum(when(inWin(7), floor(coalesce(col("value"), lit(0.0)) * 100 + 0.5)
+          .cast("long")).otherwise(0L)) / 100.0).as("value_7d"),
+        (sum(when(inWin(28), floor(coalesce(col("value"), lit(0.0)) * 100 + 0.5)
+          .cast("long")).otherwise(0L)) / 100.0).as("value_28d"),
+        countDistinct(when(inWin(28), col("event_type"))).as("n_types_28d"),
+        max(struct(col("ts"), col("event_id"), col("event_type"))).as("__last"))
+      .select(col("user_id"), col("n_1d"), col("n_7d"), col("n_28d"),
+        col("value_1d"), col("value_7d"), col("value_28d"), col("n_types_28d"),
+        col("__last.ts").as("last_ts"), col("__last.event_type").as("last_type"))
+      .orderBy("user_id").collect().map(_.toString).toSeq
+    assert(served == batch)
+    // the log is partial-sized, the view one row per user
+    assert(spark.read.parquet(pDir).count() >= served.size)
+    // no new data → restart must not move the served features
+    CdcStream.startUserDayFeaturesMv(spark, s"$src/chunk*", pDir, ck)
+      .awaitTermination()
+    val again = CdcStream.userDayFeaturesView(spark, pDir)
+      .orderBy("user_id").collect().map(_.toString).toSeq
+    assert(again == served)
+  }
+
   test("CMS MV: merged cells equal the batch sketch; restart is a no-op") {
     val src = tmp(); val cellsDir = tmp() + "/cells"; val ck = tmp() + "/ck"
     val events = Tables.events(spark, sf)
