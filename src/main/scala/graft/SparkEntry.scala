@@ -114,7 +114,7 @@ object SparkEntry {
     "events_rolling_value"  -> (CdcPipes.eventsRollingValue _),
     "user_value_deciles"    -> (CdcPipes.userValueDeciles _),
     "user_rfm_segments"     -> (CdcPipes.userRfmSegments _),
-    "user_window_features"  -> (CdcPipes.userWindowFeatures _),
+    "user_window_features"  -> ((s, d) => CdcPipes.userWindowFeatures(s, d)),
     "user_attribution"      -> (CdcPipes.userAttribution _),
     "user_event_paths"      -> ((s, d) => CdcPipes.userEventPaths(s, d)),
     "q11_important_stock"   -> ((s, d) => TpchPipes.q11ImportantStock(s, d)),

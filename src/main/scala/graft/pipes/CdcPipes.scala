@@ -904,9 +904,16 @@ object CdcPipes {
     * windows ride along. Value sums are integer-unit (2dp); the
     * last-event column is max_by over (ts, event_id) — event_id
     * uniqueness makes the argmax deterministic. */
-  def userWindowFeatures(spark: SparkSession, dir: String): DataFrame = {
+  def userWindowFeatures(spark: SparkSession, dir: String,
+                         asOf: Option[java.time.LocalDateTime] = None): DataFrame = {
     val ev = Tables.events(spark, dir)
-    val asOf = ev.agg(max(col("ts")).as("__asof"))
+    // serving contract: features "as of" a training snapshot instant
+    // (point-in-time correctness — no post-snapshot leakage); default
+    // anchors to the corpus max like every other endpoint
+    val asOfDf = asOf match {
+      case Some(t) => spark.range(1).select(lit(t).as("__asof"))
+      case None    => ev.agg(max(col("ts")).as("__asof"))
+    }
     def inWin(days: Int) =
       col("ts") > col("__asof") - interval(days = lit(days))
     def cntW(days: Int) =
@@ -915,7 +922,10 @@ object CdcPipes {
       (coalesce(sum(when(inWin(days),
         units(coalesce(col("value"), lit(0.0)), 2))), lit(0L)) / 100.0)
         .as(s"value_${days}d")
-    ev.crossJoin(broadcast(asOf))
+    ev.crossJoin(broadcast(asOfDf))
+      // point-in-time cut: an explicit snapshot must not see events
+      // after it (with the default max-ts anchor this drops nothing)
+      .filter(col("ts") <= col("__asof"))
       .groupBy("user_id")
       .agg(cntW(1), cntW(7), cntW(28),
         valW(1), valW(7), valW(28),

@@ -39,7 +39,8 @@ final class ApiServer(spark: SparkSession, sfDir: String,
     "emb_knn_ivf" -> (ParamEndpoints.embKnnIvf _),
     "events_in_window" -> (ParamEndpoints.eventsInWindow _),
     "docs_bm25_search" -> (ParamEndpoints.docsBm25Search _),
-    "ref_flights_missed_pct_minute" -> (ParamEndpoints.refFlightsMissedPctMinute _))
+    "ref_flights_missed_pct_minute" -> (ParamEndpoints.refFlightsMissedPctMinute _),
+    "user_window_features" -> (ParamEndpoints.userWindowFeatures _))
 
   /** Control-plane state (`POST /v0/datafiles` — tb_functions.py's
     * create_datasource/create_pipe at modules/tb_functions.py:225-252):

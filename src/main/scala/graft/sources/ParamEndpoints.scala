@@ -74,6 +74,17 @@ object ParamEndpoints {
       start = timestamp(params, "start"), end = timestamp(params, "end"))
   }
 
+  /** Point-in-time feature serving: `asof` DateTime param pins the
+    * snapshot instant (training-label alignment — features must not
+    * see events after the label's timestamp); absent anchors to the
+    * corpus max like the batch endpoint. */
+  def userWindowFeatures(spark: SparkSession, dir: String,
+                         params: Map[String, String]): DataFrame = {
+    validate(params, Set("asof"))
+    graft.pipes.CdcPipes.userWindowFeatures(spark, dir,
+      asOf = timestamp(params, "asof"))
+  }
+
   /** The reference's own parameterized pipe, served with its template
     * contract (`{% if defined(start) %}` …
     * flights_missed_pct_minute.pipe:22,31-32): `start` / `end` DateTime

@@ -61,6 +61,34 @@ class ParamEndpointsSpec extends SparkSpec {
     }
   }
 
+  test("asof param: default matches the registered features; a pinned snapshot is point-in-time") {
+    val default = ParamEndpoints.userWindowFeatures(spark, sf, Map.empty)
+      .collect().map(_.toString).toSeq
+    val registered = pipes.CdcPipes.userWindowFeatures(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(default == registered)
+    // pin the snapshot to the corpus midpoint: no served last_ts may
+    // exceed it (training-label alignment), and some user must have
+    // post-snapshot events that are now invisible
+    val ts = Tables.events(spark, sf)
+      .agg(org.apache.spark.sql.functions.min("ts"),
+        org.apache.spark.sql.functions.max("ts")).collect().head
+    val (lo, hi) = (ts.getAs[java.time.LocalDateTime](0),
+      ts.getAs[java.time.LocalDateTime](1))
+    val mid = lo.plusSeconds(java.time.Duration.between(lo, hi).getSeconds / 2)
+    val pinned = ParamEndpoints.userWindowFeatures(spark, sf,
+      Map("asof" -> (mid.toLocalDate.toString + " 00:00:00"))).collect()
+    assert(pinned.nonEmpty)
+    val cut = java.time.LocalDateTime.parse(mid.toLocalDate.toString + "T00:00:00")
+    assert(pinned.forall(r => !r.getAs[java.time.LocalDateTime]("last_ts").isAfter(cut)))
+    assert(pinned.length < registered.length ||
+      pinned.map(_.toString).toSeq != registered,
+      "a midpoint snapshot must not serve the full-corpus features")
+    intercept[IllegalArgumentException] {
+      ParamEndpoints.userWindowFeatures(spark, sf, Map("asof" -> "not-a-time"))
+    }
+  }
+
   test("BM25 q/k params: k caps rows, q retunes the match set, blank q rejected") {
     val top3 = ParamEndpoints.docsBm25Search(spark, sf,
       Map("q" -> "vector", "k" -> "3")).collect()
