@@ -163,6 +163,7 @@ object SparkEntry {
     "docs_cms_top_terms"    -> ((s, d) => operators.Sketches.cmsTopTerms(s, d)),
     "docs_bloom_contamination" -> ((s, d) => operators.Sketches.bloomContamination(s, d)),
     "docs_bm25_search"      -> ((s, d) => operators.Search.bm25Search(s, d)),
+    "docs_bm25_rerank"      -> ((s, d) => operators.Search.bm25Rerank(s, d)),
     "docs_chunks"           -> ((s, d) => operators.TextAnalysis.chunks(s, d)),
     "docs_split_assign"     -> (operators.TextAnalysis.splitAssign _),
     "docs_top_bigrams"      -> ((s, d) => operators.TextAnalysis.topBigrams(s, d)),
@@ -1587,6 +1588,8 @@ object SparkEntry {
     // step mirrored op-for-op (Search.bm25OracleSql lives next to the
     // operator so the two arithmetic definitions review side-by-side)
     "docs_bm25_search" -> operators.Search.bm25OracleSql(),
+    // two-stage retrieval: BM25 recall CTE nested verbatim, TF-IDF rerank
+    "docs_bm25_rerank" -> operators.Search.bm25RerankOracleSql(),
     "docs_chunks" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |c AS (

@@ -114,6 +114,110 @@ object Search {
       .orderBy("rank")
   }
 
+  /** Two-stage retrieval — the production search shape: a cheap
+    * recall stage (BM25 over the scan-filtered postings, top
+    * `kCandidates`) followed by an exact re-scoring stage over ONLY
+    * the candidates (full-vector TF-IDF cosine between the query and
+    * each candidate document, the [[TextAnalysis.tfidfPairs]] weight
+    * discipline: capped-tf × capped rational-idf integer units, long
+    * dot/norm sums, one IEEE division). Final order ranks on the
+    * ROUNDED cosine with BM25-then-id tiebreaks, so the published
+    * ranking is engine-reproducible.
+    *
+    * Scale: stage 1 is [[bm25Search]]'s plan; stage 2's frames are all
+    * candidate-bounded — candidate term vectors via a broadcast
+    * semi-join of the token stream (≤ kCandidates docs' tokens
+    * shuffle), corpus df computed ONLY for the candidate∪query term
+    * set (broadcast term-set join before the df aggregate), query
+    * vector and corpus stats 1-row/≤|terms| broadcasts. The rerank
+    * never materializes a corpus-sized vector table — that's the point
+    * of staging at 100 TB. */
+  def bm25Rerank(spark: SparkSession, dir: String,
+                 query: String = DefaultQuery,
+                 kCandidates: Int = 50, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    import graft.functions.ChFunctions.floorRound
+    val qTerms = query.trim.split("\\s+").toSeq.filter(_.nonEmpty).distinct
+    require(qTerms.nonEmpty, "bm25Rerank: empty query")
+    val cands = bm25Search(spark, dir, query, kCandidates)
+      .select(col("doc_id"), col("lang"), col("source"), col("score_micros"))
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val ctf = toks.join(broadcast(cands.select("doc_id")), "doc_id")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val termSet = ctf.select("term").union(qTerms.toDF("term")).distinct()
+    val dfr = toks.select("doc_id", "term").distinct()
+      .join(broadcast(termSet), "term")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    def idfUnits = least(
+      floor((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)) * 100 + 0.5)
+        .cast("long"), lit(100000L))
+    val dvec = ctf.join(dfr, "term").crossJoin(broadcast(nDocs))
+      .withColumn("wu", least(col("tf"), lit(255L)) * idfUnits)
+      .select("doc_id", "term", "wu")
+    val qvec = dfr.filter(col("term").isin(qTerms: _*))
+      .crossJoin(broadcast(nDocs))
+      .select(col("term"), idfUnits.as("qu"))
+    val nq2 = qvec.agg(sum(col("qu") * col("qu")).as("nq2"))
+    val dots = dvec.join(broadcast(qvec), "term")
+      .groupBy("doc_id").agg(sum(col("wu") * col("qu")).as("dot"))
+    val na2 = dvec.groupBy("doc_id").agg(sum(col("wu") * col("wu")).as("na2"))
+    cands.join(dots, "doc_id").join(na2, "doc_id").crossJoin(broadcast(nq2))
+      .withColumn("cosine", floorRound(col("dot").cast("double") /
+        (sqrt(col("na2").cast("double")) * sqrt(col("nq2").cast("double"))), 4))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cosine").desc, col("score_micros").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("doc_id"), col("lang"), col("source"),
+        col("score_micros"), col("cosine"))
+      .orderBy("rank")
+  }
+
+  /** Oracle-side rendering of [[bm25Rerank]]: the BM25 chain nested as
+    * the candidate CTE, then the same candidate-bounded TF-IDF rerank
+    * arithmetic token-for-token. */
+  def bm25RerankOracleSql(query: String = DefaultQuery,
+                          kCandidates: Int = 50, k: Int = 10): String = {
+    val qTerms = query.trim.split("\\s+").toSeq.filter(_.nonEmpty).distinct
+    val inList = qTerms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    s"""WITH cand AS (${bm25OracleSql(query, kCandidates)}),
+      |toks2 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |nd AS (SELECT count(*) AS n_docs FROM documents),
+      |ctf AS (
+      |  SELECT doc_id, term, count(*) AS tf
+      |  FROM toks2 JOIN cand USING (doc_id) GROUP BY 1, 2),
+      |terms AS (SELECT DISTINCT term FROM ctf UNION SELECT unnest([$inList]) AS term),
+      |dfr AS (
+      |  SELECT term, count(*) AS df
+      |  FROM (SELECT DISTINCT doc_id, term FROM toks2) dt JOIN terms USING (term)
+      |  GROUP BY 1),
+      |dvec AS (
+      |  SELECT doc_id, term,
+      |    least(tf, 255) * least(CAST(floor((n_docs + 1.0) / (df + 1.0) * 100 + 0.5) AS BIGINT), 100000) AS wu
+      |  FROM ctf JOIN dfr USING (term) CROSS JOIN nd),
+      |qvec AS (
+      |  SELECT term,
+      |    least(CAST(floor((n_docs + 1.0) / (df + 1.0) * 100 + 0.5) AS BIGINT), 100000) AS qu
+      |  FROM dfr CROSS JOIN nd WHERE term IN ($inList)),
+      |nq AS (SELECT CAST(sum(qu * qu) AS BIGINT) AS nq2 FROM qvec),
+      |dots AS (
+      |  SELECT doc_id, CAST(sum(wu * qu) AS BIGINT) AS dot
+      |  FROM dvec JOIN qvec USING (term) GROUP BY 1),
+      |na AS (SELECT doc_id, CAST(sum(wu * wu) AS BIGINT) AS na2 FROM dvec GROUP BY 1),
+      |fin AS (
+      |  SELECT cand.doc_id, lang, source, score_micros,
+      |    floor(CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nq2 AS DOUBLE))) * 10000 + 0.5) / 10000.0 AS cosine
+      |  FROM cand JOIN dots USING (doc_id) JOIN na USING (doc_id) CROSS JOIN nq),
+      |rr AS (
+      |  SELECT row_number() OVER (ORDER BY cosine DESC, score_micros DESC, doc_id) AS rank,
+      |    doc_id, lang, source, score_micros, cosine
+      |  FROM fin)
+      |SELECT rank, doc_id, lang, source, score_micros, cosine
+      |FROM rr WHERE rank <= $k ORDER BY rank""".stripMargin
+  }
+
   /** The oracle-side rendering of [[bm25Search]] for a literal query:
     * the same CTE chain with the same op order. Lives next to the
     * operator so the two arithmetic definitions can be reviewed

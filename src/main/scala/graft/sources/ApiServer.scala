@@ -40,7 +40,8 @@ final class ApiServer(spark: SparkSession, sfDir: String,
     "events_in_window" -> (ParamEndpoints.eventsInWindow _),
     "docs_bm25_search" -> (ParamEndpoints.docsBm25Search _),
     "ref_flights_missed_pct_minute" -> (ParamEndpoints.refFlightsMissedPctMinute _),
-    "user_window_features" -> (ParamEndpoints.userWindowFeatures _))
+    "user_window_features" -> (ParamEndpoints.userWindowFeatures _),
+    "docs_bm25_rerank" -> (ParamEndpoints.docsBm25Rerank _))
 
   /** Control-plane state (`POST /v0/datafiles` — tb_functions.py's
     * create_datasource/create_pipe at modules/tb_functions.py:225-252):

@@ -74,6 +74,17 @@ object ParamEndpoints {
       start = timestamp(params, "start"), end = timestamp(params, "end"))
   }
 
+  /** Two-stage retrieval: `q` free text, `k_candidates` recall-stage
+    * width, `k` served depth. */
+  def docsBm25Rerank(spark: SparkSession, dir: String,
+                     params: Map[String, String]): DataFrame = {
+    validate(params, Set("q", "k_candidates", "k"))
+    val q = params.getOrElse("q", Search.DefaultQuery)
+    require(q.trim.nonEmpty, "param q: empty query")
+    Search.bm25Rerank(spark, dir, q,
+      kCandidates = int(params, "k_candidates", 50), k = int(params, "k", 10))
+  }
+
   /** Point-in-time feature serving: `asof` DateTime param pins the
     * snapshot instant (training-label alignment — features must not
     * see events after the label's timestamp); absent anchors to the

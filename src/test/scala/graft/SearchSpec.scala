@@ -57,6 +57,23 @@ class SearchSpec extends SparkSpec {
     assert(base == withMiss)
   }
 
+  test("rerank: results are a candidate subset, ranked by rounded cosine") {
+    val reranked = Search.bm25Rerank(spark, sf, kCandidates = 20, k = 5).collect()
+    assert(reranked.nonEmpty && reranked.length <= 5)
+    val candIds = Search.bm25Search(spark, sf, k = 20)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(reranked.forall(r => candIds(r.getAs[Long]("doc_id"))),
+      "stage 2 must only reorder stage 1's candidates")
+    val cos = reranked.map(_.getAs[Double]("cosine"))
+    assert(cos.zip(cos.tail).forall { case (a, b) => a >= b }, "not DESC by cosine")
+    assert(cos.forall(c => c >= 0.0 && c <= 1.0))
+    val ranks = reranked.map(_.getAs[Int]("rank")).toSeq
+    assert(ranks == (1 to reranked.length), s"ranks $ranks")
+    // widening the candidate pool can only improve-or-keep the top cosine
+    val wide = Search.bm25Rerank(spark, sf, kCandidates = 40, k = 5).collect()
+    assert(wide.head.getAs[Double]("cosine") >= cos.head)
+  }
+
   test("BM25 per-term score decreases with document length at equal tf") {
     // two synthetic docs, same tf for the query term, different dl:
     // the shorter doc must outrank the longer (the b·dl/avgdl
