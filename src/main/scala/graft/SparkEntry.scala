@@ -107,6 +107,11 @@ object SparkEntry {
     "value_by_type_status"  -> (CdcPipes.valueByTypeStatus _),
     "events_ingest_normalize" -> (CdcPipes.eventsIngestNormalize _),
     "events_sessionization" -> (CdcPipes.eventsSessionization _),
+    "events_surge_windows"  -> ((s, d) => operators.RangeJoin.surgeWindows(s, d).orderBy("surge_type", "window_start")),
+    "events_interval_join"  -> ((s, d) => operators.RangeJoin.intervalJoin(s, d)),
+    "events_session_concurrency" -> ((s, d) => operators.RangeJoin.sessionConcurrency(s, d)),
+    "docs_profile"          -> ((s, d) => operators.Profile.docsProfile(s, d)),
+    "docs_pipeline_funnel"  -> ((s, d) => operators.Profile.pipelineFunnel(s, d)),
     "events_value_quantiles" -> (CdcPipes.eventsValueQuantiles _),
     "events_hourly_anomalies" -> ((s, d) => CdcPipes.eventsHourlyAnomalies(s, d)),
     "events_value_histogram" -> (CdcPipes.eventsValueHistogram _),
@@ -209,6 +214,7 @@ object SparkEntry {
     "emb_norms"             -> (operators.VectorOps.norms _),
     "emb_knn_bruteforce"    -> ((s, d) => operators.VectorOps.knnBruteForce(s, d)),
     "emb_knn_lsh"           -> ((s, d) => operators.VectorOps.knnLsh(s, d)),
+    "emb_ann_recall"        -> ((s, d) => operators.VectorOps.annRecall(s, d)),
     "emb_near_dup_pairs"    -> ((s, d) => operators.VectorOps.nearDupPairs(s, d)),
     "emb_ivf_assign"        -> ((s, d) => operators.VectorOps.ivfAssign(s, d)),
     "emb_pq_codes"          -> ((s, d) => operators.VectorOps.pqCodes(s, d)),
@@ -585,6 +591,106 @@ object SparkEntry {
     * native WinnowFingerprints expression: k=8 rolling hash, w=16
     * window minima, distinct), ending in `fp(doc_id, fps)` — shared by
     * the fingerprint endpoint and the contamination check. */
+  /** Brute-force kNN as DuckDB CTEs ending in `bfr(query_id,
+    * neighbor_id, cosine, rn)` — shared by the exact-search oracle and
+    * the ANN recall@k evaluation so the ground truth cannot drift. */
+  private val knnBfCtes =
+    """bfq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+      |bfs AS (
+      |  SELECT query_id, e.vec_id AS neighbor_id,
+      |    floor(list_sum(list_transform(generate_series(1, len(qe)),
+      |      i -> CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) * 1000000 + 0.5) / 1000000.0 AS cosine
+      |  FROM bfq q, embeddings e WHERE e.vec_id != q.query_id),
+      |bfr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM bfs)""".stripMargin
+
+  /** Multi-table multi-probe hyperplane LSH as DuckDB CTEs ending in
+    * `lshr(query_id, neighbor_id, cosine, rn)` — fully re-derivable in
+    * SQL because the planes come from md5 (VectorOps.planeComponent):
+    * component (t,p,i) = first-4-bytes-BE of md5('p|t|p|i') mapped to
+    * [-1,1) and rounded to float, every step exact in double on both
+    * engines. Buckets are sign bits, probes flip one bit, candidates
+    * dedupe, cosines rank 6dp-rounded with neighbor tie-break. Shared
+    * by the LSH oracle and the recall@k evaluation. */
+  private val knnLshCtes =
+    """planes AS (
+      |  SELECT t, p, list(CAST(
+      |      ('0x' || substring(md5('p|' || t || '|' || p || '|' || i), 1, 8))::UBIGINT
+      |        / 4294967296.0 * 2 - 1 AS FLOAT) ORDER BY i) AS pw
+      |  FROM generate_series(0, 5) g1(t),
+      |       generate_series(0, 2) g2(p),
+      |       generate_series(1, 64) g3(i)
+      |  GROUP BY t, p),
+      |buckets AS (
+      |  SELECT vec_id, t, CAST(sum(CASE WHEN
+      |      list_sum(list_transform(generate_series(1, len(embedding)),
+      |        i -> CAST(embedding[i] AS DOUBLE) * CAST(pw[i] AS DOUBLE))) >= 0
+      |    THEN 1 << p ELSE 0 END) AS INT) AS bucket
+      |  FROM embeddings, planes
+      |  GROUP BY vec_id, t),
+      |qprobe AS (
+      |  SELECT vec_id AS query_id, t, xor(bucket, flip) AS probe
+      |  FROM buckets, (SELECT unnest([0, 1, 2, 4]) AS flip)
+      |  WHERE vec_id < 20),
+      |cand AS (
+      |  SELECT DISTINCT query_id, b.vec_id AS neighbor_id
+      |  FROM qprobe q JOIN buckets b ON b.t = q.t AND b.bucket = q.probe
+      |  WHERE b.vec_id <> q.query_id),
+      |scored AS (
+      |  SELECT query_id, neighbor_id,
+      |    floor(list_sum(list_transform(generate_series(1, len(x.embedding)),
+      |      i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))) * 1000000 + 0.5) / 1000000.0 AS cosine
+      |  FROM cand JOIN embeddings x ON x.vec_id = cand.query_id
+      |            JOIN embeddings y ON y.vec_id = cand.neighbor_id),
+      |lshr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)""".stripMargin
+
+  /** The 30-min-gap sessionization as DuckDB CTEs ending in
+    * `sess(user_id, session_id, session_start, session_end, n_events,
+    * session_value)` — shared by the sessionization endpoint and the
+    * session-concurrency interval join so the two cannot drift. */
+  private val sessionCtes =
+    """s AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |t AS (
+      |  SELECT user_id, ts, value,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM s),
+      |sess AS (
+      |  SELECT user_id, session_id,
+      |    min(ts) AS session_start, max(ts) AS session_end,
+      |    count(*) AS n_events,
+      |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS session_value
+      |  FROM t GROUP BY user_id, session_id)""".stripMargin
+
+  /** Per-type surge windows (hourly count > 2× the type's mean, pure
+    * integer predicate, adjacent hours merged) as DuckDB CTEs ending in
+    * `win(surge_type, window_start, window_end, surge_events)` — shared
+    * by the window endpoint and the events-to-window range join. */
+  private val surgeCtes =
+    """hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT event_type, sum(n) AS tot, count(*) AS nh FROM hourly GROUP BY 1),
+      |surge AS (
+      |  SELECT h.event_type, h.hour, h.n
+      |  FROM hourly h JOIN stats st USING (event_type)
+      |  WHERE h.n * st.nh > st.tot * 2),
+      |isl AS (
+      |  SELECT *, epoch_us(hour) // 3600000000
+      |         - row_number() OVER (PARTITION BY event_type ORDER BY hour) AS grp
+      |  FROM surge),
+      |win AS (
+      |  SELECT event_type AS surge_type, min(hour) AS window_start,
+      |         max(hour) + INTERVAL 1 HOUR AS window_end,
+      |         CAST(sum(n) AS BIGINT) AS surge_events
+      |  FROM isl GROUP BY event_type, grp)""".stripMargin
+
   private val winnowCtes =
     """rh AS (
       |  SELECT doc_id,
@@ -1032,24 +1138,33 @@ object SparkEntry {
         |  rpad(event_type, 10, ' ') AS event_type_fixed
         |FROM events ORDER BY event_id""".stripMargin,
     "events_sessionization" ->
-      """WITH s AS (
-        |  SELECT user_id, event_id, ts, value,
-        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
-        |         THEN 1 ELSE 0 END AS new_session
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |t AS (
-        |  SELECT user_id, ts, value,
-        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-        |  FROM s)
-        |SELECT user_id, session_id,
-        |  min(ts) AS session_start, max(ts) AS session_end,
+      s"""WITH $sessionCtes
+        |SELECT user_id, session_id, session_start, session_end, n_events, session_value
+        |FROM sess ORDER BY user_id, session_id""".stripMargin,
+    // binned interval self-join ≡ the plain non-equi overlap join
+    "events_session_concurrency" ->
+      s"""WITH $sessionCtes
+        |SELECT s1.user_id, s1.session_id, s1.session_start, s1.session_end,
+        |  count(s2.user_id) AS concurrent_sessions
+        |FROM sess s1 LEFT JOIN sess s2
+        |  ON s2.user_id != s1.user_id
+        | AND s2.session_start <= s1.session_end
+        | AND s1.session_start <= s2.session_end
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY 1, 2""".stripMargin,
+    "events_surge_windows" ->
+      s"""WITH $surgeCtes
+        |SELECT surge_type, window_start, window_end, surge_events
+        |FROM win ORDER BY surge_type, window_start""".stripMargin,
+    "events_interval_join" ->
+      s"""WITH $surgeCtes
+        |SELECT w.surge_type, w.window_start, w.window_end, e.event_type,
         |  count(*) AS n_events,
-        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS session_value
-        |FROM t GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin,
+        |  CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS value_sum
+        |FROM win w JOIN events e
+        |  ON e.ts >= w.window_start AND e.ts < w.window_end
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY 1, 2, 4""".stripMargin,
     "events_retention" ->
       """WITH first_seen AS (
         |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
@@ -1487,6 +1602,52 @@ object SparkEntry {
         |        / (length(text) - length(replace(text, ' ', '')) + 1) * 10000 + 0.5) / 10000.0 >= 0.03 THEN 'mid'
         |       ELSE 'low' END AS quality_band
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // column profile: per column null/distinct/min/max (strings) + row count
+    "docs_profile" ->
+      """WITH p AS (
+        |  SELECT 'doc_id' AS column_name, count(*) - count(doc_id) AS n_nulls,
+        |    count(DISTINCT doc_id) AS n_distinct,
+        |    CAST(min(doc_id) AS VARCHAR) AS min_value, CAST(max(doc_id) AS VARCHAR) AS max_value,
+        |    count(*) AS n_rows FROM documents
+        |  UNION ALL SELECT 'text', count(*) - count(text), count(DISTINCT text),
+        |    CAST(min(text) AS VARCHAR), CAST(max(text) AS VARCHAR), count(*) FROM documents
+        |  UNION ALL SELECT 'lang', count(*) - count(lang), count(DISTINCT lang),
+        |    CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR), count(*) FROM documents
+        |  UNION ALL SELECT 'source', count(*) - count(source), count(DISTINCT source),
+        |    CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR), count(*) FROM documents
+        |  UNION ALL SELECT 'n_chars', count(*) - count(n_chars), count(DISTINCT n_chars),
+        |    CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR), count(*) FROM documents)
+        |SELECT * FROM p ORDER BY column_name""".stripMargin,
+    // curation funnel: raw → lang gate → quality gate → exact-dedup
+    // canonical (within the quality-passed set) per source; the stage
+    // predicates are the SAME expressions as docs_lang_id /
+    // docs_quality_score / docs_exact_dedup so the funnel cannot drift
+    "docs_pipeline_funnel" ->
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |    length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+        |    len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS en_markers,
+        |    (length(text) - length(replace(text, 'th', ''))) / 2 AS ngram_th,
+        |    (length(text) - length(replace(text, 'the', ''))) / 3 AS ngram_the,
+        |    floor(CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS DOUBLE)
+        |          / (length(text) - length(replace(text, ' ', '')) + 1) * 10000 + 0.5) / 10000.0 AS ratio,
+        |    md5(text) AS digest
+        |  FROM documents),
+        |g AS (
+        |  SELECT *,
+        |    (en_markers * 20 >= n_tokens AND ngram_th > 0) OR (en_markers + ngram_the > 0) AS lang_ok
+        |  FROM f),
+        |h AS (SELECT *, (lang_ok AND ratio >= 0.03) AS q_ok FROM g),
+        |c AS (
+        |  SELECT *, CASE WHEN q_ok AND row_number() OVER (PARTITION BY digest, q_ok ORDER BY doc_id) = 1
+        |                 THEN 1 ELSE 0 END AS canon
+        |  FROM h)
+        |SELECT source, count(*) AS n_raw,
+        |  CAST(sum(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_ok,
+        |  CAST(sum(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok,
+        |  CAST(sum(canon) AS BIGINT) AS n_canonical,
+        |  CAST(sum(CASE WHEN canon = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS canonical_tokens
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
     "docs_lang_id" ->
       """SELECT doc_id, lang,
         |  CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS BIGINT) AS en_markers,
@@ -2393,15 +2554,22 @@ object SparkEntry {
         |  floor(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 10000 + 0.5) / 10000.0 AS l2_norm
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "emb_knn_bruteforce" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
-        |s AS (
-        |  SELECT query_id, e.vec_id AS neighbor_id,
-        |    floor(list_sum(list_transform(generate_series(1, len(qe)),
-        |      i -> CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) * 1000000 + 0.5) / 1000000.0 AS cosine
-        |  FROM q, embeddings e WHERE e.vec_id != q.query_id),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
+      s"""WITH $knnBfCtes
         |SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
-        |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+        |FROM bfr WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+    // recall@k acceptance gate: LSH top-k vs the brute-force truth —
+    // both sides are the SAME CTE text as their standalone oracles
+    "emb_ann_recall" ->
+      s"""WITH $knnBfCtes,
+        |$knnLshCtes,
+        |bf AS (SELECT query_id, neighbor_id FROM bfr WHERE rn <= 5),
+        |ls AS (SELECT query_id, neighbor_id FROM lshr WHERE rn <= 5)
+        |SELECT bf.query_id, count(*) AS n_truth,
+        |  CAST(sum(CASE WHEN ls.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        |  floor(CAST(sum(CASE WHEN ls.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*) * 10000 + 0.5) / 10000.0 AS recall_at_k
+        |FROM bf LEFT JOIN ls ON bf.query_id = ls.query_id AND bf.neighbor_id = ls.neighbor_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // hard negatives: the brute-force scoring contract with the label
     // inequality in the join — top-k most-similar DIFFERENT-label
     "emb_hard_negatives" ->
@@ -2423,38 +2591,9 @@ object SparkEntry {
     // engines. Buckets are sign bits, probes flip one bit, candidates
     // dedupe, cosines rank 6dp-rounded with neighbor tie-break.
     "emb_knn_lsh" ->
-      """WITH planes AS (
-        |  SELECT t, p, list(CAST(
-        |      ('0x' || substring(md5('p|' || t || '|' || p || '|' || i), 1, 8))::UBIGINT
-        |        / 4294967296.0 * 2 - 1 AS FLOAT) ORDER BY i) AS pw
-        |  FROM generate_series(0, 5) g1(t),
-        |       generate_series(0, 2) g2(p),
-        |       generate_series(1, 64) g3(i)
-        |  GROUP BY t, p),
-        |buckets AS (
-        |  SELECT vec_id, t, CAST(sum(CASE WHEN
-        |      list_sum(list_transform(generate_series(1, len(embedding)),
-        |        i -> CAST(embedding[i] AS DOUBLE) * CAST(pw[i] AS DOUBLE))) >= 0
-        |    THEN 1 << p ELSE 0 END) AS INT) AS bucket
-        |  FROM embeddings, planes
-        |  GROUP BY vec_id, t),
-        |qprobe AS (
-        |  SELECT vec_id AS query_id, t, xor(bucket, flip) AS probe
-        |  FROM buckets, (SELECT unnest([0, 1, 2, 4]) AS flip)
-        |  WHERE vec_id < 20),
-        |cand AS (
-        |  SELECT DISTINCT query_id, b.vec_id AS neighbor_id
-        |  FROM qprobe q JOIN buckets b ON b.t = q.t AND b.bucket = q.probe
-        |  WHERE b.vec_id <> q.query_id),
-        |scored AS (
-        |  SELECT query_id, neighbor_id,
-        |    floor(list_sum(list_transform(generate_series(1, len(x.embedding)),
-        |      i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))) * 1000000 + 0.5) / 1000000.0 AS cosine
-        |  FROM cand JOIN embeddings x ON x.vec_id = cand.query_id
-        |            JOIN embeddings y ON y.vec_id = cand.neighbor_id),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
+      s"""WITH $knnLshCtes
         |SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
-        |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+        |FROM lshr WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
     "emb_ivf_assign" ->
       """WITH anchors AS (SELECT vec_id AS list_id, embedding AS anchor FROM embeddings WHERE vec_id < 8),
         |s AS (

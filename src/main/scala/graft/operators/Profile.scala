@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.ChFunctions._
+
+/** Dataset profiling + curation-funnel auditing — the observability
+  * operators a training-data platform runs before and after every
+  * pipeline stage (the reference's analogue is the per-datasource
+  * quarantine/row-count bookkeeping in `modules/tb_functions.py:141-160`;
+  * at corpus scale the need generalizes to full column profiles and
+  * stage-attrition accounting).
+  */
+object Profile {
+
+  private val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  /** Column profile of the `documents` table: per column, null count,
+    * exact distinct count, min/max (rendered as strings so one schema
+    * covers every column type). ONE scan of the table: all 5×4 aggregates
+    * ride a single `agg` (Spark plans the multi-distinct via Expand — 5×
+    * row replication, still one pass over storage), then the wide row is
+    * unpivoted driver-free with an `explode(array(struct…))`.
+    *
+    * Scale: exact multi-column distinct is the honest profile at audit
+    * time; a monitoring cadence at 100 TB would swap `countDistinct` for
+    * the KMV lane (`CdcPipes.activeUsersKmv*`) — the unpivot shape is
+    * unchanged. min/max/null-count are pushdown-friendly partial aggs. */
+  def docsProfile(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val aggs = docCols.flatMap { c =>
+      Seq(
+        (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    } :+ count(lit(1)).as("__rows")
+    val one = d.agg(aggs.head, aggs.tail: _*)
+    val packed = docCols.map { c =>
+      struct(
+        lit(c).as("column_name"),
+        col(s"${c}__nulls").as("n_nulls"),
+        col(s"${c}__nd").as("n_distinct"),
+        col(s"${c}__min").as("min_value"),
+        col(s"${c}__max").as("max_value"))
+    }
+    one.select(explode(array(packed: _*)).as("p"), col("__rows").as("n_rows"))
+      .select(col("p.*"), col("n_rows"))
+      .orderBy("column_name")
+  }
+
+  /** Curation-funnel audit: per source, document attrition through the
+    * standard pipeline stages — raw → language gate (the `langId`
+    * heuristic's en/en_maybe) → quality gate (4dp stopword ratio ≥ 0.03,
+    * the `mid` band floor) → exact-dedup canonical (min doc_id per md5
+    * digest, computed WITHIN the quality-passed set: dedup runs after
+    * filtering, as in production) — plus the token count the surviving
+    * set contributes.
+    *
+    * One scan; the only extra exchange over a plain rollup is the
+    * digest-partitioned window that marks canonicals (partitioning on
+    * (digest, q_ok) keeps failed rows out of the canonical election
+    * without a second filtered shuffle). At 100 TB both shuffles key on
+    * high-cardinality columns (digest, then source only for the final
+    * tiny rollup) — no skew concentration. */
+  def pipelineFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val nTok = length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1
+    val enMarkers = expr("size(filter(split(text, ' '), x -> x IN ('the', 'a')))")
+    val ngramTh = (length(col("text")) - length(regexp_replace(col("text"), "th", ""))) / 2
+    val ngramThe = (length(col("text")) - length(regexp_replace(col("text"), "the", ""))) / 3
+    val langOk = (enMarkers * 20 >= nTok && ngramTh > 0) || (enMarkers + ngramThe > 0)
+    val staged = d.select(
+        col("doc_id"), col("source"),
+        nTok.cast("long").as("n_tokens"),
+        langOk.as("lang_ok"),
+        (langOk && TextAnalysis.stopwordRatio(col("text")) >= 0.03).as("q_ok"),
+        md5(col("text")).as("digest"))
+      .withColumn("canon",
+        (col("q_ok") && row_number().over(
+          Window.partitionBy(col("digest"), col("q_ok")).orderBy(col("doc_id"))) === 1)
+          .cast("int"))
+    staged.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_raw"),
+        sum(when(col("lang_ok"), 1L).otherwise(0L)).as("n_lang_ok"),
+        sum(when(col("q_ok"), 1L).otherwise(0L)).as("n_quality_ok"),
+        sum(col("canon").cast("long")).as("n_canonical"),
+        sum(when(col("canon") === 1, col("n_tokens")).otherwise(0L)).as("canonical_tokens"))
+      .orderBy("source")
+  }
+}

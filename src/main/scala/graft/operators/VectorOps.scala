@@ -701,4 +701,30 @@ object VectorOps {
       .filter(col("rank") <= k)
       .orderBy("query_id", "rank")
   }
+
+  /** ANN quality evaluation: recall@k of the hyperplane-LSH index
+    * ([[knnLsh]]) against the brute-force ground truth
+    * ([[knnBruteForce]]) — the acceptance gate every approximate index
+    * needs before it replaces the exact path in production. Per query:
+    * |LSH top-k ∩ exact top-k| / k, 4dp-floored.
+    *
+    * Scale: the expensive side (exact top-k) is only ever computed for
+    * the evaluation query sample (`nQueries`), never the corpus — this
+    * is the standard offline recall harness; the join is two tiny
+    * (nQueries × k)-row frames. */
+  def annRecall(spark: SparkSession, dir: String,
+                nQueries: Int = 20, k: Int = 5): DataFrame = {
+    val truth = knnBruteForce(spark, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = knnLsh(spark, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .withColumn("recall_at_k",
+        floorRound(col("hits").cast("double") / col("n_truth"), 4))
+      .orderBy("query_id")
+  }
 }
