@@ -112,6 +112,7 @@ object SparkEntry {
     "events_session_concurrency" -> ((s, d) => operators.RangeJoin.sessionConcurrency(s, d)),
     "docs_profile"          -> ((s, d) => operators.Profile.docsProfile(s, d)),
     "docs_pipeline_funnel"  -> ((s, d) => operators.Profile.pipelineFunnel(s, d)),
+    "docs_dsir_weights"     -> ((s, d) => operators.TrainingMix.dsirWeights(s, d)),
     "events_value_quantiles" -> (CdcPipes.eventsValueQuantiles _),
     "events_hourly_anomalies" -> ((s, d) => CdcPipes.eventsHourlyAnomalies(s, d)),
     "events_value_histogram" -> (CdcPipes.eventsValueHistogram _),
@@ -1648,6 +1649,44 @@ object SparkEntry {
         |  CAST(sum(canon) AS BIGINT) AS n_canonical,
         |  CAST(sum(CASE WHEN canon = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS canonical_tokens
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    // DSIR-shaped importance weights: hashed-bigram buckets, add-one
+    // smoothed integer likelihood-ratio proxy, top-20%-per-source select
+    "docs_dsir_weights" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, source,
+        |    floor(CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS DOUBLE)
+        |          / (length(text) - length(replace(text, ' ', '')) + 1) * 10000 + 0.5) / 10000.0 >= 0.08 AS is_target,
+        |    string_split(text, ' ') AS t
+        |  FROM documents),
+        |ng AS (
+        |  SELECT doc_id, is_target, t[g] || ' ' || t[g+1] AS ngram
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS g)
+        |  WHERE len(t) >= 2),
+        |bk AS (
+        |  SELECT doc_id, is_target,
+        |    ((${graft.functions.OracleHash.duckLow64("ngram")} % 256) + 256) % 256 AS bucket
+        |  FROM ng),
+        |st AS (
+        |  SELECT bucket, count(*) AS r_b,
+        |    CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS t_b
+        |  FROM bk GROUP BY 1),
+        |wb AS (SELECT bucket, ((t_b + 1) * 10000) // (r_b + 1) AS w_b FROM st),
+        |sc AS (
+        |  SELECT doc_id, count(*) AS n_feats, CAST(sum(w_b) AS BIGINT) AS score
+        |  FROM bk JOIN wb USING (bucket) GROUP BY 1),
+        |o AS (
+        |  SELECT d.doc_id, d.source,
+        |    COALESCE(n_feats, 0) AS n_feats, COALESCE(score, 0) AS score,
+        |    CASE WHEN COALESCE(n_feats, 0) > 0 THEN score // n_feats ELSE 0 END AS score_per_feat
+        |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY source ORDER BY score_per_feat DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n_src
+        |  FROM o)
+        |SELECT doc_id, source, n_feats, score, score_per_feat,
+        |  rn * 100 <= 20 * n_src AS selected
+        |FROM r ORDER BY doc_id""".stripMargin,
     "docs_lang_id" ->
       """SELECT doc_id, lang,
         |  CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS BIGINT) AS en_markers,

@@ -321,4 +321,61 @@ object TrainingMix {
       .select("global_rank", "doc_id", "source", "lang", "quality", "rank_in_source")
       .orderBy("global_rank")
   }
+
+  /** Importance-resampling weights in the DSIR shape (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * hash word-bigram features into a small bucket space, estimate a
+    * target distribution from an in-domain subset (here: the corpus's
+    * own high-quality band, stopword ratio ≥ 0.08), weight each doc by
+    * how much more its features look like the target than the raw pool,
+    * and select the top `pct`% per source.
+    *
+    * Determinism contract: the likelihood ratio is an INTEGER-unit
+    * proxy — per bucket `w_b = ((t_b+1)·10000) div (r_b+1)` (add-one
+    * smoothed), per doc the plain sum of its buckets' w_b (associative
+    * long addition, any partial-agg order agrees) — instead of the
+    * paper's log-ratio, which would hang cross-engine equality on
+    * transcendental ulps. Monotone in the same direction per bucket,
+    * and exactly reproducible in the DuckDB oracle.
+    *
+    * Scale: one bigram shuffle with map-side combine onto `nBuckets`
+    * rows; the bucket→weight table is broadcast (256 rows); the per-doc
+    * sum is one shuffle on doc_id; the per-source selection window
+    * ranks within sources only. The hashed-feature trick is the whole
+    * point at 100 TB: the "model" is nBuckets longs, not a vocabulary. */
+  def dsirWeights(spark: SparkSession, dir: String,
+                  nBuckets: Int = 256, pct: Int = 20): DataFrame = {
+    import graft.functions.OracleHash
+    val d = Tables.documents(spark, dir)
+    val base = d.select(
+      col("doc_id"), col("source"),
+      (TextAnalysis.stopwordRatio(col("text")) >= 0.08).as("is_target"),
+      split(col("text"), " ").as("t"))
+    val grams = base.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("is_target"),
+        explode(expr(
+          "transform(sequence(1, size(t) - 1), i -> concat_ws(' ', t[i-1], t[i]))"))
+          .as("ngram"))
+      .withColumn("bucket", pmod(OracleHash.low64(col("ngram")), lit(nBuckets)))
+    val stats = grams.groupBy("bucket")
+      .agg(
+        count(lit(1)).as("r_b"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("t_b"))
+      .withColumn("w_b", expr("((t_b + 1) * 10000) div (r_b + 1)"))
+    val scored = grams
+      .join(broadcast(stats.select("bucket", "w_b")), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum(col("w_b")).as("score"))
+      .withColumn("score_per_feat", expr("score div n_feats"))
+    val out = d.select(col("doc_id"), col("source"))
+      .join(scored, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_feats", "score", "score_per_feat"))
+    out
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("score_per_feat").desc, col("doc_id"))))
+      .withColumn("n_src", count(lit(1)).over(Window.partitionBy("source")))
+      .withColumn("selected", col("rn") * 100 <= lit(pct) * col("n_src"))
+      .drop("rn", "n_src")
+      .orderBy("doc_id")
+  }
 }

@@ -57,6 +57,26 @@ class ProfileSpec extends SparkSpec {
     assert(got == expected, "canonical stage must equal distinct digests of the filtered set")
   }
 
+  test("DSIR weights: target-heavy buckets score above raw, selection is 20% per source") {
+    import graft.operators.TrainingMix
+    val rows = TrainingMix.dsirWeights(spark, sf).collect()
+    assert(rows.length == graft.Tables.documents(spark, sf).count())
+    // per-source selection quota: floor-of-threshold semantics, rn*100 <= 20*n
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val sel = rs.count(_.getAs[Boolean]("selected"))
+      assert(sel == rs.length * 20 / 100, s"quota drift at $src: $sel of ${rs.length}")
+    }
+    // a selected doc never scores below an unselected one of the same source
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val selMin = rs.filter(_.getAs[Boolean]("selected")).map(_.getAs[Long]("score_per_feat"))
+      val unsMax = rs.filterNot(_.getAs[Boolean]("selected")).map(_.getAs[Long]("score_per_feat"))
+      if (selMin.nonEmpty && unsMax.nonEmpty) assert(selMin.min >= unsMax.max)
+    }
+    // scores are per-feature normalized sums of positive bucket weights
+    for (r <- rows if r.getAs[Long]("n_feats") > 0)
+      assert(r.getAs[Long]("score") > 0 && r.getAs[Long]("score_per_feat") >= 0)
+  }
+
   test("ANN recall: bounded, consistent with hits, and the index finds something") {
     val rows = VectorOps.annRecall(spark, sf).collect()
     assert(rows.length == 20)
