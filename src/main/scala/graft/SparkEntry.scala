@@ -113,6 +113,7 @@ object SparkEntry {
     "docs_profile"          -> ((s, d) => operators.Profile.docsProfile(s, d)),
     "docs_pipeline_funnel"  -> ((s, d) => operators.Profile.pipelineFunnel(s, d)),
     "docs_dsir_weights"     -> ((s, d) => operators.TrainingMix.dsirWeights(s, d)),
+    "docs_pagerank"         -> ((s, d) => operators.TextDedup.dupGraphPagerank(s, d)),
     "events_value_quantiles" -> (CdcPipes.eventsValueQuantiles _),
     "events_hourly_anomalies" -> ((s, d) => CdcPipes.eventsHourlyAnomalies(s, d)),
     "events_value_histogram" -> (CdcPipes.eventsValueHistogram _),
@@ -170,6 +171,7 @@ object SparkEntry {
     "docs_bloom_contamination" -> ((s, d) => operators.Sketches.bloomContamination(s, d)),
     "docs_bm25_search"      -> ((s, d) => operators.Search.bm25Search(s, d)),
     "docs_bm25_rerank"      -> ((s, d) => operators.Search.bm25Rerank(s, d)),
+    "docs_hybrid_rrf"       -> ((s, d) => operators.Search.rrfFusion(s, d)),
     "docs_chunks"           -> ((s, d) => operators.TextAnalysis.chunks(s, d)),
     "docs_split_assign"     -> (operators.TextAnalysis.splitAssign _),
     "docs_top_bigrams"      -> ((s, d) => operators.TextAnalysis.topBigrams(s, d)),
@@ -1790,6 +1792,7 @@ object SparkEntry {
     "docs_bm25_search" -> operators.Search.bm25OracleSql(),
     // two-stage retrieval: BM25 recall CTE nested verbatim, TF-IDF rerank
     "docs_bm25_rerank" -> operators.Search.bm25RerankOracleSql(),
+    "docs_hybrid_rrf" -> operators.Search.rrfFusionOracleSql(),
     "docs_chunks" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |c AS (
@@ -2112,6 +2115,33 @@ object SparkEntry {
       s"""WITH $nearDupCtes
         |SELECT doc_a, doc_b, floor(jr * 10000 + 0.5) / 10000.0 AS jaccard
         |FROM j WHERE jr >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    // PageRank over the near-dup graph: 3 unrolled integer-unit rounds
+    // (rank div degree contributions, damping as 150000 + 85·Σ div 100)
+    // over the SAME pair CTEs as docs_near_dup_pairs
+    "docs_pagerank" -> {
+      val rounds = (1 to 3).map { i =>
+        val prev = s"r${i - 1}"
+        s"""c$i AS (
+           |  SELECT dst AS doc_id, sum(rank_units // deg) AS s
+           |  FROM ed JOIN deg USING (src) JOIN $prev ON ed.src = $prev.doc_id
+           |  GROUP BY 1),
+           |r$i AS (
+           |  SELECT deg.src AS doc_id,
+           |    CAST(150000 + (85 * COALESCE(s, 0)) // 100 AS BIGINT) AS rank_units
+           |  FROM deg LEFT JOIN c$i ON deg.src = c$i.doc_id)"""
+      }.mkString(",\n")
+      s"""WITH $nearDupCtes,
+        |pr AS (SELECT doc_a, doc_b FROM j WHERE jr >= 0.5),
+        |ed AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+        |       UNION ALL SELECT doc_b, doc_a FROM pr),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM ed GROUP BY 1),
+        |r0 AS (SELECT src AS doc_id, CAST(1000000 AS BIGINT) AS rank_units FROM deg),
+        |$rounds
+        |SELECT r3.doc_id, deg.deg AS degree, r3.rank_units,
+        |  r3.rank_units / 1000000.0 AS rank
+        |FROM r3 JOIN deg ON deg.src = r3.doc_id
+        |ORDER BY r3.rank_units DESC, r3.doc_id""".stripMargin
+    },
     // character-level second opinion over the verified pairs only.
     // Cross-engine contract pinned by ChFunctionsSpec ("levenshtein
     // unicode semantics"): Spark counts CODEPOINTS, DuckDB counts BYTES

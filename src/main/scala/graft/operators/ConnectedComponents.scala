@@ -105,4 +105,53 @@ object ConnectedComponents {
     labels.join(sizes, "label")
       .select(col("id"), col("label").as("cluster_id"), col("cluster_size"))
   }
+
+  /** PageRank over an undirected pair graph — the second iterative
+    * graph kernel next to [[clusters]]: where CC answers "which docs
+    * are the same", PageRank answers "which doc is the HUB of its
+    * duplication neighborhood" (a centrality-based canonical pick, and
+    * the standard authority signal for boilerplate/template detection).
+    *
+    * Determinism contract: all arithmetic in integer micro-units —
+    * init 1,000,000 per node, per-edge contribution `rank div degree`
+    * (truncating long division), damping 0.85 applied as
+    * `150000 + (85 · Σcontrib) div 100` — so every step is associative
+    * long math that any partial-agg order and any engine reproduce
+    * exactly; the oracle unrolls the same `iters` rounds in SQL.
+    *
+    * Scale: nodes/edges are the near-dup PAIR graph (≪ corpus); each
+    * round is one co-partitioned join + map-side-combined sum on the
+    * checkpoint-pinned edge list — the standard distributed PageRank
+    * round. Fixed `iters` (no convergence probe): centrality ranking
+    * stabilizes in a few rounds on near-clique dup neighborhoods. */
+  def pagerank(spark: SparkSession, pairs: DataFrame,
+               iters: Int = 3): DataFrame = {
+    val edges = pairs.toDF("a", "b")
+      .select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    var ranks = deg.select(col("src").as("doc_id"), lit(1000000L).as("rank_units"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(deg, "src")
+        .join(ranks.withColumnRenamed("doc_id", "src"), "src")
+        .select(col("dst").as("doc_id"), expr("rank_units div deg").as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("in_sum"))
+      ranks = deg.select(col("src").as("doc_id"))
+        .join(contrib, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit(150000L) + expr("(85 * coalesce(in_sum, 0L)) div 100")).as("rank_units"))
+    }
+    deg.select(col("src").as("doc_id"), col("deg"))
+      .join(ranks, "doc_id")
+      .select(col("doc_id"), col("deg").as("degree"), col("rank_units"),
+        (col("rank_units") / 1000000.0).as("rank"))
+      .orderBy(col("rank_units").desc, col("doc_id"))
+  }
 }

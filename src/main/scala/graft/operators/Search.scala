@@ -254,4 +254,57 @@ object Search {
       |SELECT rank, doc_id, lang, source, n_terms_matched, score_micros, score
       |FROM ranked WHERE rank <= $k ORDER BY rank""".stripMargin
   }
+
+  /** Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009):
+    * fuse the BM25 ranking and the exact TF-IDF-cosine ranking of the
+    * same recall pool by `Σ 1e9 div (60 + rank)` — the standard
+    * score-free fusion that rewards agreement between rankers without
+    * comparing their incomparable score scales. Integer division keeps
+    * the fused score exactly reproducible cross-engine (the classic
+    * 1/(60+r) floats would hang equality on summation order).
+    *
+    * Scale: both rankers are the candidate-bounded plans ([[bm25Search]],
+    * [[bm25Rerank]]); the fusion itself joins two ≤`kPool`-row frames.
+    * RRF generalizes unchanged to heterogeneous rankers (e.g. an ANN
+    * ranking as the third voice) — anything that emits (doc_id, rank). */
+  def rrfFusion(spark: SparkSession, dir: String,
+                query: String = DefaultQuery,
+                kPool: Int = 50, k: Int = 10): DataFrame = {
+    val a = bm25Search(spark, dir, query, kPool)
+      .select(col("doc_id"), col("rank").as("rank_bm25"))
+    val b = bm25Rerank(spark, dir, query, kPool, kPool)
+      .select(col("doc_id"), col("rank").as("rank_cos"))
+    a.join(b, Seq("doc_id"), "full")
+      .withColumn("rrf_units",
+        expr("coalesce(1000000000 div (60 + rank_bm25), 0L) + " +
+          "coalesce(1000000000 div (60 + rank_cos), 0L)"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rrf_units").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("doc_id"), col("rank_bm25"), col("rank_cos"),
+        col("rrf_units"))
+      .orderBy("rank")
+  }
+
+  /** Oracle-side rendering of [[rrfFusion]]: both ranker chains nested
+    * as CTEs (the SAME text as their standalone oracles), fused with
+    * the identical integer-division arithmetic. */
+  def rrfFusionOracleSql(query: String = DefaultQuery,
+                         kPool: Int = 50, k: Int = 10): String = {
+    s"""WITH bmr AS (${bm25OracleSql(query, kPool)}),
+      |csr AS (${bm25RerankOracleSql(query, kPool, kPool)}),
+      |f AS (
+      |  SELECT COALESCE(bmr.doc_id, csr.doc_id) AS doc_id,
+      |    bmr.rank AS rank_bm25, csr.rank AS rank_cos,
+      |    CAST(COALESCE(1000000000 // (60 + bmr.rank), 0)
+      |       + COALESCE(1000000000 // (60 + csr.rank), 0) AS BIGINT) AS rrf_units
+      |  FROM bmr FULL JOIN csr ON bmr.doc_id = csr.doc_id),
+      |rr AS (
+      |  SELECT row_number() OVER (ORDER BY rrf_units DESC, doc_id) AS rank,
+      |    doc_id, rank_bm25, rank_cos, rrf_units
+      |  FROM f)
+      |SELECT rank, doc_id, rank_bm25, rank_cos, rrf_units
+      |FROM rr WHERE rank <= $k ORDER BY rank""".stripMargin
+  }
 }

@@ -376,6 +376,16 @@ object TextDedup {
       .toDF("doc_id", "cluster_id", "cluster_size")
       .orderBy("cluster_id", "doc_id")
 
+  /** Duplication-hub centrality: [[ConnectedComponents.pagerank]] over
+    * the near-dup pair graph. High-rank docs sit at the center of many
+    * overlapping near-dup neighborhoods — template/boilerplate sources
+    * worth inspecting (and an alternative centrality-based canonical
+    * pick to [[canonicalSelect]]'s quality argmax). */
+  def dupGraphPagerank(spark: SparkSession, dir: String,
+                       iters: Int = 3): DataFrame =
+    ConnectedComponents.pagerank(spark,
+      nearDupPairs(spark, dir).select("doc_a", "doc_b"), iters)
+
   /** Exact-substring span detection — the scalable form of
     * suffix-array substring dedup (the "dedup repeated spans, not just
     * whole documents" step of corpus cleaning): positional winnowing

@@ -98,4 +98,30 @@ class SearchSpec extends SparkSpec {
     }.toMap
     assert(score(1L) > score(2L))
   }
+
+  test("RRF fusion: pool-bounded, formula-exact, agreement wins") {
+    import graft.operators.Search
+    val kPool = 50
+    val fused = Search.rrfFusion(spark, sf, kPool = kPool, k = 10).collect()
+    assert(fused.nonEmpty && fused.length <= 10)
+    val bm = Search.bm25Search(spark, sf, k = kPool).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("rank")).toMap
+    val cos = Search.bm25Rerank(spark, sf, kCandidates = kPool, k = kPool).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("rank")).toMap
+    for (r <- fused) {
+      val id = r.getAs[Long]("doc_id")
+      assert(bm.contains(id) || cos.contains(id), "fused doc outside both pools")
+      val expect = bm.get(id).map(x => 1000000000L / (60 + x)).getOrElse(0L) +
+        cos.get(id).map(x => 1000000000L / (60 + x)).getOrElse(0L)
+      assert(r.getAs[Long]("rrf_units") == expect, s"RRF formula drift at doc $id")
+    }
+    // if one doc tops BOTH rankers it must top the fusion
+    val doubleTop = bm.find(_._2 == 1).map(_._1).filter(id => cos.get(id).contains(1))
+    doubleTop.foreach { id =>
+      assert(fused.head.getAs[Long]("doc_id") == id, "consensus #1 not fused #1")
+    }
+    // fused order is by rrf_units desc with doc_id tiebreak
+    val units = fused.map(r => (r.getAs[Long]("rrf_units"), r.getAs[Long]("doc_id")))
+    assert(units.sameElements(units.sortBy { case (u, id) => (-u, id) }))
+  }
 }
