@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -50,6 +50,52 @@ object Profile {
       .select(col("p.*"), col("n_rows"))
       .orderBy("column_name")
   }
+
+  /** Mergeable profile partials over the events schema — the streaming
+    * face of profiling (data-quality monitoring): one row per column
+    * with counts (sum-mergeable) and typed min/max lanes (min/max-
+    * mergeable; numerics as DOUBLE — timestamps via epoch µs — and
+    * strings in their own lane, because a string-rendered numeric
+    * min would merge lexicographically and break). Used by
+    * `CdcStream.startProfileMv` per micro-batch and merged on read by
+    * `profileView`; the partial of the WHOLE table is also the batch
+    * truth the replay test compares against. */
+  def eventsProfilePartial(frame: DataFrame): DataFrame = {
+    val cols: Seq[(String, Column, Column, Column)] = Seq(
+      ("event_id", col("event_id"), col("event_id").cast("double"), lit(null).cast("string")),
+      ("ts", col("ts"), unix_micros(col("ts").cast("timestamp")).cast("double"), lit(null).cast("string")),
+      ("user_id", col("user_id"), col("user_id").cast("double"), lit(null).cast("string")),
+      ("value", col("value"), col("value"), lit(null).cast("string")),
+      ("event_type", col("event_type"), lit(null).cast("double"), col("event_type")))
+    val aggs = cols.flatMap { case (n, raw, num, str) =>
+      Seq(
+        count(lit(1)).as(s"${n}__rows"),
+        (count(lit(1)) - count(raw)).as(s"${n}__nulls"),
+        min(num).as(s"${n}__minn"), max(num).as(s"${n}__maxn"),
+        min(str).as(s"${n}__mins"), max(str).as(s"${n}__maxs"))
+    }
+    val one = frame.agg(aggs.head, aggs.tail: _*)
+    val packed = cols.map { case (n, _, _, _) =>
+      struct(
+        lit(n).as("column_name"),
+        col(s"${n}__rows").as("n_rows"),
+        col(s"${n}__nulls").as("n_nulls"),
+        col(s"${n}__minn").as("min_num"), col(s"${n}__maxn").as("max_num"),
+        col(s"${n}__mins").as("min_str"), col(s"${n}__maxs").as("max_str"))
+    }
+    one.select(explode(array(packed: _*)).as("p")).select(col("p.*"))
+  }
+
+  /** Merge a log of [[eventsProfilePartial]] outputs: counts add,
+    * extrema re-extremize — associative and restart-safe. */
+  def mergeProfilePartials(partials: DataFrame): DataFrame =
+    partials.groupBy("column_name")
+      .agg(
+        sum(col("n_rows")).as("n_rows"),
+        sum(col("n_nulls")).as("n_nulls"),
+        min(col("min_num")).as("min_num"), max(col("max_num")).as("max_num"),
+        min(col("min_str")).as("min_str"), max(col("max_str")).as("max_str"))
+      .orderBy("column_name")
 
   /** Curation-funnel audit: per source, document attrition through the
     * standard pipeline stages — raw → language gate (the `langId`

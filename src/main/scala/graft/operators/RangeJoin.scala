@@ -93,10 +93,17 @@ object RangeJoin {
     * a left join back so zero-concurrency sessions keep their row. The
     * small session frame is lazily checkpoint-pinned so the sessionization
     * window isn't recomputed for both join sides and the backfill. */
-  def sessionConcurrency(spark: SparkSession, dir: String): DataFrame = {
-    val sess = CdcPipes.eventsSessionization(spark, dir)
-      .select("user_id", "session_id", "session_start", "session_end")
-      .localCheckpoint(false)
+  def sessionConcurrency(spark: SparkSession, dir: String): DataFrame =
+    concurrencyFrom(
+      CdcPipes.eventsSessionization(spark, dir)
+        .select("user_id", "session_id", "session_start", "session_end"))
+
+  /** The binned overlap-count kernel over any
+    * (user_id, session_id, session_start, session_end) frame —
+    * property-tested against the naive non-equi join on arbitrary
+    * generated interval sets (RangeJoinProps). */
+  def concurrencyFrom(sessions: DataFrame): DataFrame = {
+    val sess = sessions.localCheckpoint(false)
     val binned = sess.withColumn("hour",
       explode(sequence(
         toStartOfHour(col("session_start")),

@@ -592,6 +592,35 @@ object CdcStream {
       .groupBy("hour", "r", "bucket")
       .agg(sum(col("c")).as("c"))
 
+  /** Streaming column-profile MV — data-quality monitoring as a
+    * mergeable summary: each micro-batch writes 5 profile rows
+    * (per-column counts + typed min/max lanes,
+    * [[graft.operators.Profile.eventsProfilePartial]]). Counts are
+    * sums — NOT duplicate-idempotent — so this MV uses the
+    * overwrite-per-batch-id discipline of [[startCmsMv]]: a replayed
+    * batch rewrites its own directory and the view cannot
+    * double-count. The log grows by 5 rows per batch while answering
+    * "how many nulls / what range has this column ever seen" without
+    * re-scanning events. */
+  def startProfileMv(spark: SparkSession, srcDir: String, partialsDir: String,
+                     checkpointDir: String): StreamingQuery =
+    readEvents(spark, srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Profile.eventsProfilePartial(batch)
+          .write.mode("overwrite").parquet(s"$partialsDir/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** The `-Merge` read over the profile-partial log. */
+  def profileView(spark: SparkSession, partialsDir: String): DataFrame =
+    graft.operators.Profile.mergeProfilePartials(
+      spark.read.parquet(partialsDir)
+        .drop("batch"))
+
   /** Streaming Bloom-filter MV over per-user event membership: each
     * micro-batch appends its words' OR-partials. The third idempotence
     * discipline of the sketch-MV family, completing the set: KMV

@@ -759,4 +759,31 @@ class StreamingSpec extends SparkSpec {
       assert(q.isActive, q.exception.map(_.toString).getOrElse(""))
     } finally q.stop()
   }
+
+  test("profile MV: merged partials equal the batch profile; restart is a no-op") {
+    val src = tmp(); val partials = tmp() + "/prof"; val ck = tmp() + "/ck"
+    val events = Tables.events(spark, sf)
+    // modulo chunks: every batch overlaps every column's extrema groups,
+    // so merge-on-read must ADD counts and re-extremize min/max
+    Seq(0, 1, 2).foreach { i =>
+      events.filter(col("event_id") % 3 === i).write.parquet(s"$src/chunk$i")
+      CdcStream.startProfileMv(spark, s"$src/chunk*", partials, ck).awaitTermination()
+    }
+    def snap(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy("column_name").collect().map(_.toString).toSeq
+    val streamed = snap(CdcStream.profileView(spark, partials))
+    val batch = snap(operators.Profile.mergeProfilePartials(
+      operators.Profile.eventsProfilePartial(events)))
+    assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
+    // null accounting and row totals are sane against the raw table
+    val rows = CdcStream.profileView(spark, partials).collect()
+    val n = events.count()
+    assert(rows.forall(_.getAs[Long]("n_rows") == n))
+    assert(rows.forall(r => r.getAs[Long]("n_nulls") >= 0 && r.getAs[Long]("n_nulls") <= n))
+    // restart on the same checkpoint: counts are NOT duplicate-idempotent,
+    // so the overwrite-per-batch-id discipline is what this pins
+    CdcStream.startProfileMv(spark, s"$src/chunk*", partials, ck).awaitTermination()
+    assert(snap(CdcStream.profileView(spark, partials)) == streamed,
+      "restart moved the profile")
+  }
 }
