@@ -1610,16 +1610,17 @@ object SparkEntry {
       """WITH p AS (
         |  SELECT 'doc_id' AS column_name, count(*) - count(doc_id) AS n_nulls,
         |    count(DISTINCT doc_id) AS n_distinct,
-        |    CAST(min(doc_id) AS VARCHAR) AS min_value, CAST(max(doc_id) AS VARCHAR) AS max_value,
+        |    substring(CAST(min(doc_id) AS VARCHAR), 1, 64) AS min_value,
+        |    substring(CAST(max(doc_id) AS VARCHAR), 1, 64) AS max_value,
         |    count(*) AS n_rows FROM documents
         |  UNION ALL SELECT 'text', count(*) - count(text), count(DISTINCT text),
-        |    CAST(min(text) AS VARCHAR), CAST(max(text) AS VARCHAR), count(*) FROM documents
+        |    substring(CAST(min(text) AS VARCHAR), 1, 64), substring(CAST(max(text) AS VARCHAR), 1, 64), count(*) FROM documents
         |  UNION ALL SELECT 'lang', count(*) - count(lang), count(DISTINCT lang),
-        |    CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR), count(*) FROM documents
+        |    substring(CAST(min(lang) AS VARCHAR), 1, 64), substring(CAST(max(lang) AS VARCHAR), 1, 64), count(*) FROM documents
         |  UNION ALL SELECT 'source', count(*) - count(source), count(DISTINCT source),
-        |    CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR), count(*) FROM documents
+        |    substring(CAST(min(source) AS VARCHAR), 1, 64), substring(CAST(max(source) AS VARCHAR), 1, 64), count(*) FROM documents
         |  UNION ALL SELECT 'n_chars', count(*) - count(n_chars), count(DISTINCT n_chars),
-        |    CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR), count(*) FROM documents)
+        |    substring(CAST(min(n_chars) AS VARCHAR), 1, 64), substring(CAST(max(n_chars) AS VARCHAR), 1, 64), count(*) FROM documents)
         |SELECT * FROM p ORDER BY column_name""".stripMargin,
     // curation funnel: raw → lang gate → quality gate → exact-dedup
     // canonical (within the quality-passed set) per source; the stage

@@ -43,6 +43,18 @@ object ChFunctions {
   /** `fromUnixTimestamp64Micro(i)` — kits/users/pg/pipes/users_mv.pipe:15-16 */
   def fromUnixTimestamp64Micro(c: Column): Column = timestamp_micros(c)
 
+  /** Epoch µs of a wall-clock (`timestamp_ntz`) value, timezone-FREE —
+    * the inverse of the DuckDB oracle's `epoch_us(ts)` on tz-naive data.
+    * `unix_micros(cast(ts as timestamp))` would interpret the ntz value
+    * in the session timezone (per-value, so even µs *differences* break
+    * across a DST transition); `timestampdiff` on ntz operands never
+    * consults the timezone. */
+  def ntzMicros(c: Column): Column = {
+    val n = c.cast(org.apache.spark.sql.types.TimestampNTZType)
+    timestamp_diff("MICROSECOND",
+      lit("1970-01-01 00:00:00").cast(org.apache.spark.sql.types.TimestampNTZType), n)
+  }
+
   /** `argMax(value, version)` — kits/users/pg/pipes/users_api_batch.pipe:9-18.
     * `version` may be a `struct(...)` for deterministic tie-breaking. */
   def argMax(value: Column, version: Column): Column = max_by(value, version)

@@ -61,8 +61,8 @@ object AsOfJoin {
     asOfJoin(purchases, clicks, Seq("user_id"), "ts",
         Seq("click_event_id", "click_ts"))
       .withColumn("gap_us",
-        unix_micros(col("ts").cast("timestamp")) -
-          unix_micros(col("click_ts").cast("timestamp")))
+        graft.functions.ChFunctions.ntzMicros(col("ts")) -
+          graft.functions.ChFunctions.ntzMicros(col("click_ts")))
       .orderBy("event_id")
   }
 }

@@ -123,35 +123,87 @@ object ConnectedComponents {
     * round is one co-partitioned join + map-side-combined sum on the
     * checkpoint-pinned edge list — the standard distributed PageRank
     * round. Fixed `iters` (no convergence probe): centrality ranking
-    * stabilizes in a few rounds on near-clique dup neighborhoods. */
+    * stabilizes in a few rounds on near-clique dup neighborhoods; for
+    * general graphs use [[pagerankConverged]]. The edge/degree pins are
+    * LAZY checkpoints (the repo's convention, like `concurrencyFrom`):
+    * merely constructing the query — for plan inspection, or
+    * register-then-discard — costs nothing; the upstream pair pipeline
+    * runs once, on the first action. */
   def pagerank(spark: SparkSession, pairs: DataFrame,
                iters: Int = 3): DataFrame = {
+    val (edges, deg) = edgesAndDegrees(pairs, eager = false)
+    var ranks = deg.select(col("src").as("doc_id"), lit(1000000L).as("rank_units"))
+    for (_ <- 1 to iters) ranks = prRound(edges, deg, ranks)
+    finishRanks(deg, ranks)
+  }
+
+  /** PageRank with a residual convergence probe — the general-graph
+    * form of [[pagerank]]: iterate until the largest per-node rank move
+    * is ≤ `tolUnits` micro-units (probe `max|Δ|` per round, driver sees
+    * one boolean — same control-loop shape as [[clusters]]), throwing
+    * past `maxIters` instead of returning a half-converged ranking. Same
+    * integer micro-unit arithmetic, so a run that happens to stop at
+    * round `k` equals `pagerank(iters = k)` exactly. Eager checkpoints
+    * here are CORRECT, not a deviation: the driver probe forces
+    * materialization every round anyway, and each round's frame must be
+    * pinned or round k would recompute rounds 1..k-1. */
+  def pagerankConverged(spark: SparkSession, pairs: DataFrame,
+                        tolUnits: Long = 1000L, maxIters: Int = 64): DataFrame = {
+    val (edges, deg) = edgesAndDegrees(pairs, eager = true)
+    var ranks = deg.select(col("src").as("doc_id"), lit(1000000L).as("rank_units"))
+      .localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxIters) {
+      val next = prRound(edges, deg, ranks).localCheckpoint(true)
+      converged = next.toDF("doc_id", "next_units")
+        .join(ranks, "doc_id")
+        .filter(abs(col("next_units") - col("rank_units")) > tolUnits)
+        .isEmpty
+      ranks = next
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"pagerank residual still above $tolUnits µ-units after $maxIters rounds — " +
+          "raise maxIters or tolUnits (returning a half-converged ranking " +
+          "would silently misorder the centrality pick)")
+    finishRanks(deg, ranks)
+  }
+
+  /** Shared kernel pieces: symmetric edge list + degrees (pinned lazily
+    * or eagerly per the caller's control-flow needs), one damped
+    * integer-unit propagation round, and the presentation join. */
+  private def edgesAndDegrees(pairs: DataFrame, eager: Boolean): (DataFrame, DataFrame) = {
     val edges = pairs.toDF("a", "b")
       .select(explode(array(
         struct(col("a").as("src"), col("b").as("dst")),
         struct(col("b").as("src"), col("a").as("dst")))).as("e"))
       .select(col("e.src"), col("e.dst"))
       .repartition(col("src"))
-      .localCheckpoint(true)
+      .localCheckpoint(eager)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
-    var ranks = deg.select(col("src").as("doc_id"), lit(1000000L).as("rank_units"))
-    for (_ <- 1 to iters) {
-      val contrib = edges
-        .join(deg, "src")
-        .join(ranks.withColumnRenamed("doc_id", "src"), "src")
-        .select(col("dst").as("doc_id"), expr("rank_units div deg").as("c"))
-        .groupBy("doc_id")
-        .agg(sum(col("c")).as("in_sum"))
-      ranks = deg.select(col("src").as("doc_id"))
-        .join(contrib, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          (lit(150000L) + expr("(85 * coalesce(in_sum, 0L)) div 100")).as("rank_units"))
-    }
+      .localCheckpoint(eager)
+    (edges, deg)
+  }
+
+  private def prRound(edges: DataFrame, deg: DataFrame, ranks: DataFrame): DataFrame = {
+    val contrib = edges
+      .join(deg, "src")
+      .join(ranks.withColumnRenamed("doc_id", "src"), "src")
+      .select(col("dst").as("doc_id"), expr("rank_units div deg").as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("in_sum"))
+    deg.select(col("src").as("doc_id"))
+      .join(contrib, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (lit(150000L) + expr("(85 * coalesce(in_sum, 0L)) div 100")).as("rank_units"))
+  }
+
+  private def finishRanks(deg: DataFrame, ranks: DataFrame): DataFrame =
     deg.select(col("src").as("doc_id"), col("deg"))
       .join(ranks, "doc_id")
       .select(col("doc_id"), col("deg").as("degree"), col("rank_units"),
         (col("rank_units") / 1000000.0).as("rank"))
       .orderBy(col("rank_units").desc, col("doc_id"))
-  }
 }

@@ -17,6 +17,10 @@ object Profile {
 
   private val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
 
+  /** min/max renderings in [[docsProfile]] are cut to this many chars —
+    * the profile is a per-column summary, not a value store. */
+  val renderPrefix = 64
+
   /** Column profile of the `documents` table: per column, null count,
     * exact distinct count, min/max (rendered as strings so one schema
     * covers every column type). ONE scan of the table: all 5×4 aggregates
@@ -34,8 +38,10 @@ object Profile {
       Seq(
         (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
         countDistinct(col(c)).as(s"${c}__nd"),
-        min(col(c)).cast("string").as(s"${c}__min"),
-        max(col(c)).cast("string").as(s"${c}__max"))
+        // truncate the RENDERING (min/max are taken over full values first)
+        // so a megabyte `text` extremum doesn't bloat the summary row
+        substring(min(col(c)).cast("string"), 1, renderPrefix).as(s"${c}__min"),
+        substring(max(col(c)).cast("string"), 1, renderPrefix).as(s"${c}__max"))
     } :+ count(lit(1)).as("__rows")
     val one = d.agg(aggs.head, aggs.tail: _*)
     val packed = docCols.map { c =>
@@ -54,32 +60,48 @@ object Profile {
   /** Mergeable profile partials over the events schema — the streaming
     * face of profiling (data-quality monitoring): one row per column
     * with counts (sum-mergeable) and typed min/max lanes (min/max-
-    * mergeable; numerics as DOUBLE — timestamps via epoch µs — and
-    * strings in their own lane, because a string-rendered numeric
-    * min would merge lexicographically and break). Used by
+    * mergeable). THREE extremum lanes, one per value class, because a
+    * cross-type rendering breaks mergeability or exactness:
+    *   - LONG lane for integral columns (event_id, user_id, and `ts` as
+    *     epoch µs) — a DOUBLE lane would lose exactness above 2^53, so a
+    *     merged min/max of large synthetic ids could be silently wrong;
+    *   - DOUBLE lane for genuinely floating columns (`value`);
+    *   - STRING lane for text columns (a string-rendered numeric min
+    *     would merge lexicographically and break).
+    * `ts` µs come from `timestampdiff(MICROSECOND, epoch_ntz, ts)` on the
+    * ntz value directly — NOT `unix_micros(cast(ts as timestamp))`, whose
+    * ntz→ltz cast shifts by the session timezone, making partials from
+    * differently-configured writers unmergeable. Used by
     * `CdcStream.startProfileMv` per micro-batch and merged on read by
     * `profileView`; the partial of the WHOLE table is also the batch
     * truth the replay test compares against. */
   def eventsProfilePartial(frame: DataFrame): DataFrame = {
-    val cols: Seq[(String, Column, Column, Column)] = Seq(
-      ("event_id", col("event_id"), col("event_id").cast("double"), lit(null).cast("string")),
-      ("ts", col("ts"), unix_micros(col("ts").cast("timestamp")).cast("double"), lit(null).cast("string")),
-      ("user_id", col("user_id"), col("user_id").cast("double"), lit(null).cast("string")),
-      ("value", col("value"), col("value"), lit(null).cast("string")),
-      ("event_type", col("event_type"), lit(null).cast("double"), col("event_type")))
-    val aggs = cols.flatMap { case (n, raw, num, str) =>
+    val nullL = lit(null).cast("long")
+    val nullD = lit(null).cast("double")
+    val nullS = lit(null).cast("string")
+    val tsMicros =
+      expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', cast(ts as timestamp_ntz))")
+    val cols: Seq[(String, Column, Column, Column, Column)] = Seq(
+      ("event_id", col("event_id"), col("event_id").cast("long"), nullD, nullS),
+      ("ts", col("ts"), tsMicros, nullD, nullS),
+      ("user_id", col("user_id"), col("user_id").cast("long"), nullD, nullS),
+      ("value", col("value"), nullL, col("value").cast("double"), nullS),
+      ("event_type", col("event_type"), nullL, nullD, col("event_type")))
+    val aggs = cols.flatMap { case (n, raw, lng, num, str) =>
       Seq(
         count(lit(1)).as(s"${n}__rows"),
         (count(lit(1)) - count(raw)).as(s"${n}__nulls"),
+        min(lng).as(s"${n}__minl"), max(lng).as(s"${n}__maxl"),
         min(num).as(s"${n}__minn"), max(num).as(s"${n}__maxn"),
         min(str).as(s"${n}__mins"), max(str).as(s"${n}__maxs"))
     }
     val one = frame.agg(aggs.head, aggs.tail: _*)
-    val packed = cols.map { case (n, _, _, _) =>
+    val packed = cols.map { case (n, _, _, _, _) =>
       struct(
         lit(n).as("column_name"),
         col(s"${n}__rows").as("n_rows"),
         col(s"${n}__nulls").as("n_nulls"),
+        col(s"${n}__minl").as("min_long"), col(s"${n}__maxl").as("max_long"),
         col(s"${n}__minn").as("min_num"), col(s"${n}__maxn").as("max_num"),
         col(s"${n}__mins").as("min_str"), col(s"${n}__maxs").as("max_str"))
     }
@@ -93,6 +115,7 @@ object Profile {
       .agg(
         sum(col("n_rows")).as("n_rows"),
         sum(col("n_nulls")).as("n_nulls"),
+        min(col("min_long")).as("min_long"), max(col("max_long")).as("max_long"),
         min(col("min_num")).as("min_num"), max(col("max_num")).as("max_num"),
         min(col("min_str")).as("min_str"), max(col("max_str")).as("max_str"))
       .orderBy("column_name")

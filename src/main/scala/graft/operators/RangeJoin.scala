@@ -54,7 +54,9 @@ object RangeJoin {
       .withColumn("rn",
         row_number().over(Window.partitionBy("event_type").orderBy("hour")))
       .withColumn("grp",
-        expr("unix_micros(cast(hour as timestamp)) div 3600000000") - col("rn"))
+        // tz-free hour index on the ntz value: an ntz→ltz cast would shift
+        // by the session timezone and de-consecutive the indices across DST
+        expr("timestampdiff(HOUR, TIMESTAMP_NTZ '1970-01-01 00:00:00', hour)") - col("rn"))
     isl.groupBy(col("event_type").as("surge_type"), col("grp"))
       .agg(
         min(col("hour")).as("window_start"),

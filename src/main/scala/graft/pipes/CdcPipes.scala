@@ -236,10 +236,10 @@ object CdcPipes {
     val e = Tables.events(spark, dir)
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val sess = e
-      .withColumn("prev_us", lag(unix_micros(col("ts").cast("timestamp")), 1).over(w))
+      .withColumn("prev_us", lag(ntzMicros(col("ts")), 1).over(w))
       .withColumn("new_session",
         when(col("prev_us").isNull ||
-          unix_micros(col("ts").cast("timestamp")) - col("prev_us") > 1800L * 1000000L, 1L)
+          ntzMicros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
           .otherwise(0L))
       .withColumn("session_id",
         sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
@@ -525,7 +525,7 @@ object CdcPipes {
       .rangeBetween(-3600L * 1000000L, 0L)
     Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("ts"),
-        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        ntzMicros(col("ts")).as("ts_us"),
         floor(coalesce(col("value"), lit(0.0)) * 100 + 0.5).cast("long").as("cents"))
       .withColumn("rolling_value", sum(col("cents")).over(w) / lit(100.0))
       .withColumn("n_in_window", count(lit(1)).over(w))

@@ -11,13 +11,7 @@ import graft.operators.AsOfJoin
 object AsOfProps extends Properties("AsOfJoin") {
 
   // same config as SparkSpec (getOrCreate race contract across suites)
-  private lazy val spark = org.apache.spark.sql.SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-    .getOrCreate()
+  private lazy val spark = TestSession.session
 
   // small key/time domains force collisions: same-instant matches,
   // keys with no history, multiple versions per instant boundary

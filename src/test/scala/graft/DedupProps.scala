@@ -13,13 +13,7 @@ object DedupProps extends Properties("Dedup") {
   // same config as SparkSpec: whichever suite wins the getOrCreate race
   // must produce the session every other suite expects (incl. the
   // GraftExtensions parser/functions)
-  private lazy val spark = org.apache.spark.sql.SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-    .getOrCreate()
+  private lazy val spark = TestSession.session
 
   private val eventGen = for {
     id <- Gen.choose(1L, 8L)

@@ -36,4 +36,33 @@ class PagerankSpec extends SparkSpec {
     assert(rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank_units"))).toSeq ==
       again.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank_units"))).toSeq)
   }
+
+  test("pagerankConverged: residual stop on a high-diameter graph; agrees with the fixed-round form") {
+    import spark.implicits._
+    // a 40-node path — diameter 39, the shape where "3 rounds is enough"
+    // is FALSE: fixed-3-rounds ranks the interior flat, the converged
+    // form must keep iterating until the residual dies
+    val path = (0L until 39L).map(i => (i, i + 1)).toDF("a", "b")
+    val conv = ConnectedComponents.pagerankConverged(spark, path, tolUnits = 1000L).collect()
+    assert(conv.length == 40)
+    // endpoints (degree 1) rank strictly below their interior neighbors
+    // at the converged fixpoint of an undirected path
+    val byId = conv.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank_units")).toMap
+    assert(byId(0L) < byId(1L) && byId(39L) < byId(38L))
+    // converged ≠ the 3-round snapshot on this graph (the probe did real work) …
+    val fixed3 = ConnectedComponents.pagerank(spark, path, iters = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank_units")).toMap
+    assert(byId != fixed3, "high-diameter path converged in <=3 rounds — test is vacuous")
+    // … but stopping-at-k equals fixed-k exactly (same integer arithmetic):
+    // a huge tolerance stops after round 1, which must equal iters=1
+    val conv1 = ConnectedComponents.pagerankConverged(spark, path, tolUnits = 10000000L).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank_units")).toMap
+    val fixed1 = ConnectedComponents.pagerank(spark, path, iters = 1).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank_units")).toMap
+    assert(conv1 == fixed1)
+    // non-convergence throws loudly instead of returning a partial ranking
+    intercept[IllegalStateException] {
+      ConnectedComponents.pagerankConverged(spark, path, tolUnits = 0L, maxIters = 2).collect()
+    }
+  }
 }

@@ -11,13 +11,7 @@ import graft.operators.RangeJoin
   * touches, and users with several sessions. */
 object RangeJoinProps extends Properties("RangeJoin") {
 
-  private lazy val spark = org.apache.spark.sql.SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-    .getOrCreate()
+  private lazy val spark = TestSession.session
 
   // minutes inside a narrow band force bucket collisions; spans up to
   // 9 hours force multi-bucket sessions; duplicates collapse to the

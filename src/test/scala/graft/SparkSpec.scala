@@ -3,10 +3,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Shared local session for all suites (getOrCreate dedups across
-  * suites in the forked test JVM). */
-trait SparkSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder()
+/** THE test session factory — the single place the test config lives.
+  * Every suite (SparkSpec trait) and every ScalaCheck Properties object
+  * calls this; getOrCreate dedups to one session per forked test JVM,
+  * and a config change (timezone, extensions, width) propagates
+  * everywhere instead of silently drifting between copies. */
+object TestSession {
+  lazy val session: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
@@ -17,6 +20,11 @@ trait SparkSpec extends AnyFunSuite {
     // the translator tests
     .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .getOrCreate()
+}
+
+/** Shared local session for all suites. */
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSession.session
 
   val sf = "/root/testdata/sf0.001"
 }

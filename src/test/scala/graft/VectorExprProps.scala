@@ -13,13 +13,7 @@ import org.apache.spark.sql.Column
   * contract is identical bits, not approximate agreement. */
 object VectorExprProps extends Properties("VectorExpr") {
 
-  private lazy val spark = org.apache.spark.sql.SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-    .getOrCreate()
+  private lazy val spark = TestSession.session
 
   private val vecGen: Gen[List[Float]] =
     Gen.choose(8, 64).flatMap(n => Gen.listOfN(n,
