@@ -51,6 +51,17 @@ object SparkEntry {
   private def fixtureSqlPath(table: String): String =
     s"read_parquet('${fixtureFile.getAbsolutePath}/$table/*.parquet')"
 
+  /** Staging location for the dedup pair-graph artifacts
+    * ([[graft.operators.TextDedup.writeDedupArtifacts]]), keyed by the
+    * source sf dir so scale factors can't cross-contaminate. Unlike the
+    * seed-deterministic CDC fixtures this DERIVES from the data, so the
+    * registered query re-stages (overwrite) on every invocation — the
+    * honest cost of the staging step, and regen-proof by construction. */
+  private[graft] def dedupArtifactsDir(sfDir: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_dedup_artifacts_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+      .getAbsolutePath
+
   private[graft] def fixtureDir(spark: SparkSession): String = synchronized {
     val dir = fixtureFile
     val marker = new java.io.File(dir, "_DONE")
@@ -205,6 +216,11 @@ object SparkEntry {
     "docs_exact_dedup"      -> (operators.TextDedup.exactDedup _),
     "docs_near_dup_pairs"   -> ((s, d) => operators.TextDedup.nearDupPairs(s, d)),
     "docs_dup_clusters"     -> ((s, d) => operators.TextDedup.dupClusters(s, d)),
+    "docs_dedup_artifacts"  -> ((s, d) => {
+      val art = dedupArtifactsDir(d)
+      operators.TextDedup.writeDedupArtifacts(s, d, art)
+      operators.TextDedup.dedupArtifactSummary(s, d, art)
+    }),
     "docs_substring_spans"  -> ((s, d) => operators.TextDedup.substringSpans(s, d)),
     "docs_span_doc_stats"   -> ((s, d) => operators.TextDedup.spanDocStats(s, d)),
     "docs_dedup_rewrite"    -> ((s, d) => operators.TextDedup.dedupRewrite(s, d)),
@@ -2264,6 +2280,56 @@ object SparkEntry {
         |SELECT doc_id, cluster_id,
         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
         |FROM lab ORDER BY cluster_id, doc_id""".stripMargin,
+    // staged-artifact summary: per dup cluster, the quality canonical
+    // AND the pagerank hub — the oracle recomputes both from documents
+    // (it cannot read the artifact), which is exactly the staged ≡
+    // self-contained equivalence the artifact topology promises
+    "docs_dedup_artifacts" -> {
+      val rounds = (1 to 3).map { i =>
+        val prev = s"r${i - 1}"
+        s"""c$i AS (
+           |  SELECT dst AS doc_id, sum(rank_units // deg) AS s
+           |  FROM edges JOIN deg USING (src) JOIN $prev ON edges.src = $prev.doc_id
+           |  GROUP BY 1),
+           |r$i AS (
+           |  SELECT deg.src AS doc_id,
+           |    CAST(150000 + (85 * COALESCE(s, 0)) // 100 AS BIGINT) AS rank_units
+           |  FROM deg LEFT JOIN c$i ON deg.src = c$i.doc_id)"""
+      }.mkString(",\n")
+      s"""WITH RECURSIVE $nearDupCtes,
+        |pairs AS (SELECT doc_a, doc_b FROM j WHERE jr >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT src AS doc_id, src AS r FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id),
+        |lab AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+        |cl AS (SELECT doc_id, cluster_id,
+        |         count(*) OVER (PARTITION BY cluster_id) AS cluster_size FROM lab),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+        |r0 AS (SELECT src AS doc_id, CAST(1000000 AS BIGINT) AS rank_units FROM deg),
+        |$rounds,
+        |q AS (
+        |  SELECT doc_id,
+        |    floor(CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS DOUBLE)
+        |          / (length(text) - length(replace(text, ' ', '')) + 1) * 10000 + 0.5) / 10000.0 AS q
+        |  FROM documents),
+        |canon AS (
+        |  SELECT cluster_id, cl.doc_id, q, cluster_size,
+        |    row_number() OVER (PARTITION BY cluster_id ORDER BY q DESC, cl.doc_id) AS rn
+        |  FROM cl JOIN q USING (doc_id)),
+        |hub AS (
+        |  SELECT cluster_id, cl.doc_id, rank_units,
+        |    row_number() OVER (PARTITION BY cluster_id ORDER BY rank_units DESC, cl.doc_id) AS rn
+        |  FROM cl JOIN r3 ON cl.doc_id = r3.doc_id)
+        |SELECT c.cluster_id, c.cluster_size, c.doc_id AS canonical_doc,
+        |  c.q AS canonical_quality, h.doc_id AS hub_doc,
+        |  h.rank_units AS hub_rank_units
+        |FROM canon c JOIN hub h ON c.cluster_id = h.cluster_id
+        |WHERE c.rn = 1 AND h.rn = 1
+        |ORDER BY c.cluster_id""".stripMargin
+    },
     // near-dup pairs straddling the content-digest train/val/test split
     // — exact dups can't leak (same digest → same bucket), so every row
     // is a non-identical near-dup crossing splits

@@ -30,6 +30,7 @@ object Verify {
       .write.mode("overwrite").parquet(s"$outDir/$name")
 
   def main(args: Array[String]): Unit = {
+    RunLock.acquireOrDie("Verify")
     val Array(sfDir, outDir) = args
     val spark = dumpSession()
     new java.io.File(outDir).mkdirs()

@@ -7,6 +7,7 @@ package graft
   * Usage: runMain graft.VerifySome <sfDir> <outDir> <query...> */
 object VerifySome {
   def main(args: Array[String]): Unit = {
+    RunLock.acquireOrDie("VerifySome")
     val sfDir = args(0)
     val outDir = args(1)
     val spark = Verify.dumpSession()

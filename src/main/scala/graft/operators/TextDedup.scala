@@ -185,6 +185,100 @@ object TextDedup {
                          minJaccard: Double = 0.5, maxDf: Int = 100): DataFrame =
     nearDupFrom(spark.read.parquet(stagedPath), minJaccard, maxDf)
 
+  /** Write the dedup PAIR-GRAPH artifacts once — the corpus-build
+    * analogue of [[VectorOps.writeIvfLayout]], and the same
+    * architectural move as the reference's materialized views
+    * (kits/users/pg/pipes/users_mv.pipe:19-20: precompute at ingest,
+    * serve from the precomputed table). Six registered consumers
+    * (clusters, pagerank, canonical pick, split-leakage audit, corpus
+    * build, embedding clusters) each need the near-dup candidate
+    * pipeline; self-contained they re-derive it per query — correct,
+    * but at 100 TB that is the single most expensive stage run six
+    * times. This stages it ONCE:
+    *
+    *   `out/pairs`        (doc_a, doc_b, jaccard)   — text near-dup graph
+    *   `out/clusters`     (doc_id, cluster_id, cluster_size)
+    *   `out/emb_pairs`    (vec_a, vec_b, cosine)    — embedding graph
+    *   `out/emb_clusters` (vec_id, cluster_id, cluster_size)
+    *
+    * Clusters are computed FROM the just-staged pair parquet (read
+    * back, not the in-memory plan), so the CC iteration's edge scan
+    * is the compact artifact — and a restart resumes from the staged
+    * pairs without re-shingling the corpus. Every `*Staged` consumer
+    * is asserted result-identical to its self-contained form in
+    * DedupArtifactsSpec. */
+  def writeDedupArtifacts(spark: SparkSession, dir: String, out: String,
+                          minJaccard: Double = 0.5, maxDf: Int = 100): Unit = {
+    nearDupPairs(spark, dir, minJaccard, maxDf)
+      .write.mode("overwrite").parquet(s"$out/pairs")
+    ConnectedComponents.clusters(spark,
+        stagedPairs(spark, out).select("doc_a", "doc_b"))
+      .toDF("doc_id", "cluster_id", "cluster_size")
+      .write.mode("overwrite").parquet(s"$out/clusters")
+    VectorOps.nearDupPairs(spark, dir)
+      .write.mode("overwrite").parquet(s"$out/emb_pairs")
+    ConnectedComponents.clusters(spark,
+        spark.read.parquet(s"$out/emb_pairs").select("vec_a", "vec_b"))
+      .toDF("vec_id", "cluster_id", "cluster_size")
+      .write.mode("overwrite").parquet(s"$out/emb_clusters")
+  }
+
+  def stagedPairs(spark: SparkSession, art: String): DataFrame =
+    spark.read.parquet(s"$art/pairs")
+
+  def stagedClusters(spark: SparkSession, art: String): DataFrame =
+    spark.read.parquet(s"$art/clusters")
+
+  /** [[dupClusters]] served from the staged artifact — a presentation
+    * sort over a parquet read; the iteration already ran at stage time. */
+  def dupClustersStaged(spark: SparkSession, art: String): DataFrame =
+    stagedClusters(spark, art).orderBy("cluster_id", "doc_id")
+
+  /** [[dupGraphPagerank]] over the staged pair graph. */
+  def dupGraphPagerankStaged(spark: SparkSession, art: String,
+                             iters: Int = 3): DataFrame =
+    ConnectedComponents.pagerank(spark,
+      stagedPairs(spark, art).select("doc_a", "doc_b"), iters)
+
+  /** [[canonicalSelect]] over staged clusters. */
+  def canonicalSelectStaged(spark: SparkSession, dir: String,
+                            art: String): DataFrame =
+    canonicalFrom(spark, dir, stagedClusters(spark, art))
+
+  /** [[splitLeakageAudit]] over staged pairs. */
+  def splitLeakageStaged(spark: SparkSession, dir: String,
+                         art: String): DataFrame =
+    splitLeakageFrom(spark, dir, stagedPairs(spark, art))
+
+  /** Per-cluster summary OVER the staged artifacts — the registered
+    * face of the staged topology (the one query that both writes and
+    * consumes the artifact, so the driver's oracle gate covers the
+    * whole staged path): for every duplicate cluster, its size, the
+    * quality-argmax canonical member ([[canonicalFrom]] semantics) and
+    * the pagerank hub (highest rank_units, doc_id tiebreak) — the two
+    * competing keep-this-one signals side by side. All graph work reads
+    * the compact staged parquet; the only corpus touch is the quality
+    * projection. */
+  def dedupArtifactSummary(spark: SparkSession, dir: String,
+                           art: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = stagedClusters(spark, art)
+    val canon = canonicalFrom(spark, dir, clusters)
+    val hub = clusters
+      .join(dupGraphPagerankStaged(spark, art)
+        .select(col("doc_id"), col("rank_units")), "doc_id")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("cluster_id")
+          .orderBy(col("rank_units").desc, col("doc_id"))))
+      .filter(col("__rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("hub_doc"),
+        col("rank_units").as("hub_rank_units"))
+    canon.join(hub, "cluster_id")
+      .select(col("cluster_id"), col("cluster_size"), col("canonical_doc"),
+        col("canonical_quality"), col("hub_doc"), col("hub_rank_units"))
+      .orderBy("cluster_id")
+  }
+
   /** The uncapped all-pairs truth (spec-only; NOT a registered
     * endpoint): inverted-index join without the df cap, with set sizes
     * riding along on each shingle row via a doc_id window. Exact — it
@@ -585,12 +679,19 @@ object TextDedup {
     * join on doc_id (no text moves past the scan); the ranking window
     * shuffles cluster-member rows — the dup subset, ≪ corpus. */
   def canonicalSelect(spark: SparkSession, dir: String,
-                      maxRounds: Int = 64): DataFrame = {
+                      maxRounds: Int = 64): DataFrame =
+    canonicalFrom(spark, dir, dupClusters(spark, dir, maxRounds))
+
+  /** The canonical-pick kernel over any (doc_id, cluster_id,
+    * cluster_size) frame — shared by the self-contained and staged
+    * forms so they cannot drift. */
+  private[operators] def canonicalFrom(spark: SparkSession, dir: String,
+                                       clusters: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val quality = Tables.documents(spark, dir)
       .select(col("doc_id"), TextAnalysis.stopwordRatio(col("text")).as("q"))
     val w = Window.partitionBy("cluster_id").orderBy(col("q").desc, col("doc_id"))
-    dupClusters(spark, dir, maxRounds)
+    clusters
       .filter(col("cluster_size") > 1)
       .join(quality, "doc_id")
       .withColumn("__rn", row_number().over(w))
@@ -601,10 +702,16 @@ object TextDedup {
   }
 
   def splitLeakageAudit(spark: SparkSession, dir: String,
-                        minJaccard: Double = 0.5, maxDf: Int = 100): DataFrame = {
+                        minJaccard: Double = 0.5, maxDf: Int = 100): DataFrame =
+    splitLeakageFrom(spark, dir, nearDupPairs(spark, dir, minJaccard, maxDf))
+
+  /** The leakage-audit kernel over any (doc_a, doc_b, jaccard) pair
+    * frame — shared by the self-contained and staged forms. */
+  private[operators] def splitLeakageFrom(spark: SparkSession, dir: String,
+                                          pairs: DataFrame): DataFrame = {
     val splits = Tables.documents(spark, dir)
       .select(col("doc_id"), TextAnalysis.splitOf(col("text")).as("split"))
-    nearDupPairs(spark, dir, minJaccard, maxDf)
+    pairs
       .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
       .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
       .filter(col("split_a") =!= col("split_b"))

@@ -101,11 +101,26 @@ object TrainingMix {
     * 30-50% of a web corpus — so it joins un-hinted on doc_id and AQE
     * broadcasts only when it measures small. */
   def buildCorpus(spark: SparkSession, dir: String, budget: Int = 256,
-                  nShards: Int = 4, minStopwordRatio: Double = 0.03): DataFrame = {
+                  nShards: Int = 4, minStopwordRatio: Double = 0.03): DataFrame =
+    buildCorpusFrom(spark, dir, TextDedup.dupClusters(spark, dir),
+      budget, nShards, minStopwordRatio)
+
+  /** [[buildCorpus]] with the near-dup clusters served from a staged
+    * artifact ([[TextDedup.writeDedupArtifacts]]) instead of re-derived
+    * — the corpus build then pays ONE corpus scan (the slim projection)
+    * plus joins against the compact staged table. */
+  def buildCorpusStaged(spark: SparkSession, dir: String, art: String,
+                        budget: Int = 256, nShards: Int = 4,
+                        minStopwordRatio: Double = 0.03): DataFrame =
+    buildCorpusFrom(spark, dir, TextDedup.dupClustersStaged(spark, art),
+      budget, nShards, minStopwordRatio)
+
+  private def buildCorpusFrom(spark: SparkSession, dir: String,
+                              clustersFull: DataFrame, budget: Int,
+                              nShards: Int, minStopwordRatio: Double): DataFrame = {
     val quality = slimDocs(spark, dir)
       .filter(col("__quality") >= minStopwordRatio).drop("__quality")
-    val clusters = TextDedup.dupClusters(spark, dir)
-      .select("doc_id", "cluster_id")
+    val clusters = clustersFull.select("doc_id", "cluster_id")
     val kept = exactCanon(quality).join(clusters, Seq("doc_id"), "left")
       .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
     splitAndPack(kept, budget, nShards)

@@ -244,6 +244,12 @@ object VectorOps {
       .toDF("vec_id", "cluster_id", "cluster_size")
       .orderBy("cluster_id", "vec_id")
 
+  /** [[dupClusters]] served from the staged dedup artifact
+    * ([[TextDedup.writeDedupArtifacts]] stages the embedding graph
+    * alongside the text graph) — a sort over a parquet read. */
+  def dupClustersStaged(spark: SparkSession, art: String): DataFrame =
+    spark.read.parquet(s"$art/emb_clusters").orderBy("cluster_id", "vec_id")
+
   /** The all-pairs truth (spec-only; NOT a registered endpoint): the
     * triangular cross join is O(n²) dots — unrunnable at scale, kept to
     * verify the IVF/LSH candidate paths at small SF. */

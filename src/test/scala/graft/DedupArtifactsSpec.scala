@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.{TextDedup, TrainingMix, VectorOps}
+
+/** The staged pair-graph topology (TextDedup.writeDedupArtifacts): every
+  * staged consumer must be RESULT-IDENTICAL to its self-contained form —
+  * the artifact is a cost optimization, never a semantics change. */
+class DedupArtifactsSpec extends SparkSpec {
+
+  private lazy val art: String = {
+    val d = java.nio.file.Files.createTempDirectory("dedup_art").toString
+    TextDedup.writeDedupArtifacts(spark, sf, d)
+    d
+  }
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("staged artifacts exist and are non-trivial") {
+    assert(TextDedup.stagedPairs(spark, art).count() > 0)
+    assert(TextDedup.stagedClusters(spark, art).count() > 0)
+    assert(spark.read.parquet(s"$art/emb_pairs").count() > 0)
+    assert(spark.read.parquet(s"$art/emb_clusters").count() > 0)
+  }
+
+  test("staged == self-contained: clusters") {
+    assert(rows(TextDedup.dupClustersStaged(spark, art)) ==
+      rows(TextDedup.dupClusters(spark, sf)))
+  }
+
+  test("staged == self-contained: pagerank") {
+    assert(rows(TextDedup.dupGraphPagerankStaged(spark, art)) ==
+      rows(TextDedup.dupGraphPagerank(spark, sf)))
+  }
+
+  test("staged == self-contained: canonical select") {
+    assert(rows(TextDedup.canonicalSelectStaged(spark, sf, art)) ==
+      rows(TextDedup.canonicalSelect(spark, sf)))
+  }
+
+  test("staged == self-contained: split leakage") {
+    assert(rows(TextDedup.splitLeakageStaged(spark, sf, art)) ==
+      rows(TextDedup.splitLeakageAudit(spark, sf)))
+  }
+
+  test("staged == self-contained: training corpus build") {
+    assert(rows(TrainingMix.buildCorpusStaged(spark, sf, art)) ==
+      rows(TrainingMix.buildCorpus(spark, sf)))
+  }
+
+  test("staged == self-contained: embedding clusters") {
+    assert(rows(VectorOps.dupClustersStaged(spark, art)) ==
+      rows(VectorOps.dupClusters(spark, sf)))
+  }
+
+  test("artifact summary: one row per cluster; canonical and hub are members") {
+    val clusters = TextDedup.dupClustersStaged(spark, art).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+    val byCluster = clusters.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val summary = TextDedup.dedupArtifactSummary(spark, sf, art).collect()
+    assert(summary.length == byCluster.size)
+    for (r <- summary) {
+      val c = r.getAs[Long]("cluster_id")
+      assert(byCluster(c).contains(r.getAs[Long]("canonical_doc")),
+        s"canonical of $c not a member")
+      assert(byCluster(c).contains(r.getAs[Long]("hub_doc")),
+        s"hub of $c not a member")
+    }
+  }
+}
