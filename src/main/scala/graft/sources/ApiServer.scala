@@ -27,7 +27,8 @@ import java.net.InetSocketAddress
   * (raise_for_status on anything non-2xx). */
 final class ApiServer(spark: SparkSession, sfDir: String,
                       tokens: Map[String, Set[String]],
-                      rowLimit: Int = 10000) {
+                      rowLimit: Int = 10000,
+                      datasourceDirs: Map[String, String] = Map.empty) {
 
   /** Parameterized pipes route through [[ParamEndpoints]]; everything
     * registered routes through the plain query registry (rejecting
@@ -50,6 +51,10 @@ final class ApiServer(spark: SparkSession, sfDir: String,
   @volatile private var dynamicPipes = Map.empty[String, Seq[graft.sql.PipeRunner.Node]]
   @volatile private var dynamicTokens = Map.empty[String, Set[String]]
   @volatile private var datasources = Map.empty[String, KitParser.DatasourceDef]
+  // token lifecycle (tb_functions.py:321-354): constructor tokens are
+  // revocable too — deletion lands here rather than mutating the
+  // caller's map, and authorized() checks it before any grant applies
+  @volatile private var revokedTokens = Set.empty[String]
   // reads stay lock-free on the volatiles; every read-modify-write goes
   // through this lock — two concurrent POSTs on the request pool would
   // otherwise each publish snapshot+own-entry and silently drop the
@@ -63,6 +68,8 @@ final class ApiServer(spark: SparkSession, sfDir: String,
     val s = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     s.createContext("/v0/pipes", (ex: HttpExchange) => handle(ex))
     s.createContext("/v0/datafiles", (ex: HttpExchange) => handleDatafiles(ex))
+    s.createContext("/v0/tokens", (ex: HttpExchange) => handleTokens(ex))
+    s.createContext("/v0/datasources", (ex: HttpExchange) => handleDatasources(ex))
     // without an executor the JDK server handles requests on its
     // dispatch thread — one slow query would serialize every client.
     // A small pool matches the dashboard concurrency the reference
@@ -264,6 +271,131 @@ final class ApiServer(spark: SparkSession, sfDir: String,
         respond(ex, 500, """{"error":"internal error"}""")
     }
 
+  /** Token lifecycle (tb_functions.py:321-354 — tokens_list GET /tokens,
+    * tokens_delete DELETE /tokens/{name}; creation is the engine-side
+    * analogue of the provisioning the reference does from pipe TOKEN
+    * lines): admin-gated like datafiles. Locally the token NAME is the
+    * bearer credential (the reference provisions secret values
+    * server-side); grants are pipe names, `*` = workspace admin. */
+  private def handleTokens(ex: HttpExchange): Unit =
+    try {
+      authorized(ex) match {
+        case None => respond(ex, 401, """{"error":"invalid or missing token"}""")
+        case Some(grants) if !grants("*") =>
+          respond(ex, 403, """{"error":"token management requires a workspace admin token"}""")
+        case Some(_) =>
+          ex.getRequestMethod match {
+            case "GET" =>
+              val items = liveTokens.toSeq.sortBy(_._1).map { case (t, g) =>
+                s"""{"name":${Endpoints.q(t)},"grants":${g.toSeq.sorted.map(Endpoints.q).mkString("[", ",", "]")}}"""
+              }.mkString("[", ",", "]")
+              respond(ex, 200, s"""{"tokens":$items}""")
+            case "POST" =>
+              val params = queryParams(ex)
+              val name = params.getOrElse("name",
+                throw new IllegalArgumentException("missing ?name=<token>"))
+              require(name.matches("[A-Za-z0-9_]+"),
+                s"invalid token name (want [A-Za-z0-9_]+): $name")
+              val scope = params.getOrElse("pipes",
+                throw new IllegalArgumentException(
+                  "missing ?pipes=<pipe,pipe,...> (or pipes=* for admin)"))
+              val granted = scope.split(",").filter(_.nonEmpty).toSet
+              require(granted.nonEmpty, "empty pipes scope")
+              granted.filterNot(_ == "*").foreach(p =>
+                require(graft.SparkEntry.queries.contains(p) || dynamicPipes.contains(p),
+                  s"unknown pipe in scope: $p"))
+              stateLock.synchronized {
+                require(!liveTokens.contains(name), s"token already exists: $name")
+                // re-creation after revocation is a NEW credential
+                revokedTokens -= name
+                dynamicTokens = merge(dynamicTokens, Map(name -> granted))
+              }
+              respond(ex, 200,
+                s"""{"name":${Endpoints.q(name)},"grants":${granted.toSeq.sorted.map(Endpoints.q).mkString("[", ",", "]")}}""")
+            case "DELETE" =>
+              val name = ex.getRequestURI.getPath.stripPrefix("/v0/tokens/")
+              val known = stateLock.synchronized {
+                if (liveTokens.contains(name)) {
+                  revokedTokens += name
+                  dynamicTokens -= name
+                  true
+                } else false
+              }
+              if (known) respond(ex, 200, s"""{"deleted":${Endpoints.q(name)}}""")
+              else respond(ex, 404, s"""{"error":"token not found: $name"}""")
+            case _ => respond(ex, 405, """{"error":"tokens support GET/POST/DELETE"}""")
+          }
+      }
+    } catch {
+      case e: IllegalArgumentException =>
+        respond(ex, 400, s"""{"error":${Endpoints.q(String.valueOf(e.getMessage))}}""")
+      case e: Throwable =>
+        System.err.println(s"[api] 500 on ${ex.getRequestURI}: $e")
+        respond(ex, 500, """{"error":"internal error"}""")
+    }
+
+  /** Quarantine/datasource ops surface (tb_functions.py:137-155:
+    * datasources_list reads `/datasources`, datasources_truncate POSTs
+    * `/datasources/{name}/truncate`, quarantine tables are plain
+    * datasources named `<ds>_quarantine`): GET lists the dir-backed
+    * datasources (plus POSTed definitions), GET /{name} renders the
+    * backing parquet rows, POST /{name}/truncate empties it. Admin-
+    * gated like the reference's usage (always the workspace key). */
+  private def handleDatasources(ex: HttpExchange): Unit =
+    try {
+      authorized(ex) match {
+        case None => respond(ex, 401, """{"error":"invalid or missing token"}""")
+        case Some(grants) if !grants("*") =>
+          respond(ex, 403, """{"error":"datasource ops require a workspace admin token"}""")
+        case Some(_) =>
+          val tail = ex.getRequestURI.getPath.stripPrefix("/v0/datasources")
+            .stripPrefix("/")
+          (ex.getRequestMethod, tail) match {
+            case ("GET", "") =>
+              val names = (datasourceDirs.keys ++ datasources.keys).toSeq.sorted
+              val items = names.map(n => s"""{"name":${Endpoints.q(n)}}""")
+                .mkString("[", ",", "]")
+              respond(ex, 200, s"""{"datasources":$items}""")
+            case ("GET", name) if !name.contains("/") =>
+              datasourceDirs.get(name) match {
+                case None => respond(ex, 404, s"""{"error":"datasource not found: $name"}""")
+                case Some(dir) =>
+                  val d = new java.io.File(dir)
+                  val hasData = d.isDirectory &&
+                    d.listFiles().exists(_.getName.endsWith(".parquet"))
+                  if (!hasData)
+                    // an empty/truncated quarantine is 0 rows, not an error
+                    respond(ex, 200, """{"meta":[],"data":[],"rows":0}""")
+                  else
+                    respond(ex, 200,
+                      Endpoints.renderJson(spark.read.parquet(dir), rowLimit).body)
+              }
+            case ("POST", t) if t.endsWith("/truncate") =>
+              val name = t.stripSuffix("/truncate")
+              datasourceDirs.get(name) match {
+                case None => respond(ex, 404, s"""{"error":"datasource not found: $name"}""")
+                case Some(dir) =>
+                  val d = new java.io.File(dir)
+                  if (d.exists()) Layout.deleteRec(d)
+                  d.mkdirs()
+                  respond(ex, 200, s"""{"truncated":${Endpoints.q(name)}}""")
+              }
+            case _ => respond(ex, 405,
+              """{"error":"datasources support GET and POST {name}/truncate"}""")
+          }
+      }
+    } catch {
+      case e: IllegalArgumentException =>
+        respond(ex, 400, s"""{"error":${Endpoints.q(String.valueOf(e.getMessage))}}""")
+      case e: Throwable =>
+        System.err.println(s"[api] 500 on ${ex.getRequestURI}: $e")
+        respond(ex, 500, """{"error":"internal error"}""")
+    }
+
+  /** Every live (non-revoked) token → grants. */
+  private def liveTokens: Map[String, Set[String]] =
+    (merge(tokens, dynamicTokens) -- revokedTokens)
+
   /** Execute a provisioned pipe: a FRESH child session per request (own
     * temp-view namespace — concurrent pipes with colliding node names
     * cannot cross-talk; shares the SparkContext, so no startup cost)
@@ -332,7 +464,7 @@ final class ApiServer(spark: SparkSession, sfDir: String,
     Option(ex.getRequestHeaders.getFirst("Authorization"))
       .filter(_.startsWith("Bearer "))
       .map(_.stripPrefix("Bearer "))
-      .flatMap(t => merge(tokens, dynamicTokens).get(t))
+      .flatMap(liveTokens.get)
 
   private def queryParams(ex: HttpExchange): Map[String, String] =
     Option(ex.getRequestURI.getRawQuery).map {

@@ -324,6 +324,87 @@ class ApiServerSpec extends SparkSpec {
     assert(listing.body().contains("users_raw_posted.datasource"))
   }
 
+  test("token lifecycle: list, create, use, revoke (tb_functions.py:321-354)") {
+    // dedicated server: revocation must not bleed into the shared api's
+    // constructor tokens that other tests depend on
+    val srv = new ApiServer(spark, sf, Map(
+      "boss" -> Set("*"), "victim" -> Set("events_by_type_status")))
+    val p = srv.start()
+    def req(b: HttpRequest.Builder, tok: String) =
+      http.send(b.header("Authorization", s"Bearer $tok").build(),
+        HttpResponse.BodyHandlers.ofString())
+    def u(path: String) = URI.create(s"http://127.0.0.1:$p$path")
+    try {
+      // list is admin-gated, names constructor tokens with their grants
+      val ls = req(HttpRequest.newBuilder(u("/v0/tokens")).GET(), "boss")
+      assert(ls.statusCode() == 200, ls.body())
+      assert(ls.body().contains("\"boss\"") && ls.body().contains("\"victim\""))
+      assert(ls.body().contains("\"grants\":[\"events_by_type_status\"]"))
+      assert(req(HttpRequest.newBuilder(u("/v0/tokens")).GET(), "victim")
+        .statusCode() == 403)
+      // create → immediately usable as a bearer credential
+      val mk = req(HttpRequest.newBuilder(
+        u("/v0/tokens?name=temp_read&pipes=events_by_type_status"))
+        .POST(HttpRequest.BodyPublishers.noBody()), "boss")
+      assert(mk.statusCode() == 200, mk.body())
+      assert(req(HttpRequest.newBuilder(
+        u("/v0/pipes/events_by_type_status.json")).GET(), "temp_read")
+        .statusCode() == 200)
+      // invalid creates 400: duplicate, unknown pipe, bad name, no scope
+      for (bad <- Seq("/v0/tokens?name=temp_read&pipes=events_by_type_status",
+          "/v0/tokens?name=t2&pipes=no_such_pipe",
+          "/v0/tokens?name=bad.name&pipes=*",
+          "/v0/tokens?name=t3"))
+        assert(req(HttpRequest.newBuilder(u(bad))
+          .POST(HttpRequest.BodyPublishers.noBody()), "boss").statusCode() == 400, bad)
+      // revoke the created token AND a constructor token: both die
+      for (t <- Seq("temp_read", "victim"))
+        assert(req(HttpRequest.newBuilder(u(s"/v0/tokens/$t")).DELETE(), "boss")
+          .statusCode() == 200)
+      assert(req(HttpRequest.newBuilder(
+        u("/v0/pipes/events_by_type_status.json")).GET(), "temp_read")
+        .statusCode() == 401, "revoked token must be unauthorized")
+      assert(req(HttpRequest.newBuilder(
+        u("/v0/pipes/events_by_type_status.json")).GET(), "victim")
+        .statusCode() == 401, "revoked constructor token must be unauthorized")
+      assert(req(HttpRequest.newBuilder(u("/v0/tokens/temp_read")).DELETE(), "boss")
+        .statusCode() == 404, "double delete")
+    } finally srv.stop()
+  }
+
+  test("quarantine datasource: read and truncate over HTTP (tb_functions.py:141-142)") {
+    import spark.implicits._
+    val qDir = java.nio.file.Files.createTempDirectory("api_quarantine").toString
+    Seq((3L, "bad row"), (4L, "worse row")).toDF("event_id", "note")
+      .coalesce(1).write.mode("overwrite").parquet(qDir)
+    val srv = new ApiServer(spark, sf, Map("boss" -> Set("*"),
+      "peon" -> Set("events_by_type_status")),
+      datasourceDirs = Map("events_quarantine" -> qDir))
+    val p = srv.start()
+    def req(b: HttpRequest.Builder, tok: String) =
+      http.send(b.header("Authorization", s"Bearer $tok").build(),
+        HttpResponse.BodyHandlers.ofString())
+    def u(path: String) = URI.create(s"http://127.0.0.1:$p$path")
+    try {
+      val ls = req(HttpRequest.newBuilder(u("/v0/datasources")).GET(), "boss")
+      assert(ls.statusCode() == 200 && ls.body().contains("events_quarantine"))
+      val rd = req(HttpRequest.newBuilder(u("/v0/datasources/events_quarantine")).GET(), "boss")
+      assert(rd.statusCode() == 200, rd.body())
+      assert(rd.body().contains("\"rows\":2") && rd.body().contains("bad row"))
+      // ops surface is admin-gated
+      assert(req(HttpRequest.newBuilder(u("/v0/datasources/events_quarantine")).GET(), "peon")
+        .statusCode() == 403)
+      assert(req(HttpRequest.newBuilder(u("/v0/datasources/nope")).GET(), "boss")
+        .statusCode() == 404)
+      // truncate empties but keeps the datasource readable at 0 rows
+      val tr = req(HttpRequest.newBuilder(u("/v0/datasources/events_quarantine/truncate"))
+        .POST(HttpRequest.BodyPublishers.noBody()), "boss")
+      assert(tr.statusCode() == 200, tr.body())
+      val rd2 = req(HttpRequest.newBuilder(u("/v0/datasources/events_quarantine")).GET(), "boss")
+      assert(rd2.statusCode() == 200 && rd2.body().contains("\"rows\":0"), rd2.body())
+    } finally srv.stop()
+  }
+
   test("TOKEN declarations parse from the reference kit pipes") {
     val kit = new java.io.File("/root/reference/kits/airport/mysql/pipes")
     val pipes = kit.listFiles().filter(_.getName.endsWith(".pipe")).toSeq

@@ -282,6 +282,91 @@ class StreamingSpec extends SparkSpec {
     batch.foreach { case (k, v) => assert(streamed(k) == v, s"session $k") }
   }
 
+  test("bounded state: latestStateful state rows grow with KEYS, not events") {
+    // the 100 TB claim for the stateful paths is that state is O(keys)
+    // — replay E >> K events over K keys and read the engine's own
+    // state-store accounting (StateOperatorProgress) to prove it
+    def run(nKeys: Int, perKey: Int): Long = {
+      val src = tmp(); val ck = tmp() + "/ck"
+      spark.range(nKeys.toLong * perKey).select(
+          col("id").as("event_id"),
+          expr("cast(timestamp_micros(1704067200000000 + id * 1000000) as timestamp_ntz)").as("ts"),
+          (col("id") % nKeys).as("user_id"),
+          lit("click").as("event_type"),
+          lit(1.0).as("value"),
+          lit(null).cast("string").as("props"))
+        .write.parquet(s"$src/all")
+      val name = s"latest_state_${nKeys}_$perKey"
+      val q = CdcStream.latestStateful(spark, CdcStream.readEvents(spark, s"$src/*"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val p = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      assert(p.nonEmpty, "no state operator progress recorded")
+      p.last.stateOperators.head.numRowsTotal
+    }
+    assert(run(40, 250) == 40L, "state rows must equal key count (10k events, 40 keys)")
+    assert(run(80, 500) == 80L, "2x keys → 2x state rows; 4x events must not show")
+  }
+
+  test("bounded state: candidate-pairs MV state rows equal LSH buckets, not docs x bands") {
+    val src = tmp(); val pairsDir = tmp() + "/pairs"; val ck = tmp() + "/ck"
+    val docs = Tables.documents(spark, sf)
+    docs.write.parquet(s"$src/all")
+    val q = CdcStream.startCandidatePairsMv(spark, s"$src/*", pairsDir, ck)
+    q.awaitTermination()
+    val p = q.recentProgress.filter(_.stateOperators.nonEmpty)
+    assert(p.nonEmpty)
+    val stateRows = p.last.stateOperators.head.numRowsTotal
+    val buckets = operators.TextDedup.minhashBands(spark, sf)
+      .select("band", "band_hash").distinct().count()
+    assert(stateRows == buckets,
+      s"state rows $stateRows != distinct buckets $buckets — state must be one row per bucket")
+    // and strictly below the (doc, band) row count the stream processed
+    val docBandRows = operators.TextDedup.minhashBands(spark, sf).count()
+    assert(stateRows < docBandRows,
+      s"bucket state $stateRows not below processed rows $docBandRows")
+  }
+
+  test("bounded state: dropDuplicatesWithinWatermark evicts past the horizon") {
+    val src = tmp(); val ck = tmp() + "/ck"
+    // six 10-minute files, 1000 events each, replayed one file per
+    // micro-batch: with a 10-minute watermark the state store must keep
+    // roughly the horizon's events and EVICT the rest — never all 6000
+    val perFile = 1000
+    for (i <- 0 until 6)
+      spark.range(perFile).select(
+          (col("id") + i * 100000L).as("event_id"),
+          expr(s"cast(timestamp_micros(1704067200000000L + ${i}L * 600000000L + id * (600000000L div $perFile)) as timestamp_ntz)").as("ts"),
+          col("id").as("user_id"),
+          lit("click").as("event_type"),
+          lit(1.0).as("value"),
+          lit(null).cast("string").as("props"))
+        .write.parquet(s"$src/f$i")
+    val raw = spark.readStream.schema(CdcStream.eventSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$src/*")
+    val q = CdcStream.dedupedStream(raw)
+      .writeStream.format("memory").queryName("dedup_horizon")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val prog = q.recentProgress.filter(_.stateOperators.nonEmpty)
+    assert(prog.length >= 4, s"wanted one batch per file, got ${prog.length}")
+    val finalRows = prog.last.stateOperators.head.numRowsTotal
+    val removed = prog.map(_.stateOperators.head.numRowsRemoved).sum
+    assert(removed > 0, "watermark never evicted dedup state")
+    assert(finalRows <= 3L * perFile,
+      s"state $finalRows exceeds the watermark horizon bound (${3L * perFile}) — " +
+        "dedup state must be horizon-bounded, not history-sized")
+    assert(spark.sql("SELECT count(*) FROM dedup_horizon").first().getLong(0) == 6L * perFile,
+      "no duplicates in input: every event must pass through exactly once")
+  }
+
   test("stateful latest-per-key stream agrees with dedup view") {
     val src = tmp(); val ck = tmp() + "/ck"
     val events = Tables.events(spark, sf)
