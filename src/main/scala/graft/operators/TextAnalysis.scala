@@ -294,9 +294,18 @@ object TextAnalysis {
     * stages once at 100 TB ([[TextDedup.stageShingles]]) — then a
     * per-doc count aggregation on the doc_id key. */
   def boilerplateCoverage(spark: SparkSession, dir: String, maxDf: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    TextDedup.shingles(Tables.documents(spark, dir))
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy("shingle")))
+    // df via aggregate + join-back, NOT count-over-window: the window
+    // form sorts the entire inverted index inside each shingle
+    // partition (measured 11.8x for 10x data at the sf10 gate — the
+    // sort is the super-linear term); the agg+join is map-side-combined
+    // and sort-free, the same rule nearDupFrom applies. SHUFFLE_HASH
+    // hint: at corpus scale the df side outgrows the broadcast
+    // threshold and the planner would otherwise sort BOTH sides for an
+    // SMJ — hashing the (shingle, df) side avoids re-sorting the wide
+    // shingle stream.
+    val sh = TextDedup.shingles(Tables.documents(spark, dir))
+    val dfPerShingle = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    sh.join(dfPerShingle.hint("shuffle_hash"), "shingle")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("__df") > maxDf, 1L).otherwise(0L)).as("n_boilerplate"))
@@ -338,8 +347,16 @@ object TextAnalysis {
       .groupBy("w1").agg(count(lit(1)).as("c1"))
     val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val vocab = uni.agg(count(lit(1)).as("v"))
-    bi.join(big, Seq("w1", "w2"))
-      .join(uni, Seq("w1"))
+    // SHUFFLE_HASH on the count sides. Un-hinted, the planner
+    // broadcasts them below the threshold and flips to SortMergeJoin
+    // past it (the sf10 gate measured the flip: 14.5-19.6x for 10x
+    // data), paying a full sort of the bigram INSTANCE stream per
+    // join. The hint pins the scale-correct plan at every SF: the
+    // instance stream is hash-shuffled but NEVER sorted, and the
+    // per-partition hash build is the count table — vocabulary-sized,
+    // orders of magnitude under the instances.
+    bi.join(big.hint("shuffle_hash"), Seq("w1", "w2"))
+      .join(uni.hint("shuffle_hash"), Seq("w1"))
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"),
         floor((col("c2") + lit(1.0).cast("double")) / (col("c1") + col("v")) * 1e9)

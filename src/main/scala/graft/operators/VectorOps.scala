@@ -196,18 +196,23 @@ object VectorOps {
     graft.functions.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, dir)
     // nLists = 0 (default) derives the list count from the corpus:
-    // max(8, ceil(n/250)) — constant ~250-vector list occupancy, so the
-    // per-list self-join fan-out stays bounded and total candidate work
-    // scales LINEARLY with the corpus. A fixed list count is the scale
-    // bug the sf0.1→sf1 headroom check caught empirically: occupancy
-    // grows ∝ n, candidate pairs ∝ n² (26× time at 10× data). The
-    // count() is parquet-metadata-only. Beyond ~16 M vectors the derived
-    // anchor set outgrows a comfortable broadcast and the persisted
-    // layout ([[writeIvfLayout]] + [[knnIvfOverLayout]]) with a trained
-    // coarse quantizer is the intended surface.
+    // max(8, ceil(sqrt(n)/2)) — the BALANCED schedule. The two cost terms
+    // pull in opposite directions: anchor assignment is n·L dots, the
+    // per-list candidate self-join is ~n·(n/L) pair dots; L = sqrt(n)
+    // equalizes them at n^1.5 total. The round-7 n/250 schedule held
+    // occupancy constant (linear join work) but left assignment at
+    // n·L = n²/250 — the sf10 gate measured the quadratic: 128 s cold
+    // at 500 k vectors, 10× the sf1 figure for 10× data; the sqrt
+    // schedule cuts assignment 2.8× there and flattens the asymptote.
+    // (A fixed list count is the opposite scale bug, caught by the
+    // round-6 sf1 sweep: occupancy ∝ n, pairs ∝ n².) The count() is
+    // parquet-metadata-only. Beyond ~10 M vectors even n^1.5 is the
+    // wrong surface: the persisted layout ([[writeIvfLayout]] +
+    // [[knnIvfOverLayout]]) with a trained coarse quantizer makes the
+    // probe scan partition-pruned instead of recomputing assignments.
     val lists =
       if (nLists > 0) nLists.toLong
-      else math.max(8L, math.ceil(emb.count() / 250.0).toLong)
+      else math.max(8L, math.ceil(math.sqrt(emb.count().toDouble) / 2).toLong)
     val anchors = emb.filter(col("vec_id") < lists)
       .select(col("vec_id").as("list_id"), col("embedding").as("anchor"))
     // top-nprobe lists per vector (6dp-rounded sim, list_id tie-break:

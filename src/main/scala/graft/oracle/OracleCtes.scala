@@ -106,7 +106,7 @@ private[graft] object OracleCtes {
     * dup-cluster closure so the two oracles can't drift apart. */
   val embNearDupCtes =
     """anchors AS (SELECT vec_id AS list_id, embedding AS anchor FROM embeddings
-      |  WHERE vec_id < greatest(8, CAST(ceil((SELECT count(*) FROM embeddings) / 250.0) AS BIGINT))),
+      |  WHERE vec_id < greatest(8, CAST(ceil(sqrt(CAST((SELECT count(*) FROM embeddings) AS DOUBLE)) / 2) AS BIGINT))),
       |sims AS (
       |  SELECT e.vec_id, list_id,
       |    floor(list_sum(list_transform(generate_series(1, len(anchor)),
