@@ -26,10 +26,11 @@ object SparkEntry {
 
   /** Staging location for the dedup pair-graph artifacts
     * ([[graft.operators.TextDedup.writeDedupArtifacts]]), keyed by the
-    * source sf dir so scale factors can't cross-contaminate. Unlike the
-    * seed-deterministic CDC fixtures this DERIVES from the data, so the
-    * registered query re-stages (overwrite) on every invocation — the
-    * honest cost of the staging step, and regen-proof by construction. */
+    * source sf dir so scale factors can't cross-contaminate. The build
+    * is input-fingerprinted: unchanged docs/embeddings parquet → the
+    * staged artifacts are reused as-is (skip); any byte change →
+    * rebuild. Regen-proof AND idempotent-cheap, and the per-dir build
+    * lock serializes concurrent HTTP invocations. */
   private[graft] def dedupArtifactsDir(sfDir: String): String =
     new java.io.File(sys.props("java.io.tmpdir"),
       "graft_dedup_artifacts_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))

@@ -206,21 +206,73 @@ object TextDedup {
     * is the compact artifact — and a restart resumes from the staged
     * pairs without re-shingling the corpus. Every `*Staged` consumer
     * is asserted result-identical to its self-contained form in
-    * DedupArtifactsSpec. */
+    * DedupArtifactsSpec.
+    *
+    * Skippable AND regen-proof: the build fingerprints its inputs
+    * (name/size/mtime of the docs+embeddings parquet, plus the
+    * staging params) into `out/_FINGERPRINT` written LAST — a
+    * matching fingerprint means the artifacts derive from exactly
+    * these bytes and the rebuild is skipped (returns false); any
+    * input change, param change, or half-finished previous build
+    * (crash before the marker) rebuilds. The marker is deleted
+    * FIRST on rebuild so a crash mid-overwrite can never leave a
+    * fresh fingerprint over stale artifacts. A JVM-wide per-dir
+    * monitor serializes concurrent invocations (the HTTP pool can
+    * run two at once; without it one request's overwrite deletes
+    * parquet footers out from under the other's read).
+    *
+    * @return true when the artifacts were (re)built, false when the
+    *         fingerprint matched and the build was skipped. */
   def writeDedupArtifacts(spark: SparkSession, dir: String, out: String,
-                          minJaccard: Double = 0.5, maxDf: Int = 100): Unit = {
-    nearDupPairs(spark, dir, minJaccard, maxDf)
-      .write.mode("overwrite").parquet(s"$out/pairs")
-    ConnectedComponents.clusters(spark,
-        stagedPairs(spark, out).select("doc_a", "doc_b"))
-      .toDF("doc_id", "cluster_id", "cluster_size")
-      .write.mode("overwrite").parquet(s"$out/clusters")
-    VectorOps.nearDupPairs(spark, dir)
-      .write.mode("overwrite").parquet(s"$out/emb_pairs")
-    ConnectedComponents.clusters(spark,
-        spark.read.parquet(s"$out/emb_pairs").select("vec_a", "vec_b"))
-      .toDF("vec_id", "cluster_id", "cluster_size")
-      .write.mode("overwrite").parquet(s"$out/emb_clusters")
+                          minJaccard: Double = 0.5, maxDf: Int = 100): Boolean =
+    artifactLock(out).synchronized {
+      val fp = inputFingerprint(dir, minJaccard, maxDf)
+      val marker = new java.io.File(out, "_FINGERPRINT").toPath
+      if (java.nio.file.Files.exists(marker) &&
+          new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fp) {
+        false
+      } else {
+        java.nio.file.Files.deleteIfExists(marker)
+        nearDupPairs(spark, dir, minJaccard, maxDf)
+          .write.mode("overwrite").parquet(s"$out/pairs")
+        ConnectedComponents.clusters(spark,
+            stagedPairs(spark, out).select("doc_a", "doc_b"))
+          .toDF("doc_id", "cluster_id", "cluster_size")
+          .write.mode("overwrite").parquet(s"$out/clusters")
+        VectorOps.nearDupPairs(spark, dir)
+          .write.mode("overwrite").parquet(s"$out/emb_pairs")
+        ConnectedComponents.clusters(spark,
+            spark.read.parquet(s"$out/emb_pairs").select("vec_a", "vec_b"))
+          .toDF("vec_id", "cluster_id", "cluster_size")
+          .write.mode("overwrite").parquet(s"$out/emb_clusters")
+        java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
+        true
+      }
+    }
+
+  // one monitor per canonical artifact path — writers serialize, the
+  // map itself never grows past the handful of artifact dirs in a JVM
+  private val artifactLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def artifactLock(out: String): Object =
+    artifactLocks.computeIfAbsent(
+      new java.io.File(out).getAbsolutePath, _ => new Object)
+
+  /** Input identity for the artifact build: every file backing the
+    * documents and embeddings tables (a `.parquet` may be a single
+    * file or a Spark-written directory) as name/size/mtime triples,
+    * plus the staging params — mtimes because the harness can rewrite
+    * a table in place at the same size. */
+  private[graft] def inputFingerprint(dir: String, minJaccard: Double,
+                                      maxDf: Int): String = {
+    def entries(p: java.io.File): Seq[java.io.File] =
+      if (p.isDirectory) p.listFiles().toSeq.sortBy(_.getName).flatMap(entries)
+      else Seq(p)
+    val files = Seq("documents.parquet", "embeddings.parquet")
+      .map(t => new java.io.File(dir, t)).flatMap(entries)
+    (s"v1 minJaccard=$minJaccard maxDf=$maxDf" +:
+      files.map(f => s"${f.getName}:${f.length}:${f.lastModified}"))
+      .mkString("\n")
   }
 
   def stagedPairs(spark: SparkSession, art: String): DataFrame =

@@ -55,6 +55,14 @@ final class ApiServer(spark: SparkSession, sfDir: String,
   // revocable too — deletion lands here rather than mutating the
   // caller's map, and authorized() checks it before any grant applies
   @volatile private var revokedTokens = Set.empty[String]
+  // once a constructor name is revoked its ORIGINAL grants are dead
+  // forever: re-creation must yield exactly the POSTed scope, never a
+  // union with the constructor entry (that union would silently hand a
+  // narrowly re-scoped credential its old workspace-admin grant back —
+  // a revocation bypass). Entries here permanently mask the
+  // constructor map in liveTokens; dynamicTokens alone defines the
+  // re-created credential.
+  @volatile private var supersededTokens = Set.empty[String]
   // reads stay lock-free on the volatiles; every read-modify-write goes
   // through this lock — two concurrent POSTs on the request pool would
   // otherwise each publish snapshot+own-entry and silently drop the
@@ -316,8 +324,17 @@ final class ApiServer(spark: SparkSession, sfDir: String,
               val name = ex.getRequestURI.getPath.stripPrefix("/v0/tokens/")
               val known = stateLock.synchronized {
                 if (liveTokens.contains(name)) {
+                  // deleting the FINAL `*` token would permanently lock
+                  // the control plane (creation itself is admin-gated,
+                  // so there is no recovery short of restart); the
+                  // reference similarly protects the workspace admin
+                  require(
+                    !(liveTokens(name)("*") &&
+                      liveTokens.count(_._2("*")) == 1),
+                    s"cannot delete the last workspace admin token: $name")
                   revokedTokens += name
                   dynamicTokens -= name
+                  supersededTokens += name
                   true
                 } else false
               }
@@ -352,12 +369,22 @@ final class ApiServer(spark: SparkSession, sfDir: String,
             .stripPrefix("/")
           (ex.getRequestMethod, tail) match {
             case ("GET", "") =>
+              // dir-backed datasources serve rows and truncate; POSTed
+              // definitions are schema-only until backed by data — the
+              // listing says which is which so a client never 404s on a
+              // name the server itself just listed without warning
               val names = (datasourceDirs.keys ++ datasources.keys).toSeq.sorted
-              val items = names.map(n => s"""{"name":${Endpoints.q(n)}}""")
-                .mkString("[", ",", "]")
+              val items = names.map { n =>
+                val backed = datasourceDirs.contains(n)
+                s"""{"name":${Endpoints.q(n)},"readable":$backed,"kind":${
+                  Endpoints.q(if (backed) "data" else "definition")}}"""
+              }.mkString("[", ",", "]")
               respond(ex, 200, s"""{"datasources":$items}""")
             case ("GET", name) if !name.contains("/") =>
               datasourceDirs.get(name) match {
+                case None if datasources.contains(name) =>
+                  respond(ex, 404,
+                    s"""{"error":"datasource $name is a definition with no data backing"}""")
                 case None => respond(ex, 404, s"""{"error":"datasource not found: $name"}""")
                 case Some(dir) =>
                   val d = new java.io.File(dir)
@@ -373,6 +400,9 @@ final class ApiServer(spark: SparkSession, sfDir: String,
             case ("POST", t) if t.endsWith("/truncate") =>
               val name = t.stripSuffix("/truncate")
               datasourceDirs.get(name) match {
+                case None if datasources.contains(name) =>
+                  respond(ex, 404,
+                    s"""{"error":"datasource $name is a definition with no data backing"}""")
                 case None => respond(ex, 404, s"""{"error":"datasource not found: $name"}""")
                 case Some(dir) =>
                   val d = new java.io.File(dir)
@@ -392,9 +422,11 @@ final class ApiServer(spark: SparkSession, sfDir: String,
         respond(ex, 500, """{"error":"internal error"}""")
     }
 
-  /** Every live (non-revoked) token → grants. */
+  /** Every live (non-revoked) token → grants. Constructor entries whose
+    * name was ever revoked are masked (supersededTokens): a later
+    * re-creation is a NEW credential with only its POSTed scope. */
   private def liveTokens: Map[String, Set[String]] =
-    (merge(tokens, dynamicTokens) -- revokedTokens)
+    (merge(tokens -- supersededTokens, dynamicTokens) -- revokedTokens)
 
   /** Execute a provisioned pipe: a FRESH child session per request (own
     * temp-view namespace — concurrent pipes with colliding node names

@@ -372,6 +372,97 @@ class ApiServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("token lifecycle: re-creating a revoked constructor name is a NEW credential " +
+      "with exactly the POSTed scope (no grant resurrection)") {
+    // the attack: revoke the workspace-admin token `ops`, later re-issue
+    // the same NAME scoped to one pipe — the union bug would silently
+    // hand the narrow credential its old `*` grant back
+    val srv = new ApiServer(spark, sf, Map(
+      "boss" -> Set("*"), "ops" -> Set("*")))
+    val p = srv.start()
+    def req(b: HttpRequest.Builder, tok: String) =
+      http.send(b.header("Authorization", s"Bearer $tok").build(),
+        HttpResponse.BodyHandlers.ofString())
+    def u(path: String) = URI.create(s"http://127.0.0.1:$p$path")
+    try {
+      assert(req(HttpRequest.newBuilder(u("/v0/tokens/ops")).DELETE(), "boss")
+        .statusCode() == 200)
+      val mk = req(HttpRequest.newBuilder(
+        u("/v0/tokens?name=ops&pipes=events_by_type_status"))
+        .POST(HttpRequest.BodyPublishers.noBody()), "boss")
+      assert(mk.statusCode() == 200, mk.body())
+      // the listing reports EXACTLY the POSTed scope...
+      val ls = req(HttpRequest.newBuilder(u("/v0/tokens")).GET(), "boss")
+      assert(ls.body().contains(
+        """{"name":"ops","grants":["events_by_type_status"]}"""), ls.body())
+      // ...and the credential behaves as scoped: pipe read works, but
+      // admin surfaces and out-of-scope pipes are forbidden
+      assert(req(HttpRequest.newBuilder(
+        u("/v0/pipes/events_by_type_status.json")).GET(), "ops")
+        .statusCode() == 200)
+      assert(req(HttpRequest.newBuilder(u("/v0/tokens")).GET(), "ops")
+        .statusCode() == 403, "re-created ops must NOT regain admin")
+      assert(req(HttpRequest.newBuilder(
+        u("/v0/pipes/active_users_per_hour.json")).GET(), "ops")
+        .statusCode() == 403)
+    } finally srv.stop()
+  }
+
+  test("token lifecycle: the last workspace admin token cannot be deleted") {
+    val srv = new ApiServer(spark, sf, Map(
+      "boss" -> Set("*"), "second_admin" -> Set("*")))
+    val p = srv.start()
+    def req(b: HttpRequest.Builder, tok: String) =
+      http.send(b.header("Authorization", s"Bearer $tok").build(),
+        HttpResponse.BodyHandlers.ofString())
+    def u(path: String) = URI.create(s"http://127.0.0.1:$p$path")
+    try {
+      // while two admins live, either may go...
+      assert(req(HttpRequest.newBuilder(u("/v0/tokens/second_admin")).DELETE(), "boss")
+        .statusCode() == 200)
+      // ...but deleting the final `*` token (even by itself) would lock
+      // the control plane for the server's lifetime: refused
+      val last = req(HttpRequest.newBuilder(u("/v0/tokens/boss")).DELETE(), "boss")
+      assert(last.statusCode() == 400, last.body())
+      assert(last.body().contains("last workspace admin"), last.body())
+      assert(req(HttpRequest.newBuilder(u("/v0/tokens")).GET(), "boss")
+        .statusCode() == 200, "boss must remain live after the refused delete")
+    } finally srv.stop()
+  }
+
+  test("datasource listing tags dir-backed vs definition-only; definition-only " +
+      "reads say so instead of a bare 404") {
+    import spark.implicits._
+    val qDir = java.nio.file.Files.createTempDirectory("api_ds_tags").toString
+    Seq((1L, "x")).toDF("event_id", "note")
+      .coalesce(1).write.mode("overwrite").parquet(qDir)
+    val srv = new ApiServer(spark, sf, Map("boss" -> Set("*")),
+      datasourceDirs = Map("events_quarantine" -> qDir))
+    val p = srv.start()
+    def req(b: HttpRequest.Builder, tok: String) =
+      http.send(b.header("Authorization", s"Bearer $tok").build(),
+        HttpResponse.BodyHandlers.ofString())
+    def u(path: String) = URI.create(s"http://127.0.0.1:$p$path")
+    try {
+      // POST a schema-only datasource definition
+      val ddl = "SCHEMA >\n    `id` Int64,\n    `name` String\n"
+      val mk = req(HttpRequest.newBuilder(u("/v0/datafiles?name=defs_only.datasource"))
+        .POST(HttpRequest.BodyPublishers.ofString(ddl)), "boss")
+      assert(mk.statusCode() == 200, mk.body())
+      val ls = req(HttpRequest.newBuilder(u("/v0/datasources")).GET(), "boss")
+      assert(ls.body().contains(
+        """{"name":"defs_only","readable":false,"kind":"definition"}"""), ls.body())
+      assert(ls.body().contains(
+        """{"name":"events_quarantine","readable":true,"kind":"data"}"""), ls.body())
+      // a listed-but-definition-only name explains itself on read/truncate
+      val rd = req(HttpRequest.newBuilder(u("/v0/datasources/defs_only")).GET(), "boss")
+      assert(rd.statusCode() == 404 && rd.body().contains("no data backing"), rd.body())
+      val tr = req(HttpRequest.newBuilder(u("/v0/datasources/defs_only/truncate"))
+        .POST(HttpRequest.BodyPublishers.noBody()), "boss")
+      assert(tr.statusCode() == 404 && tr.body().contains("no data backing"), tr.body())
+    } finally srv.stop()
+  }
+
   test("quarantine datasource: read and truncate over HTTP (tb_functions.py:141-142)") {
     import spark.implicits._
     val qDir = java.nio.file.Files.createTempDirectory("api_quarantine").toString

@@ -54,6 +54,42 @@ class DedupArtifactsSpec extends SparkSpec {
       rows(VectorOps.dupClusters(spark, sf)))
   }
 
+  test("fingerprint skip: unchanged inputs reuse the staged artifacts; " +
+      "changed inputs or params rebuild") {
+    // private input copy — the fixture dirs are read-only and shared
+    val in = java.nio.file.Files.createTempDirectory("dedup_fp_in").toString
+    for (t <- Seq("documents.parquet", "embeddings.parquet"))
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/$t"),
+        java.nio.file.Paths.get(s"$in/$t"))
+    val out = java.nio.file.Files.createTempDirectory("dedup_fp_art").toString
+    assert(TextDedup.writeDedupArtifacts(spark, in, out), "first build runs")
+    val firstPairs = rows(TextDedup.stagedPairs(spark, out).orderBy("doc_a", "doc_b"))
+    // unchanged input → skip, and the staged results are byte-for-byte live
+    assert(!TextDedup.writeDedupArtifacts(spark, in, out), "unchanged input skips")
+    assert(rows(TextDedup.stagedPairs(spark, out).orderBy("doc_a", "doc_b"))
+      == firstPairs)
+    // different staging params are a different artifact → rebuild
+    assert(TextDedup.writeDedupArtifacts(spark, in, out, minJaccard = 0.4),
+      "param change rebuilds")
+    // input byte change (here: mtime bump, the cheapest honest signal a
+    // rewritten-in-place table gives) → rebuild
+    assert(TextDedup.writeDedupArtifacts(spark, in, out, minJaccard = 0.4) == false)
+    val doc = new java.io.File(in, "documents.parquet")
+    assert(doc.setLastModified(doc.lastModified() + 1000))
+    assert(TextDedup.writeDedupArtifacts(spark, in, out, minJaccard = 0.4),
+      "input change rebuilds")
+  }
+
+  test("fingerprint skip: a half-finished build (no marker) always rebuilds") {
+    val out = java.nio.file.Files.createTempDirectory("dedup_fp_crash").toString
+    assert(TextDedup.writeDedupArtifacts(spark, sf, out))
+    // simulate a crash between overwrite and marker write
+    assert(new java.io.File(out, "_FINGERPRINT").delete())
+    assert(TextDedup.writeDedupArtifacts(spark, sf, out),
+      "missing marker must force a rebuild, never trust stale artifacts")
+    assert(!TextDedup.writeDedupArtifacts(spark, sf, out))
+  }
+
   test("artifact summary: one row per cluster; canonical and hub are members") {
     val clusters = TextDedup.dupClustersStaged(spark, art).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
