@@ -30,8 +30,19 @@ object Bench {
     // 34 broken queries landed as 0.07 s "timings" inside a healthy-looking
     // total). time() reports the error; errored queries are excluded from
     // n_queries/total/queries and surfaced in an "errors" array instead.
+    // GC quiesce before every timed run (round-8 lesson): a heavy
+    // neighbor's allocation debt lands in the NEXT query's window and
+    // swung repeat sweeps up to 4.6× on 2-4 s queries, forcing manual
+    // isolated-rerun adjudication. Collecting BEFORE t0 charges each
+    // query only its own allocations; the System.gc() itself runs
+    // outside the measured window, so per-query figures are comparable
+    // across sweeps without inflating any of them. Opt out with
+    // SPARK_GRAFT_BENCH_GC=0 (e.g. to measure the un-quiesced deltas).
+    val gcBetween = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "1") != "0"
+    def quiesce(): Unit = if (gcBetween) { System.gc(); Thread.sleep(50) }
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Option[String]) = {
+      quiesce()
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).count(); None }
@@ -110,6 +121,10 @@ object BenchSome {
     // footer-read/codegen init (~4.5 s measured) — same as Bench's order
     names.foreach { n =>
       val sec = (1 to 2).map { _ =>
+        // same GC quiesce as Bench so figures stay comparable
+        if (sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "1") != "0") {
+          System.gc(); Thread.sleep(50)
+        }
         val t0 = System.nanoTime()
         try SparkEntry.queries(n)(spark, sfDir).count()
         catch { case e: Throwable => System.err.println(s"[benchsome] $n: $e") }

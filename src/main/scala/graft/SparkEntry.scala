@@ -209,6 +209,22 @@ object SparkEntry {
     "emb_knn_lsh"           -> ((s, d) => operators.VectorOps.knnLsh(s, d)),
     "emb_ann_recall"        -> ((s, d) => operators.VectorOps.annRecall(s, d)),
     "emb_near_dup_pairs"    -> ((s, d) => operators.VectorOps.nearDupPairs(s, d)),
+    // the same pair graph served from the persisted multi-probe IVF
+    // layout (staged by the fingerprint-gated artifact build) — the
+    // form that holds past ~10M vectors: assignment is a parquet read,
+    // each list's candidate join is co-located with its partition
+    "emb_near_dup_pairs_ivf" -> ((s, d) => {
+      val art = dedupArtifactsDir(d)
+      operators.TextDedup.writeDedupArtifacts(s, d, art)
+      operators.VectorOps.nearDupPairsOverLayout(s, s"$art/emb_probe_layout")
+    }),
+    // incremental screening over the layout: the incoming probe frame
+    // broadcasts, so the probed cells prune the layout scan at runtime
+    "emb_screen_increment"  -> ((s, d) => {
+      val art = dedupArtifactsDir(d)
+      operators.TextDedup.writeDedupArtifacts(s, d, art)
+      operators.VectorOps.screenIncrementOverLayout(s, d, s"$art/emb_probe_layout")
+    }),
     "emb_ivf_assign"        -> ((s, d) => operators.VectorOps.ivfAssign(s, d)),
     "emb_pq_codes"          -> ((s, d) => operators.VectorOps.pqCodes(s, d)),
     "emb_knn_pq"            -> ((s, d) => operators.VectorOps.knnPq(s, d)),

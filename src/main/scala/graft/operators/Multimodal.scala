@@ -175,9 +175,13 @@ object Multimodal {
     media.mapPartitions { it =>
       // codec lookup is per-JVM; per-partition we only pay stream setup
       it.map { r =>
+        // explicit memory-cache stream: ImageIO.read(InputStream) would
+        // route through createImageInputStream and (useCache default)
+        // spill every payload to a temp file first — see decodeVideoRow
         val img =
           try Option(javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.payload)))
+            new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(r.payload))))
           // NonFatal, not just IOException: JDK readers throw
           // RuntimeExceptions on corrupt payloads (CMMException on a
           // bad ICC profile, ArrayIndexOutOfBounds on a malformed GIF
@@ -421,11 +425,15 @@ object Multimodal {
     * quarantine as `ok=false` rather than failing the batch. */
   def decodeVideoRow(r: MediaRow): VideoFeatures =
     try {
-      // close the ImageInputStream in ALL paths (including quarantined
-      // failures): with the default ImageIO.useCache it is backed by a
-      // temp file + open fd, and a long-lived executor decoding a large
-      // corpus would otherwise exhaust the ulimit
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+      // MemoryCacheImageInputStream, NOT ImageIO.createImageInputStream:
+      // the factory honors ImageIO.useCache (default true) and returns a
+      // FileCacheImageInputStream — one temp-file create/write/delete
+      // cycle + open fd PER ROW. At sf10 that was ~600k file-cache
+      // round-trips per sweep and the prime suspect in the warm-run
+      // regression the round-8 gate measured (56 s warm vs 33 s cold);
+      // the payload is already in heap, so the cache buys nothing.
+      // Still closed in ALL paths: the stream owns an internal buffer.
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(r.payload))
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
@@ -471,7 +479,9 @@ object Multimodal {
     val grays = Array.tabulate(256)(_.toByte)
     val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
     val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    // memory-cache for the same reason as the decode side: the factory
+    // default is a disk-backed FileCacheImageOutputStream per row
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
     try {
       writer.setOutput(ios)

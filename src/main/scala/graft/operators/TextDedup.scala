@@ -196,10 +196,13 @@ object TextDedup {
     * but at 100 TB that is the single most expensive stage run six
     * times. This stages it ONCE:
     *
-    *   `out/pairs`        (doc_a, doc_b, jaccard)   — text near-dup graph
-    *   `out/clusters`     (doc_id, cluster_id, cluster_size)
-    *   `out/emb_pairs`    (vec_a, vec_b, cosine)    — embedding graph
-    *   `out/emb_clusters` (vec_id, cluster_id, cluster_size)
+    *   `out/pairs`            (doc_a, doc_b, jaccard)   — text near-dup graph
+    *   `out/clusters`         (doc_id, cluster_id, cluster_size)
+    *   `out/emb_probe_layout` (vec_id, embedding)/list_id= — multi-probe
+    *                          IVF layout, partitioned by list
+    *   `out/emb_pairs`        (vec_a, vec_b, cosine)    — embedding graph,
+    *                          derived FROM the staged layout
+    *   `out/emb_clusters`     (vec_id, cluster_id, cluster_size)
     *
     * Clusters are computed FROM the just-staged pair parquet (read
     * back, not the in-memory plan), so the CC iteration's edge scan
@@ -239,7 +242,13 @@ object TextDedup {
             stagedPairs(spark, out).select("doc_a", "doc_b"))
           .toDF("doc_id", "cluster_id", "cluster_size")
           .write.mode("overwrite").parquet(s"$out/clusters")
-        VectorOps.nearDupPairs(spark, dir)
+        // the embedding pair graph derives FROM the just-staged probe
+        // layout (read back, not the in-memory plan) — the corpus-sized
+        // anchor assignment runs exactly once per staging, and every
+        // later consumer (pairs endpoint, increment screen, clusters)
+        // reads the partitioned layout instead of recomputing it
+        VectorOps.writeNearDupLayout(spark, dir, s"$out/emb_probe_layout")
+        VectorOps.nearDupPairsOverLayout(spark, s"$out/emb_probe_layout")
           .write.mode("overwrite").parquet(s"$out/emb_pairs")
         ConnectedComponents.clusters(spark,
             spark.read.parquet(s"$out/emb_pairs").select("vec_a", "vec_b"))
@@ -270,7 +279,9 @@ object TextDedup {
       else Seq(p)
     val files = Seq("documents.parquet", "embeddings.parquet")
       .map(t => new java.io.File(dir, t)).flatMap(entries)
-    (s"v1 minJaccard=$minJaccard maxDf=$maxDf" +:
+    // v2: the artifact set grew the emb_probe_layout — the version bump
+    // forces a one-time rebuild of v1-staged dirs that lack it
+    (s"v2 minJaccard=$minJaccard maxDf=$maxDf" +:
       files.map(f => s"${f.getName}:${f.length}:${f.lastModified}"))
       .mkString("\n")
   }

@@ -192,24 +192,32 @@ object VectorOps {
     * random corpus, so "near" is the top of the cosine distribution).
     */
   def nearDupPairs(spark: SparkSession, dir: String, minCosine: Double = 0.4,
-                   nLists: Int = 0, nprobe: Int = 3): DataFrame = {
+                   nLists: Int = 0, nprobe: Int = 3): DataFrame =
+    pairsFromProbes(probeAssignments(spark, dir, nLists, nprobe), minCosine)
+
+  /** The multi-probe assignment frame (vec_id, embedding, list_id) —
+    * each vector in its `nprobe` nearest anchor lists.
+    *
+    * nLists = 0 (default) derives the list count from the corpus:
+    * max(8, ceil(sqrt(n)/2)) — the BALANCED schedule. The two cost terms
+    * pull in opposite directions: anchor assignment is n·L dots, the
+    * per-list candidate self-join is ~n·(n/L) pair dots; L = sqrt(n)
+    * equalizes them at n^1.5 total. The round-7 n/250 schedule held
+    * occupancy constant (linear join work) but left assignment at
+    * n·L = n²/250 — the sf10 gate measured the quadratic: 128 s cold
+    * at 500 k vectors, 10× the sf1 figure for 10× data; the sqrt
+    * schedule cuts assignment 2.8× there and flattens the asymptote.
+    * (A fixed list count is the opposite scale bug, caught by the
+    * round-6 sf1 sweep: occupancy ∝ n, pairs ∝ n².) The count() is
+    * parquet-metadata-only. Beyond ~10 M vectors recomputing the
+    * assignment per query is the wrong surface even at n^1.5 — persist
+    * it once ([[writeNearDupLayout]], staged by the dedup artifact
+    * build) and every consumer reads the layout instead. */
+  private[operators] def probeAssignments(spark: SparkSession, dir: String,
+                                          nLists: Int = 0,
+                                          nprobe: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, dir)
-    // nLists = 0 (default) derives the list count from the corpus:
-    // max(8, ceil(sqrt(n)/2)) — the BALANCED schedule. The two cost terms
-    // pull in opposite directions: anchor assignment is n·L dots, the
-    // per-list candidate self-join is ~n·(n/L) pair dots; L = sqrt(n)
-    // equalizes them at n^1.5 total. The round-7 n/250 schedule held
-    // occupancy constant (linear join work) but left assignment at
-    // n·L = n²/250 — the sf10 gate measured the quadratic: 128 s cold
-    // at 500 k vectors, 10× the sf1 figure for 10× data; the sqrt
-    // schedule cuts assignment 2.8× there and flattens the asymptote.
-    // (A fixed list count is the opposite scale bug, caught by the
-    // round-6 sf1 sweep: occupancy ∝ n, pairs ∝ n².) The count() is
-    // parquet-metadata-only. Beyond ~10 M vectors even n^1.5 is the
-    // wrong surface: the persisted layout ([[writeIvfLayout]] +
-    // [[knnIvfOverLayout]]) with a trained coarse quantizer makes the
-    // probe scan partition-pruned instead of recomputing assignments.
     val lists =
       if (nLists > 0) nLists.toLong
       else math.max(8L, math.ceil(math.sqrt(emb.count().toDouble) / 2).toLong)
@@ -217,14 +225,22 @@ object VectorOps {
       .select(col("vec_id").as("list_id"), col("embedding").as("anchor"))
     // top-nprobe lists per vector (6dp-rounded sim, list_id tie-break:
     // deterministic in any engine, mirrored by the DuckDB oracle)
-    val probes = limitBy(
+    limitBy(
       emb.join(broadcast(anchors))
         .select(col("vec_id"), col("embedding"), col("list_id"),
           floorRound(dot(col("embedding"), col("anchor")), 6).as("__sim")),
       nprobe, Seq(col("vec_id")), Seq(col("__sim").desc, col("list_id")))
       .select("vec_id", "embedding", "list_id")
-    val a = probes.toDF("vec_a", "ea", "list_id")
-    val b = probes.toDF("vec_b", "eb", "list_id")
+  }
+
+  /** Candidate pairs sharing a probed list, exact-verified — shared by
+    * the self-contained form and the persisted-layout form, so the two
+    * cannot drift. */
+  private def pairsFromProbes(probes: DataFrame, minCosine: Double): DataFrame = {
+    val a = probes.select(col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), col("list_id"))
+    val b = probes.select(col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("list_id"))
     a.join(b, Seq("list_id"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
@@ -234,6 +250,84 @@ object VectorOps {
       // (duplicates carry identical cosines, so distinct is exact)
       .distinct()
       .orderBy("vec_a", "vec_b")
+  }
+
+  /** Persist the multi-probe near-dup layout: [[probeAssignments]]
+    * stored `partitionBy(list_id)` — the write-once step that takes
+    * the n·L anchor-assignment dots OUT of every near-dup consumer.
+    * The self-contained [[nearDupPairs]] pays assignment + join
+    * (n^1.5 balanced) on every invocation; over the layout, the
+    * assignment is a parquet read and the remaining work is the
+    * per-list candidate join alone — and increment screening
+    * ([[screenIncrementOverLayout]]) becomes a partition-pruned probe
+    * scan, the same architectural move as [[writeIvfLayout]] for k-NN
+    * and the reference's precompute-at-ingest materialized views
+    * (kits/users/pg/pipes/users_mv.pipe:19-20). */
+  def writeNearDupLayout(spark: SparkSession, dir: String, out: String,
+                         nLists: Int = 0, nprobe: Int = 3): Unit =
+    probeAssignments(spark, dir, nLists, nprobe)
+      .write.partitionBy("list_id").mode("overwrite").parquet(out)
+
+  /** The layout read-back: the partition column comes back
+    * directory-inferred as int — cast to long so downstream joins and
+    * results are type-identical to the in-memory probe frame. */
+  private def readNearDupLayout(spark: SparkSession, layout: String): DataFrame =
+    spark.read.parquet(layout)
+      .select(col("vec_id"), col("embedding"),
+        col("list_id").cast("long").as("list_id"))
+
+  /** [[nearDupPairs]] served from the persisted layout — result-
+    * identical (asserted in DedupArtifactsSpec; same pair kernel, same
+    * assignment canon), but the corpus-sized anchor assignment is a
+    * parquet read and each list's self-join is co-located with its
+    * partition. This is the form that holds past ~10 M vectors. */
+  def nearDupPairsOverLayout(spark: SparkSession, layout: String,
+                             minCosine: Double = 0.4): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    pairsFromProbes(readNearDupLayout(spark, layout), minCosine)
+  }
+
+  /** Incremental screening over the persisted layout — the embedding
+    * analogue of [[TextDedup.screenIncrement]] (same increment
+    * convention: vec_id % 10 == 0 is the incoming batch): each
+    * incoming vector probes its nprobe nearest lists, candidates are
+    * EXISTING layout rows sharing a probed list, the best exact match
+    * decides near_dup vs novel. The incoming probe frame is broadcast,
+    * so the probed list_ids reach the layout scan as a dynamic
+    * partition filter (asserted in IvfLayoutSpec) — at 100 TB the
+    * increment touches nprobe·|increment| cells, never the corpus. */
+  def screenIncrementOverLayout(spark: SparkSession, dir: String,
+                                layout: String, minCosine: Double = 0.4,
+                                nLists: Int = 0, nprobe: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val incomingProbes = probeAssignments(spark, dir, nLists, nprobe)
+      .filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("list_id"))
+    val existing = readNearDupLayout(spark, layout)
+      .filter(col("vec_id") % 10 =!= 0)
+      .select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("list_id"))
+    val best = existing.join(broadcast(incomingProbes), Seq("list_id"))
+      .select(col("vec_a"), col("vec_b"),
+        floorRound(dot(col("ea"), col("eb")), 6).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      .distinct()
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("vec_a")
+          .orderBy(col("cosine").desc, col("vec_b"))))
+      .filter(col("__rn") === 1)
+      .select(col("vec_a").as("vec_id"), col("vec_b").as("matched_vec"),
+        col("cosine"))
+    Tables.embeddings(spark, dir).filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("matched_vec").isNotNull, "near_dup")
+          .otherwise("novel").as("verdict"),
+        col("matched_vec"), col("cosine"))
+      .orderBy("vec_id")
   }
 
   /** Semantic duplicate clusters: connected components over the

@@ -9,6 +9,37 @@ private[graft] object EmbOracles {
     "emb_near_dup_pairs" ->
       s"""WITH $embNearDupCtes
         |SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+    // the layout-served form is result-identical by construction (same
+    // assignment canon, same pair kernel — pairsFromProbes is ONE
+    // definition); the oracle states that identity in code
+    "emb_near_dup_pairs_ivf" ->
+      s"""WITH $embNearDupCtes
+        |SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+    // increment screening over the layout: incoming (vec_id%10=0)
+    // probe lists vs existing layout rows; best exact match >= 0.4
+    // decides near_dup vs novel (CTEs shared with emb_near_dup_pairs)
+    "emb_screen_increment" ->
+      s"""WITH $embNearDupCtes,
+        |inc AS (SELECT vec_id, list_id FROM probes WHERE vec_id % 10 = 0),
+        |ex  AS (SELECT vec_id, list_id FROM probes WHERE vec_id % 10 != 0),
+        |scand AS (SELECT DISTINCT i.vec_id AS vec_a, e.vec_id AS vec_b
+        |          FROM inc i JOIN ex e USING (list_id)),
+        |sc AS (
+        |  SELECT vec_a, vec_b,
+        |    floor(list_sum(list_transform(generate_series(1, len(x.embedding)),
+        |      i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))) * 1000000 + 0.5) / 1000000.0 AS cosine
+        |  FROM scand JOIN embeddings x ON x.vec_id = scand.vec_a
+        |             JOIN embeddings y ON y.vec_id = scand.vec_b),
+        |best AS (
+        |  SELECT vec_a, vec_b, cosine FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_a ORDER BY cosine DESC, vec_b) AS rn
+        |    FROM sc WHERE cosine >= 0.4) WHERE rn = 1)
+        |SELECT e.vec_id,
+        |  CASE WHEN best.vec_b IS NOT NULL THEN 'near_dup' ELSE 'novel' END AS verdict,
+        |  best.vec_b AS matched_vec, best.cosine AS cosine
+        |FROM embeddings e LEFT JOIN best ON best.vec_a = e.vec_id
+        |WHERE e.vec_id % 10 = 0
+        |ORDER BY e.vec_id""".stripMargin,
     // same recursive-closure shape as docs_dup_clusters, over the
     // embedding pair graph (CTEs shared with emb_near_dup_pairs)
     "emb_dup_clusters" ->

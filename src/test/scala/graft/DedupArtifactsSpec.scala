@@ -54,6 +54,57 @@ class DedupArtifactsSpec extends SparkSpec {
       rows(VectorOps.dupClusters(spark, sf)))
   }
 
+  test("probe layout: partitioned by list_id, every vector in exactly nprobe lists") {
+    val layout = s"$art/emb_probe_layout"
+    val dirs = new java.io.File(layout).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("list_id=")), dirs.mkString(","))
+    val stored = spark.read.parquet(layout)
+    val n = Tables.embeddings(spark, sf).count()
+    assert(stored.count() == n * 3, "nprobe=3 rows per vector")
+    assert(stored.select("vec_id").distinct().count() == n)
+  }
+
+  test("staged == self-contained: embedding near-dup pairs via the probe layout") {
+    assert(rows(VectorOps.nearDupPairsOverLayout(spark, s"$art/emb_probe_layout")) ==
+      rows(VectorOps.nearDupPairs(spark, sf)))
+  }
+
+  test("increment screen: verdicts agree with the pair-graph truth") {
+    val screen = VectorOps.screenIncrementOverLayout(
+        spark, sf, s"$art/emb_probe_layout").collect()
+    // truth from the pair graph: for each incoming vec (id%10==0), its
+    // best EXISTING counterpart among the near-dup pairs (same candidate
+    // rule, same threshold), cosine desc / id asc
+    val pairs = VectorOps.nearDupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val matches = (pairs.map { case (a, b, c) => (a, b, c) } ++
+        pairs.map { case (a, b, c) => (b, a, c) })
+      .filter { case (v, e, _) => v % 10 == 0 && e % 10 != 0 }
+      .groupBy(_._1).view
+      .mapValues(_.minBy { case (_, e, c) => (-c, e) }).toMap
+    assert(screen.nonEmpty)
+    for (r <- screen) {
+      val v = r.getAs[Long]("vec_id")
+      matches.get(v) match {
+        case Some((_, e, c)) =>
+          assert(r.getAs[String]("verdict") == "near_dup" &&
+            r.getAs[Long]("matched_vec") == e &&
+            r.getAs[Double]("cosine") == c, s"vec $v: $r vs ($e,$c)")
+        case None =>
+          assert(r.getAs[String]("verdict") == "novel" && r.isNullAt(2), s"vec $v: $r")
+      }
+    }
+  }
+
+  test("increment screen: probed cells prune the layout scan at runtime") {
+    val df = VectorOps.screenIncrementOverLayout(spark, sf, s"$art/emb_probe_layout")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"incoming probe lists must prune the layout scan:\n${p.take(3000)}")
+  }
+
   test("fingerprint skip: unchanged inputs reuse the staged artifacts; " +
       "changed inputs or params rebuild") {
     // private input copy — the fixture dirs are read-only and shared
