@@ -427,6 +427,51 @@ object CdcStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** S8 recovery — re-ingest quarantined rows after a fix. The missing
+    * half of the quarantine lifecycle (land → inspect → FIX →
+    * reprocess): `fix` is the operator's repair transform (the schema
+    * fix, a props rewrite, a backfilled column …) applied to the
+    * quarantined raw rows; rows that now pass the SAME validity
+    * predicate the ingest split uses are normalized through the SAME
+    * [[materializedView]] transform and appended to the log, rows that
+    * still fail stay quarantined (their `__quarantined_batch` is reset
+    * to -1 to mark a reprocess survivor). The quarantine dir is
+    * rewritten via stage-and-swap so a crash mid-rewrite never loses
+    * rows — the failure mode is rows present in BOTH log and
+    * quarantine, which the dedup-on-read FINAL view collapses (same
+    * (ts, event_id) version wins once), so reprocessing is idempotent
+    * at the serving layer: re-running with the same fix recovers 0 rows
+    * and changes nothing. Asserted in StreamingSpec: corrupt →
+    * quarantine → fix → reprocess → endpoint state equals the
+    * never-corrupted run.
+    *
+    * @return (recovered, stillQuarantined) row counts. */
+  def reprocessQuarantine(spark: SparkSession, quarantineDir: String,
+                          logDir: String)
+                         (fix: DataFrame => DataFrame): (Long, Long) = {
+    val fixed = fix(spark.read.parquet(quarantineDir)
+        .drop("__quarantined_batch"))
+      .withColumn("__ok", isValid).cache()
+    try {
+      val recovered = fixed.filter(col("__ok")).drop("__ok")
+      val nRecovered = recovered.count()
+      if (nRecovered > 0)
+        materializedView(recovered).write.mode("append").parquet(logDir)
+      val still = fixed.filter(!col("__ok")).drop("__ok")
+        .withColumn("__quarantined_batch", lit(-1L))
+      val nStill = still.count()
+      // stage-and-swap (coalesce(1) so an all-recovered pass still
+      // writes a schema-bearing empty file the next reader can open)
+      val staged = new java.io.File(quarantineDir + ".reprocess_staging")
+      still.coalesce(1).write.mode("overwrite").parquet(staged.toString)
+      fixed.unpersist()
+      graft.sources.Layout.deleteRec(new java.io.File(quarantineDir))
+      java.nio.file.Files.move(staged.toPath,
+        new java.io.File(quarantineDir).toPath)
+      (nRecovered, nStill)
+    } finally fixed.unpersist()
+  }
+
   /** Ingestion observability — the analogue of the reference's
     * per-run ingest stats: `observe` attaches named aggregates to the
     * MV stream itself, so every micro-batch reports rows seen, rows

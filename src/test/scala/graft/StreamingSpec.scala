@@ -140,6 +140,54 @@ class StreamingSpec extends SparkSpec {
     assert(quarantined == Set(3L, 4L))
   }
 
+  test("quarantine recovery: corrupt -> quarantine -> fix -> reprocess " +
+      "== the never-corrupted run; idempotent") {
+    import spark.implicits._
+    def rows(fixedProps: Boolean) = Seq(
+      (1L, java.time.LocalDateTime.parse("2024-05-01T00:00:01"), 10L, "click", 1.0, """{"k": 3}"""),
+      (2L, java.time.LocalDateTime.parse("2024-05-01T00:00:02"), 11L, "view", 2.0, """{"k": 4}"""),
+      (3L, java.time.LocalDateTime.parse("2024-05-01T00:00:03"), 12L, "click", 3.0,
+        if (fixedProps) """{"k": 0}""" else "not-json"),
+      (4L, java.time.LocalDateTime.parse("2024-05-01T00:00:04"), 13L, "view", 4.0, """{"k": 5}"""))
+    def src(fixedProps: Boolean) = {
+      val d = tmp()
+      rows(fixedProps)
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        // event 4's user_id is null — unrecoverable by the props fix
+        .withColumn("user_id", when(col("event_id") === 4, lit(null)).otherwise(col("user_id")))
+        .write.parquet(s"$d/data")
+      d
+    }
+    // corrupted ingest: 3 (bad props) and 4 (null key) quarantine
+    val logDir = tmp() + "/log"; val qDir = tmp() + "/quarantine"
+    CdcStream.startMvWithQuarantine(spark, src(fixedProps = false) + "/*",
+      logDir, qDir, tmp() + "/ck").awaitTermination()
+    // the schema fix repairs the props column; the null key it cannot
+    val fix = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("props",
+        when(get_json_object(col("props"), "$.k").isNull, """{"k": 0}""")
+          .otherwise(col("props")))
+    val (rec, still) = CdcStream.reprocessQuarantine(spark, qDir, logDir)(fix)
+    assert(rec == 1L && still == 1L, s"recovered=$rec still=$still")
+    // never-corrupted reference run: same rows with props already fixed,
+    // event 4 (unrecoverable) excluded at the source
+    val refLog = tmp() + "/reflog"
+    CdcStream.startMvWithQuarantine(spark, src(fixedProps = true) + "/*",
+      refLog, tmp() + "/refq", tmp() + "/refck").awaitTermination()
+    def state(dir: String) = CdcStream.finalView(spark, dir)
+      .orderBy("user_id").collect().map(_.toString).toSeq
+    assert(state(logDir) == state(refLog))
+    // still-quarantined rows carry the reprocess marker and ONLY event 4
+    val q2 = spark.read.parquet(qDir)
+      .select("event_id", "__quarantined_batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(q2 == Seq((4L, -1L)), q2.toString)
+    // idempotence: the same fix again recovers nothing, changes nothing
+    val (rec2, still2) = CdcStream.reprocessQuarantine(spark, qDir, logDir)(fix)
+    assert(rec2 == 0L && still2 == 1L)
+    assert(state(logDir) == state(refLog))
+  }
+
   test("JSONPath projection from a real parsed datasource ingests CDC messages") {
     import spark.implicits._
     val ds = graft.sources.KitParser.parseDatasource("users_raw",
