@@ -294,21 +294,29 @@ object TextAnalysis {
     * stages once at 100 TB ([[TextDedup.stageShingles]]) — then a
     * per-doc count aggregation on the doc_id key. */
   def boilerplateCoverage(spark: SparkSession, dir: String, maxDf: Int = 5): DataFrame = {
-    // df via aggregate + join-back, NOT count-over-window: the window
-    // form sorts the entire inverted index inside each shingle
-    // partition (measured 11.8x for 10x data at the sf10 gate — the
-    // sort is the super-linear term); the agg+join is map-side-combined
-    // and sort-free, the same rule nearDupFrom applies. SHUFFLE_HASH
-    // hint: at corpus scale the df side outgrows the broadcast
-    // threshold and the planner would otherwise sort BOTH sides for an
-    // SMJ — hashing the (shingle, df) side avoids re-sorting the wide
-    // shingle stream.
-    val sh = TextDedup.shingles(Tables.documents(spark, dir))
-    val dfPerShingle = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
-    sh.join(dfPerShingle.hint("shuffle_hash"), "shingle")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("__df") > maxDf, 1L).otherwise(0L)).as("n_boilerplate"))
+    // Three shapes measured here, worst to best at scale:
+    //  - count-over-window df: sorts the whole inverted index per
+    //    shingle partition (11.8x for 10x data at the r8 sf10 gate);
+    //  - agg + join the df frame back onto the FULL shingle stream:
+    //    sort-free, but the corpus-sized exploded stream crosses the
+    //    wire twice more (join probe + final doc_id agg) — 11x for
+    //    3.3x data at the sf100 gate, pure shuffle spill;
+    //  - this one: n_shingles is just size(shs) (no aggregation at
+    //    all), and only the shingles that ARE boilerplate (df > maxDf
+    //    — a set bounded by corpus template mass, tiny on clean data)
+    //    join back, so the full stream is shuffled exactly once, as
+    //    map-side-combined df partials. SHUFFLE_HASH on the filtered
+    //    df side: no sort if it stays big; AQE upgrades it to a
+    //    broadcast join when it is runtime-small (the common case).
+    val arr = TextDedup.shingleArrays(Tables.documents(spark, dir))
+    val sh = arr.select(col("doc_id"), explode(col("shs")).as("shingle"))
+    val boiler = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf)
+    val nBoiler = sh.join(boiler.hint("shuffle_hash"), "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_boilerplate"))
+    arr.select(col("doc_id"), size(col("shs")).cast("long").as("n_shingles"))
+      .join(nBoiler, Seq("doc_id"), "left")
+      .withColumn("n_boilerplate", coalesce(col("n_boilerplate"), lit(0L)))
       .withColumn("boilerplate_frac",
         floorRound(col("n_boilerplate").cast("double") / col("n_shingles"), 4))
       .withColumn("flagged", col("n_boilerplate") > 0)

@@ -32,7 +32,30 @@ object TextDedup {
       .agg(min(col("doc_id")).as("canonical_doc_id"), count(lit(1)).as("dup_count"))
       .orderBy("canonical_doc_id")
 
-  /** Distinct word-3-gram shingles per doc: (doc_id, shingle). */
+  /** Per-doc distinct word-3-gram shingle ARRAYS: (doc_id, shs).
+    * Distinctness is within a document, so it is a per-row
+    * `array_distinct` — no shuffle at all. The right form for
+    * consumers that touch the shingle stream ONCE (boilerplate
+    * coverage: sf100 warm 190 s → 8 s replacing the exploded
+    * `.distinct()` + full-stream join-back). NOT the right form for
+    * [[nearDupFrom]], which probes the frame four times: there the
+    * `.distinct()` exchange doubles as a materialization every
+    * downstream subtree reuses (ReusedExchange), and re-deriving the
+    * explode per consumer measured 2.2x SLOWER at sf10 (63.5 s vs
+    * 29.5 s) — both shapes measured, each kept where it wins. */
+  private[operators] def shingleArrays(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"))
+        .as("shs"))
+
+  /** Distinct word-3-gram shingles per doc: (doc_id, shingle). The
+    * `.distinct()` here IS the per-doc dedup (doc_id, shingle) — and
+    * its exchange is the one materialization of the exploded stream
+    * that [[nearDupFrom]]'s four consumers reuse; see
+    * [[shingleArrays]] for the measured trade. */
   private[operators] def shingles(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
