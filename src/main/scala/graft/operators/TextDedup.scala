@@ -242,7 +242,10 @@ object TextDedup {
     * input change, param change, or half-finished previous build
     * (crash before the marker) rebuilds. The marker is deleted
     * FIRST on rebuild so a crash mid-overwrite can never leave a
-    * fresh fingerprint over stale artifacts. A JVM-wide per-dir
+    * fresh fingerprint over stale artifacts. Within a rebuild,
+    * per-stage `_STAGE_*` markers make the build RESUMABLE: a crash
+    * after the pair graph landed restarts at clustering, not at
+    * re-shingling (asserted in DedupArtifactsSpec). A JVM-wide per-dir
     * monitor serializes concurrent invocations (the HTTP pool can
     * run two at once; without it one request's overwrite deletes
     * parquet footers out from under the other's read).
@@ -259,24 +262,65 @@ object TextDedup {
         false
       } else {
         java.nio.file.Files.deleteIfExists(marker)
-        nearDupPairs(spark, dir, minJaccard, maxDf)
-          .write.mode("overwrite").parquet(s"$out/pairs")
-        ConnectedComponents.clusters(spark,
-            stagedPairs(spark, out).select("doc_a", "doc_b"))
-          .toDF("doc_id", "cluster_id", "cluster_size")
-          .write.mode("overwrite").parquet(s"$out/clusters")
+        // Shuffle files of a finished stage live until the driver GCs
+        // the ShuffleDependency (ContextCleaner); inside one long
+        // multi-artifact build nothing triggers that GC, so transient
+        // disk peaks at the SUM of every stage's spill instead of the
+        // max — the sf100 build filled the sandbox disk exactly this
+        // way (each artifact is parquet-materialized, so no exchange
+        // is reusable across these boundaries anyway; on a cluster
+        // this is executor shuffle-dir pressure, same failure mode).
+        def reclaimShuffles(): Unit = { System.gc(); Thread.sleep(100) }
+        // Per-stage resume: each artifact gets its own `_STAGE_<name>`
+        // marker (holding the input fingerprint), written only after
+        // its parquet lands. A build killed mid-way — disk-full, spot
+        // preemption — restarts from the first stage whose marker is
+        // missing or stale, so the corpus is never re-shingled for a
+        // crash in a later stage, and the per-ATTEMPT disk peak is one
+        // stage's spill, not the whole build's. Stage name == output
+        // subdir; a marker without its directory (manual delete) also
+        // rebuilds. Stale markers never outlive their stage: the
+        // marker is deleted before the stage body runs.
+        def stage(name: String)(body: => Unit): Unit = {
+          val m = new java.io.File(out, s"_STAGE_$name").toPath
+          val done = java.nio.file.Files.exists(m) &&
+            new String(java.nio.file.Files.readAllBytes(m), "UTF-8") == fp &&
+            new java.io.File(out, name).isDirectory
+          if (!done) {
+            java.nio.file.Files.deleteIfExists(m)
+            body
+            java.nio.file.Files.write(m, fp.getBytes("UTF-8"))
+            reclaimShuffles()
+          }
+        }
+        stage("pairs") {
+          nearDupPairs(spark, dir, minJaccard, maxDf)
+            .write.mode("overwrite").parquet(s"$out/pairs")
+        }
+        stage("clusters") {
+          ConnectedComponents.clusters(spark,
+              stagedPairs(spark, out).select("doc_a", "doc_b"))
+            .toDF("doc_id", "cluster_id", "cluster_size")
+            .write.mode("overwrite").parquet(s"$out/clusters")
+        }
         // the embedding pair graph derives FROM the just-staged probe
         // layout (read back, not the in-memory plan) — the corpus-sized
         // anchor assignment runs exactly once per staging, and every
         // later consumer (pairs endpoint, increment screen, clusters)
         // reads the partitioned layout instead of recomputing it
-        VectorOps.writeNearDupLayout(spark, dir, s"$out/emb_probe_layout")
-        VectorOps.nearDupPairsOverLayout(spark, s"$out/emb_probe_layout")
-          .write.mode("overwrite").parquet(s"$out/emb_pairs")
-        ConnectedComponents.clusters(spark,
-            spark.read.parquet(s"$out/emb_pairs").select("vec_a", "vec_b"))
-          .toDF("vec_id", "cluster_id", "cluster_size")
-          .write.mode("overwrite").parquet(s"$out/emb_clusters")
+        stage("emb_probe_layout") {
+          VectorOps.writeNearDupLayout(spark, dir, s"$out/emb_probe_layout")
+        }
+        stage("emb_pairs") {
+          VectorOps.nearDupPairsOverLayout(spark, s"$out/emb_probe_layout")
+            .write.mode("overwrite").parquet(s"$out/emb_pairs")
+        }
+        stage("emb_clusters") {
+          ConnectedComponents.clusters(spark,
+              spark.read.parquet(s"$out/emb_pairs").select("vec_a", "vec_b"))
+            .toDF("vec_id", "cluster_id", "cluster_size")
+            .write.mode("overwrite").parquet(s"$out/emb_clusters")
+        }
         java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
         true
       }

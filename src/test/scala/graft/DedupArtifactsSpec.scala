@@ -141,6 +141,34 @@ class DedupArtifactsSpec extends SparkSpec {
     assert(!TextDedup.writeDedupArtifacts(spark, sf, out))
   }
 
+  test("per-stage resume: a crash after early stages restarts at the first " +
+      "incomplete stage, never re-shingling the corpus") {
+    val out = java.nio.file.Files.createTempDirectory("dedup_resume").toString
+    assert(TextDedup.writeDedupArtifacts(spark, sf, out))
+    // simulate a crash after pairs+clusters landed but before the emb
+    // stages: global marker and the later stage markers gone, early
+    // artifacts + their markers intact (exactly what a disk-full kill
+    // in the emb_probe_layout stage leaves behind)
+    assert(new java.io.File(out, "_FINGERPRINT").delete())
+    for (s <- Seq("emb_probe_layout", "emb_pairs", "emb_clusters"))
+      assert(new java.io.File(out, s"_STAGE_$s").delete())
+    val pairsSuccess = new java.io.File(out, "pairs/_SUCCESS")
+    val clustersSuccess = new java.io.File(out, "clusters/_SUCCESS")
+    val (tPairs, tClusters) =
+      (pairsSuccess.lastModified(), clustersSuccess.lastModified())
+    val embBefore =
+      rows(spark.read.parquet(s"$art/emb_pairs").orderBy("vec_a", "vec_b"))
+    assert(TextDedup.writeDedupArtifacts(spark, sf, out), "resume completes")
+    assert(pairsSuccess.lastModified() == tPairs,
+      "completed pairs stage must not rerun on resume")
+    assert(clustersSuccess.lastModified() == tClusters,
+      "completed clusters stage must not rerun on resume")
+    assert(rows(spark.read.parquet(s"$out/emb_pairs").orderBy("vec_a", "vec_b"))
+      == embBefore, "resumed emb stages produce the canonical graph")
+    // the resumed build is a normal skippable artifact afterwards
+    assert(!TextDedup.writeDedupArtifacts(spark, sf, out))
+  }
+
   test("artifact summary: one row per cluster; canonical and hub are members") {
     val clusters = TextDedup.dupClustersStaged(spark, art).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
