@@ -31,4 +31,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // escape hatch for scale probes: extra -D flags (e.g.
   // -Dspark.io.compression.codec=zstd to shrink shuffle spill on a
   // disk-bound box) without touching the benchmark contract defaults
-  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.trim.split("\\s+"))
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
+    .flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)

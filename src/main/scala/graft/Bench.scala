@@ -1,6 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** GC quiesce run BEFORE each timed query (outside the measured
+    * window) so a heavy neighbor's allocation debt cannot land in the
+    * next query's figure. One definition for Bench AND BenchSome so
+    * the two benchmarks always measure under the same discipline.
+    * Opt out with SPARK_GRAFT_BENCH_GC=0. */
+  def quiesce(): Unit =
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "1") != "0") {
+      System.gc(); Thread.sleep(50)
+    }
+
   def main(args: Array[String]): Unit = {
     RunLock.acquireOrDie("Bench")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -43,11 +53,9 @@ object Bench {
     // outside the measured window, so per-query figures are comparable
     // across sweeps without inflating any of them. Opt out with
     // SPARK_GRAFT_BENCH_GC=0 (e.g. to measure the un-quiesced deltas).
-    val gcBetween = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "1") != "0"
-    def quiesce(): Unit = if (gcBetween) { System.gc(); Thread.sleep(50) }
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Option[String]) = {
-      quiesce()
+      Bench.quiesce()
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).count(); None }
@@ -127,10 +135,7 @@ object BenchSome {
     // footer-read/codegen init (~4.5 s measured) — same as Bench's order
     names.foreach { n =>
       val sec = (1 to 2).map { _ =>
-        // same GC quiesce as Bench so figures stay comparable
-        if (sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "1") != "0") {
-          System.gc(); Thread.sleep(50)
-        }
+        Bench.quiesce() // same discipline as Bench so figures stay comparable
         val t0 = System.nanoTime()
         try SparkEntry.queries(n)(spark, sfDir).count()
         catch { case e: Throwable => System.err.println(s"[benchsome] $n: $e") }

@@ -252,13 +252,24 @@ object TextDedup {
     *
     * @return true when the artifacts were (re)built, false when the
     *         fingerprint matched and the build was skipped. */
+  /** The five staged artifacts, in build order. `_SUCCESS` is the
+    * completeness witness for each (Spark writes it last): a skip is
+    * only honored when every artifact still has one, so a /tmp reaper
+    * or manual cleanup that removes staged files can never strand the
+    * consumers behind a matching fingerprint. */
+  private val artifactStages =
+    Seq("pairs", "clusters", "emb_probe_layout", "emb_pairs", "emb_clusters")
+  private def stageComplete(out: String, name: String): Boolean =
+    new java.io.File(new java.io.File(out, name), "_SUCCESS").exists()
+
   def writeDedupArtifacts(spark: SparkSession, dir: String, out: String,
                           minJaccard: Double = 0.5, maxDf: Int = 100): Boolean =
-    artifactLock(out).synchronized {
+    artifactLock(out).synchronized { withArtifactFileLock(out) {
       val fp = inputFingerprint(dir, minJaccard, maxDf)
       val marker = new java.io.File(out, "_FINGERPRINT").toPath
       if (java.nio.file.Files.exists(marker) &&
-          new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fp) {
+          new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fp &&
+          artifactStages.forall(stageComplete(out, _))) {
         false
       } else {
         java.nio.file.Files.deleteIfExists(marker)
@@ -285,7 +296,7 @@ object TextDedup {
           val m = new java.io.File(out, s"_STAGE_$name").toPath
           val done = java.nio.file.Files.exists(m) &&
             new String(java.nio.file.Files.readAllBytes(m), "UTF-8") == fp &&
-            new java.io.File(out, name).isDirectory
+            stageComplete(out, name)
           if (!done) {
             java.nio.file.Files.deleteIfExists(m)
             body
@@ -324,7 +335,7 @@ object TextDedup {
         java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
         true
       }
-    }
+    } }
 
   // one monitor per canonical artifact path — writers serialize, the
   // map itself never grows past the handful of artifact dirs in a JVM
@@ -333,6 +344,28 @@ object TextDedup {
   private def artifactLock(out: String): Object =
     artifactLocks.computeIfAbsent(
       new java.io.File(out).getAbsolutePath, _ => new Object)
+
+  /** Cross-PROCESS build serialization: the JVM monitor above only
+    * serializes threads within one JVM, but the artifact dir is a
+    * machine-shared path — an ApiServer JVM and a Bench/Verify JVM can
+    * otherwise both see "no marker" and overwrite each other's parquet
+    * mid-build. A blocking OS file lock on a sibling `<out>.lock`
+    * (sibling, so a rebuild can never delete its own lock file) makes
+    * the second process wait, then observe the first build's
+    * fingerprint and skip. Always taken AFTER the JVM monitor —
+    * overlapping `FileChannel.lock` calls from one JVM would throw
+    * OverlappingFileLockException, and the monitor guarantees only one
+    * thread per JVM reaches it. */
+  private def withArtifactFileLock[A](out: String)(body: => A): A = {
+    import java.nio.file.StandardOpenOption.{CREATE, WRITE}
+    val lockPath = new java.io.File(out + ".lock").toPath
+    Option(lockPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    val ch = java.nio.channels.FileChannel.open(lockPath, CREATE, WRITE)
+    try {
+      val fl = ch.lock()
+      try body finally fl.release()
+    } finally ch.close()
+  }
 
   /** Input identity for the artifact build: every file backing the
     * documents and embeddings tables (a `.parquet` may be a single

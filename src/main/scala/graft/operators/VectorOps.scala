@@ -292,13 +292,27 @@ object VectorOps {
     * convention: vec_id % 10 == 0 is the incoming batch): each
     * incoming vector probes its nprobe nearest lists, candidates are
     * EXISTING layout rows sharing a probed list, the best exact match
-    * decides near_dup vs novel. The incoming probe frame is broadcast,
-    * so the probed list_ids reach the layout scan as a dynamic
-    * partition filter (asserted in IvfLayoutSpec) — at 100 TB the
-    * increment touches nprobe·|increment| cells, never the corpus. */
+    * decides near_dup vs novel.
+    *
+    * Join strategy is SIZE-GUARDED, because the probe frame carries
+    * full embedding arrays and its row count is nprobe·|increment| —
+    * proportional to the corpus under the %10 convention, so a hard
+    * `broadcast()` would hit Spark's 8 GB broadcast ceiling (and
+    * driver memory) at exactly the scale this function exists to
+    * serve. Below `broadcastProbeRows` the probe frame IS broadcast
+    * and the probed list_ids reach the layout scan as a dynamic
+    * partition filter (asserted in DedupArtifactsSpec) — a small
+    * increment touches nprobe·|increment| cells, never the corpus.
+    * Past the guard, the join degrades to a SHUFFLE_HASH on list_id:
+    * both sides shuffle once, nothing corpus-proportional is ever
+    * collected to one node (a huge increment probes essentially every
+    * cell anyway, so the lost pruning is worth ~nothing there). The
+    * two paths are result-identical — asserted in DedupArtifactsSpec
+    * by forcing the shuffle path at test SF. */
   def screenIncrementOverLayout(spark: SparkSession, dir: String,
                                 layout: String, minCosine: Double = 0.4,
-                                nLists: Int = 0, nprobe: Int = 3): DataFrame = {
+                                nLists: Int = 0, nprobe: Int = 3,
+                                broadcastProbeRows: Long = 4000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(spark)
     val incomingProbes = probeAssignments(spark, dir, nLists, nprobe)
@@ -309,7 +323,13 @@ object VectorOps {
       .filter(col("vec_id") % 10 =!= 0)
       .select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
         col("list_id"))
-    val best = existing.join(broadcast(incomingProbes), Seq("list_id"))
+    // cheap column-pruned count of the increment (one long column)
+    val nIncrement = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 10 === 0).count()
+    val probeSide =
+      if (nIncrement * nprobe <= broadcastProbeRows) broadcast(incomingProbes)
+      else incomingProbes.hint("SHUFFLE_HASH")
+    val best = existing.join(probeSide, Seq("list_id"))
       .select(col("vec_a"), col("vec_b"),
         floorRound(dot(col("ea"), col("eb")), 6).as("cosine"))
       .filter(col("cosine") >= minCosine)

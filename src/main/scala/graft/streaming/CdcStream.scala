@@ -435,21 +435,45 @@ object CdcStream {
     * predicate the ingest split uses are normalized through the SAME
     * [[materializedView]] transform and appended to the log, rows that
     * still fail stay quarantined (their `__quarantined_batch` is reset
-    * to -1 to mark a reprocess survivor). The quarantine dir is
-    * rewritten via stage-and-swap so a crash mid-rewrite never loses
-    * rows — the failure mode is rows present in BOTH log and
-    * quarantine, which the dedup-on-read FINAL view collapses (same
-    * (ts, event_id) version wins once), so reprocessing is idempotent
-    * at the serving layer: re-running with the same fix recovers 0 rows
-    * and changes nothing. Asserted in StreamingSpec: corrupt →
-    * quarantine → fix → reprocess → endpoint state equals the
-    * never-corrupted run.
+    * to -1 to mark a reprocess survivor).
+    *
+    * Crash safety + live-stream safety (move-out, then process —
+    * never delete-then-move): the quarantine dir is first atomically
+    * RENAMED to a work dir, so rows a concurrently-running
+    * [[startMvWithQuarantine]] stream appends after that instant land
+    * in a freshly recreated quarantine dir and simply wait for the
+    * next pass — nothing is ever deleted out from under a writer. A
+    * crash at ANY point leaves every row in exactly one of {log, work
+    * dir, quarantine dir}: the next invocation restores a leftover
+    * work dir into the quarantine dir by per-file atomic moves before
+    * proceeding. The at-least-once failure mode is rows present in
+    * BOTH log and quarantine, which the dedup-on-read FINAL view
+    * collapses (same (ts, event_id) version wins once), so
+    * reprocessing is idempotent at the serving layer: re-running with
+    * the same fix recovers 0 rows and changes nothing. Asserted in
+    * StreamingSpec: corrupt → quarantine → fix → reprocess → endpoint
+    * state equals the never-corrupted run (and a crash-simulation row
+    * covers the leftover-work-dir restore).
     *
     * @return (recovered, stillQuarantined) row counts. */
   def reprocessQuarantine(spark: SparkSession, quarantineDir: String,
                           logDir: String)
                          (fix: DataFrame => DataFrame): (Long, Long) = {
-    val fixed = fix(spark.read.parquet(quarantineDir)
+    val qDir = new java.io.File(quarantineDir)
+    val workDir = new java.io.File(quarantineDir + ".reprocess_work")
+    if (workDir.isDirectory) {
+      // leftover from a crashed attempt: restore file-by-file (each
+      // move atomic, so a crash mid-restore just resumes here)
+      qDir.mkdirs()
+      for (f <- Option(workDir.listFiles).getOrElse(Array.empty[java.io.File])
+           if f.isFile)
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(qDir, f.getName).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      graft.sources.Layout.deleteRec(workDir)
+    }
+    java.nio.file.Files.move(qDir.toPath, workDir.toPath)
+    val fixed = fix(spark.read.parquet(workDir.toString)
         .drop("__quarantined_batch"))
       .withColumn("__ok", isValid).cache()
     try {
@@ -460,14 +484,12 @@ object CdcStream {
       val still = fixed.filter(!col("__ok")).drop("__ok")
         .withColumn("__quarantined_batch", lit(-1L))
       val nStill = still.count()
-      // stage-and-swap (coalesce(1) so an all-recovered pass still
-      // writes a schema-bearing empty file the next reader can open)
-      val staged = new java.io.File(quarantineDir + ".reprocess_staging")
-      still.coalesce(1).write.mode("overwrite").parquet(staged.toString)
-      fixed.unpersist()
-      graft.sources.Layout.deleteRec(new java.io.File(quarantineDir))
-      java.nio.file.Files.move(staged.toPath,
-        new java.io.File(quarantineDir).toPath)
+      // APPEND (never overwrite — the live stream may already have
+      // re-quarantined fresh rows next to ours); coalesce(1) keeps one
+      // task even for 0 rows, so an all-recovered pass still leaves a
+      // schema-bearing file the next reader/endpoint can open
+      still.coalesce(1).write.mode("append").parquet(quarantineDir)
+      graft.sources.Layout.deleteRec(workDir)
       (nRecovered, nStill)
     } finally fixed.unpersist()
   }

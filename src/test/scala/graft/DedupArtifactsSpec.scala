@@ -97,6 +97,26 @@ class DedupArtifactsSpec extends SparkSpec {
     }
   }
 
+  test("increment screen: the size-guarded shuffle path (huge increments) " +
+      "is result-identical to the broadcast+DPP path") {
+    val layout = s"$art/emb_probe_layout"
+    val viaBroadcast = rows(
+      VectorOps.screenIncrementOverLayout(spark, sf, layout))
+    val viaShuffle = rows(
+      VectorOps.screenIncrementOverLayout(spark, sf, layout,
+        broadcastProbeRows = 0L))
+    assert(viaShuffle == viaBroadcast)
+    // and the forced path really did join the probe frame by shuffle
+    // (a planned-away DPP placeholder can still PRINT as
+    // `dynamicpruning(true)`, so assert the join strategy positively)
+    val df = VectorOps.screenIncrementOverLayout(spark, sf, layout,
+      broadcastProbeRows = 0L)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"),
+      s"guarded path must shuffle-hash-join the probe frame:\n${p.take(2000)}")
+  }
+
   test("increment screen: probed cells prune the layout scan at runtime") {
     val df = VectorOps.screenIncrementOverLayout(spark, sf, s"$art/emb_probe_layout")
     df.collect()

@@ -188,6 +188,37 @@ class StreamingSpec extends SparkSpec {
     assert(state(logDir) == state(refLog))
   }
 
+  test("quarantine recovery: a crashed attempt's leftover work dir is " +
+      "restored and the retry completes normally") {
+    import spark.implicits._
+    val srcDir = tmp()
+    Seq(
+      (1L, java.time.LocalDateTime.parse("2024-05-01T00:00:01"), 10L, "click", 1.0, """{"k": 3}"""),
+      (3L, java.time.LocalDateTime.parse("2024-05-01T00:00:03"), 12L, "click", 3.0, "not-json"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$srcDir/data")
+    val logDir = tmp() + "/log"; val qDir = tmp() + "/quarantine"
+    CdcStream.startMvWithQuarantine(spark, s"$srcDir/*", logDir, qDir,
+      tmp() + "/ck").awaitTermination()
+    // simulate the worst crash point: the previous attempt renamed the
+    // quarantine dir to its work dir and died before processing a row
+    java.nio.file.Files.move(new java.io.File(qDir).toPath,
+      new java.io.File(qDir + ".reprocess_work").toPath)
+    val fix = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("props",
+        when(get_json_object(col("props"), "$.k").isNull, """{"k": 0}""")
+          .otherwise(col("props")))
+    val (rec, still) = CdcStream.reprocessQuarantine(spark, qDir, logDir)(fix)
+    assert(rec == 1L && still == 0L, s"recovered=$rec still=$still")
+    assert(!new java.io.File(qDir + ".reprocess_work").exists(),
+      "work dir must be consumed by the retry")
+    // recovered row visible in the final view; quarantine empty but readable
+    val ids = CdcStream.finalView(spark, logDir).select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L))
+    assert(spark.read.parquet(qDir).count() == 0)
+  }
+
   test("JSONPath projection from a real parsed datasource ingests CDC messages") {
     import spark.implicits._
     val ds = graft.sources.KitParser.parseDatasource("users_raw",
