@@ -98,15 +98,37 @@ final class ApiServer(spark: SparkSession, sfDir: String,
         spark.catalog.dropGlobalTempView(s"graft_serving_${viewTag}_$n"))
   }
 
-  private def handle(ex: HttpExchange): Unit =
-    try {
-      if (ex.getRequestMethod != "GET") {
-        // the read API is GET-only (tb_functions.py uses requests.get
-        // for every pipe read; DELETE/POST address the control plane,
-        // which is out of engine scope)
-        respond(ex, 405, """{"error":"read API is GET-only"}""")
-        return
-      }
+  /** One catch discipline for every handler (they had started to
+    * drift: only the datafiles copy mapped AnalysisException → 400, so
+    * a client error like `k=-1` reaching Spark's LIMIT analysis 500'd
+    * on the read path). NOTE: callers must not `return` inside `body`
+    * — a non-local return from the closure would be swallowed by the
+    * Throwable arm as a 500. */
+  private def guarded(ex: HttpExchange)(body: => Unit): Unit =
+    try body catch {
+      // String.valueOf: an IAE raised inside Spark can carry a null
+      // message, and an NPE inside a handler would abandon the
+      // exchange with no response at all (client hangs to EOF)
+      case e: IllegalArgumentException =>
+        respond(ex, 400, s"""{"error":${Endpoints.q(String.valueOf(e.getMessage))}}""")
+      case e: org.apache.spark.sql.AnalysisException =>
+        // client input that only surfaces at analysis time (negative
+        // LIMIT, unresolved pushed-pipe SQL) is a 400, not a 500
+        respond(ex, 400, s"""{"error":${Endpoints.q(String.valueOf(e.getMessage))}}""")
+      case e: Throwable =>
+        // generic body: raw internal messages leak paths/plan fragments
+        // to any authenticated client; the detail goes to the server log
+        System.err.println(s"[api] 500 on ${ex.getRequestURI}: $e")
+        respond(ex, 500, """{"error":"internal error"}""")
+    }
+
+  private def handle(ex: HttpExchange): Unit = guarded(ex) {
+    if (ex.getRequestMethod != "GET") {
+      // the read API is GET-only (tb_functions.py uses requests.get
+      // for every pipe read; DELETE/POST address the control plane,
+      // which is out of engine scope)
+      respond(ex, 405, """{"error":"read API is GET-only"}""")
+    } else {
       val path = ex.getRequestURI.getPath
       authorized(ex) match {
         case None => respond(ex, 401, """{"error":"invalid or missing token"}""")
@@ -124,7 +146,11 @@ final class ApiServer(spark: SparkSession, sfDir: String,
               (tail.take(i), tail.substring(i + 1))
             case _ => (tail, "json")
           }
-          if (!graft.SparkEntry.queries.contains(name) && !dynamicPipes.contains(name))
+          // snapshot ONCE: a concurrent DELETE /v0/datafiles between a
+          // contains() check and a later lookup would turn the race
+          // into a 500 instead of this request just seeing one side
+          val dynNodes = dynamicPipes.get(name)
+          if (!graft.SparkEntry.queries.contains(name) && dynNodes.isEmpty)
             respond(ex, 404, s"""{"error":"pipe not found: $name"}""")
           else if (!(grants("*") || grants(name)))
             respond(ex, 403, s"""{"error":"token lacks READ on $name"}""")
@@ -132,14 +158,13 @@ final class ApiServer(spark: SparkSession, sfDir: String,
             val params = queryParams(ex)
             val df = parameterized.get(name) match {
               case Some(f) => f(spark, sfDir, params)
-              case None if dynamicPipes.contains(name) =>
-                // POSTed pipes take template params through verbatim —
-                // the translator substitutes {{Type(name, default)}}
-                runDynamic(name, params)
-              case _ =>
-                require(params.isEmpty,
-                  s"pipe $name takes no parameters: ${params.keys.mkString(", ")}")
-                graft.SparkEntry.queries(name)(spark, sfDir)
+              case None => dynNodes match {
+                case Some(nodes) => runDynamic(name, nodes, params)
+                case None =>
+                  require(params.isEmpty,
+                    s"pipe $name takes no parameters: ${params.keys.mkString(", ")}")
+                  graft.SparkEntry.queries(name)(spark, sfDir)
+              }
             }
             val rendered = format match {
               case "csv" => (Endpoints.renderCsv(df, rowLimit), "text/csv")
@@ -155,18 +180,8 @@ final class ApiServer(spark: SparkSession, sfDir: String,
             respond(ex, 200, rendered._1.body, rendered._2)
           }
       }
-    } catch {
-      // String.valueOf: an IAE raised inside Spark can carry a null
-      // message, and an NPE inside this handler would abandon the
-      // exchange with no response at all (client hangs to EOF)
-      case e: IllegalArgumentException =>
-        respond(ex, 400, s"""{"error":${Endpoints.q(String.valueOf(e.getMessage))}}""")
-      case e: Throwable =>
-        // generic body: raw internal messages leak paths/plan fragments
-        // to any authenticated client; the detail goes to the server log
-        System.err.println(s"[api] 500 on ${ex.getRequestURI}: $e")
-        respond(ex, 500, """{"error":"internal error"}""")
     }
+  }
 
   /** The control plane: `POST /v0/datafiles?name=<file>.pipe|.datasource`
     * with the kit-file text as the body (the engine-side of
@@ -177,8 +192,7 @@ final class ApiServer(spark: SparkSession, sfDir: String,
     * ANALYZED against the serving views (bad SQL 400s at push time, not
     * first fetch), its TOKEN declarations become live bearer grants, and
     * it serves immediately at `/v0/pipes/{name}` in every format. */
-  private def handleDatafiles(ex: HttpExchange): Unit =
-    try {
+  private def handleDatafiles(ex: HttpExchange): Unit = guarded(ex) {
       authorized(ex) match {
         case None => respond(ex, 401, """{"error":"invalid or missing token"}""")
         case Some(grants) if !grants("*") =>
@@ -230,7 +244,20 @@ final class ApiServer(spark: SparkSession, sfDir: String,
                 val toks = ApiServer.tokensFromPipes(Seq(pipeName -> body))
                 stateLock.synchronized {
                   dynamicPipes += pipeName -> nodes
-                  dynamicTokens = merge(dynamicTokens, toks)
+                  // overwriting an existing name is a ROTATION: grants
+                  // minted by the PREVIOUS version die with it (the
+                  // same invariant DELETE enforces) — a TOKEN line
+                  // removed in v2 must not keep reading v2 via v1's
+                  // grant. And a declared name that was revoked earlier
+                  // is re-provisioned as a NEW credential, the same
+                  // lifecycle as POST /v0/tokens (supersededTokens
+                  // keeps any old constructor grants masked).
+                  val rotated = dynamicTokens.flatMap { case (t, g) =>
+                    val g2 = g - pipeName
+                    if (g2.isEmpty) None else Some(t -> g2)
+                  }
+                  dynamicTokens = merge(rotated, toks)
+                  revokedTokens --= toks.keySet
                 }
                 respond(ex, 200, s"""{"name":${Endpoints.q(pipeName)},"type":"pipe","nodes":${nodes.length},"tokens":${toks.keys.toSeq.sorted.map(Endpoints.q).mkString("[", ",", "]")}}""")
               } else if (fileName.endsWith(".datasource")) {
@@ -268,16 +295,7 @@ final class ApiServer(spark: SparkSession, sfDir: String,
             case _ => respond(ex, 405, """{"error":"datafiles support GET/POST/DELETE"}""")
           }
       }
-    } catch {
-      case e: IllegalArgumentException =>
-        respond(ex, 400, s"""{"error":${Endpoints.q(String.valueOf(e.getMessage))}}""")
-      case e: org.apache.spark.sql.AnalysisException =>
-        // unresolved tables/columns in a pushed pipe are a client error
-        respond(ex, 400, s"""{"error":${Endpoints.q(String.valueOf(e.getMessage))}}""")
-      case e: Throwable =>
-        System.err.println(s"[api] 500 on ${ex.getRequestURI}: $e")
-        respond(ex, 500, """{"error":"internal error"}""")
-    }
+  }
 
   /** Token lifecycle (tb_functions.py:321-354 — tokens_list GET /tokens,
     * tokens_delete DELETE /tokens/{name}; creation is the engine-side
@@ -285,8 +303,7 @@ final class ApiServer(spark: SparkSession, sfDir: String,
     * lines): admin-gated like datafiles. Locally the token NAME is the
     * bearer credential (the reference provisions secret values
     * server-side); grants are pipe names, `*` = workspace admin. */
-  private def handleTokens(ex: HttpExchange): Unit =
-    try {
+  private def handleTokens(ex: HttpExchange): Unit = guarded(ex) {
       authorized(ex) match {
         case None => respond(ex, 401, """{"error":"invalid or missing token"}""")
         case Some(grants) if !grants("*") =>
@@ -343,13 +360,7 @@ final class ApiServer(spark: SparkSession, sfDir: String,
             case _ => respond(ex, 405, """{"error":"tokens support GET/POST/DELETE"}""")
           }
       }
-    } catch {
-      case e: IllegalArgumentException =>
-        respond(ex, 400, s"""{"error":${Endpoints.q(String.valueOf(e.getMessage))}}""")
-      case e: Throwable =>
-        System.err.println(s"[api] 500 on ${ex.getRequestURI}: $e")
-        respond(ex, 500, """{"error":"internal error"}""")
-    }
+  }
 
   /** Quarantine/datasource ops surface (tb_functions.py:137-155:
     * datasources_list reads `/datasources`, datasources_truncate POSTs
@@ -358,8 +369,7 @@ final class ApiServer(spark: SparkSession, sfDir: String,
     * datasources (plus POSTed definitions), GET /{name} renders the
     * backing parquet rows, POST /{name}/truncate empties it. Admin-
     * gated like the reference's usage (always the workspace key). */
-  private def handleDatasources(ex: HttpExchange): Unit =
-    try {
+  private def handleDatasources(ex: HttpExchange): Unit = guarded(ex) {
       authorized(ex) match {
         case None => respond(ex, 401, """{"error":"invalid or missing token"}""")
         case Some(grants) if !grants("*") =>
@@ -373,7 +383,8 @@ final class ApiServer(spark: SparkSession, sfDir: String,
               // definitions are schema-only until backed by data — the
               // listing says which is which so a client never 404s on a
               // name the server itself just listed without warning
-              val names = (datasourceDirs.keys ++ datasources.keys).toSeq.sorted
+              val names =
+                (datasourceDirs.keys ++ datasources.keys).toSeq.distinct.sorted
               val items = names.map { n =>
                 val backed = datasourceDirs.contains(n)
                 s"""{"name":${Endpoints.q(n)},"readable":$backed,"kind":${
@@ -388,8 +399,11 @@ final class ApiServer(spark: SparkSession, sfDir: String,
                 case None => respond(ex, 404, s"""{"error":"datasource not found: $name"}""")
                 case Some(dir) =>
                   val d = new java.io.File(dir)
+                  // listFiles is null if a concurrent truncate removes
+                  // the dir between isDirectory and the listing
                   val hasData = d.isDirectory &&
-                    d.listFiles().exists(_.getName.endsWith(".parquet"))
+                    Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+                      .exists(_.getName.endsWith(".parquet"))
                   if (!hasData)
                     // an empty/truncated quarantine is 0 rows, not an error
                     respond(ex, 200, """{"meta":[],"data":[],"rows":0}""")
@@ -414,13 +428,7 @@ final class ApiServer(spark: SparkSession, sfDir: String,
               """{"error":"datasources support GET and POST {name}/truncate"}""")
           }
       }
-    } catch {
-      case e: IllegalArgumentException =>
-        respond(ex, 400, s"""{"error":${Endpoints.q(String.valueOf(e.getMessage))}}""")
-      case e: Throwable =>
-        System.err.println(s"[api] 500 on ${ex.getRequestURI}: $e")
-        respond(ex, 500, """{"error":"internal error"}""")
-    }
+  }
 
   /** Every live (non-revoked) token → grants. Constructor entries whose
     * name was ever revoked are masked (supersededTokens): a later
@@ -431,9 +439,23 @@ final class ApiServer(spark: SparkSession, sfDir: String,
   /** Execute a provisioned pipe: a FRESH child session per request (own
     * temp-view namespace — concurrent pipes with colliding node names
     * cannot cross-talk; shares the SparkContext, so no startup cost)
-    * with the serving views registered. */
-  private def runDynamic(name: String, params: Map[String, String]): DataFrame =
-    graft.sql.PipeRunner.runNodes(servingSession(), dynamicPipes(name), params)
+    * with the serving views registered. Request params are validated
+    * against the pipe's declared template params FIRST — the
+    * translator ignores extra keys, so without this a typo'd param
+    * would silently take the `{% else %}` default branch with a 200
+    * (exactly the failure the registry path's no-params require
+    * guards against). */
+  private def runDynamic(name: String, nodes: Seq[graft.sql.PipeRunner.Node],
+                         params: Map[String, String]): DataFrame = {
+    val declared = graft.sql.ChSqlTranslator.declaredParams(
+      nodes.map(_.sql).mkString("\n"))
+    val unknown = params.keySet -- declared
+    require(unknown.isEmpty,
+      s"pipe $name does not take: ${unknown.toSeq.sorted.mkString(", ")}" +
+        (if (declared.isEmpty) ""
+         else s" (declared params: ${declared.toSeq.sorted.mkString(", ")})"))
+    graft.sql.PipeRunner.runNodes(servingSession(), nodes, params)
+  }
 
   /** The serving views, analyzed ONCE and published as global temp
     * views (visible to every child session): the harness star schema

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{base64, col, to_json}
+import org.apache.spark.sql.functions.{base64, col, struct, to_json}
 import org.apache.spark.sql.types.{ArrayType, BinaryType, MapType, StructType}
 
 /** S6 — the HTTP JSON endpoint payload shape
@@ -26,11 +26,25 @@ object Endpoints {
     * source had MORE rows than the limit (clipped result). */
   final case class Rendered(body: String, rows: Int, overflow: Boolean)
 
+  /** Row objects for the JSON formats. NOT `Dataset.toJSON`: that
+    * honors `spark.sql.jsonGenerator.ignoreNullFields` (default true),
+    * which DROPS null-valued keys — rows would be ragged against the
+    * `meta` column list and a consumer indexing `row[col["name"]]`
+    * (the tb_functions/dash pattern) would KeyError on null cells.
+    * Every row carries every column, null as JSON null. */
+  private def jsonRows(df: DataFrame, n: Int): Array[String] = {
+    val allCols = struct(df.columns.map(col).toIndexedSeq: _*)
+    df.limit(n)
+      .select(to_json(allCols,
+        java.util.Collections.singletonMap("ignoreNullFields", "false")))
+      .collect().map(_.getString(0))
+  }
+
   def renderJson(df: DataFrame, limit: Int = 10000): Rendered = {
     val meta = df.schema.fields.map(f =>
       s"""{"name":${q(f.name)},"type":${q(f.dataType.simpleString)}}""")
       .mkString("[", ",", "]")
-    val probed = df.limit(limit + 1).toJSON.collect()
+    val probed = jsonRows(df, limit + 1)
     val rows = probed.take(limit)
     val overflow = probed.length > limit
     // when clipped, all we know without running the full query is
@@ -49,7 +63,7 @@ object Endpoints {
     * render as an EMPTY body, not a blank line (strict line-per-object
     * consumers error on an empty line). */
   def renderNdjson(df: DataFrame, limit: Int = 10000): Rendered = {
-    val probed = df.limit(limit + 1).toJSON.collect()
+    val probed = jsonRows(df, limit + 1)
     val rows = probed.take(limit)
     Rendered(if (rows.isEmpty) "" else rows.mkString("", "\n", "\n"),
       rows.length, probed.length > limit)

@@ -94,27 +94,53 @@ object ChSqlTranslator {
       if (cut >= 0) line.substring(0, cut) else line
     }.mkString("\n")
 
+  /** `{{Type(name)}}` or `{{Type(name, default)}}` — group 3 is the
+    * optional default (the reference's own syntax, e.g.
+    * `{{Int32(limit, 100)}}`). A default containing `)` is not
+    * representable (none of the reference kits uses one). */
+  private val TemplateRe =
+    """\{\{\s*(\w+)\(\s*(\w+)\s*(?:,\s*([^)}]*?)\s*)?\)\s*\}\}""".r
+
   /** Template params appearing anywhere in a pipe's SQL: name →
     * declared type (`{{DateTime(start)}}` → `start -> DateTime`).
     * Used by the control plane to bind placeholder values when
     * analyzing a pushed pipe that requires params. */
   def templateParams(s: String): Map[String, String] =
-    """\{\{\s*(\w+)\((\w+)\)\s*\}\}""".r
-      .findAllMatchIn(s).map(m => m.group(2) -> m.group(1)).toMap
+    TemplateRe.findAllMatchIn(s).map(m => m.group(2) -> m.group(1)).toMap
+
+  /** Every param name a pipe's template text can consume: the typed
+    * `{{Type(name)}}` substitution sites PLUS bare `defined(name)`
+    * guards (a pipe may branch on a param it never substitutes). The
+    * control plane validates request params against this set so a
+    * typo'd name 400s instead of silently taking the default branch. */
+  def declaredParams(s: String): Set[String] =
+    templateParams(s).keySet ++
+      """defined\(\s*(\w+)\s*\)""".r.findAllMatchIn(s).map(_.group(1))
 
   /** `{% if defined(p) %} A {% else %} B {% end %}` → A (p bound) or B;
-    * `{{Type(p)}}` → typed literal from params. */
+    * `{{Type(p)}}` → typed literal from params, or from the in-template
+    * default when the param is absent. */
   private def expandTemplates(s: String, params: Map[String, String]): String = {
     val ifRe = ("""(?s)\{%\s*if\s+defined\((\w+)\)\s*%\}(.*?)""" +
       """\{%\s*else\s*%\}(.*?)\{%\s*end\s*%\}""").r
     val expanded = ifRe.replaceAllIn(s, m =>
       java.util.regex.Matcher.quoteReplacement(
         if (params.contains(m.group(1))) m.group(2) else m.group(3)))
-    val valRe = """\{\{\s*(\w+)\((\w+)\)\s*\}\}""".r
-    valRe.replaceAllIn(expanded, m => {
+    // a quoted default (`{{String(q, 'foo')}}`) sheds its quotes here —
+    // the String branch below re-quotes with proper escaping, so the
+    // default goes through EXACTLY the same validate-and-emit path as
+    // a client-supplied value
+    def unquote(d: String): String =
+      if (d.length >= 2 &&
+          ((d.head == '\'' && d.last == '\'') ||
+           (d.head == '"' && d.last == '"'))) d.substring(1, d.length - 1)
+      else d
+    TemplateRe.replaceAllIn(expanded, m => {
       val p = m.group(2)
-      val v = params.getOrElse(p,
-        throw new IllegalArgumentException(s"unbound template param $p"))
+      val v = params.get(p)
+        .orElse(Option(m.group(3)).map(unquote))
+        .getOrElse(
+          throw new IllegalArgumentException(s"unbound template param $p"))
       // every branch VALIDATES and re-emits — template params reach
       // spark.sql as text, so a verbatim substitution would let any
       // scoped read token break out of its literal (quote-close +

@@ -230,6 +230,73 @@ class ApiServerSpec extends SparkSpec {
       .exists(_.group(1).toInt > 0), fetched.body())
   }
 
+  test("control plane: re-POSTing a pipe ROTATES its token grants — a TOKEN " +
+      "line removed in v2 cannot keep reading v2 via v1's grant") {
+    val v1 =
+      """TOKEN "contractor_read" READ
+        |
+        |NODE endpoint
+        |SQL >
+        |    SELECT count() AS n FROM orders
+        |""".stripMargin
+    val v2 =
+      """NODE endpoint
+        |SQL >
+        |    SELECT count() AS n FROM orders WHERE o_orderstatus = 'F'
+        |""".stripMargin
+    assert(post("/v0/datafiles?name=rotation_pipe.pipe", Some("admin_token"), v1)
+      .statusCode() == 200)
+    assert(get("/v0/pipes/rotation_pipe.json", Some("contractor_read"))
+      .statusCode() == 200)
+    // credential rotation: v2 drops the TOKEN line
+    assert(post("/v0/datafiles?name=rotation_pipe.pipe", Some("admin_token"), v2)
+      .statusCode() == 200)
+    val after = get("/v0/pipes/rotation_pipe.json", Some("contractor_read"))
+    assert(after.statusCode() == 401, s"${after.statusCode()} ${after.body()}")
+  }
+
+  test("dynamic pipes reject unknown params (typo must not silently take " +
+      "the default branch) and honor in-template defaults") {
+    val pipe =
+      """NODE endpoint
+        |SQL >
+        |    SELECT o_orderstatus, count() AS n FROM orders
+        |    WHERE o_totalprice >= {{Float32(min_price, 0.0)}}
+        |    GROUP BY o_orderstatus ORDER BY o_orderstatus
+        |    LIMIT {{Int32(lim, 2)}}
+        |""".stripMargin
+    assert(post("/v0/datafiles?name=defaulted_pipe.pipe", Some("admin_token"), pipe)
+      .statusCode() == 200)
+    // no params: both defaults bind
+    val dflt = get("/v0/pipes/defaulted_pipe.json", Some("admin_token"))
+    assert(dflt.statusCode() == 200, dflt.body())
+    assert(dflt.body().contains("\"rows\":2"), dflt.body())
+    // an explicit param overrides its default
+    val lim1 = get("/v0/pipes/defaulted_pipe.json?lim=1", Some("admin_token"))
+    assert(lim1.body().contains("\"rows\":1"), lim1.body())
+    // a typo'd name is a 400 naming the declared params, never a silent 200
+    val typo = get("/v0/pipes/defaulted_pipe.json?limm=1", Some("admin_token"))
+    assert(typo.statusCode() == 400, s"${typo.statusCode()} ${typo.body()}")
+    assert(typo.body().contains("limm") && typo.body().contains("lim"),
+      typo.body())
+  }
+
+  test("client input that only fails at Spark analysis is 400, not 500") {
+    val r = get("/v0/pipes/docs_bm25_search.json?q=foo&k=-1", Some("admin_token"))
+    assert(r.statusCode() == 400, s"${r.statusCode()} ${r.body()}")
+  }
+
+  test("JSON rows carry every meta column, null cells as JSON null") {
+    import org.apache.spark.sql.functions.lit
+    val df = spark.range(2).toDF("id")
+      .withColumn("maybe",
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col("id") === 0, lit("x")))
+    val body = graft.sources.Endpoints.renderJson(df, 10).body
+    assert(body.contains("""{"id":0,"maybe":"x"}"""), body)
+    assert(body.contains("""{"id":1,"maybe":null}"""), body)
+  }
+
   test("control plane: bad pushes 400 at POST time, not first fetch") {
     // unresolvable table
     val bad = "NODE n0\nSQL >\n    SELECT * FROM no_such_table\n"
