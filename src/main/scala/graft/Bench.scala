@@ -11,15 +11,38 @@ object Bench {
       System.gc(); Thread.sleep(50)
     }
 
+  /** `SPARK_GRAFT_SHUFFLE=auto` — partitions sized from the INPUT, the
+    * way a cluster operator sizes them: total bytes under the sf dir /
+    * a 128 MB per-partition target, clamped to [cores, 2048]. At the
+    * sf0.1 contract scale this resolves to the core count (unchanged
+    * figure); at sf100 (15 GB) it lands at ~117 — within noise of the
+    * hand-adjudicated 128 from the round-9 scale probes. Pinning the
+    * partition count while data grows 1000x measures spill, not the
+    * plan (DESIGN.md round-9). */
+  def shufflePartitionsFor(sfDir: String, cpus: Int): Int = {
+    def size(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles).getOrElse(Array.empty[java.io.File])
+        .map(size).sum
+    val perPartition = 128L * 1024 * 1024
+    math.min(2048L,
+      math.max(cpus.toLong, size(new java.io.File(sfDir)) / perPartition))
+      .toInt
+  }
+
+  /** Resolve the shuffle-partition setting: explicit number > `auto`
+    * (input-scaled) > core count (the contract default). */
+  def resolveShuffle(sfDir: String, cpus: String): String =
+    sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus) match {
+      case "auto" => shufflePartitionsFor(sfDir, cpus.toInt).toString
+      case n => n
+    }
+
   def main(args: Array[String]): Unit = {
     RunLock.acquireOrDie("Bench")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // shuffle partitions default to core count (the contract figure) but
-    // can be raised for big-SF runs: on a real cluster partition count
-    // scales with the data, and pinning it at 32 while the data grows
-    // 300x measures spill, not the plan (DESIGN.md Round-9 sf30 probe)
-    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    val shuffle = Bench.resolveShuffle(sfDir, cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
@@ -121,8 +144,7 @@ object BenchSome {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+      .config("spark.sql.shuffle.partitions", Bench.resolveShuffle(sfDir, cpus))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
