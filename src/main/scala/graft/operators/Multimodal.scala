@@ -90,9 +90,11 @@ object Multimodal {
   def frameSample(spark: SparkSession, dir: String, frameBytes: Int = 32,
                   stride: Int = 24, every: Int = 2): DataFrame = {
     require(frameBytes > stride, "frames must overlap: frameBytes > stride")
-    // a frame is kept while it contributes at least (frameBytes -
-    // stride) bytes the previous frame did not cover — derived from
-    // the parameters, not a constant, so tuned calls size correctly
+    // a frame is emitted while at least (frameBytes - stride) bytes of
+    // payload lie at or after its start offset — every emitted frame
+    // carries at least that many bytes (a shorter tail is already
+    // covered by its predecessor's overlap). Derived from the
+    // parameters, not a constant, so tuned calls size correctly.
     val minNew = frameBytes - stride
     import spark.implicits._
     val media: Dataset[MediaRow] = Tables.documents(spark, dir)
@@ -238,6 +240,11 @@ object Multimodal {
   def imageHashes(feats: Dataset[ImageFeatures]): Dataset[ImageHash] = {
     import feats.sparkSession.implicits._
     feats.filter(_.ok).map { f =>
+      // the hash is one bit per signature cell: past 64 cells `1L << i`
+      // wraps (shift mod 64) and unrelated cells would silently alias
+      // into the same bit — reject rather than corrupt
+      require(f.signature.length <= 64,
+        s"aHash holds at most 64 signature cells (pool <= 8), got ${f.signature.length}")
       val avg = f.signature.sum / f.signature.length
       var h = 0L
       var i = 0
@@ -261,28 +268,44 @@ object Multimodal {
     * probabilistic: two hashes within hamming distance 7 differ in at
     * most 7 bands, so at least one of the 8 bands collides — every
     * true pair with `maxHamming` ≤ 7 is guaranteed a candidate.
-    * Verification is one popcount per candidate. */
+    * Verification is one popcount per candidate.
+    *
+    * The band self-join runs over DISTINCT hashes, not documents:
+    * web-scale image corpora are dominated by identical-hash clusters
+    * (blank/solid placeholder images all hash to the same value), and
+    * a doc-level band join would shuffle O(cluster²) candidate rows
+    * PER BAND for them. At hash level the join cost is bounded by the
+    * distinct-hash collision structure; identical-hash doc pairs come
+    * from a plain output-bounded equi-join on the hash, and cross-hash
+    * survivors expand to doc pairs only after the hamming filter —
+    * everything past the distinct is proportional to the RESULT. */
   def imageNearDupPairs(media: Dataset[MediaRow],
                         maxHamming: Int = 6): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
       "8-band/8-bit banding guarantees recall only for maxHamming <= 7")
     val hashes = imageHashes(decodeImages(media)).toDF()
-    val bands = hashes.select(col("doc_id"), col("ahash"),
+    val uniq = hashes.select("ahash").distinct()
+    val bands = uniq.select(col("ahash"),
       explode(array((0 until 8).map(b => struct(lit(b).as("band"),
         shiftright(col("ahash"), b * 8).bitwiseAND(lit(0xffL)).as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("ahash"), col("bk.band").as("band"),
-        col("bk.key").as("key"))
-    val cand = bands.as("x").join(bands.as("y"),
+      .select(col("ahash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val hashPairs = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.ahash").as("ha"), col("y.ahash").as("hb"))
+        col("x.ahash") < col("y.ahash"))
+      .select(col("x.ahash").as("ha"), col("y.ahash").as("hb"))
       .distinct()
-    cand
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("hamming") <= maxHamming)
-      .orderBy("doc_a", "doc_b")
+    val sameHash = hashes.as("a").join(hashes.as("b"),
+        col("a.ahash") === col("b.ahash") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        lit(0).cast("int").as("hamming"))
+    val crossHash = hashPairs
+      .join(hashes.toDF("da", "ha"), "ha")
+      .join(hashes.toDF("db", "hb"), "hb")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+    sameHash.unionByName(crossHash).orderBy("doc_a", "doc_b")
   }
 
   /** One decoded audio row: real format fields from the codec

@@ -147,8 +147,12 @@ object Search {
     val ctf = toks.join(broadcast(cands.select("doc_id")), "doc_id")
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val termSet = ctf.select("term").union(qTerms.toDF("term")).distinct()
-    val dfr = toks.select("doc_id", "term").distinct()
-      .join(broadcast(termSet), "term")
+    // broadcast term-set join BEFORE the distinct: the distinct is an
+    // aggregate Catalyst cannot push a join below, so the other order
+    // would shuffle the whole corpus (doc_id, term) stream — this way
+    // only the candidate∪query terms' postings reach the aggregate
+    val dfr = toks.join(broadcast(termSet), "term")
+      .select("doc_id", "term").distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
     def idfUnits = least(
       floor((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)) * 100 + 0.5)

@@ -18,8 +18,18 @@ object TextAnalysis {
 
   /** Whitespace token count via length arithmetic (identical formula in
     * the DuckDB oracle — robust to engine-specific split semantics). */
-  private def tokenCount(c: org.apache.spark.sql.Column) =
+  private[operators] def tokenCount(c: org.apache.spark.sql.Column) =
     length(c) - length(regexp_replace(c, " ", "")) + 1
+
+  /** Stopword hits over the whitespace tokens of the `text` column
+    * (the expr names the column literally — callers must select the
+    * text under that name, as every quality consumer here does). ONE
+    * definition of the stopword set: [[stopwordRatio]] and
+    * TrainingMix.budgetSelect's integer bucket both derive from it,
+    * so the ratio and the bucket can never disagree on what counts
+    * as a stopword. */
+  private[operators] def stopwordCount: org.apache.spark.sql.Column =
+    expr("CAST(size(filter(split(text, ' '), x -> x IN ('the', 'a'))) AS BIGINT)")
 
   /** Per-doc token statistics: whitespace tokens, a BPE-ish subword
     * estimate (letter-run regex count + chars/4 blend — the standard
@@ -40,9 +50,7 @@ object TextAnalysis {
   /** The quality signal shared by the scoring endpoint and the corpus
     * builder — one definition so a threshold change can't drift. */
   private[operators] def stopwordRatio(text: org.apache.spark.sql.Column) =
-    floorRound(
-      expr("size(filter(split(text, ' '), x -> x IN ('the', 'a')))")
-        .cast("double") / tokenCount(text), 4)
+    floorRound(stopwordCount.cast("double") / tokenCount(text), 4)
 
   /** The md5-bucket split rule shared by splitAssign and the corpus
     * builders (80/10/10 at thresholds 'cd'/'e6'). The digest overload

@@ -151,16 +151,28 @@ object TrainingMix {
     * packing over the pre-computed (split, lang, n_tokens) columns —
     * ONE definition so the two pipeline variants cannot drift in their
     * output stage. */
-  private def splitAndPack(kept: DataFrame, budget: Int, nShards: Int): DataFrame = {
-    val w = Window.partitionBy("split", "lang", "shard").orderBy("doc_id")
+  /** Running-sum packing: tokens admitted BEFORE each doc within its
+    * partition, and the pack that prefix lands in. `div`, not
+    * float division — tokens_before and budget are exact integers,
+    * and the double form misassigns the boundary pack once a
+    * partition's prefix exceeds ~2^52/budget tokens (inside this
+    * code's own 100 TB envelope). ONE definition for both corpus
+    * builds and [[packSequences]] so the packing arithmetic cannot
+    * drift. */
+  private def runningPack(df: DataFrame, partitionCols: Seq[String],
+                          budget: Int): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    kept
-      .withColumn("shard", pmod(col("doc_id"), lit(nShards)).cast("int"))
-      .withColumn("tokens_before", coalesce(sum("n_tokens").over(w), lit(0L)))
-      .withColumn("pack_id", floor(col("tokens_before") / lit(budget.toDouble)))
+    df.withColumn("tokens_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"tokens_before div $budget"))
+  }
+
+  private def splitAndPack(kept: DataFrame, budget: Int, nShards: Int): DataFrame =
+    runningPack(
+        kept.withColumn("shard", pmod(col("doc_id"), lit(nShards)).cast("int")),
+        Seq("split", "lang", "shard"), budget)
       .select("doc_id", "lang", "split", "shard", "n_tokens", "pack_id")
       .orderBy("doc_id")
-  }
 
   /** Corpus build v2 — the same ship-a-training-corpus pipeline with
     * the round-4 quality tooling swapped in:
@@ -190,18 +202,15 @@ object TrainingMix {
   }
 
   def packSequences(spark: SparkSession, dir: String,
-                    budget: Int = 256, nShards: Int = 4): DataFrame = {
-    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        pmod(col("doc_id"), lit(nShards)).cast("int").as("shard"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .withColumn("tokens_before", coalesce(sum("n_tokens").over(w), lit(0L)))
-      .withColumn("pack_id", floor(col("tokens_before") / lit(budget.toDouble)))
+                    budget: Int = 256, nShards: Int = 4): DataFrame =
+    runningPack(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("lang"),
+            pmod(col("doc_id"), lit(nShards)).cast("int").as("shard"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        Seq("lang", "shard"), budget)
       .select("doc_id", "lang", "shard", "n_tokens", "tokens_before", "pack_id")
       .orderBy("doc_id")
-  }
   /** Deterministic k-per-group sample: the `k` docs of every source
     * whose md5(doc_id) ranks lowest — a bottom-k sketch whose "random"
     * order is a pure function of row content, so re-runs and
@@ -285,10 +294,8 @@ object TrainingMix {
     val scored = Tables.documents(spark, dir)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
-        expr("CAST(size(filter(split(text, ' '), x -> x IN ('the', 'a'))) AS BIGINT)")
-          .as("__nstop"),
-        (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
-          .cast("long").as("__ntok"),
+        TextAnalysis.stopwordCount.as("__nstop"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("__ntok"),
         TextAnalysis.stopwordRatio(col("text")).as("quality"))
       .withColumn("bucket", expr("CAST((__nstop * 100) div __ntok AS INT)"))
     val buckets = scored.groupBy("bucket").agg(sum("n_tokens").as("btok"))

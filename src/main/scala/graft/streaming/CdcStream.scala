@@ -400,15 +400,25 @@ object CdcStream {
 
   /** S8 — schema-validity predicate for the ingest path: rows whose raw
     * payload fails per-column extraction are quarantined, not ingested
-    * (tb_functions.py:141-142's `<ds>_quarantine` side table). */
+    * (tb_functions.py:141-142's `<ds>_quarantine` side table).
+    * `prop_k` is a REQUIRED typed column of the MV (the users_mv
+    * pattern: every JSONPath column must extract), so a present props
+    * payload without an integer `k` is a schema mismatch by contract —
+    * same as the reference quarantining a row whose column fails its
+    * cast; a wholly-null props is the absent-payload case and valid.
+    * The events_quarantine oracle applies the same k-extraction rule. */
   private def isValid = col("user_id").isNotNull && col("ts").isNotNull &&
     (col("props").isNull || get_json_object(col("props"), "$.k").cast("int").isNotNull)
 
   /** S4 + S8 — the MV stream with a quarantine side-sink: each micro
     * batch is split once; good rows are normalized into the log, bad
     * rows land in the quarantine table with a rejection timestamp.
-    * foreachBatch gives the two-sink write the streaming engine's
-    * exactly-once batch id semantics. */
+    * Delivery is foreachBatch's AT-LEAST-ONCE (a crash between the
+    * appends and the checkpoint commit replays the batch): log-side
+    * duplicates are absorbed by the FINAL view's dedup-on-read, and
+    * [[reprocessQuarantine]] distincts the quarantine side before
+    * recovery — the batch id is stamped into `__quarantined_batch` so
+    * a replay is diagnosable from the artifact. */
   def startMvWithQuarantine(spark: SparkSession, srcDir: String, logDir: String,
                             quarantineDir: String, checkpointDir: String): StreamingQuery =
     readEvents(spark, srcDir)
@@ -472,9 +482,14 @@ object CdcStream {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       graft.sources.Layout.deleteRec(workDir)
     }
+    if (!qDir.isDirectory) return (0L, 0L) // nothing ever quarantined
     java.nio.file.Files.move(qDir.toPath, workDir.toPath)
+    // .distinct: foreachBatch is at-least-once, so a batch replayed
+    // across a crash can have appended the same quarantine rows twice;
+    // reprocess collapses them (the log side is absorbed by the FINAL
+    // view's dedup-on-read, this is the quarantine-side analogue)
     val fixed = fix(spark.read.parquet(workDir.toString)
-        .drop("__quarantined_batch"))
+        .drop("__quarantined_batch").distinct())
       .withColumn("__ok", isValid).cache()
     try {
       val recovered = fixed.filter(col("__ok")).drop("__ok")
@@ -868,10 +883,14 @@ object CdcStream {
       .withColumn("ts_ltz", col("ts").cast("timestamp"))
       .withWatermark("ts_ltz", s"$watermarkMinutes minutes")
       .groupBy(window(col("ts_ltz"), s"$windowMinutes minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      // integer cents, the file-wide money discipline: a raw double sum
+      // depends on partial-aggregation order, so the same input replayed
+      // across a restart could differ in the last ulp
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("total_cents"))
       .select(
         col("window.start").cast("timestamp_ntz").as("window_start"),
-        col("event_type"), col("n"), col("total_value"))
+        col("event_type"), col("n"), col("total_cents"))
 
   /** Streaming gap-sessionization via the native `session_window`
     * aggregation — the in-stream counterpart of the oracled batch
