@@ -11,6 +11,38 @@ object Bench {
       System.gc(); Thread.sleep(50)
     }
 
+  /** Fixed box-speed calibration probe — the denominator that makes
+    * CROSS-ROUND bench totals readable: the round-9 adjudication found
+    * ~1.4× pure box-state drift between two recording environments,
+    * enough to manufacture or hide a real regression. This probe is
+    * data-independent (spark.range), query-code-independent (no
+    * SparkEntry involvement), and its DEFINITION MUST NEVER CHANGE —
+    * comparability across rounds is its entire value. Two legs cover
+    * the two resources the suite spends: codegen'd integer arithmetic
+    * + hash aggregation (CPU), and string build + xxhash64 + a 4096-
+    * bucket shuffle (memory/shuffle path). Reported as the min of two
+    * runs (steady-state, same min(cold,warm) convention as the
+    * queries). Read any two rounds' totals through the ratio of their
+    * calibrations before calling a delta a regression. */
+  def calibrationProbe(spark: SparkSession): Double = {
+    def leg(): Double = {
+      quiesce()
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1L, 64)
+        .selectExpr("id * 2654435761L % 1000003 AS k")
+        .groupBy("k").count()
+        .orderBy(org.apache.spark.sql.functions.desc("count"))
+        .limit(5).collect()
+      spark.range(0L, 20000000L, 1L, 64)
+        .selectExpr("xxhash64(concat('cal-', id)) AS h")
+        .selectExpr("pmod(h, 4096) AS b", "h")
+        .groupBy("b").agg(org.apache.spark.sql.functions.expr("sum(h)"))
+        .count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    math.min(leg(), leg())
+  }
+
   /** `SPARK_GRAFT_SHUFFLE=auto` — partitions sized from the INPUT, the
     * way a cluster operator sizes them: total bytes under the sf dir /
     * a 128 MB per-partition target, clamped to [cores, 2048]. At the
@@ -30,23 +62,44 @@ object Bench {
       .toInt
   }
 
-  /** Resolve the shuffle-partition setting: explicit number > `auto`
-    * (input-scaled) > core count (the contract default). */
-  def resolveShuffle(sfDir: String, cpus: String): String =
+  /** Resolve the shuffle sizing as SESSION CONFIGS: explicit number >
+    * `auto` > core count (the contract default).
+    *
+    * `auto` (round-10 redesign): the round-9 global knob proved that
+    * ONE partition count cannot serve every stage — at sf100 the pair
+    * family wants 128 while the vocab-bounded lm family wants 32
+    * (54.8 s at 32 vs 98.7 s at 128; DESIGN.md round-9 §4). The
+    * scale-correct mechanism is AQE's stage-local coalescing: seed
+    * every shuffle with a GENEROUS `initialPartitionNum` (4× the
+    * input-bytes heuristic — generous because AQE can only coalesce
+    * down, never split an undersized shuffle; the ×4 covers stages
+    * like the exploded shingle join whose shuffle bytes dwarf the
+    * input) and let each stage coalesce to its own data. The default
+    * `parallelismFirst=true` keeps small stages at ≥ core-count
+    * partitions, exactly the hand-tuned sh=32 behavior, while the
+    * pair family keeps its width. `spark.sql.shuffle.partitions`
+    * stays at the core count as the non-AQE floor. */
+  def shuffleConfigs(sfDir: String, cpus: String): Seq[(String, String)] =
     sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus) match {
-      case "auto" => shufflePartitionsFor(sfDir, cpus.toInt).toString
-      case n => n
+      case "auto" =>
+        val base = shufflePartitionsFor(sfDir, cpus.toInt)
+        val initial = math.min(2048, math.max(cpus.toInt, 4 * base))
+        Seq(
+          "spark.sql.shuffle.partitions" -> cpus,
+          "spark.sql.adaptive.coalescePartitions.initialPartitionNum" ->
+            initial.toString)
+      case n => Seq("spark.sql.shuffle.partitions" -> n)
     }
 
   def main(args: Array[String]): Unit = {
     RunLock.acquireOrDie("Bench")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val shuffle = Bench.resolveShuffle(sfDir, cpus)
-    val spark = SparkSession.builder()
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.ui.enabled", "false")
+    val spark = Bench.shuffleConfigs(sfDir, cpus)
+      .foldLeft(builder0) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: pay one-time session/codegen/scan-setup and CDC-fixture
@@ -55,6 +108,9 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     try SparkEntry.queries("ref_latest_flight_info")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // box-speed calibration, AFTER warmup and BEFORE any timed query:
+    // the number future rounds divide totals by before reading deltas
+    val calibration = Bench.calibrationProbe(spark)
     // Noise discipline (round 6): single cold runs made three rounds of
     // bench deltas ambiguous (neighbor noise / JIT warmup read as
     // regressions). Any query whose cold run costs >= 1 s is re-run once
@@ -121,8 +177,8 @@ object Bench {
     // carries name → message so a crash is diagnosable from the artifact
     val errNames = errors.map { case (n, _) => jstr(n) }.mkString("[", ",", "]")
     val errFull = errors.map { case (n, m) => s"${jstr(n)}:${jstr(m)}" }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errNames,"queries":${toJson(slowest)},"sf":"$sfDir"}"""
-    val full = s"""{"metric":"total","value":${f2(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errNames,"error_messages":$errFull,"queries":${toJson(results.toSeq.sortBy(_._1))},"cold":${toJson(colds.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","calibration":${f2(calibration)},"n_queries":${results.size},"n_errors":${errors.size},"errors":$errNames,"queries":${toJson(slowest)},"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${f2(total)},"unit":"sec","calibration":${f2(calibration)},"n_queries":${results.size},"n_errors":${errors.size},"errors":$errNames,"error_messages":$errFull,"queries":${toJson(results.toSeq.sortBy(_._1))},"cold":${toJson(colds.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
     println(line)
     System.out.flush()
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
@@ -142,10 +198,11 @@ object BenchSome {
     val sfDir = args(0)
     val names = args.drop(1).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", Bench.resolveShuffle(sfDir, cpus))
       .config("spark.ui.enabled", "false")
+    val spark = Bench.shuffleConfigs(sfDir, cpus)
+      .foldLeft(builder0) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // an unknown name must abort, not time a NoSuchElementException as

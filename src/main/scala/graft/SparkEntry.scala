@@ -208,7 +208,12 @@ object SparkEntry {
     "emb_knn_bruteforce"    -> ((s, d) => operators.VectorOps.knnBruteForce(s, d)),
     "emb_knn_lsh"           -> ((s, d) => operators.VectorOps.knnLsh(s, d)),
     "emb_ann_recall"        -> ((s, d) => operators.VectorOps.annRecall(s, d)),
-    "emb_near_dup_pairs"    -> ((s, d) => operators.VectorOps.nearDupPairs(s, d)),
+    // auto-routed: serves from the staged probe layout when the
+    // artifact is current (strictly faster, same result), else
+    // self-contained — the layout stops being an opt-in endpoint
+    // variant and becomes how the default endpoint scales
+    "emb_near_dup_pairs"    -> ((s, d) =>
+      operators.VectorOps.nearDupPairsAuto(s, d, dedupArtifactsDir(d))),
     // the same pair graph served from the persisted multi-probe IVF
     // layout (staged by the fingerprint-gated artifact build) — the
     // form that holds past ~10M vectors: assignment is a parquet read,

@@ -133,7 +133,7 @@ object TextDedup {
     * (asserted). The self-contained query re-derives the shingle frame
     * per consumer; at 100 TB stage it once — see [[stageShingles]] /
     * [[nearDupPairsStaged]]. */
-  private[graft] def nearDupFrom(sh0: DataFrame, minJaccard: Double, maxDf: Int): DataFrame = {
+  private[graft] def nearDupFrom(sh0: DataFrame, minJaccard: Double, maxDf: Int): DataFrame =
     // every downstream shuffle keys on the shingle, so hash it to 8
     // bytes at entry: the counting self-join, both df aggregations,
     // and the correction join then exchange fixed-width longs instead
@@ -146,8 +146,18 @@ object TextDedup {
     // was measured 20% SLOWER end-to-end at sf0.1: the digest cost is
     // paid once per re-derived scan of the shingle frame and outweighs
     // the narrower exchange on a 32-thread in-memory shuffle.
-    val sh = sh0.select(col("doc_id"),
-      xxhash64(col("shingle")).as("shingle"))
+    nearDupFromHashed(
+      sh0.select(col("doc_id"), xxhash64(col("shingle")).as("shingle")),
+      None, minJaccard, maxDf)
+
+  /** The same pipeline over an already-HASHED (doc_id, shingle: long)
+    * frame — the staged-index entry point ([[writeDedupArtifacts]]
+    * stages exactly this frame, and the incremental maintenance path
+    * reads it back). `dfTable`, when given, is the staged (shingle,
+    * df) document-frequency table: the pipeline then reads the compact
+    * staged aggregate instead of re-aggregating the index. */
+  private[graft] def nearDupFromHashed(sh: DataFrame, dfTable: Option[DataFrame],
+                                       minJaccard: Double, maxDf: Int): DataFrame = {
     // set sizes and document frequencies via groupBy+join, NOT
     // count-over-window: an unbounded window is a full sort of the
     // shingle table per key, while the hash aggregate ships one long
@@ -155,7 +165,9 @@ object TextDedup {
     // aggregation's exchange — no sort anywhere on the corpus-sized
     // frame (the rare-side counting join below dwarfs either form at
     // test SF; at 100 TB the sort is the difference)
-    val dfPerShingle = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    val dfPerShingle = dfTable
+      .map(_.select(col("shingle"), col("df").as("__df")))
+      .getOrElse(sh.groupBy("shingle").agg(count(lit(1)).as("__df")))
     val marked = sh.join(dfPerShingle, "shingle")
     val nPerDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val rarePerDoc = marked.filter(col("__df") <= maxDf)
@@ -257,19 +269,73 @@ object TextDedup {
     * only honored when every artifact still has one, so a /tmp reaper
     * or manual cleanup that removes staged files can never strand the
     * consumers behind a matching fingerprint. */
-  private val artifactStages =
-    Seq("pairs", "clusters", "emb_probe_layout", "emb_pairs", "emb_clusters")
-  private def stageComplete(out: String, name: String): Boolean =
+  private[operators] val artifactStages =
+    Seq("shingle_index", "shingle_df", "doc_stats",
+      "pairs", "clusters", "emb_probe_layout", "emb_pairs", "emb_clusters")
+  private[operators] def stageComplete(out: String, name: String): Boolean =
     new java.io.File(new java.io.File(out, name), "_SUCCESS").exists()
 
+  /** Staged maintenance state, all APPEND-ONLY across increments
+    * ([[DedupMaintenance.update]]):
+    *  - `shingle_index`: the hashed (doc_id, shingle) inverted index —
+    *    what the pair pipeline consumes, so an increment never
+    *    re-tokenizes the base corpus;
+    *  - `shingle_df`: (shingle, df) document-frequency PARTIALS — the
+    *    full build writes base counts, each increment appends its
+    *    delta's counts, and readers sum per shingle (append ∝ delta
+    *    instead of rewriting a corpus-sized aggregate per increment);
+    *  - `doc_stats`: (doc_id, n, n_rare) per-doc totals — immutable
+    *    for base docs as long as no shingle's df crosses maxDf (the
+    *    increment's validity guard), appended for delta docs. */
+  def readShingleIndex(spark: SparkSession, out: String): DataFrame =
+    spark.read.parquet(s"$out/shingle_index")
+  def readShingleDf(spark: SparkSession, out: String): DataFrame =
+    spark.read.parquet(s"$out/shingle_df")
+      .groupBy("shingle").agg(sum(col("df")).as("df"))
+  def readDocStats(spark: SparkSession, out: String): DataFrame =
+    spark.read.parquet(s"$out/doc_stats")
+
+  /** True when the staged artifact set under `out` is CURRENT for the
+    * inputs in `dir`: the fingerprint matches and every stage still
+    * has its `_SUCCESS`. This is the build's own skip test, exposed as
+    * the READ-side routing predicate: a registered query may serve
+    * from the artifact exactly when this holds (else it must fall back
+    * to the self-contained form — same result, just without the staged
+    * speedup). */
+  def artifactsCurrent(dir: String, out: String, minJaccard: Double = 0.5,
+                       maxDf: Int = 100): Boolean = {
+    val marker = new java.io.File(out, "_FINGERPRINT").toPath
+    // a present increment journal means a crashed mid-increment: the
+    // artifacts may hold partial appends, so they are NOT current even
+    // if the fingerprint text happens to match (e.g. the operator
+    // reverted the delta file after the crash)
+    !java.nio.file.Files.exists(incJournal(out)) &&
+      java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") ==
+        inputFingerprint(dir, minJaccard, maxDf) &&
+      artifactStages.forall(stageComplete(out, _))
+  }
+
+  private[operators] def incJournal(out: String): java.nio.file.Path =
+    new java.io.File(out, "_INC_JOURNAL").toPath
+
   def writeDedupArtifacts(spark: SparkSession, dir: String, out: String,
-                          minJaccard: Double = 0.5, maxDf: Int = 100): Boolean =
+                          minJaccard: Double = 0.5, maxDf: Int = 100,
+                          embNLists: Int = 0): Boolean =
     artifactLock(out).synchronized { withArtifactFileLock(out) {
+      buildLocked(spark, dir, out, minJaccard, maxDf, embNLists)
+    } }
+
+  /** The build body WITHOUT the locks — callable from a context that
+    * already holds them ([[DedupMaintenance.update]] falls back to a
+    * full rebuild inside its own lock scope; re-taking the OS file
+    * lock from the same JVM would throw OverlappingFileLockException). */
+  private[operators] def buildLocked(spark: SparkSession, dir: String, out: String,
+                                     minJaccard: Double, maxDf: Int,
+                                     embNLists: Int): Boolean = {
       val fp = inputFingerprint(dir, minJaccard, maxDf)
       val marker = new java.io.File(out, "_FINGERPRINT").toPath
-      if (java.nio.file.Files.exists(marker) &&
-          new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fp &&
-          artifactStages.forall(stageComplete(out, _))) {
+      if (artifactsCurrent(dir, out, minJaccard, maxDf)) {
         false
       } else {
         java.nio.file.Files.deleteIfExists(marker)
@@ -304,8 +370,30 @@ object TextDedup {
             reclaimShuffles()
           }
         }
+        // maintenance state FIRST — the pair stage then consumes the
+        // staged index instead of re-tokenizing the corpus, and every
+        // increment appends to these three instead of rebuilding
+        stage("shingle_index") {
+          shingles(graft.Tables.documents(spark, dir))
+            .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+            .write.mode("overwrite").parquet(s"$out/shingle_index")
+        }
+        stage("shingle_df") {
+          readShingleIndex(spark, out)
+            .groupBy("shingle").agg(count(lit(1)).as("df"))
+            .write.mode("overwrite").parquet(s"$out/shingle_df")
+        }
+        stage("doc_stats") {
+          val idx = readShingleIndex(spark, out)
+          idx.join(readShingleDf(spark, out), "shingle")
+            .groupBy("doc_id")
+            .agg(count(lit(1)).as("n"),
+              sum(when(col("df") <= maxDf, 1L).otherwise(0L)).as("n_rare"))
+            .write.mode("overwrite").parquet(s"$out/doc_stats")
+        }
         stage("pairs") {
-          nearDupPairs(spark, dir, minJaccard, maxDf)
+          nearDupFromHashed(readShingleIndex(spark, out),
+              Some(readShingleDf(spark, out)), minJaccard, maxDf)
             .write.mode("overwrite").parquet(s"$out/pairs")
         }
         stage("clusters") {
@@ -320,7 +408,8 @@ object TextDedup {
         // later consumer (pairs endpoint, increment screen, clusters)
         // reads the partitioned layout instead of recomputing it
         stage("emb_probe_layout") {
-          VectorOps.writeNearDupLayout(spark, dir, s"$out/emb_probe_layout")
+          VectorOps.writeNearDupLayout(spark, dir, s"$out/emb_probe_layout",
+            nLists = embNLists)
         }
         stage("emb_pairs") {
           VectorOps.nearDupPairsOverLayout(spark, s"$out/emb_probe_layout")
@@ -333,15 +422,18 @@ object TextDedup {
             .write.mode("overwrite").parquet(s"$out/emb_clusters")
         }
         java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
+        // a completed FULL build supersedes any crashed increment: the
+        // journal (which forces the full-rebuild fallback) dies last
+        java.nio.file.Files.deleteIfExists(incJournal(out))
         true
       }
-    } }
+  }
 
   // one monitor per canonical artifact path — writers serialize, the
   // map itself never grows past the handful of artifact dirs in a JVM
   private val artifactLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def artifactLock(out: String): Object =
+  private[operators] def artifactLock(out: String): Object =
     artifactLocks.computeIfAbsent(
       new java.io.File(out).getAbsolutePath, _ => new Object)
 
@@ -356,7 +448,7 @@ object TextDedup {
     * overlapping `FileChannel.lock` calls from one JVM would throw
     * OverlappingFileLockException, and the monitor guarantees only one
     * thread per JVM reaches it. */
-  private def withArtifactFileLock[A](out: String)(body: => A): A = {
+  private[operators] def withArtifactFileLock[A](out: String)(body: => A): A = {
     import java.nio.file.StandardOpenOption.{CREATE, WRITE}
     val lockPath = new java.io.File(out + ".lock").toPath
     Option(lockPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
@@ -367,24 +459,44 @@ object TextDedup {
     } finally ch.close()
   }
 
-  /** Input identity for the artifact build: every file backing the
-    * documents and embeddings tables (a `.parquet` may be a single
-    * file or a Spark-written directory) as name/size/mtime triples,
+  /** Input identity for the artifact build: every DATA file backing
+    * the documents and embeddings tables (a `.parquet` may be a single
+    * file or a Spark-written directory) as relpath/size/mtime triples,
     * plus the staging params — mtimes because the harness can rewrite
-    * a table in place at the same size. */
-  private[graft] def inputFingerprint(dir: String, minJaccard: Double,
-                                      maxDf: Int): String = {
-    def entries(p: java.io.File): Seq[java.io.File] =
-      if (p.isDirectory) p.listFiles().toSeq.sortBy(_.getName).flatMap(entries)
-      else Seq(p)
-    val files = Seq("documents.parquet", "embeddings.parquet")
-      .map(t => new java.io.File(dir, t)).flatMap(entries)
-    // v2: the artifact set grew the emb_probe_layout — the version bump
-    // forces a one-time rebuild of v1-staged dirs that lack it
-    (s"v2 minJaccard=$minJaccard maxDf=$maxDf" +:
-      files.map(f => s"${f.getName}:${f.length}:${f.lastModified}"))
-      .mkString("\n")
+    * a table in place at the same size.
+    *
+    * v3 (the incremental-maintenance format): entries are
+    * dir-RELATIVE paths, one per line, so [[DedupMaintenance.update]]
+    * can diff a stored fingerprint against the current one and
+    * identify exactly WHICH files are new (additions-only → the
+    * incremental path; any modified/removed old file → full rebuild).
+    * Commit-machinery files (`_SUCCESS`, dotfiles) are excluded: a
+    * Spark append rewrites `_SUCCESS`, and counting it would
+    * misclassify a pure append as a modification. The version bump
+    * itself forces a one-time rebuild of v2-staged dirs (which lack
+    * the maintenance state tables). */
+  private[graft] def inputDataFiles(dir: String): Seq[(String, java.io.File)] = {
+    def entries(prefix: String, p: java.io.File): Seq[(String, java.io.File)] =
+      if (p.isDirectory)
+        Option(p.listFiles).getOrElse(Array.empty[java.io.File])
+          .sortBy(_.getName).toSeq
+          .flatMap(c => entries(s"$prefix${p.getName}/", c))
+      else if (p.getName.startsWith("_") || p.getName.startsWith(".")) Seq.empty
+      else Seq((prefix + p.getName, p))
+    Seq("documents.parquet", "embeddings.parquet")
+      .map(t => new java.io.File(dir, t))
+      .flatMap(t => entries("", t))
   }
+
+  private[graft] def fingerprintHeader(minJaccard: Double, maxDf: Int): String =
+    s"v3 minJaccard=$minJaccard maxDf=$maxDf"
+
+  private[graft] def inputFingerprint(dir: String, minJaccard: Double,
+                                      maxDf: Int): String =
+    (fingerprintHeader(minJaccard, maxDf) +:
+      inputDataFiles(dir).map { case (rel, f) =>
+        s"$rel:${f.length}:${f.lastModified}" })
+      .mkString("\n")
 
   def stagedPairs(spark: SparkSession, art: String): DataFrame =
     spark.read.parquet(s"$art/pairs")

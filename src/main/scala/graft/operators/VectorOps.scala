@@ -218,20 +218,37 @@ object VectorOps {
                                           nprobe: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, dir)
-    val lists =
-      if (nLists > 0) nLists.toLong
-      else math.max(8L, math.ceil(math.sqrt(emb.count().toDouble) / 2).toLong)
-    val anchors = emb.filter(col("vec_id") < lists)
+    probeAssignmentsFrom(emb, anchorsOf(emb, resolveLists(emb, nLists)), nprobe)
+  }
+
+  /** The derived list count for a corpus (the BALANCED sqrt schedule —
+    * see [[probeAssignments]]); `nLists > 0` pins it. The count() is
+    * parquet-metadata-only. */
+  private[operators] def resolveLists(emb: DataFrame, nLists: Int): Long =
+    if (nLists > 0) nLists.toLong
+    else math.max(8L, math.ceil(math.sqrt(emb.count().toDouble) / 2).toLong)
+
+  /** Anchor frame: the first `lists` corpus vectors (deterministic,
+    * content-derived — the suite's anchor convention). */
+  private[operators] def anchorsOf(emb: DataFrame, lists: Long): DataFrame =
+    emb.filter(col("vec_id") < lists)
       .select(col("vec_id").as("list_id"), col("embedding").as("anchor"))
-    // top-nprobe lists per vector (6dp-rounded sim, list_id tie-break:
-    // deterministic in any engine, mirrored by the DuckDB oracle)
+
+  /** Multi-probe assignment of ANY vector frame against a GIVEN anchor
+    * frame — the kernel shared by the full build (anchors from the
+    * same corpus) and incremental maintenance (a delta frame probed
+    * against the BASE layout's anchors, so base assignments stay
+    * byte-identical). Top-nprobe lists per vector (6dp-rounded sim,
+    * list_id tie-break: deterministic in any engine, mirrored by the
+    * DuckDB oracle). */
+  private[operators] def probeAssignmentsFrom(emb: DataFrame, anchors: DataFrame,
+                                              nprobe: Int): DataFrame =
     limitBy(
       emb.join(broadcast(anchors))
         .select(col("vec_id"), col("embedding"), col("list_id"),
           floorRound(dot(col("embedding"), col("anchor")), 6).as("__sim")),
       nprobe, Seq(col("vec_id")), Seq(col("__sim").desc, col("list_id")))
       .select("vec_id", "embedding", "list_id")
-  }
 
   /** Candidate pairs sharing a probed list, exact-verified — shared by
     * the self-contained form and the persisted-layout form, so the two
@@ -264,9 +281,34 @@ object VectorOps {
     * and the reference's precompute-at-ingest materialized views
     * (kits/users/pg/pipes/users_mv.pipe:19-20). */
   def writeNearDupLayout(spark: SparkSession, dir: String, out: String,
-                         nLists: Int = 0, nprobe: Int = 3): Unit =
-    probeAssignments(spark, dir, nLists, nprobe)
+                         nLists: Int = 0, nprobe: Int = 3): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val lists = resolveLists(emb, nLists)
+    probeAssignmentsFrom(emb, anchorsOf(emb, lists), nprobe)
       .write.partitionBy("list_id").mode("overwrite").parquet(out)
+    // the layout's GEOMETRY is part of its definition, persisted like
+    // a real ANN index's (an insert never re-derives k from n — the
+    // sqrt schedule would move the anchor set under every consumer on
+    // each append). Incremental maintenance reads this to assign delta
+    // vectors against the SAME anchors; a full rebuild re-derives.
+    java.nio.file.Files.write(new java.io.File(out, "_GEOMETRY").toPath,
+      s"nLists=$lists\nnprobe=$nprobe".getBytes("UTF-8"))
+  }
+
+  /** The persisted layout geometry: (nLists, nprobe), or None for a
+    * pre-geometry layout (forces full rebuild on increment). */
+  def readLayoutGeometry(layout: String): Option[(Long, Int)] = {
+    val f = new java.io.File(layout, "_GEOMETRY").toPath
+    if (!java.nio.file.Files.exists(f)) None
+    else {
+      val kv = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+        .linesIterator.map(_.split("=", 2)).collect {
+          case Array(k, v) => k -> v }.toMap
+      for (l <- kv.get("nLists"); p <- kv.get("nprobe"))
+        yield (l.toLong, p.toInt)
+    }
+  }
 
   /** The layout read-back: the partition column comes back
     * directory-inferred as int — cast to long so downstream joins and
@@ -287,6 +329,59 @@ object VectorOps {
     pairsFromProbes(readNearDupLayout(spark, layout), minCosine)
   }
 
+  /** Every near-dup pair TOUCHING the delta: delta × base (both
+    * orders normalized to (lo, hi)) plus delta × delta (a < b), all
+    * sharing a probed list — the incremental-maintenance pair kernel.
+    * Same scoring canon as [[pairsFromProbes]] (6dp-floored exact
+    * cosine, distinct over multi-list collisions), and the two id
+    * sets MUST be disjoint (guarded by the caller): with base
+    * assignments unchanged, base∪delta's full pair set is exactly
+    * staged-base-pairs ∪ this frame. */
+  private[operators] def pairsBetweenProbes(deltaProbes: DataFrame,
+                                            baseProbes: DataFrame,
+                                            minCosine: Double): DataFrame = {
+    val d = deltaProbes.select(col("vec_id").as("vd"),
+      col("embedding").as("ed"), col("list_id"))
+    val b = baseProbes.select(col("vec_id").as("vb"),
+      col("embedding").as("eb"), col("list_id"))
+    val cross = d.join(b, Seq("list_id"))
+      .select(least(col("vd"), col("vb")).as("vec_a"),
+        greatest(col("vd"), col("vb")).as("vec_b"),
+        floorRound(dot(col("ed"), col("eb")), 6).as("cosine"))
+    val d2 = deltaProbes.select(col("vec_id").as("vd2"),
+      col("embedding").as("ed2"), col("list_id"))
+    val within = d.join(d2, Seq("list_id"))
+      .filter(col("vd") < col("vd2"))
+      .select(col("vd").as("vec_a"), col("vd2").as("vec_b"),
+        floorRound(dot(col("ed"), col("ed2")), 6).as("cosine"))
+    cross.unionByName(within)
+      .filter(col("cosine") >= minCosine)
+      .distinct()
+  }
+
+  /** Auto-routed near-dup pairs — what the REGISTERED endpoint serves:
+    * when the staged dedup artifact set is CURRENT for this dir
+    * ([[TextDedup.artifactsCurrent]] — fingerprint match + complete
+    * stages), the pair graph is computed over the persisted probe
+    * layout (assignment is a parquet read, per-list join co-located:
+    * 2.4× faster cold at sf100, and strictly better wherever the
+    * artifact exists); otherwise it falls back to the self-contained
+    * form. Result-identical either way (DedupArtifactsSpec asserts
+    * layout ≡ self-contained, and the route choice is asserted in the
+    * plan). Routing requires the DEFAULT geometry (nLists = 0-derived,
+    * nprobe = 3 — what the artifact build stages); a caller asking for
+    * a different geometry always computes self-contained, because the
+    * staged assignment was built under different probe parameters.
+    * minCosine does NOT gate routing: it is a post-filter over the
+    * candidate join, valid at any value over the same layout. */
+  def nearDupPairsAuto(spark: SparkSession, dir: String, art: String,
+                       minCosine: Double = 0.4, nLists: Int = 0,
+                       nprobe: Int = 3): DataFrame =
+    if (nLists == 0 && nprobe == 3 && TextDedup.artifactsCurrent(dir, art))
+      nearDupPairsOverLayout(spark, s"$art/emb_probe_layout", minCosine)
+    else
+      nearDupPairs(spark, dir, minCosine, nLists, nprobe)
+
   /** Incremental screening over the persisted layout — the embedding
     * analogue of [[TextDedup.screenIncrement]] (same increment
     * convention: vec_id % 10 == 0 is the incoming batch): each
@@ -294,25 +389,34 @@ object VectorOps {
     * EXISTING layout rows sharing a probed list, the best exact match
     * decides near_dup vs novel.
     *
-    * Join strategy is SIZE-GUARDED, because the probe frame carries
-    * full embedding arrays and its row count is nprobe·|increment| —
-    * proportional to the corpus under the %10 convention, so a hard
-    * `broadcast()` would hit Spark's 8 GB broadcast ceiling (and
-    * driver memory) at exactly the scale this function exists to
-    * serve. Below `broadcastProbeRows` the probe frame IS broadcast
-    * and the probed list_ids reach the layout scan as a dynamic
-    * partition filter (asserted in DedupArtifactsSpec) — a small
-    * increment touches nprobe·|increment| cells, never the corpus.
-    * Past the guard, the join degrades to a SHUFFLE_HASH on list_id:
-    * both sides shuffle once, nothing corpus-proportional is ever
-    * collected to one node (a huge increment probes essentially every
-    * cell anyway, so the lost pruning is worth ~nothing there). The
-    * two paths are result-identical — asserted in DedupArtifactsSpec
-    * by forcing the shuffle path at test SF. */
+    * Join strategy is SIZE-GUARDED IN BYTES, because the probe frame
+    * carries full embedding arrays and its row count is
+    * nprobe·|increment| — proportional to the corpus under the %10
+    * convention, so a hard `broadcast()` would hit Spark's 8 GB
+    * broadcast ceiling (and driver memory) at exactly the scale this
+    * function exists to serve. A ROW-count guard has the same failure
+    * mode one dimension later: each probe row carries the embedding,
+    * so at 768 dims a 4 M-row threshold is ~12 GB — the guard must
+    * scale with row WIDTH. The estimate is rows × (4·dim + fixed
+    * per-row overhead), with dim read from the first embedding row
+    * (one column-pruned 1-row job, the same driver-scalar convention
+    * as the watermark CTEs). Below `broadcastProbeBytes` the probe
+    * frame IS broadcast and the probed list_ids reach the layout scan
+    * as a dynamic partition filter (asserted in DedupArtifactsSpec) —
+    * a small increment touches nprobe·|increment| cells, never the
+    * corpus. Past the guard, the join degrades to a SHUFFLE_HASH on
+    * list_id: both sides shuffle once, nothing corpus-proportional is
+    * ever collected to one node (a huge increment probes essentially
+    * every cell anyway, so the lost pruning is worth ~nothing there).
+    * The two paths are result-identical — asserted in
+    * DedupArtifactsSpec by forcing the shuffle path at test SF. The
+    * 2 GiB default keeps the driver comfortably inside Spark's 8 GB
+    * broadcast ceiling at any dim: ~4 M probe rows at 64 dims,
+    * ~650 k at 768. */
   def screenIncrementOverLayout(spark: SparkSession, dir: String,
                                 layout: String, minCosine: Double = 0.4,
                                 nLists: Int = 0, nprobe: Int = 3,
-                                broadcastProbeRows: Long = 4000000L): DataFrame = {
+                                broadcastProbeBytes: Long = 2L << 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(spark)
     val incomingProbes = probeAssignments(spark, dir, nLists, nprobe)
@@ -323,12 +427,32 @@ object VectorOps {
       .filter(col("vec_id") % 10 =!= 0)
       .select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
         col("list_id"))
-    // cheap column-pruned count of the increment (one long column)
+    // cheap column-pruned count of the increment (one long column),
+    // and the embedding width from a single row — together they size
+    // the probe frame in BYTES (4 bytes per float component + ~48 of
+    // array header / ids / row overhead per row)
     val nIncrement = Tables.embeddings(spark, dir)
       .filter(col("vec_id") % 10 === 0).count()
+    val dim = Tables.embeddings(spark, dir)
+      .select(size(col("embedding")).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    val probeBytes = nIncrement * nprobe * (4L * dim + 48L)
     val probeSide =
-      if (nIncrement * nprobe <= broadcastProbeRows) broadcast(incomingProbes)
+      if (probeBytes <= broadcastProbeBytes) broadcast(incomingProbes)
       else incomingProbes.hint("SHUFFLE_HASH")
+    verdictsFrom(
+      Tables.embeddings(spark, dir).filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id")),
+      existing, probeSide, minCosine)
+  }
+
+  /** The screening verdict kernel shared by [[screenIncrementOverLayout]]
+    * and [[screenAgainstLayout]]: best exact match per probing vector
+    * (6dp cosine desc, matched id asc — the canonical attribution),
+    * left-joined back so unmatched vectors report `novel`. */
+  private def verdictsFrom(incomingIds: DataFrame, existing: DataFrame,
+                           probeSide: DataFrame, minCosine: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val best = existing.join(probeSide, Seq("list_id"))
       .select(col("vec_a"), col("vec_b"),
         floorRound(dot(col("ea"), col("eb")), 6).as("cosine"))
@@ -340,14 +464,57 @@ object VectorOps {
       .filter(col("__rn") === 1)
       .select(col("vec_a").as("vec_id"), col("vec_b").as("matched_vec"),
         col("cosine"))
-    Tables.embeddings(spark, dir).filter(col("vec_id") % 10 === 0)
-      .select(col("vec_id"))
+    incomingIds
       .join(best, Seq("vec_id"), "left")
       .select(col("vec_id"),
         when(col("matched_vec").isNotNull, "near_dup")
           .otherwise("novel").as("verdict"),
         col("matched_vec"), col("cosine"))
       .orderBy("vec_id")
+  }
+
+  /** Screen an ARBITRARY (vec_id, embedding) frame against the staged
+    * probe layout — the streaming-ingest form of
+    * [[screenIncrementOverLayout]] (which owns the registered %10
+    * harness convention): each incoming vector probes its nprobe
+    * nearest lists under the layout's PERSISTED `_GEOMETRY` (anchors
+    * are read from the layout itself — every anchor id < nLists is
+    * assigned to its own list, embedding aboard), candidates are
+    * layout rows sharing a probed list, best exact match decides
+    * `near_dup` vs `novel`. Same byte-sized broadcast guard as the
+    * increment screen: micro-batches broadcast and prune the layout
+    * scan; a corpus-sized frame degrades to a SHUFFLE_HASH join
+    * instead of detonating the driver. This is what
+    * [[graft.streaming.CdcStream.startVectorScreenMv]] runs per
+    * micro-batch — dedup verdicts tagged AT INGEST, the reference's
+    * MV-at-ingest pattern (kits/users/pg/pipes/users_mv.pipe:19-20)
+    * applied to the dedup artifact. */
+  def screenAgainstLayout(spark: SparkSession, incoming: DataFrame,
+                          layout: String, minCosine: Double = 0.4,
+                          broadcastProbeBytes: Long = 2L << 30): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val (nLists, nprobe) = readLayoutGeometry(layout).getOrElse(
+      throw new IllegalArgumentException(
+        s"no _GEOMETRY under $layout — stage it with writeNearDupLayout"))
+    val lay = readNearDupLayout(spark, layout)
+    val anchors = lay.filter(col("vec_id") < nLists)
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("anchor"))
+      .select(col("vec_id").as("list_id"), col("anchor"))
+    val probes = probeAssignmentsFrom(
+        incoming.select(col("vec_id"), col("embedding")), anchors, nprobe)
+      .select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("list_id"))
+    val existing = lay.select(col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("list_id"))
+    val n = incoming.count()
+    val dim = incoming.select(size(col("embedding")).as("d")).limit(1)
+      .collect().headOption.map(_.getInt(0)).getOrElse(0)
+    val probeSide =
+      if (n * nprobe * (4L * dim + 48L) <= broadcastProbeBytes)
+        broadcast(probes)
+      else probes.hint("SHUFFLE_HASH")
+    verdictsFrom(incoming.select("vec_id"), existing, probeSide, minCosine)
   }
 
   /** Semantic duplicate clusters: connected components over the

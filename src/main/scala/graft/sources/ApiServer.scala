@@ -98,12 +98,14 @@ final class ApiServer(spark: SparkSession, sfDir: String,
         spark.catalog.dropGlobalTempView(s"graft_serving_${viewTag}_$n"))
   }
 
-  /** One catch discipline for every handler (they had started to
-    * drift: only the datafiles copy mapped AnalysisException → 400, so
-    * a client error like `k=-1` reaching Spark's LIMIT analysis 500'd
-    * on the read path). NOTE: callers must not `return` inside `body`
-    * — a non-local return from the closure would be swallowed by the
-    * Throwable arm as a 500. */
+  /** One catch discipline for every handler. NOTE: callers must not
+    * `return` inside `body` — a non-local return from the closure
+    * would be swallowed by the Throwable arm as a 500. An
+    * AnalysisException reaching THIS handler is a server-side defect
+    * (e.g. a registry query referencing a dropped serving view) and
+    * is logged as a 500; analysis failures caused by CLIENT input go
+    * through [[clientSql]] at the sites where the SQL or params are
+    * client-supplied, which remaps them to 400. */
   private def guarded(ex: HttpExchange)(body: => Unit): Unit =
     try body catch {
       // String.valueOf: an IAE raised inside Spark can carry a null
@@ -111,15 +113,25 @@ final class ApiServer(spark: SparkSession, sfDir: String,
       // exchange with no response at all (client hangs to EOF)
       case e: IllegalArgumentException =>
         respond(ex, 400, s"""{"error":${Endpoints.q(String.valueOf(e.getMessage))}}""")
-      case e: org.apache.spark.sql.AnalysisException =>
-        // client input that only surfaces at analysis time (negative
-        // LIMIT, unresolved pushed-pipe SQL) is a 400, not a 500
-        respond(ex, 400, s"""{"error":${Endpoints.q(String.valueOf(e.getMessage))}}""")
       case e: Throwable =>
         // generic body: raw internal messages leak paths/plan fragments
         // to any authenticated client; the detail goes to the server log
         System.err.println(s"[api] 500 on ${ex.getRequestURI}: $e")
         respond(ex, 500, """{"error":"internal error"}""")
+    }
+
+  /** Scope the AnalysisException→400 mapping to where it belongs:
+    * execution whose SQL or params are CLIENT-supplied (a pushed
+    * pipe's text, template params, a `k=-1` that only surfaces at
+    * Spark's LIMIT analysis). Wrapping exactly these sites — instead
+    * of mapping every AnalysisException in [[guarded]] — keeps a
+    * genuine server defect on the read path (a registry query against
+    * a stale view) as a logged 500 rather than silently blaming the
+    * client. */
+  private def clientSql[A](body: => A): A =
+    try body catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(String.valueOf(e.getMessage))
     }
 
   private def handle(ex: HttpExchange): Unit = guarded(ex) {
@@ -156,22 +168,34 @@ final class ApiServer(spark: SparkSession, sfDir: String,
             respond(ex, 403, s"""{"error":"token lacks READ on $name"}""")
           else {
             val params = queryParams(ex)
-            val df = parameterized.get(name) match {
-              case Some(f) => f(spark, sfDir, params)
-              case None => dynNodes match {
-                case Some(nodes) => runDynamic(name, nodes, params)
-                case None =>
-                  require(params.isEmpty,
-                    s"pipe $name takes no parameters: ${params.keys.mkString(", ")}")
-                  graft.SparkEntry.queries(name)(spark, sfDir)
+            // client-shaped = the SQL or its params came from the
+            // request (pushed pipe, template params): analysis errors
+            // there are 400s. A bare registry query with no params has
+            // NO client-controlled analysis surface — its failures are
+            // server defects and stay logged 500s (render runs inside
+            // the wrap because Spark raises most analysis errors at
+            // action time, not at DataFrame construction).
+            val clientShaped =
+              parameterized.contains(name) || dynNodes.isDefined
+            def render(): (Endpoints.Rendered, String) = {
+              val df = parameterized.get(name) match {
+                case Some(f) => f(spark, sfDir, params)
+                case None => dynNodes match {
+                  case Some(nodes) => runDynamic(name, nodes, params)
+                  case None =>
+                    require(params.isEmpty,
+                      s"pipe $name takes no parameters: ${params.keys.mkString(", ")}")
+                    graft.SparkEntry.queries(name)(spark, sfDir)
+                }
+              }
+              format match {
+                case "csv" => (Endpoints.renderCsv(df, rowLimit), "text/csv")
+                case "ndjson" =>
+                  (Endpoints.renderNdjson(df, rowLimit), "application/x-ndjson")
+                case _ => (Endpoints.renderJson(df, rowLimit), "application/json")
               }
             }
-            val rendered = format match {
-              case "csv" => (Endpoints.renderCsv(df, rowLimit), "text/csv")
-              case "ndjson" =>
-                (Endpoints.renderNdjson(df, rowLimit), "application/x-ndjson")
-              case _ => (Endpoints.renderJson(df, rowLimit), "application/json")
-            }
+            val rendered = if (clientShaped) clientSql(render()) else render()
             // envelope-less formats signal a clipped result via header
             // (the .json envelope carries rows_before_limit_at_least)
             if (rendered._1.overflow)
@@ -233,33 +257,42 @@ final class ApiServer(spark: SparkSession, sfDir: String,
                   nodes.map(_.sql).mkString("\n"))
                 val placeholders = tmpl.map { case (p, t) =>
                   p -> ApiServer.placeholderFor(t) }
-                graft.sql.PipeRunner.runNodes(servingSession(), nodes, placeholders)
+                clientSql(
+                  graft.sql.PipeRunner.runNodes(servingSession(), nodes, placeholders))
                 if (placeholders.nonEmpty)
-                  try graft.sql.PipeRunner.runNodes(servingSession(), nodes)
+                  try clientSql(graft.sql.PipeRunner.runNodes(servingSession(), nodes))
                   catch {
                     case e: IllegalArgumentException
                       if String.valueOf(e.getMessage)
                         .startsWith("unbound template param") => ()
                   }
-                val toks = ApiServer.tokensFromPipes(Seq(pipeName -> body))
-                stateLock.synchronized {
+                val declared = ApiServer.tokensFromPipes(Seq(pipeName -> body))
+                // a REVOKED name stays dead on a datafile push: locally
+                // the token NAME is the secret, so re-enabling the
+                // exact revoked string as a push side effect would
+                // resurrect a leaked credential (the reference is safe
+                // here only because re-provisioning mints a new
+                // server-side secret). Re-issuing a revoked name takes
+                // an explicit POST /v0/tokens; the push response names
+                // what it skipped so the operator sees the gap.
+                val (toks, skippedRevoked) = stateLock.synchronized {
+                  val (dead, live) =
+                    declared.partition { case (n, _) => revokedTokens(n) }
                   dynamicPipes += pipeName -> nodes
                   // overwriting an existing name is a ROTATION: grants
                   // minted by the PREVIOUS version die with it (the
                   // same invariant DELETE enforces) — a TOKEN line
                   // removed in v2 must not keep reading v2 via v1's
-                  // grant. And a declared name that was revoked earlier
-                  // is re-provisioned as a NEW credential, the same
-                  // lifecycle as POST /v0/tokens (supersededTokens
-                  // keeps any old constructor grants masked).
+                  // grant (supersededTokens keeps any old constructor
+                  // grants masked).
                   val rotated = dynamicTokens.flatMap { case (t, g) =>
                     val g2 = g - pipeName
                     if (g2.isEmpty) None else Some(t -> g2)
                   }
-                  dynamicTokens = merge(rotated, toks)
-                  revokedTokens --= toks.keySet
+                  dynamicTokens = merge(rotated, live)
+                  (live, dead.keys.toSeq.sorted)
                 }
-                respond(ex, 200, s"""{"name":${Endpoints.q(pipeName)},"type":"pipe","nodes":${nodes.length},"tokens":${toks.keys.toSeq.sorted.map(Endpoints.q).mkString("[", ",", "]")}}""")
+                respond(ex, 200, s"""{"name":${Endpoints.q(pipeName)},"type":"pipe","nodes":${nodes.length},"tokens":${toks.keys.toSeq.sorted.map(Endpoints.q).mkString("[", ",", "]")},"skipped_revoked_tokens":${skippedRevoked.map(Endpoints.q).mkString("[", ",", "]")}}""")
               } else if (fileName.endsWith(".datasource")) {
                 val dsName = fileName.stripSuffix(".datasource")
                 require(dsName.matches("[A-Za-z0-9_]+"),

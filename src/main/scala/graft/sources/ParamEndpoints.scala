@@ -32,11 +32,14 @@ object ParamEndpoints {
   }
 
   /** Embedding near-dup pairs; `min_cosine` (default 0.4) and `nprobe`
-    * (default 3). */
+    * (default 3). Auto-routes through the staged probe layout when the
+    * artifact is current and the geometry is the staged default
+    * (min_cosine is a post-filter — any value routes; a non-default
+    * nprobe computes self-contained). */
   def embNearDupPairs(spark: SparkSession, dir: String,
                       params: Map[String, String]): DataFrame = {
     validate(params, Set("min_cosine", "nprobe"))
-    VectorOps.nearDupPairs(spark, dir,
+    VectorOps.nearDupPairsAuto(spark, dir, graft.SparkEntry.dedupArtifactsDir(dir),
       double(params, "min_cosine", 0.4), nprobe = int(params, "nprobe", 3))
   }
 

@@ -96,8 +96,12 @@ object ChSqlTranslator {
 
   /** `{{Type(name)}}` or `{{Type(name, default)}}` — group 3 is the
     * optional default (the reference's own syntax, e.g.
-    * `{{Int32(limit, 100)}}`). A default containing `)` is not
-    * representable (none of the reference kits uses one). */
+    * `{{Int32(limit, 100)}}`). A default containing `)` or `}` is not
+    * representable (none of the reference kits uses one) — such a
+    * template fails to match, which [[expandTemplates]] turns into an
+    * explicit unparseable-template error instead of letting the
+    * leftover `{{…}}` text reach Spark as a confusing analysis
+    * failure. */
   private val TemplateRe =
     """\{\{\s*(\w+)\(\s*(\w+)\s*(?:,\s*([^)}]*?)\s*)?\)\s*\}\}""".r
 
@@ -135,7 +139,7 @@ object ChSqlTranslator {
           ((d.head == '\'' && d.last == '\'') ||
            (d.head == '"' && d.last == '"'))) d.substring(1, d.length - 1)
       else d
-    TemplateRe.replaceAllIn(expanded, m => {
+    val out = TemplateRe.replaceAllIn(expanded, m => {
       val p = m.group(2)
       val v = params.get(p)
         .orElse(Option(m.group(3)).map(unquote))
@@ -179,6 +183,19 @@ object ChSqlTranslator {
       }
       java.util.regex.Matcher.quoteReplacement(lit)
     })
+    // leftover template syntax = a form TemplateRe cannot represent
+    // (a default containing `)` or `}`, a malformed `{% if %}` block):
+    // fail HERE with the offending fragment named, instead of shipping
+    // the literal `{{…}}` text to Spark where it surfaces as an
+    // unrelated-looking analysis error
+    for (tok <- Seq("{{", "{%"))
+      if (out.contains(tok)) {
+        val at = out.indexOf(tok)
+        throw new IllegalArgumentException(
+          "unparseable template fragment (defaults may not contain ')' or '}'): " +
+            out.substring(at, math.min(out.length, at + 60)))
+      }
+    out
   }
 
   /** CH scalar CTE: `WITH (SELECT …) as name <rest>` — inline the

@@ -148,6 +148,42 @@ object CdcStream {
       .start()
   }
 
+  /** Streaming dedup screening — artifact upkeep AT INGEST: every
+    * micro-batch of arriving vectors is screened against the staged
+    * near-dup probe layout ([[graft.operators.VectorOps.screenAgainstLayout]])
+    * and its verdicts (near_dup/novel + matched vector + exact cosine)
+    * append to a verdict log, stamped with the batch id. The
+    * reference's MV-at-ingest pattern (users_mv.pipe:19-20: precompute
+    * at ingest, serve precomputed) applied to the dedup artifact: the
+    * curation decision is made once, on arrival, instead of per
+    * downstream consumer.
+    *
+    * Each vector's verdict depends only on (vector, layout) — no
+    * cross-batch state — so N streamed batches equal one batch
+    * recompute over the union (asserted in StreamingSpec), and
+    * foreachBatch's at-least-once replay can only rewrite identical
+    * rows (dedup-on-read by (vec_id) collapses them; the spec's
+    * equality uses the distinct verdict set). At 100 TB: the
+    * micro-batch probe frame broadcasts and DPP-prunes the layout
+    * scan to the probed cells — ingest screening cost is
+    * per-arriving-vector, never per-corpus. */
+  def startVectorScreenMv(spark: SparkSession, srcDir: String, layout: String,
+                          outDir: String, checkpointDir: String,
+                          minCosine: Double = 0.4): StreamingQuery = {
+    graft.functions.GraftFunctions.register(spark)
+    spark.readStream.schema(embSchema).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.VectorOps
+          .screenAgainstLayout(spark, batch, layout, minCosine)
+          .withColumn("__batch", lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming PII scrub — the privacy MV: every arriving document is
     * redacted IN ROW ([[graft.operators.Privacy.scrub]], a pure
     * codegen'd projection) and appended with its audit count, so
@@ -456,7 +492,11 @@ object CdcStream {
     * crash at ANY point leaves every row in exactly one of {log, work
     * dir, quarantine dir}: the next invocation restores a leftover
     * work dir into the quarantine dir by per-file atomic moves before
-    * proceeding. The at-least-once failure mode is rows present in
+    * proceeding. The delete set is pinned to the READ set (one file
+    * enumeration feeds both the parquet read and the cleanup), so
+    * even a batch whose commit straddles the rename and lands a late
+    * file inside the work dir loses nothing — the late file is
+    * neither read nor deleted, and the next pass restores it. The at-least-once failure mode is rows present in
     * BOTH log and quarantine, which the dedup-on-read FINAL view
     * collapses (same (ts, event_id) version wins once), so
     * reprocessing is idempotent at the serving layer: re-running with
@@ -472,23 +512,38 @@ object CdcStream {
     val qDir = new java.io.File(quarantineDir)
     val workDir = new java.io.File(quarantineDir + ".reprocess_work")
     if (workDir.isDirectory) {
-      // leftover from a crashed attempt: restore file-by-file (each
-      // move atomic, so a crash mid-restore just resumes here)
-      qDir.mkdirs()
-      for (f <- Option(workDir.listFiles).getOrElse(Array.empty[java.io.File])
-           if f.isFile)
-        java.nio.file.Files.move(f.toPath,
-          new java.io.File(qDir, f.getName).toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      graft.sources.Layout.deleteRec(workDir)
+      // leftover from a crashed (or straggler-bearing) previous
+      // attempt: restore file-by-file (each move atomic, so a crash
+      // mid-restore just resumes here)
+      restoreWork(workDir, qDir)
     }
     if (!qDir.isDirectory) return (0L, 0L) // nothing ever quarantined
     java.nio.file.Files.move(qDir.toPath, workDir.toPath)
+    // enumerate the work dir ONCE and make the read set and the
+    // delete set the SAME explicit file list: a streaming batch whose
+    // parquet commit straddled the rename can land a late file inside
+    // the work dir after this listing, and a directory-wide
+    // deleteRec would silently destroy those just-committed rows
+    // (read-set ≠ delete-set). With the pinned list, a late file is
+    // simply not read and not deleted — it waits in the work dir and
+    // the leftover-restore pass above returns it to the quarantine
+    // dir on the next invocation. (Underscore/dot files are Spark
+    // commit machinery — _SUCCESS, _temporary — never row data.)
+    val workFiles = Option(workDir.listFiles)
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+    if (workFiles.isEmpty) {
+      // nothing readable landed before the rename: put the (possibly
+      // straggler-bearing) work dir back and report an empty pass
+      restoreWork(workDir, qDir)
+      return (0L, 0L)
+    }
     // .distinct: foreachBatch is at-least-once, so a batch replayed
     // across a crash can have appended the same quarantine rows twice;
     // reprocess collapses them (the log side is absorbed by the FINAL
     // view's dedup-on-read, this is the quarantine-side analogue)
-    val fixed = fix(spark.read.parquet(workDir.toString)
+    val fixed = fix(spark.read.parquet(workFiles.map(_.toString).toIndexedSeq: _*)
         .drop("__quarantined_batch").distinct())
       .withColumn("__ok", isValid).cache()
     try {
@@ -504,9 +559,33 @@ object CdcStream {
       // task even for 0 rows, so an all-recovered pass still leaves a
       // schema-bearing file the next reader/endpoint can open
       still.coalesce(1).write.mode("append").parquet(quarantineDir)
-      graft.sources.Layout.deleteRec(workDir)
+      // delete exactly what was read; any straggler stays for the
+      // next invocation's restore pass, and the dir itself goes only
+      // once it is truly empty
+      workFiles.foreach(f => java.nio.file.Files.deleteIfExists(f.toPath))
+      restoreWork(workDir, qDir)
       (nRecovered, nStill)
     } finally fixed.unpersist()
+  }
+
+  /** Return every file still in a reprocess work dir to the live
+    * quarantine dir (per-file atomic moves), then remove the work dir
+    * if — and only if — it is empty. Commit-machinery files
+    * (`_SUCCESS`, `_temporary`) are deleted, not restored: they carry
+    * no rows and a stale `_SUCCESS` in the quarantine dir would lie
+    * about a completed write. */
+  private def restoreWork(workDir: java.io.File, qDir: java.io.File): Unit = {
+    qDir.mkdirs()
+    for (f <- Option(workDir.listFiles).getOrElse(Array.empty[java.io.File])) {
+      if (f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(qDir, f.getName).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      else graft.sources.Layout.deleteRec(f)
+    }
+    // deletes only an empty dir; a file that landed between the loop
+    // and here keeps the dir alive for the next restore pass
+    workDir.delete()
   }
 
   /** Ingestion observability — the analogue of the reference's

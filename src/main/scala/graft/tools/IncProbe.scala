@@ -1,0 +1,99 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupMaintenance, TextDedup, VectorOps}
+
+/** Incremental-maintenance cost probe — the measurement behind the
+  * round-10 claim "delta cost ∝ delta, not corpus": split an sf dir's
+  * documents/embeddings into a base (98%) and two equal append deltas
+  * (1% each), then time
+  *
+  *   1. the FULL artifact build over the base,
+  *   2. `DedupMaintenance.update` after appending delta 1 (incremental),
+  *   3. the same after appending delta 2 (incremental again — proves
+  *      increments COMPOSE: the second rides on state the first
+  *      appended),
+  *   4. a from-scratch full rebuild over the merged input at the
+  *      layout's pinned geometry (the incremental path's competitor),
+  *
+  * and cross-check pair counts between the incrementally-maintained
+  * dir and the fresh rebuild (the bit-identity proof lives in
+  * DedupMaintenanceSpec at small SF; at probe SF the counts guard
+  * against a silent divergence).
+  *
+  * Usage: `runMain graft.tools.IncProbe <sfDir> <workDir>`
+  * (e.g. /tmp/sf10 /tmp/inc_probe). Prints one JSON line.
+  */
+object IncProbe {
+  def main(args: Array[String]): Unit = {
+    graft.RunLock.acquireOrDie("IncProbe")
+    val sfDir = args(0)
+    val work = args(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val builder0 = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.ui.enabled", "false")
+    val spark = graft.Bench.shuffleConfigs(sfDir, cpus)
+      .foldLeft(builder0) { case (b, (k, v)) => b.config(k, v) }
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val data = s"$work/data"
+    val art = s"$work/art"
+    val artFull = s"$work/art_full"
+    graft.sources.Layout.deleteRec(new java.io.File(work))
+
+    val docs = graft.Tables.documents(spark, sfDir)
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val nDocs = docs.count(); val nEmb = emb.count()
+    val (dCut1, dCut2) = ((nDocs * 98) / 100, (nDocs * 99) / 100)
+    val (eCut1, eCut2) = ((nEmb * 98) / 100, (nEmb * 99) / 100)
+    docs.filter(col("doc_id") < dCut1)
+      .write.parquet(s"$data/documents.parquet")
+    emb.filter(col("vec_id") < eCut1)
+      .write.parquet(s"$data/embeddings.parquet")
+
+    def timed(label: String)(body: => String): (String, Double, String) = {
+      System.gc(); Thread.sleep(100)
+      val t0 = System.nanoTime()
+      val mode = body
+      ((label, (System.nanoTime() - t0) / 1e9, mode))
+    }
+    def appendSlice(lo: Long, hiD: Long, loE: Long, hiE: Long): Unit = {
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hiD)
+        .write.mode("append").parquet(s"$data/documents.parquet")
+      emb.filter(col("vec_id") >= loE && col("vec_id") < hiE)
+        .write.mode("append").parquet(s"$data/embeddings.parquet")
+    }
+
+    val r1 = timed("full_base") { DedupMaintenance.update(spark, data, art) }
+    appendSlice(dCut1, dCut2, eCut1, eCut2)
+    val r2 = timed("inc_1pct") { DedupMaintenance.update(spark, data, art) }
+    appendSlice(dCut2, nDocs, eCut2, nEmb)
+    val r3 = timed("inc_1pct_b") { DedupMaintenance.update(spark, data, art) }
+    val l = VectorOps.readLayoutGeometry(s"$art/emb_probe_layout").get._1
+    val r4 = timed("full_merged") {
+      if (TextDedup.writeDedupArtifacts(spark, data, artFull,
+          embNLists = l.toInt)) "full" else "skip"
+    }
+    require(r1._3 == "full" && r2._3 == "incremental" && r3._3 == "incremental",
+      s"probe took the wrong paths: ${Seq(r1, r2, r3).map(_._3)}")
+    // divergence guard: the maintained artifacts and the fresh rebuild
+    // must agree on graph sizes
+    val counts = Seq("pairs", "emb_pairs", "clusters", "emb_clusters").map { t =>
+      val a = spark.read.parquet(s"$art/$t").count()
+      val b = spark.read.parquet(s"$artFull/$t").count()
+      require(a == b, s"$t diverged: incremental=$a fresh=$b")
+      t -> a
+    }
+    def f2(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val runs = Seq(r1, r2, r3, r4)
+      .map { case (l0, s, m) => s""""$l0":{"sec":${f2(s)},"mode":"$m"}""" }
+      .mkString(",")
+    val cj = counts.map { case (t, c) => s""""$t":$c""" }.mkString(",")
+    println(s"""{"probe":"inc","sf":"$sfDir","n_docs":$nDocs,"n_emb":$nEmb,$runs,"counts":{$cj}}""")
+    spark.stop()
+  }
+}

@@ -255,6 +255,70 @@ class ApiServerSpec extends SparkSpec {
     assert(after.statusCode() == 401, s"${after.statusCode()} ${after.body()}")
   }
 
+  test("a datafile push cannot resurrect a revoked token name — the NAME is " +
+      "the secret locally; re-issue takes an explicit POST /v0/tokens") {
+    val srv = new ApiServer(spark, sf, Map("boss" -> Set("*")))
+    val p = srv.start()
+    def u(path: String) = URI.create(s"http://127.0.0.1:$p$path")
+    def req(b: HttpRequest.Builder, tok: String) =
+      http.send(b.header("Authorization", s"Bearer $tok").build(),
+        HttpResponse.BodyHandlers.ofString())
+    val pipe =
+      """TOKEN "leaked_read" READ
+        |
+        |NODE endpoint
+        |SQL >
+        |    SELECT count() AS n FROM orders
+        |""".stripMargin
+    def push() = req(HttpRequest.newBuilder(
+      u("/v0/datafiles?name=resurrect_pipe.pipe"))
+      .POST(HttpRequest.BodyPublishers.ofString(pipe)), "boss")
+    try {
+      assert(push().statusCode() == 200)
+      assert(req(HttpRequest.newBuilder(u("/v0/pipes/resurrect_pipe.json"))
+        .GET(), "leaked_read").statusCode() == 200)
+      // the credential leaks; the operator revokes it
+      assert(req(HttpRequest.newBuilder(u("/v0/tokens/leaked_read"))
+        .DELETE(), "boss").statusCode() == 200)
+      // re-pushing the SAME pipe (same TOKEN line) must NOT re-enable
+      // the exact revoked string as a side effect — and the response
+      // names what it skipped
+      val r2 = push()
+      assert(r2.statusCode() == 200, r2.body())
+      assert(r2.body().contains("\"skipped_revoked_tokens\":[\"leaked_read\"]"),
+        r2.body())
+      assert(req(HttpRequest.newBuilder(u("/v0/pipes/resurrect_pipe.json"))
+        .GET(), "leaked_read").statusCode() == 401,
+        "revoked name must stay dead across a datafile push")
+      // deliberate re-issue through the token lifecycle works, scoped
+      val mk = req(HttpRequest.newBuilder(
+        u("/v0/tokens?name=leaked_read&pipes=resurrect_pipe"))
+        .POST(HttpRequest.BodyPublishers.noBody()), "boss")
+      assert(mk.statusCode() == 200, mk.body())
+      assert(req(HttpRequest.newBuilder(u("/v0/pipes/resurrect_pipe.json"))
+        .GET(), "leaked_read").statusCode() == 200)
+    } finally srv.stop()
+  }
+
+  test("a server-side defect on the read path is a logged 500, not a 400 " +
+      "blaming the client") {
+    // a registry query over a missing data dir is OUR defect (no
+    // client-supplied SQL or params anywhere in the request): the
+    // blanket AnalysisException→400 mapping used to report it as a
+    // client error and never log it
+    val srv = new ApiServer(spark, "/nonexistent_graft_sfdir",
+      Map("boss" -> Set("*")))
+    val p = srv.start()
+    try {
+      val r = http.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$p/v0/pipes/q1_pricing_summary.json"))
+        .header("Authorization", "Bearer boss").GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 500, s"${r.statusCode()} ${r.body()}")
+      assert(r.body() == """{"error":"internal error"}""", r.body())
+    } finally srv.stop()
+  }
+
   test("dynamic pipes reject unknown params (typo must not silently take " +
       "the default branch) and honor in-template defaults") {
     val pipe =

@@ -70,6 +70,26 @@ class DedupArtifactsSpec extends SparkSpec {
       rows(VectorOps.nearDupPairs(spark, sf)))
   }
 
+  test("auto-route: the registered emb_near_dup_pairs reads the LAYOUT when " +
+      "the artifact is current, falls back self-contained when it is not") {
+    // staged + current → the plan scans the probe layout, not the
+    // embeddings table (the layout is strictly faster wherever it
+    // exists: 2.4× cold at sf100)
+    val routed = VectorOps.nearDupPairsAuto(spark, sf, art)
+    assert(routed.inputFiles.exists(_.contains("emb_probe_layout")),
+      s"current artifact must route to the layout: ${routed.inputFiles.take(3).mkString(",")}")
+    assert(rows(routed) == rows(VectorOps.nearDupPairs(spark, sf)))
+    // a non-default geometry must NOT route (the staged assignment was
+    // built under nprobe=3)
+    val np2 = VectorOps.nearDupPairsAuto(spark, sf, art, nprobe = 2)
+    assert(!np2.inputFiles.exists(_.contains("emb_probe_layout")))
+    // no artifact → self-contained fallback, same result
+    val none = java.nio.file.Files.createTempDirectory("no_art").toString
+    val fallback = VectorOps.nearDupPairsAuto(spark, sf, none)
+    assert(!fallback.inputFiles.exists(_.contains("emb_probe_layout")))
+    assert(rows(fallback) == rows(routed))
+  }
+
   test("increment screen: verdicts agree with the pair-graph truth") {
     val screen = VectorOps.screenIncrementOverLayout(
         spark, sf, s"$art/emb_probe_layout").collect()
@@ -104,13 +124,13 @@ class DedupArtifactsSpec extends SparkSpec {
       VectorOps.screenIncrementOverLayout(spark, sf, layout))
     val viaShuffle = rows(
       VectorOps.screenIncrementOverLayout(spark, sf, layout,
-        broadcastProbeRows = 0L))
+        broadcastProbeBytes = 0L))
     assert(viaShuffle == viaBroadcast)
     // and the forced path really did join the probe frame by shuffle
     // (a planned-away DPP placeholder can still PRINT as
     // `dynamicpruning(true)`, so assert the join strategy positively)
     val df = VectorOps.screenIncrementOverLayout(spark, sf, layout,
-      broadcastProbeRows = 0L)
+      broadcastProbeBytes = 0L)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("ShuffledHashJoin"),

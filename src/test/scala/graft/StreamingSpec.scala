@@ -950,4 +950,51 @@ class StreamingSpec extends SparkSpec {
     assert(snap(CdcStream.profileView(spark, partials)) == streamed,
       "restart moved the profile")
   }
+
+  test("streaming dedup screening MV: per-batch verdicts against the staged " +
+      "layout equal the batch recompute over the union") {
+    val src = tmp(); val layout = tmp() + "/layout"
+    val outDir = tmp() + "/verdicts"; val ck = tmp() + "/ck"
+    operators.VectorOps.writeNearDupLayout(spark, sf, layout)
+    // synthetic arrivals: perturbed copies of corpus vectors (should
+    // tag near_dup against the layout) interleaved with fresh randoms
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat; v.map(_ / n)
+    }
+    def rand(seed: Long): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      unit(Array.fill(64)(r.nextGaussian().toFloat))
+    }
+    val corpus = Tables.embeddings(spark, sf)
+      .filter(col("vec_id").isin(3L, 17L, 40L))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def near(base: Array[Float], seed: Long): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      unit(base.map(x => x + 0.05f * r.nextGaussian().toFloat))
+    }
+    import spark.implicits._
+    val chunks = Seq(
+      Seq((10000L, near(corpus(3L), 1L), 0), (10001L, rand(11L), 0)),
+      Seq((10002L, near(corpus(17L), 2L), 0), (10003L, rand(12L), 0)),
+      Seq((10004L, near(corpus(40L), 3L), 0), (10005L, rand(13L), 0)))
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      c.toDF("vec_id", "embedding", "label")
+        .write.parquet(s"$src/chunk$i")
+      CdcStream.startVectorScreenMv(spark, s"$src/chunk*", layout, outDir, ck)
+        .awaitTermination()
+    }
+    def snap(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("vec_id", "verdict", "matched_vec", "cosine")
+        .collect().map(_.toString).sorted.toSeq
+    val streamed = snap(spark.read.parquet(outDir).distinct())
+    val batch = snap(operators.VectorOps.screenAgainstLayout(spark,
+      chunks.flatten.toDF("vec_id", "embedding", "label"), layout))
+    assert(streamed == batch, s"streamed verdicts diverge:\n$streamed\n$batch")
+    // the engineered arrivals actually exercised both verdicts
+    val verdicts = spark.read.parquet(outDir)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[String]("verdict")).toMap
+    assert(verdicts(10000L) == "near_dup" && verdicts(10002L) == "near_dup" &&
+      verdicts(10004L) == "near_dup", verdicts.toString)
+    assert(verdicts.values.exists(_ == "novel"), verdicts.toString)
+  }
 }

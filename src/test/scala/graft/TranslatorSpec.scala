@@ -408,4 +408,20 @@ class TranslatorSpec extends SparkSpec {
     val v = spark.sql("SELECT round(2.675, 2) AS x").first()
     assert(v.get(0) != null)
   }
+
+  test("a template default the grammar cannot represent fails as an " +
+      "explicit unparseable-template error, not a leftover {{…}} in SQL") {
+    // ')' inside a default cannot match TemplateRe; without the
+    // leftover check the literal `{{String(q, 'a)b')}}` text would
+    // reach Spark and surface as an unrelated-looking analysis error
+    val e = intercept[IllegalArgumentException] {
+      ChSqlTranslator.translate("SELECT {{String(q, 'a)b')}} AS v FROM t")
+    }
+    assert(e.getMessage.contains("unparseable template fragment"), e.getMessage)
+    // same for a malformed {% if %} block (no {% end %})
+    val e2 = intercept[IllegalArgumentException] {
+      ChSqlTranslator.translate("SELECT 1 {% if defined(x) %} , 2")
+    }
+    assert(e2.getMessage.contains("unparseable template fragment"), e2.getMessage)
+  }
 }
