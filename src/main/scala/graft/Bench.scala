@@ -65,20 +65,29 @@ object Bench {
   /** Resolve the shuffle sizing as SESSION CONFIGS: explicit number >
     * `auto` > core count (the contract default).
     *
-    * `auto` (round-10 redesign): the round-9 global knob proved that
-    * ONE partition count cannot serve every stage — at sf100 the pair
-    * family wants 128 while the vocab-bounded lm family wants 32
-    * (54.8 s at 32 vs 98.7 s at 128; DESIGN.md round-9 §4). The
-    * scale-correct mechanism is AQE's stage-local coalescing: seed
-    * every shuffle with a GENEROUS `initialPartitionNum` (4× the
-    * input-bytes heuristic — generous because AQE can only coalesce
-    * down, never split an undersized shuffle; the ×4 covers stages
-    * like the exploded shingle join whose shuffle bytes dwarf the
-    * input) and let each stage coalesce to its own data. The default
-    * `parallelismFirst=true` keeps small stages at ≥ core-count
-    * partitions, exactly the hand-tuned sh=32 behavior, while the
-    * pair family keeps its width. `spark.sql.shuffle.partitions`
-    * stays at the core count as the non-AQE floor. */
+    * `auto` (round-10 redesign, MEASURED at sf30 — full matrix in
+    * DESIGN.md round-10): the round-9 global knob proved that ONE
+    * pinned count cannot serve every stage (pair family wants width,
+    * the vocab-bounded lm family wants few coarse partitions). The
+    * stage-local mechanism is AQE coalescing seeded with a GENEROUS
+    * `initialPartitionNum` (4× the input-bytes heuristic — AQE can
+    * only coalesce down, never split, and stages like the exploded
+    * shingle join shuffle far more bytes than the input) and
+    * SIZE-FIRST coalescing (`parallelismFirst=false`, 32 MB
+    * advisory): each stage then lands near its own optimum. Measured
+    * same-box at sf30: this config beats the global-128 auto of
+    * round 9 on BOTH families (pairs 138.9 s vs 144.3, lm_buckets
+    * 22.0 s vs 24.1) and is the best single config for the pair
+    * family outright. The `parallelismFirst=true` default was
+    * measured and REJECTED: it refuses to coalesce below ~1 MB
+    * partitions, pinning every stage at the initial width — the pair
+    * family regressed to 198 s. Per-family pinning remains the
+    * measured ceiling for the lm family alone (14.4 s at sh=32:
+    * size-first coalescing can drop a small stage below core-count
+    * width and idles cores — a single-box cost a multi-executor
+    * cluster does not pay, since partition count stops being the
+    * spill knob there). `spark.sql.shuffle.partitions` stays at the
+    * core count as the non-AQE floor. */
   def shuffleConfigs(sfDir: String, cpus: String): Seq[(String, String)] =
     sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus) match {
       case "auto" =>
@@ -87,7 +96,9 @@ object Bench {
         Seq(
           "spark.sql.shuffle.partitions" -> cpus,
           "spark.sql.adaptive.coalescePartitions.initialPartitionNum" ->
-            initial.toString)
+            initial.toString,
+          "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32m")
       case n => Seq("spark.sql.shuffle.partitions" -> n)
     }
 

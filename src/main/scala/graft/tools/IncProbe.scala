@@ -22,8 +22,9 @@ import graft.operators.{DedupMaintenance, TextDedup, VectorOps}
   * DedupMaintenanceSpec at small SF; at probe SF the counts guard
   * against a silent divergence).
   *
-  * Usage: `runMain graft.tools.IncProbe <sfDir> <workDir>`
-  * (e.g. /tmp/sf10 /tmp/inc_probe). Prints one JSON line.
+  * Usage: `runMain graft.tools.IncProbe <sfDir> <workDir> [basePct deltaPct]`
+  * (e.g. /tmp/sf10 /tmp/inc_probe 98 1 — base 98%, two 1% deltas).
+  * Prints one JSON line.
   */
 object IncProbe {
   def main(args: Array[String]): Unit = {
@@ -47,11 +48,25 @@ object IncProbe {
     val docs = graft.Tables.documents(spark, sfDir)
     val emb = graft.Tables.embeddings(spark, sfDir)
     val nDocs = docs.count(); val nEmb = emb.count()
-    val (dCut1, dCut2) = ((nDocs * 98) / 100, (nDocs * 99) / 100)
-    val (eCut1, eCut2) = ((nEmb * 98) / 100, (nEmb * 99) / 100)
-    docs.filter(col("doc_id") < dCut1)
+    val basePct = args.lift(2).map(_.toLong).getOrElse(98L)
+    val deltaPct = args.lift(3).map(_.toLong).getOrElse(1L)
+    // cut by RANK, not raw id: the GenScale dirs offset each replica's
+    // ids by k*1e9, so a percent-of-count compared against raw ids
+    // would select a sliver of replica 0 and call it "98% of the
+    // corpus" (first probe attempt did exactly that — flat times and
+    // sf10==sf30 pair counts gave it away)
+    def cutId(df: org.apache.spark.sql.DataFrame, idCol: String,
+              n: Long, pct: Long): Long =
+      df.select(col(idCol)).orderBy(col(idCol))
+        .limit(((n * pct) / 100).toInt)
+        .agg(max(col(idCol))).first().getLong(0)
+    val dCut1 = cutId(docs, "doc_id", nDocs, basePct)
+    val dCut2 = cutId(docs, "doc_id", nDocs, basePct + deltaPct)
+    val eCut1 = cutId(emb, "vec_id", nEmb, basePct)
+    val eCut2 = cutId(emb, "vec_id", nEmb, basePct + deltaPct)
+    docs.filter(col("doc_id") <= dCut1)
       .write.parquet(s"$data/documents.parquet")
-    emb.filter(col("vec_id") < eCut1)
+    emb.filter(col("vec_id") <= eCut1)
       .write.parquet(s"$data/embeddings.parquet")
 
     def timed(label: String)(body: => String): (String, Double, String) = {
@@ -61,17 +76,17 @@ object IncProbe {
       ((label, (System.nanoTime() - t0) / 1e9, mode))
     }
     def appendSlice(lo: Long, hiD: Long, loE: Long, hiE: Long): Unit = {
-      docs.filter(col("doc_id") >= lo && col("doc_id") < hiD)
+      docs.filter(col("doc_id") > lo && col("doc_id") <= hiD)
         .write.mode("append").parquet(s"$data/documents.parquet")
-      emb.filter(col("vec_id") >= loE && col("vec_id") < hiE)
+      emb.filter(col("vec_id") > loE && col("vec_id") <= hiE)
         .write.mode("append").parquet(s"$data/embeddings.parquet")
     }
 
     val r1 = timed("full_base") { DedupMaintenance.update(spark, data, art) }
     appendSlice(dCut1, dCut2, eCut1, eCut2)
-    val r2 = timed("inc_1pct") { DedupMaintenance.update(spark, data, art) }
-    appendSlice(dCut2, nDocs, eCut2, nEmb)
-    val r3 = timed("inc_1pct_b") { DedupMaintenance.update(spark, data, art) }
+    val r2 = timed(s"inc_${deltaPct}pct") { DedupMaintenance.update(spark, data, art) }
+    appendSlice(dCut2, Long.MaxValue, eCut2, Long.MaxValue)
+    val r3 = timed(s"inc_${100 - basePct - deltaPct}pct") { DedupMaintenance.update(spark, data, art) }
     val l = VectorOps.readLayoutGeometry(s"$art/emb_probe_layout").get._1
     val r4 = timed("full_merged") {
       if (TextDedup.writeDedupArtifacts(spark, data, artFull,

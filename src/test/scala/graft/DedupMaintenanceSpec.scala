@@ -139,13 +139,17 @@ class DedupMaintenanceSpec extends SparkSpec {
   test("a MODIFIED pre-existing input file is not an append: full rebuild") {
     val data = tmp("dm_m_data"); val art = tmp("dm_m_art")
     writeBase(data)
-    assert(DedupMaintenance.update(spark, data, art) == "full")
-    appendDelta(data)
-    // touch one base parquet file (mtime change = content no longer provably identical)
-    val f = new java.io.File(s"$data/documents.parquet").listFiles()
+    // snapshot the BASE file set before the append: the touched file
+    // must be one the stored fingerprint knows (a freshly-appended
+    // delta file is an addition whatever its mtime, and part-file
+    // UUIDs make name order between base and delta files random)
+    val baseFile = new java.io.File(s"$data/documents.parquet").listFiles()
       .filter(x => x.isFile && !x.getName.startsWith("_") && !x.getName.startsWith("."))
       .minBy(_.getName)
-    assert(f.setLastModified(f.lastModified() + 60000))
+    assert(DedupMaintenance.update(spark, data, art) == "full")
+    appendDelta(data)
+    // touch it (mtime change = content no longer provably identical)
+    assert(baseFile.setLastModified(baseFile.lastModified() + 60000))
     assert(DedupMaintenance.update(spark, data, art) == "full")
   }
 
