@@ -71,7 +71,8 @@ object DedupMaintenance {
              embNLists: Int = 0): String =
     TextDedup.artifactLock(out).synchronized {
       TextDedup.withArtifactFileLock(out) {
-        if (TextDedup.artifactsCurrent(dir, out, minJaccard, maxDf)) "skip"
+        if (TextDedup.artifactsCurrent(dir, out, minJaccard, maxDf) &&
+            TextDedup.stagedGeometryOk(out, embNLists)) "skip"
         else {
           val fpNew = TextDedup.inputFingerprint(dir, minJaccard, maxDf)
           val delta = additionsOnlyDelta(dir, out, minJaccard, maxDf)

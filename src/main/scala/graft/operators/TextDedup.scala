@@ -319,6 +319,21 @@ object TextDedup {
   private[operators] def incJournal(out: String): java.nio.file.Path =
     new java.io.File(out, "_INC_JOURNAL").toPath
 
+  /** True when a REQUESTED embedding geometry is compatible with the
+    * staged layout: `embNLists <= 0` means "whatever the build derived"
+    * (always compatible — with a matching input fingerprint the sqrt
+    * schedule re-derives the same value); an explicit count must equal
+    * the persisted `_GEOMETRY`. Checked on every skip path — embNLists
+    * is deliberately NOT part of the fingerprint header (0 and the
+    * explicitly-matching value must both skip), so without this check a
+    * rebuild request under a DIFFERENT explicit geometry would return
+    * "skip" and silently serve a layout built under another anchor set
+    * (round-11 advisory). */
+  private[operators] def stagedGeometryOk(out: String, embNLists: Int): Boolean =
+    embNLists <= 0 ||
+      VectorOps.readLayoutGeometry(s"$out/emb_probe_layout")
+        .exists(_._1 == embNLists.toLong)
+
   def writeDedupArtifacts(spark: SparkSession, dir: String, out: String,
                           minJaccard: Double = 0.5, maxDf: Int = 100,
                           embNLists: Int = 0): Boolean =
@@ -335,10 +350,21 @@ object TextDedup {
                                      embNLists: Int): Boolean = {
       val fp = inputFingerprint(dir, minJaccard, maxDf)
       val marker = new java.io.File(out, "_FINGERPRINT").toPath
-      if (artifactsCurrent(dir, out, minJaccard, maxDf)) {
+      if (artifactsCurrent(dir, out, minJaccard, maxDf) &&
+          stagedGeometryOk(out, embNLists)) {
         false
       } else {
         java.nio.file.Files.deleteIfExists(marker)
+        // a geometry-only rebuild (same inputs, different explicit
+        // embNLists): the per-stage resume below keys on the input
+        // fingerprint alone, so the EMB stages' markers must be
+        // invalidated by hand or they would skip and keep the old
+        // anchor set; the text stages stay resumable — they do not
+        // depend on the layout geometry
+        if (!stagedGeometryOk(out, embNLists))
+          for (s <- Seq("emb_probe_layout", "emb_pairs", "emb_clusters"))
+            java.nio.file.Files.deleteIfExists(
+              new java.io.File(out, s"_STAGE_$s").toPath)
         // Shuffle files of a finished stage live until the driver GCs
         // the ShuffleDependency (ContextCleaner); inside one long
         // multi-artifact build nothing triggers that GC, so transient

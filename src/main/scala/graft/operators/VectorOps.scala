@@ -373,11 +373,27 @@ object VectorOps {
     * a different geometry always computes self-contained, because the
     * staged assignment was built under different probe parameters.
     * minCosine does NOT gate routing: it is a post-filter over the
-    * candidate join, valid at any value over the same layout. */
+    * candidate join, valid at any value over the same layout.
+    *
+    * GEOMETRY gate (the round-11 advisory fix): an incrementally-
+    * maintained layout keeps its _GEOMETRY pinned at the base-derived
+    * nLists (an index never moves its anchors under an append), while
+    * the self-contained fallback re-derives ceil(sqrt(n)/2) from the
+    * CURRENT corpus — after enough appends the two diverge (450→11
+    * lists vs 500→12), and "result-identical either way" would quietly
+    * stop holding. So the route additionally requires the persisted
+    * geometry to EQUAL the schedule's current derivation (one
+    * parquet-metadata count); when the corpus has outgrown the pinned
+    * anchors the endpoint falls back to the self-contained form —
+    * always the oracle's semantics — and the index-pinned serving
+    * shape remains explicitly available as [[nearDupPairsOverLayout]]
+    * (the `emb_near_dup_pairs_ivf` endpoint, which restages first). */
   def nearDupPairsAuto(spark: SparkSession, dir: String, art: String,
                        minCosine: Double = 0.4, nLists: Int = 0,
                        nprobe: Int = 3): DataFrame =
-    if (nLists == 0 && nprobe == 3 && TextDedup.artifactsCurrent(dir, art))
+    if (nLists == 0 && nprobe == 3 && TextDedup.artifactsCurrent(dir, art) &&
+        readLayoutGeometry(s"$art/emb_probe_layout").exists { case (l, p) =>
+          p == 3 && l == resolveLists(Tables.embeddings(spark, dir), 0) })
       nearDupPairsOverLayout(spark, s"$art/emb_probe_layout", minCosine)
     else
       nearDupPairs(spark, dir, minCosine, nLists, nprobe)
@@ -449,11 +465,17 @@ object VectorOps {
   /** The screening verdict kernel shared by [[screenIncrementOverLayout]]
     * and [[screenAgainstLayout]]: best exact match per probing vector
     * (6dp cosine desc, matched id asc — the canonical attribution),
-    * left-joined back so unmatched vectors report `novel`. */
+    * left-joined back so unmatched vectors report `novel`. The
+    * `vec_a =!= vec_b` guard keeps a RE-INGESTED vector (its vec_id
+    * already in the layout, or equal to an anchor id) from matching
+    * itself at cosine 1.0 and reporting `near_dup` of itself — a no-op
+    * under the increment screen's %10 disjointness convention, load-
+    * bearing for [[screenAgainstLayout]]'s arbitrary incoming frames. */
   private def verdictsFrom(incomingIds: DataFrame, existing: DataFrame,
                            probeSide: DataFrame, minCosine: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val best = existing.join(probeSide, Seq("list_id"))
+      .filter(col("vec_a") =!= col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         floorRound(dot(col("ea"), col("eb")), 6).as("cosine"))
       .filter(col("cosine") >= minCosine)

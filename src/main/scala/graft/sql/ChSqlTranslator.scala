@@ -130,6 +130,25 @@ object ChSqlTranslator {
     val expanded = ifRe.replaceAllIn(s, m =>
       java.util.regex.Matcher.quoteReplacement(
         if (params.contains(m.group(1))) m.group(2) else m.group(3)))
+    // leftover-template check runs on the TEMPLATE text (if-blocks
+    // expanded, valid `{{Type(name)}}` sites stripped) BEFORE any param
+    // value is substituted — a client value containing `{{`, or a SQL
+    // string/LIKE literal such as '{%', must never trip it (values are
+    // validated-and-quoted below; in-template string literals are
+    // masked out). What remains flagged is genuinely unparseable
+    // template syntax: a default containing `)` or `}`, a malformed
+    // `{% if %}` block — named here instead of surfacing later as an
+    // unrelated-looking Spark analysis error.
+    val residual = TemplateRe.replaceAllIn(expanded, "")
+    val residualMask = inStringMask(residual)
+    for (tok <- Seq("{{", "{%")) {
+      var at = residual.indexOf(tok)
+      while (at >= 0 && residualMask(at)) at = residual.indexOf(tok, at + 1)
+      if (at >= 0)
+        throw new IllegalArgumentException(
+          "unparseable template fragment (defaults may not contain ')' or '}'): " +
+            residual.substring(at, math.min(residual.length, at + 60)))
+    }
     // a quoted default (`{{String(q, 'foo')}}`) sheds its quotes here —
     // the String branch below re-quotes with proper escaping, so the
     // default goes through EXACTLY the same validate-and-emit path as
@@ -183,18 +202,6 @@ object ChSqlTranslator {
       }
       java.util.regex.Matcher.quoteReplacement(lit)
     })
-    // leftover template syntax = a form TemplateRe cannot represent
-    // (a default containing `)` or `}`, a malformed `{% if %}` block):
-    // fail HERE with the offending fragment named, instead of shipping
-    // the literal `{{…}}` text to Spark where it surfaces as an
-    // unrelated-looking analysis error
-    for (tok <- Seq("{{", "{%"))
-      if (out.contains(tok)) {
-        val at = out.indexOf(tok)
-        throw new IllegalArgumentException(
-          "unparseable template fragment (defaults may not contain ')' or '}'): " +
-            out.substring(at, math.min(out.length, at + 60)))
-      }
     out
   }
 

@@ -223,4 +223,34 @@ class DedupArtifactsSpec extends SparkSpec {
         s"hub of $c not a member")
     }
   }
+
+  test("screenAgainstLayout: a re-ingested vector (vec_id already in the " +
+      "layout) never matches itself") {
+    // feed a LAYOUT vector back in under its own id: without the
+    // self-exclusion it matches itself at cosine 1.0 (round-11
+    // advisory); with it, the verdict attributes to a DIFFERENT vector
+    // or reports novel
+    val probe = Tables.embeddings(spark, sf).filter("vec_id in (3, 40)")
+      .select("vec_id", "embedding")
+    val got = VectorOps.screenAgainstLayout(
+        spark, probe, s"$art/emb_probe_layout").collect()
+    assert(got.length == 2)
+    for (r <- got)
+      assert(r.isNullAt(r.fieldIndex("matched_vec")) ||
+        r.getAs[Long]("matched_vec") != r.getAs[Long]("vec_id"),
+        s"self-match leaked: $r")
+  }
+
+  test("explicit embNLists differing from the staged _GEOMETRY rebuilds " +
+      "instead of skipping") {
+    val d = java.nio.file.Files.createTempDirectory("geom_art").toString
+    assert(TextDedup.writeDedupArtifacts(spark, sf, d))
+    val staged = VectorOps.readLayoutGeometry(s"$d/emb_probe_layout").get._1
+    // same geometry (explicit or derived) → skip; different → rebuild
+    assert(!TextDedup.writeDedupArtifacts(spark, sf, d, embNLists = staged.toInt))
+    assert(!TextDedup.writeDedupArtifacts(spark, sf, d))
+    assert(TextDedup.writeDedupArtifacts(spark, sf, d, embNLists = staged.toInt + 3))
+    assert(VectorOps.readLayoutGeometry(s"$d/emb_probe_layout").get._1 ==
+      staged + 3)
+  }
 }

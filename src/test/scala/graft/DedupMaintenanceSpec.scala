@@ -204,5 +204,16 @@ class DedupMaintenanceSpec extends SparkSpec {
     val art2 = tmp("dm_r_art2")
     TextDedup.writeDedupArtifacts(spark, data, art2, embNLists = l.toInt)
     assertArtifactsEqual(art, art2)
+    // geometry drift (round-11 advisory): the maintained layout stays
+    // pinned at the 450-vector derivation (11 lists) while the merged
+    // 500-vector corpus derives 12 — the registered auto-route must
+    // fall back to the self-contained form rather than serve
+    // index-pinned pairs under a stale schedule
+    val derived = math.max(8L, math.ceil(math.sqrt(
+      Tables.embeddings(spark, data).count().toDouble) / 2).toLong)
+    assert(derived != l, s"fixture no longer drifts: pinned=$l derived=$derived")
+    val auto = VectorOps.nearDupPairsAuto(spark, data, art)
+    assert(!auto.inputFiles.exists(_.contains("emb_probe_layout")),
+      "drifted geometry must not route through the layout")
   }
 }

@@ -424,4 +424,21 @@ class TranslatorSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("unparseable template fragment"), e2.getMessage)
   }
+
+  test("the leftover-template check runs on the TEMPLATE, not the expanded " +
+      "SQL: brace-bearing param values and '{%' string literals pass") {
+    // a client param VALUE containing template-looking text is data,
+    // not syntax — it must substitute as a quoted literal, not 400
+    // (round-11 advisory: the check used to scan post-substitution)
+    val t = ChSqlTranslator.translate(
+      "SELECT {{String(q)}} AS v FROM t", Map("q" -> "see {{docs}} and {%"))
+    assert(t.contains("see {{docs}} and {%"), t)
+    // a LIKE pattern literal '{%' in the pipe's own SQL is inside a
+    // string — masked out of the check
+    val t2 = ChSqlTranslator.translate("SELECT a FROM t WHERE a LIKE '{%'")
+    assert(t2.contains("'{%'"), t2)
+    // and a default VALUE carrying braces-in-quotes still expands
+    val t3 = ChSqlTranslator.translate("SELECT {{String(q, '{{x')}} AS v FROM t")
+    assert(t3.contains("{{x"), t3)
+  }
 }
