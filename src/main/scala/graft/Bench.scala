@@ -188,8 +188,29 @@ object Bench {
     // carries name → message so a crash is diagnosable from the artifact
     val errNames = errors.map { case (n, _) => jstr(n) }.mkString("[", ",", "]")
     val errFull = errors.map { case (n, m) => s"${jstr(n)}:${jstr(m)}" }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","calibration":${f2(calibration)},"n_queries":${results.size},"n_errors":${errors.size},"errors":$errNames,"queries":${toJson(slowest)},"sf":"$sfDir"}"""
-    val full = s"""{"metric":"total","value":${f2(total)},"unit":"sec","calibration":${f2(calibration)},"n_queries":${results.size},"n_errors":${errors.size},"errors":$errNames,"error_messages":$errFull,"queries":${toJson(results.toSeq.sortBy(_._1))},"cold":${toJson(colds.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
+    // calibration-normalized figures, so cross-round comparison is one
+    // division a reader no longer has to do (round-9's adjudication
+    // found ~1.4× pure box drift between recording environments):
+    // value_per_calibration = total / this run's probe; when a prior
+    // round's bench JSON is supplied (SPARK_GRAFT_BENCH_PREV), the
+    // normalized ratio vs THAT run — ~1.0 means "same speed through
+    // the calibration lens", independent of box state
+    val perCal = if (calibration > 0) total / calibration else 0.0
+    val prevRatio = sys.env.get("SPARK_GRAFT_BENCH_PREV").flatMap { p =>
+      try {
+        val txt = new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+        def field(k: String): Option[Double] =
+          ("\"" + k + "\":([0-9.]+)").r.findFirstMatchIn(txt)
+            .map(_.group(1).toDouble)
+        for (pv <- field("value"); pc <- field("calibration"); if pc > 0 && pv > 0)
+          yield perCal / (pv / pc)
+      } catch { case _: Throwable => None }
+    }
+    val prevField = prevRatio.map(r => s""","normalized_vs_prev":${f2(r)}""").getOrElse("")
+    val calFields = s""""calibration":${f2(calibration)},"value_per_calibration":${f2(perCal)}$prevField"""
+    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec",$calFields,"n_queries":${results.size},"n_errors":${errors.size},"errors":$errNames,"queries":${toJson(slowest)},"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${f2(total)},"unit":"sec",$calFields,"n_queries":${results.size},"n_errors":${errors.size},"errors":$errNames,"error_messages":$errFull,"queries":${toJson(results.toSeq.sortBy(_._1))},"cold":${toJson(colds.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
     println(line)
     System.out.flush()
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

@@ -106,56 +106,6 @@ object ConnectedComponents {
       .select(col("id"), col("label").as("cluster_id"), col("cluster_size"))
   }
 
-  /** Incrementally merge NEW edges into an existing component labeling
-    * — the cluster-maintenance step of [[graft.operators.DedupMaintenance]]:
-    * instead of re-running label propagation over the whole pair
-    * graph, contract every existing component to its label (one
-    * node), map each new edge's endpoints through the base labeling
-    * (an endpoint with no label — a brand-new doc, or a base doc that
-    * had no pairs — stays itself), and run [[clusters]] on the
-    * CONTRACTED graph only. The contracted graph has one node per
-    * AFFECTED component plus the new endpoints — delta-sized, never
-    * corpus-sized.
-    *
-    * Label canon is preserved exactly: base labels are the min id of
-    * their component, so the min over merged labels ∪ new ids is the
-    * true min id of the merged component — identical to a full CC
-    * re-run over all edges (asserted in DedupMaintenanceSpec).
-    *
-    * @param baseClusters (id, cluster_id, cluster_size) — the staged labeling
-    * @param newPairs     two id columns — the delta edges
-    * @return the UPDATED full labeling, same shape, unsorted */
-  def mergeClusters(spark: SparkSession, baseClusters: DataFrame,
-                    newPairs: DataFrame): DataFrame = {
-    val base = baseClusters.toDF("id", "cluster_id", "cluster_size")
-    val labels = base.select(col("id"), col("cluster_id"))
-    val e = newPairs.toDF("a", "b")
-    val contracted = e
-      .join(labels.toDF("a", "la0"), Seq("a"), "left")
-      .join(labels.toDF("b", "lb0"), Seq("b"), "left")
-      .select(coalesce(col("la0"), col("a")).as("la"),
-        coalesce(col("lb0"), col("b")).as("lb"))
-      .filter(col("la") =!= col("lb"))
-    if (contracted.isEmpty) return base // every new edge lands inside one component
-    // (node → merged label) for every node of the contracted graph:
-    // affected base labels and previously-unclustered ids
-    val remap = clusters(spark, contracted)
-      .select(col("id").as("node"), col("cluster_id").as("newlab"))
-    val rebased = base
-      .join(remap.withColumnRenamed("node", "cluster_id"),
-        Seq("cluster_id"), "left")
-      .select(col("id"), coalesce(col("newlab"), col("cluster_id")).as("cluster_id"))
-    // contracted-graph nodes that are NOT existing members join as new
-    // rows (delta docs, and base docs clustered for the first time)
-    val newRows = remap
-      .join(base.select(col("id").as("node")), Seq("node"), "left_anti")
-      .select(col("node").as("id"), col("newlab").as("cluster_id"))
-    val all = rebased.unionByName(newRows)
-    val sizes = all.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-    all.join(sizes, "cluster_id")
-      .select(col("id"), col("cluster_id"), col("cluster_size"))
-  }
-
   /** PageRank over an undirected pair graph — the second iterative
     * graph kernel next to [[clusters]]: where CC answers "which docs
     * are the same", PageRank answers "which doc is the HUB of its

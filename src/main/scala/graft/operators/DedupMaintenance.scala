@@ -1,65 +1,88 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.ChFunctions._
 
 /** Incremental maintenance of the staged dedup artifacts
-  * ([[TextDedup.writeDedupArtifacts]]) — the reference's
-  * incremental-per-block architecture (kits/users/pg/pipes/
-  * users_mv.pipe:19-20 precomputes at ingest; users_batch_copy.pipe:10-26
-  * advances a watermark instead of recomputing the snapshot) applied to
-  * the dedup pipeline: an APPEND of new documents/embeddings updates all
-  * eight staged artifacts at a cost proportional to the DELTA, not the
-  * corpus, and the result is IDENTICAL to a full rebuild over the merged
-  * input (asserted in DedupMaintenanceSpec).
+  * ([[TextDedup.writeDedupArtifacts]]) under the FULL CDC shape —
+  * appends, updates, and deletes — the reference's incremental-per-
+  * block architecture (kits/users/pg/pipes/users_mv.pipe:19-20
+  * precomputes at ingest; users_batch_copy.pipe:10-26 advances a
+  * watermark; the workload itself is 60% updates / 10% deletes,
+  * demo_users.py:17-19) applied to the dedup pipeline: any input
+  * change expressible as copy-on-write file operations updates all
+  * staged artifacts at a cost proportional to the CHANGE, and the
+  * result is IDENTICAL to a full rebuild over the final input
+  * (asserted surface-by-surface in DedupMaintenanceSpec).
   *
-  * What an increment does, per side:
+  * CHANGE MODEL — copy-on-write files, the lakehouse convention:
+  *  - an APPEND adds new parquet files under `documents.parquet/` /
+  *    `embeddings.parquet/`;
+  *  - an UPDATE rewrites the file(s) carrying the changed rows;
+  *  - a DELETE rewrites the carrying file without the row (or removes
+  *    the file outright).
+  * The staged `doc_files`/`vec_files` maps resolve a modified/removed
+  * file to exactly the ids it carried, so retraction never reads old
+  * bytes (they are gone) — RETRACT-THEN-REAPPLY per changed id:
   *
-  * TEXT — the delta docs are shingled and hashed (∝ delta); the staged
-  * document-frequency table gives merged-corpus dfs for exactly the
-  * shingles the delta touches; every NEW pair must share a shingle with
-  * a delta doc, so the counting join runs over (rare delta rows) ×
-  * (staged index rows restricted to the delta's shingle set) plus the
-  * delta self-join — base×base pairs are untouched by construction.
-  * New pairs APPEND to `pairs`; `shingle_index`/`shingle_df`/`doc_stats`
-  * receive delta appends (df partials sum on read); clusters merge via
-  * contraction ([[ConnectedComponents.mergeClusters]] — CC over the
-  * delta-sized contracted graph, never the corpus graph).
+  *  1. retract: tombstone the changed ids' index rows, stats, pairs
+  *     (either endpoint) and file-map rows; append NEGATIVE df
+  *     partials for their shingles (the summed-on-read `shingle_df`
+  *     absorbs them — delta-sized appends, zero rewrites);
+  *  2. reclassify: a df change can push a shingle ACROSS maxDf in
+  *     either direction. Both directions are bounded: an upward
+  *     crossing starts ≤ maxDf so ≤ maxDf live docs contain the
+  *     shingle; a downward crossing ENDS ≤ maxDf so ≤ maxDf live docs
+  *     remain. Those docs' stats and pairs are recomputed from their
+  *     STAGED shingle rows (text never re-read, index rows stay
+  *     live) — the crossing is absorbed at cost ∝ affected docs
+  *     instead of guarding to a full rebuild;
+  *  3. reapply: the upserted rows shingle/probe as a delta; every NEW
+  *     pair shares a shingle (a probed list) with a reapplied doc
+  *     (vector), so all joins against staged state restrict to the
+  *     delta's key set — base×base pairs are untouched by
+  *     construction, and the unchanged-side classifications are
+  *     proven stable because every doc touching a crossing shingle
+  *     was moved into the recompute set;
+  *  4. re-cluster: components touching any changed id are re-labeled
+  *     by running CC over the AFFECTED SUBGRAPH only (old members ∪
+  *     new endpoints; live edges after retraction plus new pairs) —
+  *     closed under edges by the same argument, so merges AND splits
+  *     come out identical to a full re-run; labels append under the
+  *     merge-on-read tombstone rule, no table rewrite (the round-10
+  *     swap-the-whole-label-table step — the measured ~33 s fixed
+  *     floor — is gone).
   *
-  * EMBEDDINGS — the layout's persisted `_GEOMETRY` pins the anchor set
-  * (an index never re-derives k from n on insert), so base assignments
-  * are byte-stable; delta vectors probe the SAME anchors (∝ delta·L
-  * dots), new pairs come from delta-probes × layout on list_id
-  * ([[VectorOps.pairsBetweenProbes]]), and the probe rows append to the
-  * partitioned layout.
+  * EMBEDDINGS — the layout's persisted `_GEOMETRY` pins the anchor
+  * set (an index never re-derives k from n on insert), so unchanged
+  * assignments are byte-stable; changed vectors retract their probe
+  * rows via tombstones and re-probe the SAME anchors; new pairs come
+  * from delta-probes × surviving layout ([[VectorOps.pairsBetweenProbes]]).
   *
-  * VALIDITY GUARDS (any failure → full rebuild, correctness never
+  * REMAINING GUARDS (any failure → full rebuild, correctness never
   * bent):
-  *  - any pre-existing input file modified or removed (not an append);
-  *  - a shingle's df would CROSS maxDf (base ≤ maxDf < merged): the
-  *    rare/common classification of base rows would change, so the
-  *    stored pairs/doc_stats would no longer equal a fresh rebuild's.
-  *    Crossings are rare boilerplate-growth events; detecting one costs
-  *    one scan of the compact df table;
-  *  - a delta doc_id/vec_id colliding with an existing one (an update,
-  *    not an append), or a delta vec_id below nLists (would join the
-  *    anchor set);
-  *  - missing maintenance state (pre-v3 artifact dirs, absent layout
-  *    geometry).
+  *  - an id collision between an upserted row and a live row whose
+  *    file was NOT touched (two live versions of one id — incoherent
+  *    under any rebuild), or within the upsert batch itself;
+  *  - a changed/deleted/new vector in the anchor range
+  *    (vec_id < nLists) — the anchor set is the index definition;
+  *  - a different requested embedding geometry;
+  *  - missing maintenance state (pre-v4 dirs, absent `_GEOMETRY`),
+  *    or a crashed-increment journal.
   *
   * CRASH SAFETY — appends are not atomic, so the increment writes an
   * `_INC_JOURNAL` first and removes it after the new `_FINGERPRINT`
   * lands. A crash in between leaves the journal: `artifactsCurrent`
-  * then reports stale (consumers fall back to self-contained forms) and
-  * the next update() takes the proven full-rebuild path. The
-  * cluster-table swap (write `clusters__new`, delete, rename) sits
-  * inside the same journal window.
-  *
-  * KNOWN BOUNDARY (documented, inherited from the base operator): the
-  * increment reproduces the df-capped pipeline exactly, including its
-  * candidate-recall contract — at the test SFs max df < maxDf, so
-  * incremental(base+delta) ≡ full-rebuild(base∪delta) bit-for-bit.
+  * then reports stale (consumers fall back to self-contained forms)
+  * and the next update() takes the proven full-rebuild path. Every
+  * frame the increment writes is eagerly materialized BEFORE the
+  * first append, so no plan can observe its own writes (the round-10
+  * append path had exactly that latent bug: `doc_stats` was computed
+  * lazily and executed after the df partials landed, double-counting
+  * the delta's dfs — masked at test SFs where dfs ≪ maxDf, caught by
+  * this rewrite's eager-before-write discipline and pinned by the
+  * crossing specs).
   */
 object DedupMaintenance {
 
@@ -71,29 +94,56 @@ object DedupMaintenance {
              embNLists: Int = 0): String =
     TextDedup.artifactLock(out).synchronized {
       TextDedup.withArtifactFileLock(out) {
+        // copy-on-write rewrites the files under `dir` IN PLACE — a
+        // long-lived session's shared FileStatusCache would otherwise
+        // hand the scan a stale (pre-rewrite) length and the footer
+        // read detonates mid-job
+        spark.catalog.refreshByPath(dir)
         if (TextDedup.artifactsCurrent(dir, out, minJaccard, maxDf) &&
             TextDedup.stagedGeometryOk(out, embNLists)) "skip"
         else {
           val fpNew = TextDedup.inputFingerprint(dir, minJaccard, maxDf)
-          val delta = additionsOnlyDelta(dir, out, minJaccard, maxDf)
-          val incremented = delta.exists { case (docFiles, embFiles) =>
-            tryIncrement(spark, dir, out, docFiles, embFiles,
-              minJaccard, maxDf, embNLists, fpNew)
+          val mode = classifyDelta(dir, out, minJaccard, maxDf) match {
+            case Some(d) if tryIncrement(spark, dir, out, d,
+                minJaccard, maxDf, embNLists, fpNew) => "incremental"
+            case _ =>
+              TextDedup.buildLocked(spark, dir, out, minJaccard, maxDf, embNLists)
+              writeLastInc(out, s"""{"mode":"full","gen":0}""")
+              "full"
           }
-          if (incremented) "incremental"
-          else {
-            TextDedup.buildLocked(spark, dir, out, minJaccard, maxDf, embNLists)
-            "full"
-          }
+          mode
         }
       }
     }
 
-  /** Diff the stored fingerprint against the current input: Some((new
-    * doc files, new emb files)) when the change is PURELY additive and
-    * the stored state is usable; None → full rebuild. */
-  private def additionsOnlyDelta(dir: String, out: String, minJaccard: Double,
-                                 maxDf: Int): Option[(Seq[java.io.File], Seq[java.io.File])] = {
+  /** The last update()'s outcome, for the control-plane status
+    * surface ([[graft.sources.ApiServer]]): one JSON object. */
+  def lastIncrement(out: String): Option[String] = {
+    val f = new java.io.File(out, "_LAST_INC").toPath
+    if (!java.nio.file.Files.exists(f)) None
+    else Some(new String(java.nio.file.Files.readAllBytes(f), "UTF-8"))
+  }
+  private def writeLastInc(out: String, json: String): Unit =
+    java.nio.file.Files.write(new java.io.File(out, "_LAST_INC").toPath,
+      json.getBytes("UTF-8"))
+
+  /** The file-level diff the increment works from: every stored file
+    * classified unchanged / changed / removed, plus the new files.
+    * None → the stored state is not diffable (missing/incomplete/
+    * journaled, or a param change) and the caller takes the full
+    * path. */
+  private final case class FileDelta(
+      newDoc: Seq[java.io.File], chgDoc: Seq[java.io.File],
+      touchedDocRel: Seq[String],
+      newEmb: Seq[java.io.File], chgEmb: Seq[java.io.File],
+      touchedEmbRel: Seq[String]) {
+    def isEmpty: Boolean = newDoc.isEmpty && chgDoc.isEmpty &&
+      touchedDocRel.isEmpty && newEmb.isEmpty && chgEmb.isEmpty &&
+      touchedEmbRel.isEmpty
+  }
+
+  private def classifyDelta(dir: String, out: String, minJaccard: Double,
+                            maxDf: Int): Option[FileDelta] = {
     val marker = new java.io.File(out, "_FINGERPRINT").toPath
     if (java.nio.file.Files.exists(TextDedup.incJournal(out))) return None
     if (!java.nio.file.Files.exists(marker)) return None
@@ -114,172 +164,320 @@ object DedupMaintenance {
     val cur = TextDedup.inputDataFiles(dir)
       .map { case (rel, f) => rel -> (s"${f.length}:${f.lastModified}", f) }
       .toMap
-    // every old file must still exist, byte-identical
-    val intact = old.forall { case (rel, sig) =>
-      cur.get(rel).exists(_._1 == sig) }
-    if (!intact) return None
     val fresh = (cur.keySet -- old.keySet).toSeq.sorted
-    if (fresh.isEmpty) return None // fingerprint differs but no additions: params/header edge
-    val (docRel, rest) = fresh.partition(_.startsWith("documents.parquet/"))
-    val (embRel, other) = rest.partition(_.startsWith("embeddings.parquet/"))
-    if (other.nonEmpty) return None // a single-file table replaced by a dir, etc.
-    Some((docRel.map(cur(_)._2), embRel.map(cur(_)._2)))
+    val changed = old.keysIterator
+      .filter(rel => cur.get(rel).exists(_._1 != old(rel))).toSeq.sorted
+    val removed = (old.keySet -- cur.keySet).toSeq.sorted
+    def docSide(rel: String) = rel.startsWith("documents.parquet")
+    def embSide(rel: String) = rel.startsWith("embeddings.parquet")
+    // every involved path must belong to one of the two tables (a
+    // table swapping between single-file and directory layout shows
+    // up as unclassifiable rels)
+    if ((fresh ++ changed ++ removed).exists(r => !docSide(r) && !embSide(r)))
+      return None
+    val d = FileDelta(
+      fresh.filter(docSide).map(cur(_)._2),
+      changed.filter(docSide).map(cur(_)._2),
+      (changed ++ removed).filter(docSide),
+      fresh.filter(embSide).map(cur(_)._2),
+      changed.filter(embSide).map(cur(_)._2),
+      (changed ++ removed).filter(embSide))
+    if (d.isEmpty) None else Some(d) // header edge: fp differs, no file moved
   }
+
+  // ---- small frame helpers ----
+  private def emptyIds(spark: SparkSession, name: String): DataFrame =
+    spark.range(0).select(col("id").as(name))
+  private def ckpt(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
+  /** One side's planned increment: everything is EAGER (computed
+    * against pre-write state) and delta-sized. */
+  private final case class TextPlan(
+      retractIds: DataFrame, upserts: DataFrame, deltaSh: DataFrame,
+      dfNet: DataFrame, rIds: DataFrame, cIds: DataFrame,
+      aStats: DataFrame, newPairs: DataFrame,
+      clusterNodes: DataFrame, clusterNew: DataFrame)
+  private final case class EmbPlan(
+      retractIds: DataFrame, upserts: DataFrame, aProbes: DataFrame,
+      newPairs: DataFrame, clusterNodes: DataFrame, clusterNew: DataFrame)
 
   /** Run the guarded increment. Returns false — having written NOTHING
     * — when any validity guard fires. All guard probes read only the
-    * compact staged state (ids, hashes, dfs), never base text or base
-    * embeddings. */
+    * compact staged state (ids, hashes, dfs, file maps), never base
+    * text or base embeddings. */
   private def tryIncrement(spark: SparkSession, dir: String, out: String,
-                           docFiles: Seq[java.io.File], embFiles: Seq[java.io.File],
-                           minJaccard: Double, maxDf: Int, embNLists: Int,
-                           fpNew: String): Boolean = {
+                           d: FileDelta, minJaccard: Double, maxDf: Int,
+                           embNLists: Int, fpNew: String): Boolean = {
     graft.functions.GraftFunctions.register(spark)
     val layout = s"$out/emb_probe_layout"
+    val g = TextDedup.readGen(out) + 1
 
     // ---- plan + guard phase (no writes) ----
-    val deltaDocs =
-      if (docFiles.isEmpty) None
-      else Some(spark.read.parquet(docFiles.map(_.toString): _*))
-    val deltaEmb =
-      if (embFiles.isEmpty) None
-      else Some(spark.read.parquet(embFiles.map(_.toString): _*))
+    val textPlan: Option[Option[TextPlan]] = // outer None = guard fired
+      planText(spark, out, d, minJaccard, maxDf)
+    if (textPlan.isEmpty) return false
+    val embPlan: Option[Option[EmbPlan]] =
+      planEmb(spark, out, layout, d, embNLists)
+    if (embPlan.isEmpty) return false
 
-    // text guards + reusable delta frames (checkpointed: each is read
-    // by several downstream joins, and all are delta-sized)
-    val textState = deltaDocs.map { docs =>
-      val deltaSh = TextDedup.shingles(docs)
-        .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-        .localCheckpoint(true)
-      val dfDelta = deltaSh.groupBy("shingle")
-        .agg(count(lit(1)).as("df")).localCheckpoint(true)
-      (docs, deltaSh, dfDelta)
-    }
-    for ((docs, _, dfDelta) <- textState) {
-      val dfBase = TextDedup.readShingleDf(spark, out)
-      val crossing = dfBase.toDF("shingle", "dfb")
-        .join(dfDelta.toDF("shingle", "dfd"), "shingle")
-        .filter(col("dfb") <= maxDf && col("dfb") + col("dfd") > maxDf)
-      if (!crossing.isEmpty) return false // classification of base rows would change
-      val collide = docs.select("doc_id")
-        .join(TextDedup.readDocStats(spark, out), Seq("doc_id"), "left_semi")
-      if (!collide.isEmpty) return false // an update, not an append
-    }
-
-    // embedding guards
-    val geom = deltaEmb.flatMap(_ => VectorOps.readLayoutGeometry(layout))
-    for (emb <- deltaEmb) {
-      val (nLists, _) = geom.getOrElse(return false) // pre-geometry layout
-      if (embNLists > 0 && embNLists != nLists) return false // different requested geometry
-      if (!emb.filter(col("vec_id") < nLists).isEmpty) return false // would join the anchor set
-      val collide = emb.select("vec_id")
-        .join(spark.read.parquet(layout).select("vec_id"),
-          Seq("vec_id"), "left_semi")
-      if (!collide.isEmpty) return false
-    }
-
-    // ---- write phase (journaled) ----
+    // ---- write phase (journaled; every frame above is eager) ----
     java.nio.file.Files.write(TextDedup.incJournal(out),
       fpNew.getBytes("UTF-8"))
 
-    for ((_, deltaSh, dfDelta) <- textState) {
-      val newPairs = deltaTextPairs(spark, out, deltaSh, dfDelta,
-        minJaccard, maxDf).localCheckpoint(true)
-      newPairs.write.mode("append").parquet(s"$out/pairs")
-      swapIn(spark, s"$out/clusters",
-        ConnectedComponents.mergeClusters(spark,
-            TextDedup.stagedClusters(spark, out)
-              .select("doc_id", "cluster_id", "cluster_size"),
-            newPairs.select("doc_a", "doc_b"))
-          .toDF("doc_id", "cluster_id", "cluster_size"))
-      // state appends last: the pair computation above reads the
-      // PRE-append index/df/stats
-      deltaSh.write.mode("append").parquet(s"$out/shingle_index")
-      dfDelta.write.mode("append").parquet(s"$out/shingle_df")
-      deltaStatsOf(deltaSh, dfDelta, spark, out, maxDf)
-        .write.mode("append").parquet(s"$out/doc_stats")
+    def tomb(surface: String, ids: DataFrame, idCol: String): DataFrame =
+      ids.select(lit(surface).as("surface"), col(idCol).as("id"),
+        lit(g).as("gen"))
+    def withGen(df: DataFrame): DataFrame = df.withColumn("gen", lit(g))
+
+    for (t <- textPlan.flatten) {
+      tomb("shingle_index", t.retractIds, "doc_id")
+        .unionByName(tomb("doc_files", t.retractIds, "doc_id"))
+        .unionByName(tomb("doc_stats", t.cIds, "doc_id"))
+        .unionByName(tomb("pairs", t.cIds, "doc_id"))
+        .unionByName(tomb("clusters", t.clusterNodes, "doc_id"))
+        .write.mode("append").parquet(s"$out/tombstones")
+      withGen(t.deltaSh).write.mode("append").parquet(s"$out/shingle_index")
+      t.dfNet.select(col("shingle"), col("net").as("df"))
+        .write.mode("append").parquet(s"$out/shingle_df")
+      withGen(t.aStats).write.mode("append").parquet(s"$out/doc_stats")
+      withGen(t.upserts.select("doc_id", "src_file"))
+        .write.mode("append").parquet(s"$out/doc_files")
+      withGen(t.newPairs).write.mode("append").parquet(s"$out/pairs")
+      withGen(t.clusterNew).write.mode("append").parquet(s"$out/clusters")
     }
 
-    for (emb <- deltaEmb) {
-      val (nLists, nprobe) = geom.get
-      val anchors = VectorOps.anchorsOf(
-        graft.Tables.embeddings(spark, dir), nLists)
-      val deltaProbes = VectorOps.probeAssignmentsFrom(emb, anchors, nprobe)
-        .localCheckpoint(true)
-      val basePn = spark.read.parquet(layout)
-        .select(col("vec_id"), col("embedding"),
-          col("list_id").cast("long").as("list_id"))
-      val newPairs = VectorOps.pairsBetweenProbes(deltaProbes, basePn, 0.4)
-        .localCheckpoint(true)
-      newPairs.write.mode("append").parquet(s"$out/emb_pairs")
-      swapIn(spark, s"$out/emb_clusters",
-        ConnectedComponents.mergeClusters(spark,
-            spark.read.parquet(s"$out/emb_clusters")
-              .select("vec_id", "cluster_id", "cluster_size"),
-            newPairs.select("vec_a", "vec_b"))
-          .toDF("vec_id", "cluster_id", "cluster_size"))
-      deltaProbes.write.partitionBy("list_id").mode("append").parquet(layout)
+    for (e <- embPlan.flatten) {
+      tomb("emb_probe_layout", e.retractIds, "vec_id")
+        .unionByName(tomb("vec_files", e.retractIds, "vec_id"))
+        .unionByName(tomb("emb_pairs", e.retractIds, "vec_id"))
+        .unionByName(tomb("emb_clusters", e.clusterNodes, "vec_id"))
+        .write.mode("append").parquet(s"$out/tombstones")
+      withGen(e.aProbes).write.partitionBy("list_id").mode("append")
+        .parquet(layout)
+      withGen(e.upserts.select("vec_id", "src_file"))
+        .write.mode("append").parquet(s"$out/vec_files")
+      withGen(e.newPairs).write.mode("append").parquet(s"$out/emb_pairs")
+      withGen(e.clusterNew).write.mode("append").parquet(s"$out/emb_clusters")
     }
 
     // stage markers advance to the new fingerprint (so a subsequent
-    // full-build call sees every stage current), then the fingerprint,
-    // then the journal dies — strictly in that order
+    // full-build call sees every stage current), then the generation,
+    // the fingerprint, the stats, and LAST the journal dies
     for (s <- TextDedup.artifactStages)
       java.nio.file.Files.write(
         new java.io.File(out, s"_STAGE_$s").toPath, fpNew.getBytes("UTF-8"))
+    TextDedup.writeGen(out, g)
     java.nio.file.Files.write(
       new java.io.File(out, "_FINGERPRINT").toPath, fpNew.getBytes("UTF-8"))
+    writeLastInc(out, lastIncJson(g, textPlan.flatten, embPlan.flatten))
     java.nio.file.Files.deleteIfExists(TextDedup.incJournal(out))
     true
   }
 
-  /** Every text near-dup pair TOUCHING the delta, exact — the
-    * incremental analogue of [[TextDedup.nearDupFromHashed]]. The key
-    * observation making this delta-proportional: a NEW pair shares ≥1
-    * shingle with a delta doc, and a shared shingle is BY DEFINITION
-    * in the delta doc's set — so every join against staged state is
-    * first restricted to the delta's shingle set (delta-sized), and
-    * the only corpus-proportional work is the column-pruned scan of
-    * the compact staged index feeding that restriction. df
-    * classification uses MERGED dfs (staged partials + delta counts)
-    * for delta rows and the STORED stats for base rows — identical to
-    * a fresh rebuild's, because the no-crossing guard already proved
-    * no base shingle changes class. */
-  private def deltaTextPairs(spark: SparkSession, out: String,
-                             deltaSh: DataFrame, dfDelta: DataFrame,
-                             minJaccard: Double, maxDf: Int): DataFrame = {
-    val baseIdx = TextDedup.readShingleIndex(spark, out)
-    val baseStats = TextDedup.readDocStats(spark, out)
-    // merged-corpus df for exactly the shingles the delta touches
-    val dfNew = dfDelta.toDF("shingle", "dfd")
-      .join(TextDedup.readShingleDf(spark, out).toDF("shingle", "dfb"),
-        Seq("shingle"), "left")
+  private def lastIncJson(g: Int, t: Option[TextPlan],
+                          e: Option[EmbPlan]): String = {
+    val tj = t.map(p => s""","docs_retracted":${p.retractIds.count()},""" +
+      s""""docs_upserted":${p.upserts.count()},""" +
+      s""""docs_reclassified":${p.rIds.count()},""" +
+      s""""new_pairs":${p.newPairs.count()}""").getOrElse("")
+    val ej = e.map(p => s""","vecs_retracted":${p.retractIds.count()},""" +
+      s""""vecs_upserted":${p.upserts.count()},""" +
+      s""""new_emb_pairs":${p.newPairs.count()}""").getOrElse("")
+    s"""{"mode":"incremental","gen":$g$tj$ej}"""
+  }
+
+  /** Plan the text-side increment. Outer None = a guard fired (caller
+    * falls back to the full build); inner None = no doc-side change. */
+  private def planText(spark: SparkSession, out: String, d: FileDelta,
+                       minJaccard: Double, maxDf: Int): Option[Option[TextPlan]] = {
+    if (d.newDoc.isEmpty && d.chgDoc.isEmpty && d.touchedDocRel.isEmpty)
+      return Some(None)
+    val retractIds = ckpt(
+      if (d.touchedDocRel.isEmpty) emptyIds(spark, "doc_id")
+      else TextDedup.readDocFiles(spark, out)
+        .filter(col("src_file").isin(d.touchedDocRel: _*))
+        .select("doc_id"))
+    val upsertFiles = d.newDoc ++ d.chgDoc
+    val upserts = ckpt(
+      if (upsertFiles.isEmpty)
+        spark.range(0).select(col("id").as("doc_id"), lit("").as("text"),
+          lit("").as("src_file"))
+      else spark.read.parquet(upsertFiles.map(_.toString): _*)
+        .select(col("doc_id"), col("text"),
+          TextDedup.relFileCol.as("src_file")))
+    // two live versions of one id would make any rebuild incoherent
+    if (!upserts.groupBy("doc_id").count().filter(col("count") > 1).isEmpty)
+      return None
+    if (!upserts.select("doc_id")
+        .join(TextDedup.readDocFiles(spark, out).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        .join(retractIds, Seq("doc_id"), "left_anti").isEmpty)
+      return None
+
+    val liveIdx = TextDedup.readShingleIndex(spark, out)
+    val deltaSh = ckpt(TextDedup.shingles(upserts)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle")))
+    val retractSh = liveIdx.join(retractIds, Seq("doc_id"), "left_semi")
+    // net df movement per touched shingle — appended as (possibly
+    // negative) partials; the summed-on-read df table absorbs them
+    val dfNet = ckpt(
+      deltaSh.groupBy("shingle").agg(count(lit(1)).as("dfp"))
+        .join(retractSh.groupBy("shingle")
+          .agg((-count(lit(1))).as("dfn")), Seq("shingle"), "full")
+        .select(col("shingle"),
+          (coalesce(col("dfp"), lit(0L)) + coalesce(col("dfn"), lit(0L)))
+            .as("net"))
+        .filter(col("net") =!= 0L))
+    // maxDf crossings in EITHER direction: the docs containing a
+    // crossing shingle get their stats and pairs recomputed under the
+    // new dfs (bounded by maxDf live docs per crossing shingle — an
+    // upward crossing STARTS ≤ maxDf, a downward one ENDS ≤ maxDf)
+    val dfBase = TextDedup.readShingleDf(spark, out)
+    val crossing = dfNet
+      .join(dfBase.toDF("shingle", "dfb"), Seq("shingle"), "left")
+      .select(col("shingle"), coalesce(col("dfb"), lit(0L)).as("dfb"),
+        (coalesce(col("dfb"), lit(0L)) + col("net")).as("dfn2"))
+      .filter((col("dfb") <= maxDf) =!= (col("dfn2") <= maxDf))
+      .select("shingle")
+    val rIds = ckpt(liveIdx.join(crossing, Seq("shingle"), "left_semi")
+      .select("doc_id").distinct()
+      .join(retractIds, Seq("doc_id"), "left_anti")
+      .join(upserts.select("doc_id"), Seq("doc_id"), "left_anti"))
+    val cIds = ckpt(retractIds.unionByName(rIds).distinct())
+    // the APPLY frame: fresh shingles for upserts, STAGED rows for the
+    // reclassified docs (their text never re-read)
+    val aSh = ckpt(deltaSh.unionByName(
+      liveIdx.join(rIds, Seq("doc_id"), "left_semi")
+        .select("doc_id", "shingle")))
+    // final per-shingle df over the apply frame's shingle universe
+    val dfA = aSh.select("shingle").distinct()
+      .join(dfBase.toDF("shingle", "dfb"), Seq("shingle"), "left")
+      .join(dfNet, Seq("shingle"), "left")
       .select(col("shingle"),
-        (col("dfd") + coalesce(col("dfb"), lit(0L))).as("df_new"))
-    val deltaStats = deltaSh.join(dfNew, "shingle")
+        (coalesce(col("dfb"), lit(0L)) + coalesce(col("net"), lit(0L)))
+          .as("df_new"))
+    val aStats = ckpt(aSh.join(dfA, "shingle")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n"),
-        sum(when(col("df_new") <= maxDf, 1L).otherwise(0L)).as("n_rare"))
-    val rareShingles = dfNew.filter(col("df_new") <= maxDf).select("shingle")
-    val rareDelta = deltaSh.join(rareShingles, "shingle")
-      .join(deltaStats, "doc_id")
+        sum(when(col("df_new") <= maxDf, 1L).otherwise(0L)).as("n_rare")))
+    val newPairs = ckpt(deltaTextPairs(spark, out, aSh, aStats, dfA,
+      cIds, minJaccard, maxDf))
+    val surviving = TextDedup.stagedPairs(spark, out)
+      .join(cIds.toDF("doc_a"), Seq("doc_a"), "left_anti")
+      .join(cIds.toDF("doc_b"), Seq("doc_b"), "left_anti")
+      .select("doc_a", "doc_b")
+    val (nodes, relabeled) = relabel(spark,
+      TextDedup.stagedClusters(spark, out)
+        .toDF("id", "cluster_id", "cluster_size"),
+      surviving.toDF("a", "b"), cIds.toDF("id"),
+      newPairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
+    Some(Some(TextPlan(retractIds, upserts, deltaSh, dfNet, rIds, cIds,
+      aStats, newPairs,
+      nodes.toDF("doc_id"),
+      relabeled.toDF("doc_id", "cluster_id", "cluster_size"))))
+  }
+
+  /** Plan the embedding-side increment (same Option contract). */
+  private def planEmb(spark: SparkSession, out: String, layout: String,
+                      d: FileDelta, embNLists: Int): Option[Option[EmbPlan]] = {
+    if (d.newEmb.isEmpty && d.chgEmb.isEmpty && d.touchedEmbRel.isEmpty)
+      return Some(None)
+    val (nLists, nprobe) = VectorOps.readLayoutGeometry(layout)
+      .getOrElse(return None) // pre-geometry layout
+    if (embNLists > 0 && embNLists != nLists) return None
+    val retractIds = ckpt(
+      if (d.touchedEmbRel.isEmpty) emptyIds(spark, "vec_id")
+      else TextDedup.readVecFiles(spark, out)
+        .filter(col("src_file").isin(d.touchedEmbRel: _*))
+        .select("vec_id"))
+    val upsertFiles = d.newEmb ++ d.chgEmb
+    val upserts = ckpt(
+      if (upsertFiles.isEmpty)
+        spark.range(0).select(col("id").as("vec_id"),
+          lit(null).cast("array<float>").as("embedding"),
+          lit("").as("src_file"))
+      else spark.read.parquet(upsertFiles.map(_.toString): _*)
+        .select(col("vec_id"), col("embedding"),
+          TextDedup.relFileCol.as("src_file")))
+    // anchors are the index definition — touching one invalidates
+    // every stored assignment
+    if (!retractIds.filter(col("vec_id") < nLists).isEmpty) return None
+    if (!upserts.filter(col("vec_id") < nLists).isEmpty) return None
+    if (!upserts.groupBy("vec_id").count().filter(col("count") > 1).isEmpty)
+      return None
+    if (!upserts.select("vec_id")
+        .join(TextDedup.readVecFiles(spark, out).select("vec_id"),
+          Seq("vec_id"), "left_semi")
+        .join(retractIds, Seq("vec_id"), "left_anti").isEmpty)
+      return None
+    // anchors read from the live layout (no corpus scan): every anchor
+    // id sits in its own list with its embedding aboard
+    val live = TextDedup.liveRows(spark, out, "emb_probe_layout", "vec_id")
+      .select(col("vec_id"), col("embedding"),
+        col("list_id").cast("long").as("list_id"))
+    val anchors = live.filter(col("vec_id") < nLists)
+      .groupBy("vec_id").agg(first(col("embedding")).as("anchor"))
+      .select(col("vec_id").as("list_id"), col("anchor"))
+    val aProbes = ckpt(VectorOps.probeAssignmentsFrom(
+      upserts.select("vec_id", "embedding"), anchors, nprobe))
+    val base = live.join(retractIds, Seq("vec_id"), "left_anti")
+    val newPairs = ckpt(VectorOps.pairsBetweenProbes(aProbes, base, 0.4))
+    val surviving = TextDedup.stagedEmbPairs(spark, out)
+      .join(retractIds.toDF("vec_a"), Seq("vec_a"), "left_anti")
+      .join(retractIds.toDF("vec_b"), Seq("vec_b"), "left_anti")
+      .select("vec_a", "vec_b")
+    val (nodes, relabeled) = relabel(spark,
+      TextDedup.stagedEmbClusters(spark, out)
+        .toDF("id", "cluster_id", "cluster_size"),
+      surviving.toDF("a", "b"), retractIds.toDF("id"),
+      newPairs.select(col("vec_a").as("a"), col("vec_b").as("b")))
+    Some(Some(EmbPlan(retractIds, upserts, aProbes, newPairs,
+      nodes.toDF("vec_id"),
+      relabeled.toDF("vec_id", "cluster_id", "cluster_size"))))
+  }
+
+  /** Every pair TOUCHING the apply set, exact — the CDC generalization
+    * of the round-10 append-only kernel. `aSh` holds the apply docs'
+    * shingle rows (fresh for upserts, staged for reclassified docs),
+    * `dfA` their shingles' FINAL dfs, `cIds` the docs whose old pairs
+    * are being retracted (excluded from the base side: their pairs are
+    * regenerated through `aSh` or gone). The key observation making
+    * this delta-proportional is unchanged: a NEW pair shares ≥1
+    * shingle with an apply doc, and a shared shingle is BY DEFINITION
+    * in the apply doc's set — so every join against staged state is
+    * first restricted to the apply frame's shingle set, and the only
+    * corpus-proportional work is the column-pruned scan of the compact
+    * staged index feeding that restriction. Base docs outside `cIds`
+    * keep their STORED stats — valid because every doc containing a
+    * class-crossing shingle was moved into the recompute set. */
+  private def deltaTextPairs(spark: SparkSession, out: String,
+                             aSh: DataFrame, aStats: DataFrame, dfA: DataFrame,
+                             cIds: DataFrame, minJaccard: Double,
+                             maxDf: Int): DataFrame = {
+    val baseIdx = TextDedup.readShingleIndex(spark, out)
+      .join(cIds, Seq("doc_id"), "left_anti")
+    val baseStats = TextDedup.readDocStats(spark, out)
+      .join(cIds, Seq("doc_id"), "left_anti")
+    val rareShingles = dfA.filter(col("df_new") <= maxDf).select("shingle")
+    val rareA = aSh.join(rareShingles, "shingle")
+      .join(aStats, "doc_id")
       .select(col("doc_id"), col("shingle"), col("n"),
         (col("n") - col("n_rare")).as("n_common"))
     val rareBase = baseIdx.join(rareShingles, "shingle")
       .join(baseStats, "doc_id")
       .select(col("doc_id"), col("shingle"), col("n"),
         (col("n") - col("n_rare")).as("n_common"))
-    // counting join, two branches: delta × base (order-normalized with
-    // the per-doc stats riding in structs) and delta × delta (a < b)
+    // counting join, two branches: apply × base (order-normalized with
+    // the per-doc stats riding in structs) and apply × apply (a < b)
     def side(df: DataFrame) = df.select(col("shingle"),
       struct(col("doc_id").as("d"), col("n"), col("n_common").as("c")).as("s"))
-    val cross = side(rareDelta).toDF("shingle", "x")
+    val cross = side(rareA).toDF("shingle", "x")
       .join(side(rareBase).toDF("shingle", "y"), Seq("shingle"))
       .select(
         when(col("x.d") < col("y.d"), col("x")).otherwise(col("y")).as("lo"),
         when(col("x.d") < col("y.d"), col("y")).otherwise(col("x")).as("hi"))
-    val within = side(rareDelta).toDF("shingle", "x")
-      .join(side(rareDelta).toDF("shingle", "y"), Seq("shingle"))
+    val within = side(rareA).toDF("shingle", "x")
+      .join(side(rareA).toDF("shingle", "y"), Seq("shingle"))
       .filter(col("x.d") < col("y.d"))
       .select(col("x").as("lo"), col("y").as("hi"))
     val counts = cross.unionByName(within)
@@ -289,13 +487,13 @@ object DedupMaintenance {
       .agg(count(lit(1)).as("c_rare"))
     // optimistic bound + exact correction over capped-out shingles —
     // the same two steps as nearDupFromHashed, with `common` likewise
-    // restricted to the delta's shingle set (a shared common shingle
-    // is in the delta doc too)
+    // restricted to the apply frame's shingle set (a shared common
+    // shingle is in the apply doc too)
     val ub = counts
       .withColumn("ub_c", col("c_rare") + least(col("ca"), col("cb")))
       .filter(col("ub_c") * 1.0 / (col("na") + col("nb") - col("ub_c")) >= minJaccard)
-    val commonShingles = dfNew.filter(col("df_new") > maxDf).select("shingle")
-    val commonRows = deltaSh.join(commonShingles, "shingle")
+    val commonShingles = dfA.filter(col("df_new") > maxDf).select("shingle")
+    val commonRows = aSh.join(commonShingles, "shingle")
       .unionByName(baseIdx.join(commonShingles, "shingle"))
       .select("doc_id", "shingle")
     val corr = ub.select("doc_a", "doc_b")
@@ -311,19 +509,100 @@ object DedupMaintenance {
         floorRound(col("jaccard_raw"), 4).as("jaccard"))
   }
 
-  /** Per-delta-doc (n, n_rare) under MERGED dfs — the doc_stats append. */
-  private def deltaStatsOf(deltaSh: DataFrame, dfDelta: DataFrame,
-                           spark: SparkSession, out: String, maxDf: Int): DataFrame =
-    deltaSh
-      .join(dfDelta.toDF("shingle", "dfd")
-          .join(TextDedup.readShingleDf(spark, out).toDF("shingle", "dfb"),
-            Seq("shingle"), "left")
-          .select(col("shingle"),
-            (col("dfd") + coalesce(col("dfb"), lit(0L))).as("df_new")),
-        "shingle")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("df_new") <= maxDf, 1L).otherwise(0L)).as("n_rare"))
+  /** Re-label exactly the AFFECTED components: old components touching
+    * any changed id or new-pair endpoint, taken whole, plus the new
+    * endpoints; CC re-runs on that subgraph's live edges (post-
+    * retraction, plus the new pairs). The subgraph is CLOSED under
+    * live edges — an edge from an affected member to an outside doc
+    * would have put that doc in the same old component (or be a new
+    * pair, whose endpoints are included) — so the subgraph labeling
+    * equals the full re-run restricted to it: merges AND splits both
+    * come out exact, at affected-component cost. Returns (every node
+    * to tombstone, the replacement labeling rows) — both eager, both
+    * empty when nothing is affected. */
+  private def relabel(spark: SparkSession, liveClusters: DataFrame,
+                      survivingPairs: DataFrame, cIds: DataFrame,
+                      newPairs: DataFrame): (DataFrame, DataFrame) = {
+    val touched = cIds
+      .unionByName(newPairs.select(col("a").as("id")))
+      .unionByName(newPairs.select(col("b").as("id")))
+      .distinct()
+    val affectedLabels = liveClusters.join(touched, Seq("id"), "left_semi")
+      .select("cluster_id").distinct()
+    val members = liveClusters
+      .join(affectedLabels, Seq("cluster_id"), "left_semi")
+      .select("id")
+    val nodes = ckpt(members.unionByName(touched).distinct())
+    if (nodes.isEmpty)
+      return (nodes, ckpt(nodes.select(col("id"),
+        col("id").as("cluster_id"), lit(0L).as("cluster_size")).limit(0)))
+    val subEdges = survivingPairs
+      .join(nodes.toDF("a"), Seq("a"), "left_semi")
+      .join(nodes.toDF("b"), Seq("b"), "left_semi")
+      .unionByName(newPairs)
+    val relabeled = ckpt(
+      ConnectedComponents.clusters(spark, subEdges)
+        .toDF("id", "cluster_id", "cluster_size"))
+    (nodes, relabeled)
+  }
+
+  /** Fold the merge-on-read state back to a compact gen-0 layout:
+    * every surface rewritten live-rows-only, tombstones truncated, the
+    * generation reset — the LSM compaction step that bounds read
+    * amplification after long increment chains. Identity-preserving by
+    * construction (the live views are what it writes); journaled like
+    * an increment, so a crash mid-compaction degrades to a full
+    * rebuild, never serves half-swapped tables. The input fingerprint
+    * is untouched — compaction changes the physical layout, not what
+    * the artifacts derive from. */
+  def compact(spark: SparkSession, out: String): Unit =
+    TextDedup.artifactLock(out).synchronized {
+      TextDedup.withArtifactFileLock(out) {
+        val fp = new java.io.File(out, "_FINGERPRINT").toPath
+        require(java.nio.file.Files.exists(fp) &&
+          !java.nio.file.Files.exists(TextDedup.incJournal(out)),
+          s"no complete artifact set under $out to compact")
+        java.nio.file.Files.write(TextDedup.incJournal(out),
+          "compact".getBytes("UTF-8"))
+        def zeroGen(df: DataFrame): DataFrame =
+          df.withColumn("gen", lit(0))
+        swapIn(spark, s"$out/shingle_index",
+          zeroGen(TextDedup.readShingleIndex(spark, out)))
+        swapIn(spark, s"$out/shingle_df",
+          TextDedup.readShingleDf(spark, out))
+        swapIn(spark, s"$out/doc_stats",
+          zeroGen(TextDedup.readDocStats(spark, out)))
+        swapIn(spark, s"$out/doc_files",
+          zeroGen(TextDedup.readDocFiles(spark, out)))
+        swapIn(spark, s"$out/pairs",
+          zeroGen(TextDedup.stagedPairs(spark, out)))
+        swapIn(spark, s"$out/clusters",
+          zeroGen(TextDedup.stagedClusters(spark, out)))
+        swapIn(spark, s"$out/vec_files",
+          zeroGen(TextDedup.readVecFiles(spark, out)))
+        swapIn(spark, s"$out/emb_pairs",
+          zeroGen(TextDedup.stagedEmbPairs(spark, out)))
+        swapIn(spark, s"$out/emb_clusters",
+          zeroGen(TextDedup.stagedEmbClusters(spark, out)))
+        // the layout keeps its partitioning and its _GEOMETRY pin
+        val layout = s"$out/emb_probe_layout"
+        val geom = VectorOps.readLayoutGeometry(layout)
+        swapInPartitioned(spark, layout,
+          zeroGen(TextDedup.liveRows(spark, out, "emb_probe_layout", "vec_id")
+            .select(col("vec_id"), col("embedding"), col("gen"),
+              col("list_id").cast("long").as("list_id"))), "list_id")
+        for ((l, p) <- geom)
+          java.nio.file.Files.write(
+            new java.io.File(layout, "_GEOMETRY").toPath,
+            s"nLists=$l\nnprobe=$p".getBytes("UTF-8"))
+        swapIn(spark, s"$out/tombstones", TextDedup.emptyTombstones(spark))
+        TextDedup.writeGen(out, 0)
+        java.nio.file.Files.deleteIfExists(TextDedup.incJournal(out))
+        // every table was physically replaced under the same paths —
+        // drop any cached listings before a reader sees them
+        spark.catalog.refreshByPath(out)
+      }
+    }
 
   /** Replace a staged table with a new frame: write beside, delete,
     * rename. NOT atomic — the caller's journal covers the window (a
@@ -333,6 +612,14 @@ object DedupMaintenance {
   private def swapIn(spark: SparkSession, path: String, df: DataFrame): Unit = {
     val tmp = path + "__new"
     df.write.mode("overwrite").parquet(tmp)
+    graft.sources.Layout.deleteRec(new java.io.File(path))
+    java.nio.file.Files.move(new java.io.File(tmp).toPath,
+      new java.io.File(path).toPath)
+  }
+  private def swapInPartitioned(spark: SparkSession, path: String,
+                                df: DataFrame, part: String): Unit = {
+    val tmp = path + "__new"
+    df.write.partitionBy(part).mode("overwrite").parquet(tmp)
     graft.sources.Layout.deleteRec(new java.io.File(path))
     java.nio.file.Files.move(new java.io.File(tmp).toPath,
       new java.io.File(path).toPath)

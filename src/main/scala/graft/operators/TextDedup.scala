@@ -264,36 +264,137 @@ object TextDedup {
     *
     * @return true when the artifacts were (re)built, false when the
     *         fingerprint matched and the build was skipped. */
-  /** The five staged artifacts, in build order. `_SUCCESS` is the
+  /** The staged artifacts, in build order. `_SUCCESS` is the
     * completeness witness for each (Spark writes it last): a skip is
     * only honored when every artifact still has one, so a /tmp reaper
     * or manual cleanup that removes staged files can never strand the
-    * consumers behind a matching fingerprint. */
+    * consumers behind a matching fingerprint. `tombstones` is FIRST:
+    * a full rebuild truncates it (and resets `_GEN`) before any other
+    * stage, so the live readers the later stages go through see
+    * exactly the raw fresh tables. */
   private[operators] val artifactStages =
-    Seq("shingle_index", "shingle_df", "doc_stats",
-      "pairs", "clusters", "emb_probe_layout", "emb_pairs", "emb_clusters")
+    Seq("tombstones", "shingle_index", "shingle_df", "doc_stats", "doc_files",
+      "pairs", "clusters", "emb_probe_layout", "vec_files",
+      "emb_pairs", "emb_clusters")
   private[operators] def stageComplete(out: String, name: String): Boolean =
     new java.io.File(new java.io.File(out, name), "_SUCCESS").exists()
 
-  /** Staged maintenance state, all APPEND-ONLY across increments
-    * ([[DedupMaintenance.update]]):
-    *  - `shingle_index`: the hashed (doc_id, shingle) inverted index —
-    *    what the pair pipeline consumes, so an increment never
-    *    re-tokenizes the base corpus;
-    *  - `shingle_df`: (shingle, df) document-frequency PARTIALS — the
-    *    full build writes base counts, each increment appends its
-    *    delta's counts, and readers sum per shingle (append ∝ delta
-    *    instead of rewriting a corpus-sized aggregate per increment);
-    *  - `doc_stats`: (doc_id, n, n_rare) per-doc totals — immutable
-    *    for base docs as long as no shingle's df crosses maxDf (the
-    *    increment's validity guard), appended for delta docs. */
+  /** Staged maintenance state — the v4 MERGE-ON-READ format. Every
+    * mutable surface is append-only on disk; row removal is expressed
+    * through the shared `tombstones` table and resolved at read:
+    *
+    *  - every staged row (except `shingle_df` partials) carries a
+    *    `gen` column — the generation ([[readGen]]) of the
+    *    full build (0) or increment (1, 2, …) that wrote it;
+    *  - `tombstones` holds (surface, id, gen) rows: a tombstone kills
+    *    every row of `surface` whose id matches and whose row-gen is
+    *    OLDER than the tombstone's — so a retract-then-reapply inside
+    *    one increment (tombstone at gen g, re-append at gen g) leaves
+    *    exactly the new rows live. Pair surfaces apply the rule to
+    *    EITHER endpoint. This is what turns an UPDATE or DELETE into
+    *    two delta-sized appends instead of a corpus-sized rewrite —
+    *    the same LSM discipline as the reference's ReplacingMergeTree
+    *    (latest version wins at read; compaction reclaims later);
+    *  - `shingle_df` is (shingle, df) PARTIALS, possibly NEGATIVE:
+    *    the full build writes base counts, an increment appends the
+    *    delta's counts and the retracted docs' counts negated, and
+    *    readers sum per shingle (net-zero shingles drop out, so the
+    *    summed view equals a fresh rebuild's);
+    *  - `doc_files` / `vec_files` map each live id to the input file
+    *    that carried it — how [[DedupMaintenance]] resolves a
+    *    modified/removed input file to the exact ids to retract
+    *    (copy-on-write file semantics, the lakehouse update shape).
+    *
+    * [[DedupMaintenance.compact]] folds tombstones into a fresh gen-0
+    * rewrite when the dead fraction warrants it. */
   def readShingleIndex(spark: SparkSession, out: String): DataFrame =
-    spark.read.parquet(s"$out/shingle_index")
+    liveRows(spark, out, "shingle_index", "doc_id")
+      .select("doc_id", "shingle")
   def readShingleDf(spark: SparkSession, out: String): DataFrame =
     spark.read.parquet(s"$out/shingle_df")
       .groupBy("shingle").agg(sum(col("df")).as("df"))
+      .filter(col("df") > 0)
   def readDocStats(spark: SparkSession, out: String): DataFrame =
-    spark.read.parquet(s"$out/doc_stats")
+    liveRows(spark, out, "doc_stats", "doc_id")
+      .select("doc_id", "n", "n_rare")
+  private[graft] def readDocFiles(spark: SparkSession, out: String): DataFrame =
+    liveRows(spark, out, "doc_files", "doc_id")
+      .select("doc_id", "src_file")
+  private[graft] def readVecFiles(spark: SparkSession, out: String): DataFrame =
+    liveRows(spark, out, "vec_files", "vec_id")
+      .select("vec_id", "src_file")
+
+  /** Max tombstone gen per id for one surface, or None when the
+    * surface has no tombstones at all (the common serving state —
+    * fresh build, or just compacted): callers then keep the RAW scan,
+    * so the zero-tombstone plan is byte-identical to pre-v4 (dynamic
+    * partition pruning on the probe layout included). The emptiness
+    * probe is one job over a tiny parquet. */
+  private[graft] def tombstoneMax(spark: SparkSession, out: String,
+                                  surface: String): Option[DataFrame] = {
+    val t = spark.read.parquet(s"$out/tombstones")
+      .filter(col("surface") === surface)
+    if (t.isEmpty) None
+    else Some(t.groupBy("id").agg(max(col("gen")).as("__tg")))
+  }
+
+  /** Tombstone-resolved view of a single-id staged surface. Keeps the
+    * `gen` column (callers project it away). */
+  private[graft] def liveRows(spark: SparkSession, out: String,
+                              surface: String, idCol: String): DataFrame = {
+    val raw = spark.read.parquet(s"$out/$surface")
+    tombstoneMax(spark, out, surface) match {
+      case None => raw
+      case Some(tg) =>
+        raw.join(broadcast(tg.withColumnRenamed("id", idCol)), Seq(idCol), "left")
+          .filter(col("__tg").isNull || col("gen") >= col("__tg"))
+          .drop("__tg")
+    }
+  }
+
+  /** Tombstone-resolved view of a pair surface: a tombstone on EITHER
+    * endpoint kills the pair rows older than it (retracting a doc
+    * retracts its whole pair neighborhood; surviving neighborhoods are
+    * re-derived by the increment that wrote the tombstone). */
+  private[graft] def livePairRows(spark: SparkSession, out: String,
+                                  surface: String, aCol: String,
+                                  bCol: String): DataFrame = {
+    val raw = spark.read.parquet(s"$out/$surface")
+    tombstoneMax(spark, out, surface) match {
+      case None => raw
+      case Some(tg) =>
+        raw
+          .join(broadcast(tg.toDF(aCol, "__tga")), Seq(aCol), "left")
+          .join(broadcast(tg.toDF(bCol, "__tgb")), Seq(bCol), "left")
+          .filter((col("__tga").isNull || col("gen") >= col("__tga")) &&
+            (col("__tgb").isNull || col("gen") >= col("__tgb")))
+          .drop("__tga", "__tgb")
+    }
+  }
+
+  /** The artifact set's current generation: 0 after a full build,
+    * bumped by each increment. */
+  private[graft] def readGen(out: String): Int = {
+    val f = new java.io.File(out, "_GEN").toPath
+    if (!java.nio.file.Files.exists(f)) 0
+    else new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toInt
+  }
+  private[graft] def writeGen(out: String, g: Int): Unit =
+    java.nio.file.Files.write(new java.io.File(out, "_GEN").toPath,
+      g.toString.getBytes("UTF-8"))
+
+  /** The empty tombstones frame (schema anchor for the table). */
+  private[operators] def emptyTombstones(spark: SparkSession): DataFrame =
+    spark.range(0).select(lit("").as("surface"), col("id"),
+      lit(0).cast("int").as("gen"))
+
+  /** dir-relative source file of the scanned row — the column
+    * [[DedupMaintenance]] joins against the fingerprint's file diff.
+    * The rel path starts at the table directory name, matching
+    * [[inputDataFiles]]' entries exactly. */
+  private[operators] def relFileCol: Column =
+    regexp_extract(input_file_name(),
+      "/((?:documents|embeddings)\\.parquet(?:/.*)?)$", 1)
 
   /** True when the staged artifact set under `out` is CURRENT for the
     * inputs in `dir`: the fingerprint matches and every stage still
@@ -338,6 +439,10 @@ object TextDedup {
                           minJaccard: Double = 0.5, maxDf: Int = 100,
                           embNLists: Int = 0): Boolean =
     artifactLock(out).synchronized { withArtifactFileLock(out) {
+      // the inputs may have been rewritten in place (copy-on-write
+      // updates); a stale shared FileStatusCache entry would hand the
+      // scan a pre-rewrite file length
+      spark.catalog.refreshByPath(dir)
       buildLocked(spark, dir, out, minJaccard, maxDf, embNLists)
     } }
 
@@ -357,12 +462,14 @@ object TextDedup {
         java.nio.file.Files.deleteIfExists(marker)
         // a geometry-only rebuild (same inputs, different explicit
         // embNLists): the per-stage resume below keys on the input
-        // fingerprint alone, so the EMB stages' markers must be
-        // invalidated by hand or they would skip and keep the old
-        // anchor set; the text stages stay resumable — they do not
-        // depend on the layout geometry
+        // fingerprint alone, so every stage's marker must be
+        // invalidated by hand or the stages would skip and keep the
+        // old anchor set. ALL markers, not just the emb ones: the
+        // tombstones stage must re-truncate (live text tables may
+        // carry tombstoned rows a partial emb-only rebuild would
+        // resurrect or double-filter)
         if (!stagedGeometryOk(out, embNLists))
-          for (s <- Seq("emb_probe_layout", "emb_pairs", "emb_clusters"))
+          for (s <- artifactStages)
             java.nio.file.Files.deleteIfExists(
               new java.io.File(out, s"_STAGE_$s").toPath)
         // Shuffle files of a finished stage live until the driver GCs
@@ -396,12 +503,21 @@ object TextDedup {
             reclaimShuffles()
           }
         }
-        // maintenance state FIRST — the pair stage then consumes the
+        // tombstones FIRST: a rebuild starts from an empty tombstone
+        // set and generation 0, so every later stage's live read is
+        // exactly its raw fresh table
+        stage("tombstones") {
+          emptyTombstones(spark)
+            .write.mode("overwrite").parquet(s"$out/tombstones")
+          writeGen(out, 0)
+        }
+        // maintenance state next — the pair stage then consumes the
         // staged index instead of re-tokenizing the corpus, and every
-        // increment appends to these three instead of rebuilding
+        // increment appends to these instead of rebuilding
         stage("shingle_index") {
           shingles(graft.Tables.documents(spark, dir))
-            .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+            .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"),
+              lit(0).as("gen"))
             .write.mode("overwrite").parquet(s"$out/shingle_index")
         }
         stage("shingle_df") {
@@ -415,17 +531,25 @@ object TextDedup {
             .groupBy("doc_id")
             .agg(count(lit(1)).as("n"),
               sum(when(col("df") <= maxDf, 1L).otherwise(0L)).as("n_rare"))
+            .withColumn("gen", lit(0))
             .write.mode("overwrite").parquet(s"$out/doc_stats")
+        }
+        stage("doc_files") {
+          graft.Tables.documents(spark, dir)
+            .select(col("doc_id"), relFileCol.as("src_file"), lit(0).as("gen"))
+            .write.mode("overwrite").parquet(s"$out/doc_files")
         }
         stage("pairs") {
           nearDupFromHashed(readShingleIndex(spark, out),
               Some(readShingleDf(spark, out)), minJaccard, maxDf)
+            .withColumn("gen", lit(0))
             .write.mode("overwrite").parquet(s"$out/pairs")
         }
         stage("clusters") {
           ConnectedComponents.clusters(spark,
               stagedPairs(spark, out).select("doc_a", "doc_b"))
             .toDF("doc_id", "cluster_id", "cluster_size")
+            .withColumn("gen", lit(0))
             .write.mode("overwrite").parquet(s"$out/clusters")
         }
         // the embedding pair graph derives FROM the just-staged probe
@@ -435,16 +559,23 @@ object TextDedup {
         // reads the partitioned layout instead of recomputing it
         stage("emb_probe_layout") {
           VectorOps.writeNearDupLayout(spark, dir, s"$out/emb_probe_layout",
-            nLists = embNLists)
+            nLists = embNLists, withGen = true)
+        }
+        stage("vec_files") {
+          graft.Tables.embeddings(spark, dir)
+            .select(col("vec_id"), relFileCol.as("src_file"), lit(0).as("gen"))
+            .write.mode("overwrite").parquet(s"$out/vec_files")
         }
         stage("emb_pairs") {
           VectorOps.nearDupPairsOverLayout(spark, s"$out/emb_probe_layout")
+            .withColumn("gen", lit(0))
             .write.mode("overwrite").parquet(s"$out/emb_pairs")
         }
         stage("emb_clusters") {
           ConnectedComponents.clusters(spark,
-              spark.read.parquet(s"$out/emb_pairs").select("vec_a", "vec_b"))
+              stagedEmbPairs(spark, out).select("vec_a", "vec_b"))
             .toDF("vec_id", "cluster_id", "cluster_size")
+            .withColumn("gen", lit(0))
             .write.mode("overwrite").parquet(s"$out/emb_clusters")
         }
         java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
@@ -491,16 +622,17 @@ object TextDedup {
     * plus the staging params — mtimes because the harness can rewrite
     * a table in place at the same size.
     *
-    * v3 (the incremental-maintenance format): entries are
-    * dir-RELATIVE paths, one per line, so [[DedupMaintenance.update]]
-    * can diff a stored fingerprint against the current one and
-    * identify exactly WHICH files are new (additions-only → the
-    * incremental path; any modified/removed old file → full rebuild).
+    * v4 (the merge-on-read CDC format): entries are dir-RELATIVE
+    * paths, one per line, so [[DedupMaintenance.update]] can diff a
+    * stored fingerprint against the current one and classify every
+    * file as unchanged / NEW (an append) / MODIFIED or REMOVED (a
+    * copy-on-write update or delete of the docs it carried — resolved
+    * to ids through the staged `doc_files`/`vec_files` maps).
     * Commit-machinery files (`_SUCCESS`, dotfiles) are excluded: a
     * Spark append rewrites `_SUCCESS`, and counting it would
     * misclassify a pure append as a modification. The version bump
-    * itself forces a one-time rebuild of v2-staged dirs (which lack
-    * the maintenance state tables). */
+    * itself forces a one-time rebuild of v3-staged dirs (which lack
+    * the gen/tombstone state). */
   private[graft] def inputDataFiles(dir: String): Seq[(String, java.io.File)] = {
     def entries(prefix: String, p: java.io.File): Seq[(String, java.io.File)] =
       if (p.isDirectory)
@@ -515,7 +647,7 @@ object TextDedup {
   }
 
   private[graft] def fingerprintHeader(minJaccard: Double, maxDf: Int): String =
-    s"v3 minJaccard=$minJaccard maxDf=$maxDf"
+    s"v4 minJaccard=$minJaccard maxDf=$maxDf"
 
   private[graft] def inputFingerprint(dir: String, minJaccard: Double,
                                       maxDf: Int): String =
@@ -525,10 +657,20 @@ object TextDedup {
       .mkString("\n")
 
   def stagedPairs(spark: SparkSession, art: String): DataFrame =
-    spark.read.parquet(s"$art/pairs")
+    livePairRows(spark, art, "pairs", "doc_a", "doc_b")
+      .select("doc_a", "doc_b", "jaccard")
 
   def stagedClusters(spark: SparkSession, art: String): DataFrame =
-    spark.read.parquet(s"$art/clusters")
+    liveRows(spark, art, "clusters", "doc_id")
+      .select("doc_id", "cluster_id", "cluster_size")
+
+  private[graft] def stagedEmbPairs(spark: SparkSession, art: String): DataFrame =
+    livePairRows(spark, art, "emb_pairs", "vec_a", "vec_b")
+      .select("vec_a", "vec_b", "cosine")
+
+  private[graft] def stagedEmbClusters(spark: SparkSession, art: String): DataFrame =
+    liveRows(spark, art, "emb_clusters", "vec_id")
+      .select("vec_id", "cluster_id", "cluster_size")
 
   /** [[dupClusters]] served from the staged artifact — a presentation
     * sort over a parquet read; the iteration already ran at stage time. */
@@ -754,6 +896,94 @@ object TextDedup {
           .otherwise("novel").as("verdict"),
         coalesce(col("exact_match"), col("near_match")).as("matched_doc"),
         when(col("exact_match").isNull, col("jaccard")).as("jaccard"))
+      .orderBy("doc_id")
+  }
+
+  /** Screen an ARBITRARY (doc_id, text) frame against the STAGED dedup
+    * artifacts — the text analogue of
+    * [[VectorOps.screenAgainstLayout]], and the batch kernel behind
+    * [[graft.streaming.CdcStream.startDocScreenMv]]: each incoming doc
+    * is shingled, its candidates come from the staged inverted index
+    * restricted to the doc's own (rare-classified) shingles, and the
+    * best exact-Jaccard match decides `near_dup` vs `novel`, with the
+    * matched existing doc and the verified similarity.
+    *
+    * Batch-split invariance (what makes it a valid streaming MV): a
+    * doc's verdict depends only on (doc, staged state) — rare/common
+    * classification uses the STORED dfs alone (an unseen shingle has
+    * df 0 → rare), never the arriving batch's counts — so N
+    * micro-batches equal one batch call over their union (asserted in
+    * StreamingSpec). Consistency of the ub/correction split: the base
+    * docs' stored (n, n_rare) were computed under the SAME stored
+    * classification, so per-side common counts line up exactly.
+    *
+    * A re-ingested doc (its doc_id already staged) never matches
+    * itself — same self-exclusion as the vector screen.
+    *
+    * Scale: candidate fan-out is bounded by maxDf per incoming rare
+    * shingle; the staged index is scanned once, column-pruned,
+    * restricted to the batch's shingle set; nothing is ever
+    * corpus × corpus, and the incoming side is a micro-batch. */
+  def screenDocsAgainstArtifacts(spark: SparkSession, incoming: DataFrame,
+                                 art: String, minJaccard: Double = 0.5,
+                                 maxDf: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inSh = shingles(incoming)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    // stored df per incoming shingle (0 when unseen) — the shared
+    // classification both sides of the counting join agree on
+    val dfIn = inSh.select("shingle").distinct()
+      .join(readShingleDf(spark, art).toDF("shingle", "dfb"),
+        Seq("shingle"), "left")
+      .select(col("shingle"), coalesce(col("dfb"), lit(0L)).as("dfb"))
+    val inStats = inSh.join(dfIn, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("dfb") <= maxDf, 1L).otherwise(0L)).as("n_rare"))
+    val rareShingles = dfIn.filter(col("dfb") <= maxDf).select("shingle")
+    val rareIn = inSh.join(rareShingles, "shingle")
+      .join(inStats, "doc_id")
+      .select(col("doc_id").as("in_doc"), col("shingle"), col("n").as("na"),
+        (col("n") - col("n_rare")).as("ca"))
+    val baseIdx = readShingleIndex(spark, art)
+    val baseStats = readDocStats(spark, art)
+    val rareBase = baseIdx.join(rareShingles, "shingle")
+      .join(baseStats, "doc_id")
+      .select(col("doc_id").as("base_doc"), col("shingle"), col("n").as("nb"),
+        (col("n") - col("n_rare")).as("cb"))
+    val counts = rareIn.join(rareBase, Seq("shingle"))
+      .filter(col("in_doc") =!= col("base_doc"))
+      .groupBy("in_doc", "base_doc", "na", "nb", "ca", "cb")
+      .agg(count(lit(1)).as("c_rare"))
+    val ub = counts
+      .withColumn("ub_c", col("c_rare") + least(col("ca"), col("cb")))
+      .filter(col("ub_c") * 1.0 / (col("na") + col("nb") - col("ub_c")) >= minJaccard)
+    val commonShingles = dfIn.filter(col("dfb") > maxDf).select("shingle")
+    val corr = ub.select("in_doc", "base_doc")
+      .join(inSh.join(commonShingles, "shingle")
+        .toDF("in_doc", "shingle"), Seq("in_doc"))
+      .join(baseIdx.join(commonShingles, "shingle")
+        .toDF("base_doc", "shingle"), Seq("base_doc", "shingle"))
+      .groupBy("in_doc", "base_doc").agg(count(lit(1)).as("c_common"))
+    val best = ub.join(corr, Seq("in_doc", "base_doc"), "left")
+      .withColumn("c", col("c_rare") + coalesce(col("c_common"), lit(0L)))
+      .withColumn("jaccard_raw",
+        col("c") * 1.0 / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard_raw") >= minJaccard)
+      .select(col("in_doc"), col("base_doc"),
+        floorRound(col("jaccard_raw"), 4).as("jaccard"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("in_doc")
+          .orderBy(col("jaccard").desc, col("base_doc"))))
+      .filter(col("__rn") === 1)
+      .select(col("in_doc").as("doc_id"), col("base_doc").as("matched_doc"),
+        col("jaccard"))
+    incoming.select("doc_id")
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("matched_doc").isNotNull, "near_dup")
+          .otherwise("novel").as("verdict"),
+        col("matched_doc"), col("jaccard"))
       .orderBy("doc_id")
   }
 

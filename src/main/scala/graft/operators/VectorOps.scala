@@ -281,11 +281,16 @@ object VectorOps {
     * and the reference's precompute-at-ingest materialized views
     * (kits/users/pg/pipes/users_mv.pipe:19-20). */
   def writeNearDupLayout(spark: SparkSession, dir: String, out: String,
-                         nLists: Int = 0, nprobe: Int = 3): Unit = {
+                         nLists: Int = 0, nprobe: Int = 3,
+                         withGen: Boolean = false): Unit = {
     graft.functions.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, dir)
     val lists = resolveLists(emb, nLists)
-    probeAssignmentsFrom(emb, anchorsOf(emb, lists), nprobe)
+    val probes = probeAssignmentsFrom(emb, anchorsOf(emb, lists), nprobe)
+    // `withGen` = the artifact-build form: rows carry the merge-on-read
+    // generation column ([[TextDedup.liveRows]]); standalone layouts
+    // (IVF search, streaming screens) stay gen-free
+    (if (withGen) probes.withColumn("gen", lit(0)) else probes)
       .write.partitionBy("list_id").mode("overwrite").parquet(out)
     // the layout's GEOMETRY is part of its definition, persisted like
     // a real ANN index's (an insert never re-derives k from n — the
@@ -312,11 +317,27 @@ object VectorOps {
 
   /** The layout read-back: the partition column comes back
     * directory-inferred as int — cast to long so downstream joins and
-    * results are type-identical to the in-memory probe frame. */
-  private def readNearDupLayout(spark: SparkSession, layout: String): DataFrame =
-    spark.read.parquet(layout)
-      .select(col("vec_id"), col("embedding"),
-        col("list_id").cast("long").as("list_id"))
+    * results are type-identical to the in-memory probe frame. A layout
+    * living INSIDE a staged artifact dir (sibling `_FINGERPRINT`) is
+    * read through the tombstone-resolved view — retracted vectors'
+    * probe rows are dead; standalone layouts read raw. When the
+    * artifact has no tombstones (fresh build, post-compaction) the
+    * live view IS the raw scan, so the plan — dynamic partition
+    * pruning included — is unchanged. */
+  private[operators] def readNearDupLayout(spark: SparkSession,
+                                           layout: String): DataFrame = {
+    val f = new java.io.File(layout)
+    val artifactCtx = f.getName == "emb_probe_layout" &&
+      f.getParentFile != null &&
+      new java.io.File(f.getParentFile, "_FINGERPRINT").exists()
+    val raw =
+      if (artifactCtx)
+        TextDedup.liveRows(spark, f.getParentFile.toString,
+          "emb_probe_layout", "vec_id")
+      else spark.read.parquet(layout)
+    raw.select(col("vec_id"), col("embedding"),
+      col("list_id").cast("long").as("list_id"))
+  }
 
   /** [[nearDupPairs]] served from the persisted layout — result-
     * identical (asserted in DedupArtifactsSpec; same pair kernel, same
@@ -556,7 +577,7 @@ object VectorOps {
     * ([[TextDedup.writeDedupArtifacts]] stages the embedding graph
     * alongside the text graph) — a sort over a parquet read. */
   def dupClustersStaged(spark: SparkSession, art: String): DataFrame =
-    spark.read.parquet(s"$art/emb_clusters").orderBy("cluster_id", "vec_id")
+    TextDedup.stagedEmbClusters(spark, art).orderBy("cluster_id", "vec_id")
 
   /** The all-pairs truth (spec-only; NOT a registered endpoint): the
     * triangular cross join is O(n²) dots — unrunnable at scale, kept to

@@ -78,6 +78,8 @@ final class ApiServer(spark: SparkSession, sfDir: String,
     s.createContext("/v0/datafiles", (ex: HttpExchange) => handleDatafiles(ex))
     s.createContext("/v0/tokens", (ex: HttpExchange) => handleTokens(ex))
     s.createContext("/v0/datasources", (ex: HttpExchange) => handleDatasources(ex))
+    s.createContext("/v0/dedup_artifacts",
+      (ex: HttpExchange) => handleDedupArtifacts(ex))
     // without an executor the JDK server handles requests on its
     // dispatch thread — one slow query would serialize every client.
     // A small pool matches the dashboard concurrency the reference
@@ -461,6 +463,36 @@ final class ApiServer(spark: SparkSession, sfDir: String,
               """{"error":"datasources support GET and POST {name}/truncate"}""")
           }
       }
+  }
+
+  /** Maintenance observability — the resource-status surface next to
+    * `/v0/datasources` (the reference's list/describe convention,
+    * tb_functions.py:137-155) for the staged dedup artifacts: whether
+    * they are CURRENT for this workspace's data dir (the read-side
+    * routing predicate — exactly what decides if `emb_near_dup_pairs`
+    * serves from the layout), the merge-on-read generation, whether a
+    * crashed increment's journal is pending, and the last
+    * [[graft.operators.DedupMaintenance.update]] outcome verbatim.
+    * Read-only and cheap (file metadata, no Spark job), so any
+    * authorized token may ask; 401 without one. */
+  private def handleDedupArtifacts(ex: HttpExchange): Unit = guarded(ex) {
+    authorized(ex) match {
+      case None => respond(ex, 401, """{"error":"invalid or missing token"}""")
+      case Some(_) if ex.getRequestMethod != "GET" =>
+        respond(ex, 405, """{"error":"dedup_artifacts supports GET"}""")
+      case Some(_) =>
+        val art = graft.SparkEntry.dedupArtifactsDir(sfDir)
+        val current = graft.operators.TextDedup.artifactsCurrent(sfDir, art)
+        val journal = java.nio.file.Files.exists(
+          new java.io.File(art, "_INC_JOURNAL").toPath)
+        val gen = graft.operators.TextDedup.readGen(art)
+        val last = graft.operators.DedupMaintenance.lastIncrement(art)
+          .getOrElse("null")
+        respond(ex, 200,
+          s"""{"path":${Endpoints.q(art)},"current":$current,""" +
+            s""""generation":$gen,"journal_pending":$journal,""" +
+            s""""last_update":$last}""")
+    }
   }
 
   /** Every live (non-revoked) token → grants. Constructor entries whose

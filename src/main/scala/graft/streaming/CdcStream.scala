@@ -184,6 +184,41 @@ object CdcStream {
       .start()
   }
 
+  /** Streaming dedup screening for DOCUMENTS — the text half of the
+    * ingest-screen pair (the round-9 ask was "docs/vectors";
+    * [[startVectorScreenMv]] covers vectors): every micro-batch of
+    * arriving documents is screened against the STAGED dedup
+    * artifacts ([[graft.operators.TextDedup.screenDocsAgainstArtifacts]]
+    * — candidates from the staged inverted index restricted to the
+    * batch's own shingles) and its verdicts (near_dup/novel + matched
+    * doc + exact Jaccard) append to a verdict log, stamped with the
+    * batch id.
+    *
+    * Same contracts as the vector screen: a doc's verdict depends
+    * only on (doc, staged state) — classification by STORED dfs, so N
+    * streamed batches equal one batch screen over the union (asserted
+    * in StreamingSpec), and at-least-once replay can only rewrite
+    * identical rows. At 100 TB: per-batch cost is bounded by the
+    * batch's shingles × maxDf candidate fan-out against the compact
+    * staged index — never a corpus re-shingle, never corpus×corpus. */
+  def startDocScreenMv(spark: SparkSession, srcDir: String, art: String,
+                       outDir: String, checkpointDir: String,
+                       minJaccard: Double = 0.5,
+                       maxDf: Int = 100): StreamingQuery = {
+    graft.functions.GraftFunctions.register(spark)
+    spark.readStream.schema(docSchema).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.TextDedup
+          .screenDocsAgainstArtifacts(spark, batch, art, minJaccard, maxDf)
+          .withColumn("__batch", lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming PII scrub — the privacy MV: every arriving document is
     * redacted IN ROW ([[graft.operators.Privacy.scrub]], a pure
     * codegen'd projection) and appended with its audit count, so

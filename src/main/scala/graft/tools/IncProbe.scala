@@ -82,33 +82,74 @@ object IncProbe {
         .write.mode("append").parquet(s"$data/embeddings.parquet")
     }
 
+    /** Copy-on-write rewrite of ONE existing part file — the lakehouse
+      * update/delete shape DedupMaintenance resolves through the staged
+      * file maps. The stale Hadoop-local checksum sidecar must go with
+      * the old bytes. */
+    def rewriteFile(target: java.io.File,
+                    df: org.apache.spark.sql.DataFrame): Unit = {
+      val t = java.nio.file.Files.createTempDirectory("cow_probe").toString
+      df.repartition(1).write.mode("overwrite").parquet(t)
+      val part = new java.io.File(t).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      require(target.delete(), s"couldn't drop $target")
+      val crc = new java.io.File(target.getParentFile, s".${target.getName}.crc")
+      if (crc.exists) crc.delete()
+      java.nio.file.Files.move(part.toPath, target.toPath)
+      target.setLastModified(System.currentTimeMillis() + 1000)
+    }
+    def docParts(): Seq[java.io.File] =
+      new java.io.File(s"$data/documents.parquet").listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".")).sortBy(_.getName).toSeq
+
     val r1 = timed("full_base") { DedupMaintenance.update(spark, data, art) }
     appendSlice(dCut1, dCut2, eCut1, eCut2)
     val r2 = timed(s"inc_${deltaPct}pct") { DedupMaintenance.update(spark, data, art) }
     appendSlice(dCut2, Long.MaxValue, eCut2, Long.MaxValue)
     val r3 = timed(s"inc_${100 - basePct - deltaPct}pct") { DedupMaintenance.update(spark, data, art) }
+    // UPDATE leg: rewrite one base part file (~1/32 of the corpus)
+    // with ~2% of its texts edited — retract-then-reapply at
+    // touched-file cost, the 60%-update CDC shape (demo_users.py:17-19)
+    val updTarget = docParts().head
+    val updRows = spark.read.parquet(updTarget.toString).count()
+    rewriteFile(updTarget, spark.read.parquet(updTarget.toString)
+      .withColumn("text", expr(
+        "case when doc_id % 50 = 0 then concat(text, ' upd probe') " +
+          "else text end")))
+    val r5 = timed("upd_one_file") { DedupMaintenance.update(spark, data, art) }
+    // DELETE leg: drop ~1% of another file's docs, copy-on-write
+    val delTarget = docParts().last
+    rewriteFile(delTarget, spark.read.parquet(delTarget.toString)
+      .filter("doc_id % 97 != 0"))
+    val r6 = timed("del_rows_one_file") { DedupMaintenance.update(spark, data, art) }
     val l = VectorOps.readLayoutGeometry(s"$art/emb_probe_layout").get._1
     val r4 = timed("full_merged") {
       if (TextDedup.writeDedupArtifacts(spark, data, artFull,
           embNLists = l.toInt)) "full" else "skip"
     }
-    require(r1._3 == "full" && r2._3 == "incremental" && r3._3 == "incremental",
-      s"probe took the wrong paths: ${Seq(r1, r2, r3).map(_._3)}")
+    require(r1._3 == "full" && Seq(r2, r3, r5, r6).forall(_._3 == "incremental"),
+      s"probe took the wrong paths: ${Seq(r1, r2, r3, r5, r6).map(_._3)}")
     // divergence guard: the maintained artifacts and the fresh rebuild
-    // must agree on graph sizes
+    // must agree on LIVE graph sizes (tombstone-resolved views)
+    def live(artDir: String, t: String): Long = t match {
+      case "pairs" => TextDedup.stagedPairs(spark, artDir).count()
+      case "emb_pairs" => TextDedup.stagedEmbPairs(spark, artDir).count()
+      case "clusters" => TextDedup.stagedClusters(spark, artDir).count()
+      case _ => TextDedup.stagedEmbClusters(spark, artDir).count()
+    }
     val counts = Seq("pairs", "emb_pairs", "clusters", "emb_clusters").map { t =>
-      val a = spark.read.parquet(s"$art/$t").count()
-      val b = spark.read.parquet(s"$artFull/$t").count()
+      val a = live(art, t); val b = live(artFull, t)
       require(a == b, s"$t diverged: incremental=$a fresh=$b")
       t -> a
     }
     def f2(v: Double) =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val runs = Seq(r1, r2, r3, r4)
+    val runs = Seq(r1, r2, r3, r5, r6, r4)
       .map { case (l0, s, m) => s""""$l0":{"sec":${f2(s)},"mode":"$m"}""" }
       .mkString(",")
     val cj = counts.map { case (t, c) => s""""$t":$c""" }.mkString(",")
-    println(s"""{"probe":"inc","sf":"$sfDir","n_docs":$nDocs,"n_emb":$nEmb,$runs,"counts":{$cj}}""")
+    println(s"""{"probe":"inc","sf":"$sfDir","n_docs":$nDocs,"n_emb":$nEmb,"upd_file_rows":$updRows,$runs,"counts":{$cj}}""")
     spark.stop()
   }
 }

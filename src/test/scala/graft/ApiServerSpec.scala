@@ -639,4 +639,46 @@ class ApiServerSpec extends SparkSpec {
     assert(toks.exists { case (name, grants) =>
       name.contains("endpoint_read") && grants.size == 1 })
   }
+
+  test("dedup-artifact status endpoint: current flips to stale across an " +
+      "input append and back after update(), with the increment stats") {
+    import spark.implicits._
+    // a private data dir this test owns (the shared sf dir's artifact
+    // status depends on sibling tests' builds)
+    val data = java.nio.file.Files.createTempDirectory("api_dm_data").toString
+    Tables.documents(spark, sf).filter("doc_id < 300")
+      .write.parquet(s"$data/documents.parquet")
+    Tables.embeddings(spark, sf).filter("vec_id < 300")
+      .write.parquet(s"$data/embeddings.parquet")
+    val srv = new ApiServer(spark, data, Map("boss" -> Set("*")))
+    val p = srv.start()
+    def status(tok: Option[String]) = {
+      val b = HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$p/v0/dedup_artifacts"))
+      tok.foreach(t => b.header("Authorization", s"Bearer $t"))
+      http.send(b.GET().build(), HttpResponse.BodyHandlers.ofString())
+    }
+    try {
+      assert(status(None).statusCode() == 401)
+      // nothing staged yet → stale
+      assert(status(Some("boss")).body().contains("\"current\":false"))
+      graft.operators.DedupMaintenance.update(spark, data,
+        SparkEntry.dedupArtifactsDir(data))
+      val built = status(Some("boss")).body()
+      assert(built.contains("\"current\":true") &&
+        built.contains("\"generation\":0") &&
+        built.contains("\"mode\":\"full\""), built)
+      // an input append flips the status stale without any server poke
+      Tables.documents(spark, sf).filter("doc_id >= 300")
+        .write.mode("append").parquet(s"$data/documents.parquet")
+      assert(status(Some("boss")).body().contains("\"current\":false"))
+      graft.operators.DedupMaintenance.update(spark, data,
+        SparkEntry.dedupArtifactsDir(data))
+      val inc = status(Some("boss")).body()
+      assert(inc.contains("\"current\":true") &&
+        inc.contains("\"generation\":1") &&
+        inc.contains("\"mode\":\"incremental\"") &&
+        inc.contains("\"docs_upserted\""), inc)
+    } finally srv.stop()
+  }
 }

@@ -1,12 +1,14 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import graft.operators.{DedupMaintenance, TextDedup, VectorOps}
 
-/** Incremental artifact maintenance (DedupMaintenance.update): an
-  * append-only input change must update every staged artifact to a
-  * state IDENTICAL to a full rebuild over the merged input, at
-  * delta-proportional cost; any input change the increment cannot
+/** Incremental artifact maintenance (DedupMaintenance.update) under the
+  * full CDC shape: appends, copy-on-write updates and deletes must each
+  * update every staged artifact to a state whose LIVE (tombstone-
+  * resolved) view is IDENTICAL to a full rebuild over the final input,
+  * at change-proportional cost; any input change the increment cannot
   * prove safe must take the full-rebuild path, never bend
   * correctness. */
 class DedupMaintenanceSpec extends SparkSpec {
@@ -53,39 +55,95 @@ class DedupMaintenanceSpec extends SparkSpec {
     (101L, near(near(vec(7), 902L), 903L), 0) // delta × delta pair (100, 101)
   ) ++ (103L to 109L).map(i => (i, vec(i + 500), 0))
 
-  private def writeBase(dir: String): Unit = {
-    baseDocs.toDF("doc_id", "text")
-      .write.parquet(s"$dir/documents.parquet")
-    baseEmbFixed.toDF("vec_id", "embedding", "label")
-      .write.parquet(s"$dir/embeddings.parquet")
+  private def partFiles(dir: String, table: String): Seq[java.io.File] =
+    Option(new java.io.File(s"$dir/$table").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")).sortBy(_.getName).toSeq
+
+  /** Each write lands as EXACTLY one part file (repartition(1)); the
+    * returned (docFile, embFile) handles let the copy-on-write tests
+    * rewrite a KNOWN slice of the corpus (part-file names carry UUIDs,
+    * so name order says nothing about write order). */
+  private def writeSlice(dir: String, docs: Seq[(Long, String)],
+                         emb: Seq[(Long, Array[Float], Int)])
+      : (Option[java.io.File], Option[java.io.File]) = {
+    val d0 = partFiles(dir, "documents.parquet").toSet
+    val e0 = partFiles(dir, "embeddings.parquet").toSet
+    if (docs.nonEmpty)
+      docs.toDF("doc_id", "text").repartition(1)
+        .write.mode("append").parquet(s"$dir/documents.parquet")
+    if (emb.nonEmpty)
+      emb.toDF("vec_id", "embedding", "label").repartition(1)
+        .write.mode("append").parquet(s"$dir/embeddings.parquet")
+    (partFiles(dir, "documents.parquet").find(!d0.contains(_)),
+      partFiles(dir, "embeddings.parquet").find(!e0.contains(_)))
   }
-  private def appendDelta(dir: String): Unit = {
-    deltaDocs.toDF("doc_id", "text")
-      .write.mode("append").parquet(s"$dir/documents.parquet")
-    deltaEmb.toDF("vec_id", "embedding", "label")
-      .write.mode("append").parquet(s"$dir/embeddings.parquet")
+  private def writeBase(dir: String): Unit =
+    writeSlice(dir, baseDocs, baseEmbFixed)
+  private def appendDelta(dir: String): Unit =
+    writeSlice(dir, deltaDocs, deltaEmb)
+
+  /** Copy-on-write: REPLACE one existing part file's content in place
+    * (same path, new bytes) — the lakehouse update/delete shape the
+    * increment resolves through the staged file maps. */
+  private def rewriteFile(target: java.io.File, df: DataFrame): Unit = {
+    val t = tmp("cow")
+    df.repartition(1).write.mode("overwrite").parquet(t)
+    val part = new java.io.File(t).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(target.delete())
+    // the original write left a Hadoop LocalFileSystem checksum sidecar
+    // (.<name>.crc) — new bytes under the old name would fail its stale
+    // checksum (a local-FS artifact; object stores have no sidecars)
+    val crc = new java.io.File(target.getParentFile, s".${target.getName}.crc")
+    if (crc.exists) assert(crc.delete())
+    java.nio.file.Files.move(part.toPath, target.toPath)
+    // mtime granularity: make the change unmissable for the fingerprint
+    target.setLastModified(System.currentTimeMillis() + 1000)
   }
 
   private def rows(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
-  /** Every artifact surface compared between two staged dirs. */
+  /** Every artifact surface compared between two staged dirs through
+    * the LIVE (tombstone-resolved) views — the only contract v4 makes:
+    * physical layout may differ (appends + tombstones vs fresh build),
+    * what readers see may not. */
   private def assertArtifactsEqual(a: String, b: String): Unit = {
-    for (t <- Seq("pairs", "clusters", "emb_pairs", "emb_clusters")) {
-      assert(rows(spark.read.parquet(s"$a/$t")) ==
-        rows(spark.read.parquet(s"$b/$t")), s"artifact $t differs")
-    }
-    assert(rows(spark.read.parquet(s"$a/emb_probe_layout")
-        .selectExpr("vec_id", "cast(list_id as long) as list_id")) ==
-      rows(spark.read.parquet(s"$b/emb_probe_layout")
-        .selectExpr("vec_id", "cast(list_id as long) as list_id")),
-      "probe layout assignment differs")
+    assert(rows(TextDedup.stagedPairs(spark, a)) ==
+      rows(TextDedup.stagedPairs(spark, b)), "pairs differ")
+    assert(rows(TextDedup.stagedClusters(spark, a)) ==
+      rows(TextDedup.stagedClusters(spark, b)), "clusters differ")
+    assert(rows(TextDedup.stagedEmbPairs(spark, a)) ==
+      rows(TextDedup.stagedEmbPairs(spark, b)), "emb_pairs differ")
+    assert(rows(TextDedup.stagedEmbClusters(spark, a)) ==
+      rows(TextDedup.stagedEmbClusters(spark, b)), "emb_clusters differ")
+    def layoutRows(d: String) =
+      rows(TextDedup.liveRows(spark, d, "emb_probe_layout", "vec_id")
+        .selectExpr("vec_id", "cast(list_id as long) as list_id"))
+    assert(layoutRows(a) == layoutRows(b), "probe layout assignment differs")
     assert(rows(TextDedup.readShingleDf(spark, a)) ==
       rows(TextDedup.readShingleDf(spark, b)), "summed shingle_df differs")
     assert(rows(TextDedup.readDocStats(spark, a)) ==
       rows(TextDedup.readDocStats(spark, b)), "doc_stats differs")
     assert(rows(TextDedup.readShingleIndex(spark, a)) ==
       rows(TextDedup.readShingleIndex(spark, b)), "shingle_index differs")
+    assert(rows(TextDedup.readDocFiles(spark, a)) ==
+      rows(TextDedup.readDocFiles(spark, b)), "doc_files differs")
+    assert(rows(TextDedup.readVecFiles(spark, a)) ==
+      rows(TextDedup.readVecFiles(spark, b)), "vec_files differs")
+  }
+
+  /** Full rebuild of the CURRENT data dir into a fresh artifact dir at
+    * the maintained layout's pinned geometry, then surface equality. */
+  private def assertEqualsFreshRebuild(data: String, art: String,
+                                       maxDf: Int = 100): Unit = {
+    val l = VectorOps.readLayoutGeometry(s"$art/emb_probe_layout").get._1
+    val art2 = tmp("dm_fresh")
+    TextDedup.writeDedupArtifacts(spark, data, art2, maxDf = maxDf,
+      embNLists = l.toInt)
+    assertArtifactsEqual(art, art2)
   }
 
   test("incremental(base+delta) equals full-rebuild(base∪delta) on every " +
@@ -97,26 +155,188 @@ class DedupMaintenanceSpec extends SparkSpec {
     assert(DedupMaintenance.update(spark, data, art) == "incremental")
     assert(TextDedup.artifactsCurrent(data, art))
     // the engineered pairs actually exist and cross the delta boundary
-    val pairs = spark.read.parquet(s"$art/pairs")
+    val pairs = TextDedup.stagedPairs(spark, art)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((5L, 6L)), s"base pair missing: $pairs")
     assert(pairs.contains((7L, 100L)), s"delta×base pair missing: $pairs")
     assert(pairs.contains((101L, 102L)), s"delta×delta pair missing: $pairs")
-    val epairs = spark.read.parquet(s"$art/emb_pairs")
+    val epairs = TextDedup.stagedEmbPairs(spark, art)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(epairs.contains((20L, 39L)), s"base emb pair missing: $epairs")
     assert(epairs.contains((7L, 100L)), s"delta×base emb pair missing: $epairs")
     assert(epairs.contains((100L, 101L)), s"delta×delta emb pair missing: $epairs")
     // the merged (7,100,101) emb component must have ONE label = min id 7
-    val eclust = spark.read.parquet(s"$art/emb_clusters")
+    val eclust = TextDedup.stagedEmbClusters(spark, art)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(eclust(100L)._1 == eclust(7L)._1 && eclust(101L)._1 == eclust(7L)._1)
     // identity vs a fresh full rebuild at the layout's pinned geometry
-    val l = VectorOps.readLayoutGeometry(s"$art/emb_probe_layout").get._1
-    val art2 = tmp("dm_art2")
-    TextDedup.writeDedupArtifacts(spark, data, art2, embNLists = l.toInt)
-    assertArtifactsEqual(art, art2)
+    assertEqualsFreshRebuild(data, art)
     // nothing changed since → skip
+    assert(DedupMaintenance.update(spark, data, art) == "skip")
+  }
+
+  test("copy-on-write UPDATE: rewritten rows retract and reapply — pairs " +
+      "appear AND disappear, clusters merge AND split, ≡ full rebuild") {
+    val data = tmp("dm_u_data"); val art = tmp("dm_u_art")
+    // two doc files / two emb files so the update touches only one
+    val (docA, _) = writeSlice(data, baseDocs.take(20), baseEmbFixed.take(20))
+    val (_, embB) = writeSlice(data, baseDocs.drop(20), baseEmbFixed.drop(20))
+    assert(DedupMaintenance.update(spark, data, art) == "full")
+    // sanity: the base pairs exist before the update
+    assert(TextDedup.stagedPairs(spark, art).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((5L, 6L)))
+    // docA carries docs 0..19: update doc 6 (kills pair (5,6) — a
+    // split) and doc 8 (nearText("9") → NEW pair (8,9) — a merge)
+    val newSlice0 = baseDocs.take(20).map {
+      case (6L, _) => 6L -> words("solo6")
+      case (8L, _) => 8L -> nearText("9")
+      case other   => other
+    }
+    rewriteFile(docA.get, newSlice0.toDF("doc_id", "text"))
+    // embB carries vecs 20..39: update vec 39 (kills emb pair
+    // (20,39)) and vec 25 (→ near vec(7): NEW emb pair (7,25))
+    val newEmb1 = baseEmbFixed.drop(20).map {
+      case (39L, _, l) => (39L, vec(7777), l)
+      case (25L, _, l) => (25L, near(vec(7), 905L), l)
+      case other       => other
+    }
+    rewriteFile(embB.get, newEmb1.toDF("vec_id", "embedding", "label"))
+    assert(DedupMaintenance.update(spark, data, art) == "incremental")
+    val pairs = TextDedup.stagedPairs(spark, art)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.contains((5L, 6L)), s"retracted pair survived: $pairs")
+    assert(pairs.contains((8L, 9L)), s"new pair from update missing: $pairs")
+    val epairs = TextDedup.stagedEmbPairs(spark, art)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!epairs.contains((20L, 39L)), s"retracted emb pair survived: $epairs")
+    assert(epairs.contains((7L, 25L)), s"new emb pair from update missing: $epairs")
+    assertEqualsFreshRebuild(data, art)
+    assert(DedupMaintenance.update(spark, data, art) == "skip")
+  }
+
+  test("copy-on-write DELETE: dropped rows and a removed file retract " +
+      "everywhere, ≡ full rebuild") {
+    val data = tmp("dm_d_data"); val art = tmp("dm_d_art")
+    val (docA, _) = writeSlice(data, baseDocs.take(20), baseEmbFixed.take(20))
+    val (_, embB) = writeSlice(data, baseDocs.drop(20), baseEmbFixed.drop(20))
+    val (docC, embC) = writeSlice(data, deltaDocs, deltaEmb)
+    assert(DedupMaintenance.update(spark, data, art) == "full")
+    // drop doc 5 from its file (pair (5,6) must die with it) and
+    // remove the THIRD doc file outright (docs 100.. all gone — the
+    // (7,100) and (101,102) pairs die); same shape on the emb side
+    rewriteFile(docA.get,
+      baseDocs.take(20).filterNot(_._1 == 5L).toDF("doc_id", "text"))
+    assert(docC.get.delete(), "couldn't remove the delta doc file")
+    rewriteFile(embB.get,
+      baseEmbFixed.drop(20).filterNot(_._1 == 39L)
+        .toDF("vec_id", "embedding", "label"))
+    assert(embC.get.delete(), "couldn't remove the delta emb file")
+    assert(DedupMaintenance.update(spark, data, art) == "incremental")
+    val pairs = TextDedup.stagedPairs(spark, art)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.isEmpty, s"pairs of deleted docs survived: $pairs")
+    val epairs = TextDedup.stagedEmbPairs(spark, art)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(epairs.isEmpty, s"emb pairs of deleted vecs survived: $epairs")
+    assert(TextDedup.stagedClusters(spark, art).isEmpty &&
+      TextDedup.stagedEmbClusters(spark, art).isEmpty,
+      "clusters of deleted members survived")
+    // deleted ids are gone from the maintenance state too
+    assert(TextDedup.readDocStats(spark, art)
+      .filter(col("doc_id") === 5L || col("doc_id") >= 100L).isEmpty)
+    assertEqualsFreshRebuild(data, art)
+  }
+
+  test("an mtime-touched (content-identical) file takes the incremental " +
+      "retract-and-reapply path and stays rebuild-identical") {
+    val data = tmp("dm_m_data"); val art = tmp("dm_m_art")
+    val (docA, _) = writeSlice(data, baseDocs.take(20), baseEmbFixed.take(20))
+    writeSlice(data, baseDocs.drop(20), baseEmbFixed.drop(20))
+    val baseFile = docA.get
+    assert(DedupMaintenance.update(spark, data, art) == "full")
+    assert(baseFile.setLastModified(baseFile.lastModified() + 60000))
+    // content provably unchanged is indistinguishable from an update:
+    // the file's docs retract and reapply (to the same state)
+    assert(DedupMaintenance.update(spark, data, art) == "incremental")
+    assertEqualsFreshRebuild(data, art)
+  }
+
+  test("an UPWARD df-cap crossing (base ≤ maxDf < merged) reclassifies the " +
+      "affected docs incrementally: stale pairs retract, ≡ full rebuild") {
+    val data = tmp("dm_x_data"); val art = tmp("dm_x_art")
+    // docs 0,1 share every shingle of words("shared") → df = 2; maxDf=2
+    // classifies them rare → pair (0,1) at jaccard 1. One more copy in
+    // the delta pushes df to 3 > maxDf: every shared shingle goes
+    // common, so the df-capped pipeline finds NO pairs at all — the
+    // increment must retract (0,1) without a full rebuild.
+    writeSlice(data,
+      Seq(0L -> words("shared"), 1L -> words("shared")) ++
+        (2L until 10L).map(i => i -> words(i.toString)),
+      baseEmbFixed)
+    assert(DedupMaintenance.update(spark, data, art, maxDf = 2) == "full")
+    assert(TextDedup.stagedPairs(spark, art).count() == 1)
+    writeSlice(data, Seq(50L -> words("shared")), Seq.empty)
+    assert(DedupMaintenance.update(spark, data, art, maxDf = 2) == "incremental")
+    assert(TextDedup.stagedPairs(spark, art).isEmpty,
+      "crossing must reclassify the base pair away")
+    assert(TextDedup.stagedClusters(spark, art).isEmpty)
+    // doc_stats of the reclassified docs moved to the new n_rare
+    assert(TextDedup.readDocStats(spark, art)
+      .filter(col("doc_id") === 0L && col("n_rare") =!= 0L).isEmpty)
+    assertEqualsFreshRebuild(data, art, maxDf = 2)
+  }
+
+  test("a DOWNWARD df-cap crossing (a delete drops df back under maxDf) " +
+      "resurrects the pair from STAGED shingles, ≡ full rebuild") {
+    val data = tmp("dm_y_data"); val art = tmp("dm_y_art")
+    // three copies → df = 3 > maxDf = 2 → no pairs; deleting one copy
+    // drops df to 2 → docs 0,1 become rare again and the pair (0,1)
+    // must APPEAR — discovered purely from the staged index rows of
+    // the reclassified docs (their text is never re-read)
+    writeSlice(data,
+      Seq(0L -> words("shared"), 1L -> words("shared")) ++
+        (2L until 10L).map(i => i -> words(i.toString)),
+      baseEmbFixed)
+    val (doc50, _) = writeSlice(data, Seq(50L -> words("shared")), Seq.empty)
+    assert(DedupMaintenance.update(spark, data, art, maxDf = 2) == "full")
+    assert(TextDedup.stagedPairs(spark, art).isEmpty)
+    assert(doc50.get.delete())
+    assert(DedupMaintenance.update(spark, data, art, maxDf = 2) == "incremental")
+    val pairs = TextDedup.stagedPairs(spark, art).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)), s"downward crossing missed the pair: $pairs")
+    assertEqualsFreshRebuild(data, art, maxDf = 2)
+  }
+
+  test("compaction folds tombstones away: live views identical, gen reset, " +
+      "artifacts still current") {
+    val data = tmp("dm_k_data"); val art = tmp("dm_k_art")
+    val (docA, _) = writeSlice(data, baseDocs.take(20), baseEmbFixed.take(20))
+    writeSlice(data, baseDocs.drop(20), baseEmbFixed.drop(20))
+    assert(DedupMaintenance.update(spark, data, art) == "full")
+    rewriteFile(docA.get, baseDocs.take(20).map {
+      case (6L, _) => 6L -> words("solo6"); case o => o
+    }.toDF("doc_id", "text"))
+    assert(DedupMaintenance.update(spark, data, art) == "incremental")
+    assert(TextDedup.readGen(art) == 1)
+    assert(spark.read.parquet(s"$art/tombstones").count() > 0)
+    val before = Seq(
+      rows(TextDedup.stagedPairs(spark, art)),
+      rows(TextDedup.stagedClusters(spark, art)),
+      rows(TextDedup.readDocStats(spark, art)),
+      rows(TextDedup.readShingleDf(spark, art)),
+      rows(TextDedup.stagedEmbPairs(spark, art)))
+    DedupMaintenance.compact(spark, art)
+    assert(spark.read.parquet(s"$art/tombstones").isEmpty, "tombstones survive")
+    assert(TextDedup.readGen(art) == 0)
+    assert(TextDedup.artifactsCurrent(data, art), "compaction broke currency")
+    val after = Seq(
+      rows(TextDedup.stagedPairs(spark, art)),
+      rows(TextDedup.stagedClusters(spark, art)),
+      rows(TextDedup.readDocStats(spark, art)),
+      rows(TextDedup.readShingleDf(spark, art)),
+      rows(TextDedup.stagedEmbPairs(spark, art)))
+    assert(before == after, "compaction changed a live view")
     assert(DedupMaintenance.update(spark, data, art) == "skip")
   }
 
@@ -136,55 +356,28 @@ class DedupMaintenanceSpec extends SparkSpec {
       new java.io.File(art, "_INC_JOURNAL").toPath))
   }
 
-  test("a MODIFIED pre-existing input file is not an append: full rebuild") {
-    val data = tmp("dm_m_data"); val art = tmp("dm_m_art")
-    writeBase(data)
-    // snapshot the BASE file set before the append: the touched file
-    // must be one the stored fingerprint knows (a freshly-appended
-    // delta file is an addition whatever its mtime, and part-file
-    // UUIDs make name order between base and delta files random)
-    val baseFile = new java.io.File(s"$data/documents.parquet").listFiles()
-      .filter(x => x.isFile && !x.getName.startsWith("_") && !x.getName.startsWith("."))
-      .minBy(_.getName)
-    assert(DedupMaintenance.update(spark, data, art) == "full")
-    appendDelta(data)
-    // touch it (mtime change = content no longer provably identical)
-    assert(baseFile.setLastModified(baseFile.lastModified() + 60000))
-    assert(DedupMaintenance.update(spark, data, art) == "full")
-  }
-
-  test("a df-cap crossing (base ≤ maxDf < merged) fires the guard: " +
-      "full rebuild, never a stale classification") {
-    val data = tmp("dm_x_data"); val art = tmp("dm_x_art")
-    // two base docs share every shingle of `words("shared")` → df = 2;
-    // maxDf = 2 classifies them rare. One more copy in the delta pushes
-    // df to 3 > maxDf: base rows change class, so the stored doc_stats
-    // and pair candidates are no longer rebuild-identical.
-    (Seq(0L -> words("shared"), 1L -> words("shared")) ++
-      (2L until 10L).map(i => i -> words(i.toString)))
-      .toDF("doc_id", "text").write.parquet(s"$data/documents.parquet")
-    baseEmbFixed.toDF("vec_id", "embedding", "label")
-      .write.parquet(s"$data/embeddings.parquet")
-    assert(DedupMaintenance.update(spark, data, art, maxDf = 2) == "full")
-    Seq(50L -> words("shared")).toDF("doc_id", "text")
-      .write.mode("append").parquet(s"$data/documents.parquet")
-    assert(DedupMaintenance.update(spark, data, art, maxDf = 2) == "full")
-    // and the rebuilt artifacts equal a from-scratch build (the guard
-    // fell back, it did not corrupt)
-    val l = VectorOps.readLayoutGeometry(s"$art/emb_probe_layout").get._1
-    val art2 = tmp("dm_x_art2")
-    TextDedup.writeDedupArtifacts(spark, data, art2, maxDf = 2,
-      embNLists = l.toInt)
-    assertArtifactsEqual(art, art2)
-  }
-
-  test("a delta vec_id colliding with a stored vector is an update: full rebuild") {
+  test("an id collision in a NEW file while the old carrier is untouched " +
+      "(two live versions) is not resolvable: full rebuild") {
     val data = tmp("dm_c_data"); val art = tmp("dm_c_art")
     writeBase(data)
     assert(DedupMaintenance.update(spark, data, art) == "full")
     Seq((3L, vec(777), 0)).toDF("vec_id", "embedding", "label")
       .write.mode("append").parquet(s"$data/embeddings.parquet")
     assert(DedupMaintenance.update(spark, data, art) == "full")
+  }
+
+  test("an update touching an ANCHOR vector (vec_id < nLists) invalidates " +
+      "the index definition: full rebuild") {
+    val data = tmp("dm_a_data"); val art = tmp("dm_a_art")
+    val (_, embA) = writeSlice(data, baseDocs.take(20), baseEmbFixed.take(20))
+    writeSlice(data, baseDocs.drop(20), baseEmbFixed.drop(20))
+    assert(DedupMaintenance.update(spark, data, art) == "full")
+    // vec 3 sits in the anchor range (nLists >= 8 by the schedule)
+    rewriteFile(embA.get, baseEmbFixed.take(20).map {
+      case (3L, _, l) => (3L, vec(888), l); case o => o
+    }.toDF("vec_id", "embedding", "label"))
+    assert(DedupMaintenance.update(spark, data, art) == "full")
+    assertEqualsFreshRebuild(data, art)
   }
 
   test("real corpus (sf0.001): split-append increment equals the merged " +
@@ -215,5 +408,33 @@ class DedupMaintenanceSpec extends SparkSpec {
     val auto = VectorOps.nearDupPairsAuto(spark, data, art)
     assert(!auto.inputFiles.exists(_.contains("emb_probe_layout")),
       "drifted geometry must not route through the layout")
+  }
+
+  test("real corpus (sf0.001): a copy-on-write update of a corpus slice " +
+      "equals the merged full rebuild") {
+    val data = tmp("dm_ru_data"); val art = tmp("dm_ru_art")
+    // two files per table so the update touches one
+    Tables.documents(spark, sf).filter("doc_id < 300").repartition(1)
+      .write.mode("append").parquet(s"$data/documents.parquet")
+    val d0 = partFiles(data, "documents.parquet").toSet
+    Tables.documents(spark, sf).filter("doc_id >= 300").repartition(1)
+      .write.mode("append").parquet(s"$data/documents.parquet")
+    val hiDocFile = partFiles(data, "documents.parquet")
+      .find(!d0.contains(_)).get
+    Tables.embeddings(spark, sf).filter("vec_id < 300").repartition(1)
+      .write.mode("append").parquet(s"$data/embeddings.parquet")
+    Tables.embeddings(spark, sf).filter("vec_id >= 300").repartition(1)
+      .write.mode("append").parquet(s"$data/embeddings.parquet")
+    assert(DedupMaintenance.update(spark, data, art) == "full")
+    // rewrite the >=300 doc slice: drop 10 docs, rewrite 5 texts
+    val touched = hiDocFile
+    val updated = spark.read.parquet(touched.toString)
+      .filter("doc_id % 97 != 0")
+      .selectExpr("doc_id",
+        "case when doc_id % 41 = 0 then concat(text, ' graft update probe') " +
+          "else text end as text")
+    rewriteFile(touched, updated)
+    assert(DedupMaintenance.update(spark, data, art) == "incremental")
+    assertEqualsFreshRebuild(data, art)
   }
 }

@@ -997,4 +997,52 @@ class StreamingSpec extends SparkSpec {
       verdicts(10004L) == "near_dup", verdicts.toString)
     assert(verdicts.values.exists(_ == "novel"), verdicts.toString)
   }
+
+  test("streaming DOC screening MV: per-batch verdicts against the staged " +
+      "artifacts equal the batch recompute over the union") {
+    val src = tmp(); val art = tmp() + "/art"
+    val outDir = tmp() + "/verdicts"; val ck = tmp() + "/ck"
+    operators.TextDedup.writeDedupArtifacts(spark, sf, art)
+    // synthetic arrivals: slightly-edited copies of corpus docs (tag
+    // near_dup against the staged index) interleaved with fresh text
+    val corpus = Tables.documents(spark, sf)
+      .filter(col("doc_id").isin(3L, 17L, 40L))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    def edited(t: String): String = {
+      val w = t.split(" "); (w.dropRight(2) :+ "zz1" :+ "zz2").mkString(" ")
+    }
+    def fresh(tag: Int): String =
+      (0 until 30).map(j => s"novel${tag}_$j").mkString(" ")
+    import spark.implicits._
+    val chunks = Seq(
+      Seq((20000L, edited(corpus(3L))), (20001L, fresh(1))),
+      Seq((20002L, edited(corpus(17L))), (20003L, fresh(2))),
+      Seq((20004L, edited(corpus(40L))), (20005L, fresh(3))))
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      c.map { case (id, t) => (id, t, "en", "synthetic", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$src/chunk$i")
+      CdcStream.startDocScreenMv(spark, s"$src/chunk*", art, outDir, ck)
+        .awaitTermination()
+    }
+    def snap(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("doc_id", "verdict", "matched_doc", "jaccard")
+        .collect().map(_.toString).sorted.toSeq
+    val streamed = snap(spark.read.parquet(outDir).distinct())
+    val union = chunks.flatten
+      .map { case (id, t) => (id, t, "en", "synthetic", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val batch = snap(operators.TextDedup
+      .screenDocsAgainstArtifacts(spark, union, art))
+    assert(streamed == batch, s"streamed verdicts diverge:\n$streamed\n$batch")
+    // the engineered arrivals exercised both verdicts with the right
+    // attribution (each edited doc matches ITS source doc)
+    val byId = spark.read.parquet(outDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("verdict"), Option(r.getAs[java.lang.Long]("matched_doc")))).toMap
+    assert(byId(20000L) == ("near_dup", Some(3L)), byId.toString)
+    assert(byId(20002L) == ("near_dup", Some(17L)), byId.toString)
+    assert(byId(20004L) == ("near_dup", Some(40L)), byId.toString)
+    assert(Seq(20001L, 20003L, 20005L).forall(byId(_)._1 == "novel"), byId.toString)
+  }
 }
