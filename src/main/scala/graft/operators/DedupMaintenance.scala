@@ -190,6 +190,19 @@ object DedupMaintenance {
     spark.range(0).select(col("id").as(name))
   private def ckpt(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
+  /** Phase timing to stderr when SPARK_GRAFT_INC_DEBUG=1 — the
+    * operational breakdown an increment's wall time decomposes into
+    * (what the round-11 floor hunt ran on). */
+  private def phase[A](name: String)(body: => A): A = {
+    if (sys.env.get("SPARK_GRAFT_INC_DEBUG").contains("1")) {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(
+        f"[inc] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    } else body
+  }
+
   /** One side's planned increment: everything is EAGER (computed
     * against pre-write state) and delta-sized. */
   private final case class TextPlan(
@@ -214,10 +227,10 @@ object DedupMaintenance {
 
     // ---- plan + guard phase (no writes) ----
     val textPlan: Option[Option[TextPlan]] = // outer None = guard fired
-      planText(spark, out, d, minJaccard, maxDf)
+      phase("plan_text") { planText(spark, out, d, minJaccard, maxDf) }
     if (textPlan.isEmpty) return false
     val embPlan: Option[Option[EmbPlan]] =
-      planEmb(spark, out, layout, d, embNLists)
+      phase("plan_emb") { planEmb(spark, out, layout, d, embNLists) }
     if (embPlan.isEmpty) return false
 
     // ---- write phase (journaled; every frame above is eager) ----
@@ -229,7 +242,7 @@ object DedupMaintenance {
         lit(g).as("gen"))
     def withGen(df: DataFrame): DataFrame = df.withColumn("gen", lit(g))
 
-    for (t <- textPlan.flatten) {
+    for (t <- textPlan.flatten) phase("write_text") {
       tomb("shingle_index", t.retractIds, "doc_id")
         .unionByName(tomb("doc_files", t.retractIds, "doc_id"))
         .unionByName(tomb("doc_stats", t.cIds, "doc_id"))
@@ -246,7 +259,7 @@ object DedupMaintenance {
       withGen(t.clusterNew).write.mode("append").parquet(s"$out/clusters")
     }
 
-    for (e <- embPlan.flatten) {
+    for (e <- embPlan.flatten) phase("write_emb") {
       tomb("emb_probe_layout", e.retractIds, "vec_id")
         .unionByName(tomb("vec_files", e.retractIds, "vec_id"))
         .unionByName(tomb("emb_pairs", e.retractIds, "vec_id"))
@@ -315,62 +328,95 @@ object DedupMaintenance {
       return None
 
     val liveIdx = TextDedup.readShingleIndex(spark, out)
-    val deltaSh = ckpt(TextDedup.shingles(upserts)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle")))
-    val retractSh = liveIdx.join(retractIds, Seq("doc_id"), "left_semi")
+    val deltaSh = phase("t_delta_shingles") { ckpt(TextDedup.shingles(upserts)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))) }
+    // EMPTY-SET SKIPS throughout this plan: the common append-shaped
+    // increment has no retractions and no crossings, and each skipped
+    // branch is a full (if compact, column-pruned) scan of the staged
+    // index — measured at sf10, the skips cut a 1% append's plan_text
+    // from ~25 s toward the pair kernel's own cost. The probes are
+    // cheap: every probed frame is checkpointed and delta-sized.
+    val haveRetract = !retractIds.isEmpty
     // net df movement per touched shingle — appended as (possibly
     // negative) partials; the summed-on-read df table absorbs them
     val dfNet = ckpt(
-      deltaSh.groupBy("shingle").agg(count(lit(1)).as("dfp"))
-        .join(retractSh.groupBy("shingle")
-          .agg((-count(lit(1))).as("dfn")), Seq("shingle"), "full")
-        .select(col("shingle"),
-          (coalesce(col("dfp"), lit(0L)) + coalesce(col("dfn"), lit(0L)))
-            .as("net"))
-        .filter(col("net") =!= 0L))
+      if (!haveRetract)
+        deltaSh.groupBy("shingle").agg(count(lit(1)).as("net"))
+      else
+        deltaSh.groupBy("shingle").agg(count(lit(1)).as("dfp"))
+          .join(liveIdx.join(retractIds, Seq("doc_id"), "left_semi")
+            .groupBy("shingle")
+            .agg((-count(lit(1))).as("dfn")), Seq("shingle"), "full")
+          .select(col("shingle"),
+            (coalesce(col("dfp"), lit(0L)) + coalesce(col("dfn"), lit(0L)))
+              .as("net"))
+          .filter(col("net") =!= 0L))
+    // stored dfs for exactly the touched/apply shingles: restrict the
+    // PARTIALS table first (broadcast semi), THEN aggregate — the
+    // full-width groupBy of readShingleDf exchanges the whole df table
+    // and this runs on every increment
+    val dfBaseTouched = ckpt(
+      spark.read.parquet(s"$out/shingle_df")
+        .join(dfNet.select("shingle"), Seq("shingle"), "left_semi")
+        .groupBy("shingle").agg(sum(col("df")).as("dfb"))
+        .filter(col("dfb") > 0))
     // maxDf crossings in EITHER direction: the docs containing a
     // crossing shingle get their stats and pairs recomputed under the
     // new dfs (bounded by maxDf live docs per crossing shingle — an
     // upward crossing STARTS ≤ maxDf, a downward one ENDS ≤ maxDf)
-    val dfBase = TextDedup.readShingleDf(spark, out)
-    val crossing = dfNet
-      .join(dfBase.toDF("shingle", "dfb"), Seq("shingle"), "left")
+    val crossing = ckpt(dfNet
+      .join(dfBaseTouched, Seq("shingle"), "left")
       .select(col("shingle"), coalesce(col("dfb"), lit(0L)).as("dfb"),
         (coalesce(col("dfb"), lit(0L)) + col("net")).as("dfn2"))
       .filter((col("dfb") <= maxDf) =!= (col("dfn2") <= maxDf))
-      .select("shingle")
-    val rIds = ckpt(liveIdx.join(crossing, Seq("shingle"), "left_semi")
-      .select("doc_id").distinct()
-      .join(retractIds, Seq("doc_id"), "left_anti")
-      .join(upserts.select("doc_id"), Seq("doc_id"), "left_anti"))
-    val cIds = ckpt(retractIds.unionByName(rIds).distinct())
+      .select("shingle"))
+    val rIds = ckpt(
+      if (crossing.isEmpty) emptyIds(spark, "doc_id")
+      else liveIdx.join(crossing, Seq("shingle"), "left_semi")
+        .select("doc_id").distinct()
+        .join(retractIds, Seq("doc_id"), "left_anti")
+        .join(upserts.select("doc_id"), Seq("doc_id"), "left_anti"))
+    val haveR = !rIds.isEmpty
+    val cIds = ckpt(
+      if (!haveR) retractIds
+      else retractIds.unionByName(rIds).distinct())
     // the APPLY frame: fresh shingles for upserts, STAGED rows for the
     // reclassified docs (their text never re-read)
-    val aSh = ckpt(deltaSh.unionByName(
-      liveIdx.join(rIds, Seq("doc_id"), "left_semi")
-        .select("doc_id", "shingle")))
-    // final per-shingle df over the apply frame's shingle universe
-    val dfA = aSh.select("shingle").distinct()
-      .join(dfBase.toDF("shingle", "dfb"), Seq("shingle"), "left")
+    val aSh =
+      if (!haveR) deltaSh
+      else ckpt(deltaSh.unionByName(
+        liveIdx.join(rIds, Seq("doc_id"), "left_semi")
+          .select("doc_id", "shingle")))
+    // final per-shingle df over the apply frame's shingle universe —
+    // same restrict-then-aggregate move as above (aSh's shingles are
+    // deltaSh's unless reclassification widened them)
+    val dfAStored =
+      if (!haveR) dfBaseTouched
+      else spark.read.parquet(s"$out/shingle_df")
+        .join(aSh.select("shingle").distinct(), Seq("shingle"), "left_semi")
+        .groupBy("shingle").agg(sum(col("df")).as("dfb"))
+        .filter(col("dfb") > 0)
+    val dfA = ckpt(aSh.select("shingle").distinct()
+      .join(dfAStored, Seq("shingle"), "left")
       .join(dfNet, Seq("shingle"), "left")
       .select(col("shingle"),
         (coalesce(col("dfb"), lit(0L)) + coalesce(col("net"), lit(0L)))
-          .as("df_new"))
+          .as("df_new")))
     val aStats = ckpt(aSh.join(dfA, "shingle")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n"),
         sum(when(col("df_new") <= maxDf, 1L).otherwise(0L)).as("n_rare")))
-    val newPairs = ckpt(deltaTextPairs(spark, out, aSh, aStats, dfA,
-      cIds, minJaccard, maxDf))
+    val newPairs = phase("t_new_pairs") { ckpt(deltaTextPairs(spark, out, aSh, aStats, dfA,
+      cIds, minJaccard, maxDf)) }
     val surviving = TextDedup.stagedPairs(spark, out)
       .join(cIds.toDF("doc_a"), Seq("doc_a"), "left_anti")
       .join(cIds.toDF("doc_b"), Seq("doc_b"), "left_anti")
       .select("doc_a", "doc_b")
-    val (nodes, relabeled) = relabel(spark,
+    val (nodes, relabeled) = phase("t_relabel") { relabel(spark,
       TextDedup.stagedClusters(spark, out)
         .toDF("id", "cluster_id", "cluster_size"),
       surviving.toDF("a", "b"), cIds.toDF("id"),
-      newPairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
+      newPairs.select(col("doc_a").as("a"), col("doc_b").as("b"))) }
     Some(Some(TextPlan(retractIds, upserts, deltaSh, dfNet, rIds, cIds,
       aStats, newPairs,
       nodes.toDF("doc_id"),
@@ -418,19 +464,27 @@ object DedupMaintenance {
     val anchors = live.filter(col("vec_id") < nLists)
       .groupBy("vec_id").agg(first(col("embedding")).as("anchor"))
       .select(col("vec_id").as("list_id"), col("anchor"))
-    val aProbes = ckpt(VectorOps.probeAssignmentsFrom(
-      upserts.select("vec_id", "embedding"), anchors, nprobe))
-    val base = live.join(retractIds, Seq("vec_id"), "left_anti")
-    val newPairs = ckpt(VectorOps.pairsBetweenProbes(aProbes, base, 0.4))
-    val surviving = TextDedup.stagedEmbPairs(spark, out)
-      .join(retractIds.toDF("vec_a"), Seq("vec_a"), "left_anti")
-      .join(retractIds.toDF("vec_b"), Seq("vec_b"), "left_anti")
-      .select("vec_a", "vec_b")
-    val (nodes, relabeled) = relabel(spark,
+    val aProbes = phase("e_probes") { ckpt(VectorOps.probeAssignmentsFrom(
+      upserts.select("vec_id", "embedding"), anchors, nprobe)) }
+    // append-shaped deltas skip the retraction anti-joins (no-ops that
+    // would still re-shape the layout and pair scans)
+    val haveRetract = !retractIds.isEmpty
+    val base =
+      if (haveRetract) live.join(retractIds, Seq("vec_id"), "left_anti")
+      else live
+    val newPairs = phase("e_new_pairs") { ckpt(VectorOps.pairsBetweenProbes(aProbes, base, 0.4)) }
+    val surviving =
+      if (!haveRetract) TextDedup.stagedEmbPairs(spark, out)
+        .select("vec_a", "vec_b")
+      else TextDedup.stagedEmbPairs(spark, out)
+        .join(retractIds.toDF("vec_a"), Seq("vec_a"), "left_anti")
+        .join(retractIds.toDF("vec_b"), Seq("vec_b"), "left_anti")
+        .select("vec_a", "vec_b")
+    val (nodes, relabeled) = phase("e_relabel") { relabel(spark,
       TextDedup.stagedEmbClusters(spark, out)
         .toDF("id", "cluster_id", "cluster_size"),
       surviving.toDF("a", "b"), retractIds.toDF("id"),
-      newPairs.select(col("vec_a").as("a"), col("vec_b").as("b")))
+      newPairs.select(col("vec_a").as("a"), col("vec_b").as("b"))) }
     Some(Some(EmbPlan(retractIds, upserts, aProbes, newPairs,
       nodes.toDF("vec_id"),
       relabeled.toDF("vec_id", "cluster_id", "cluster_size"))))
@@ -454,10 +508,15 @@ object DedupMaintenance {
                              aSh: DataFrame, aStats: DataFrame, dfA: DataFrame,
                              cIds: DataFrame, minJaccard: Double,
                              maxDf: Int): DataFrame = {
-    val baseIdx = TextDedup.readShingleIndex(spark, out)
-      .join(cIds, Seq("doc_id"), "left_anti")
-    val baseStats = TextDedup.readDocStats(spark, out)
-      .join(cIds, Seq("doc_id"), "left_anti")
+    // empty-set skips, same rationale as planText: the anti-joins are
+    // no-ops on an append-shaped delta, and the capped-out correction
+    // branch scans the staged index again for a set that is usually
+    // empty (dfs ≪ maxDf on healthy corpora)
+    val haveC = !cIds.isEmpty
+    def minusC(df: DataFrame): DataFrame =
+      if (haveC) df.join(cIds, Seq("doc_id"), "left_anti") else df
+    val baseIdx = minusC(TextDedup.readShingleIndex(spark, out))
+    val baseStats = minusC(TextDedup.readDocStats(spark, out))
     val rareShingles = dfA.filter(col("df_new") <= maxDf).select("shingle")
     val rareA = aSh.join(rareShingles, "shingle")
       .join(aStats, "doc_id")
@@ -493,15 +552,21 @@ object DedupMaintenance {
       .withColumn("ub_c", col("c_rare") + least(col("ca"), col("cb")))
       .filter(col("ub_c") * 1.0 / (col("na") + col("nb") - col("ub_c")) >= minJaccard)
     val commonShingles = dfA.filter(col("df_new") > maxDf).select("shingle")
-    val commonRows = aSh.join(commonShingles, "shingle")
-      .unionByName(baseIdx.join(commonShingles, "shingle"))
-      .select("doc_id", "shingle")
-    val corr = ub.select("doc_a", "doc_b")
-      .join(commonRows.toDF("doc_a", "shingle"), Seq("doc_a"))
-      .join(commonRows.toDF("doc_b", "shingle"), Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c_common"))
-    ub.join(corr, Seq("doc_a", "doc_b"), "left")
-      .withColumn("c", col("c_rare") + coalesce(col("c_common"), lit(0L)))
+    val corrected =
+      if (commonShingles.isEmpty)
+        ub.withColumn("c", col("c_rare"))
+      else {
+        val commonRows = aSh.join(commonShingles, "shingle")
+          .unionByName(baseIdx.join(commonShingles, "shingle"))
+          .select("doc_id", "shingle")
+        val corr = ub.select("doc_a", "doc_b")
+          .join(commonRows.toDF("doc_a", "shingle"), Seq("doc_a"))
+          .join(commonRows.toDF("doc_b", "shingle"), Seq("doc_b", "shingle"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c_common"))
+        ub.join(corr, Seq("doc_a", "doc_b"), "left")
+          .withColumn("c", col("c_rare") + coalesce(col("c_common"), lit(0L)))
+      }
+    corrected
       .withColumn("jaccard_raw",
         col("c") * 1.0 / (col("na") + col("nb") - col("c")))
       .filter(col("jaccard_raw") >= minJaccard)
@@ -509,20 +574,45 @@ object DedupMaintenance {
         floorRound(col("jaccard_raw"), 4).as("jaccard"))
   }
 
-  /** Re-label exactly the AFFECTED components: old components touching
-    * any changed id or new-pair endpoint, taken whole, plus the new
-    * endpoints; CC re-runs on that subgraph's live edges (post-
-    * retraction, plus the new pairs). The subgraph is CLOSED under
-    * live edges — an edge from an affected member to an outside doc
-    * would have put that doc in the same old component (or be a new
-    * pair, whose endpoints are included) — so the subgraph labeling
-    * equals the full re-run restricted to it: merges AND splits both
-    * come out exact, at affected-component cost. Returns (every node
-    * to tombstone, the replacement labeling rows) — both eager, both
-    * empty when nothing is affected. */
+  /** Re-label exactly the AFFECTED components, by the cheapest exact
+    * method the delta's shape allows:
+    *
+    * RETRACTION-FREE (pure append — `cIds` empty): new edges can only
+    * MERGE components, never split them, so the CONTRACTION argument
+    * is exact: map each new edge's endpoints through the base labeling
+    * (an unlabeled endpoint stays itself), drop the intra-component
+    * edges, and run CC on the contracted graph alone — one node per
+    * affected component plus the new endpoints, DELTA-sized even when
+    * the underlying components are huge. Base labels are the min id of
+    * their component, so the contracted CC's min-label is the merged
+    * component's true min id. Only the affected components' member
+    * rows are rewritten (tombstone + append), never the table. This
+    * branch is why an append increment does not pay for graph density:
+    * the round-11 sf10 probe measured the subgraph form at ~2× the
+    * round-10 wall time on the 2.7M-edge embedding graph (a 1% delta's
+    * pairs touch most components, so "affected members ∪ their edges"
+    * degenerates to nearly the whole graph), while contraction stays
+    * proportional to the delta.
+    *
+    * WITH RETRACTIONS (updates/deletes — components may SPLIT, which
+    * contraction cannot express): CC re-runs on the affected SUBGRAPH
+    * — old components touching any changed id or new-pair endpoint,
+    * taken whole, plus the new endpoints; edges are the live pairs
+    * post-retraction plus the new pairs. The subgraph is CLOSED under
+    * live edges (an edge to an outside doc would have put that doc in
+    * the same old component), so the subgraph labeling equals a full
+    * re-run restricted to it: merges AND splits both exact, at
+    * affected-component cost. Retraction deltas touch few components
+    * (the changed ids' own), so the density blow-up above does not
+    * apply here.
+    *
+    * Returns (every node to tombstone, the replacement labeling rows)
+    * — both eager, both empty when nothing is affected. */
   private def relabel(spark: SparkSession, liveClusters: DataFrame,
                       survivingPairs: DataFrame, cIds: DataFrame,
                       newPairs: DataFrame): (DataFrame, DataFrame) = {
+    if (cIds.isEmpty)
+      return relabelByContraction(spark, liveClusters, newPairs)
     val touched = cIds
       .unionByName(newPairs.select(col("a").as("id")))
       .unionByName(newPairs.select(col("b").as("id")))
@@ -544,6 +634,39 @@ object DedupMaintenance {
       ConnectedComponents.clusters(spark, subEdges)
         .toDF("id", "cluster_id", "cluster_size"))
     (nodes, relabeled)
+  }
+
+  /** The merge-only fast path (see [[relabel]]): CC over the
+    * CONTRACTED delta graph, then rewrite only the affected members. */
+  private def relabelByContraction(spark: SparkSession,
+                                   liveClusters: DataFrame,
+                                   newPairs: DataFrame): (DataFrame, DataFrame) = {
+    val labels = liveClusters.select(col("id"), col("cluster_id"))
+    val contracted = newPairs
+      .join(labels.toDF("a", "la0"), Seq("a"), "left")
+      .join(labels.toDF("b", "lb0"), Seq("b"), "left")
+      .select(coalesce(col("la0"), col("a")).as("la"),
+        coalesce(col("lb0"), col("b")).as("lb"))
+      .filter(col("la") =!= col("lb"))
+    // (affected old label | new id) → merged label, delta-sized
+    val remap = ckpt(ConnectedComponents.clusters(spark, contracted)
+      .select(col("id").as("node"), col("cluster_id").as("newlab")))
+    if (remap.isEmpty) { // every new edge landed inside one component
+      val none = ckpt(emptyIds(spark, "id"))
+      return (none, ckpt(none.select(col("id"),
+        col("id").as("cluster_id"), lit(0L).as("cluster_size")).limit(0)))
+    }
+    val movedMembers = liveClusters
+      .join(remap.withColumnRenamed("node", "cluster_id"), Seq("cluster_id"))
+      .select(col("id"), col("newlab"))
+    val newMembers = remap
+      .join(liveClusters.select(col("id").as("node")), Seq("node"), "left_anti")
+      .select(col("node").as("id"), col("newlab"))
+    val all = movedMembers.unionByName(newMembers)
+    val sizes = all.groupBy("newlab").agg(count(lit(1)).as("cluster_size"))
+    val relabeled = ckpt(all.join(sizes, "newlab")
+      .select(col("id"), col("newlab").as("cluster_id"), col("cluster_size")))
+    (relabeled.select("id"), relabeled)
   }
 
   /** Fold the merge-on-read state back to a compact gen-0 layout:

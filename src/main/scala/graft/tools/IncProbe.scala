@@ -108,18 +108,27 @@ object IncProbe {
     val r2 = timed(s"inc_${deltaPct}pct") { DedupMaintenance.update(spark, data, art) }
     appendSlice(dCut2, Long.MaxValue, eCut2, Long.MaxValue)
     val r3 = timed(s"inc_${100 - basePct - deltaPct}pct") { DedupMaintenance.update(spark, data, art) }
-    // UPDATE leg: rewrite one base part file (~1/32 of the corpus)
-    // with ~2% of its texts edited — retract-then-reapply at
-    // touched-file cost, the 60%-update CDC shape (demo_users.py:17-19)
-    val updTarget = docParts().head
+    // FLOOR leg: a single appended doc — the fixed cost every
+    // increment pays regardless of delta size (job round-trips,
+    // guards, tombstone probes, the one restricted index scan)
+    spark.range(1).selectExpr("9000000000L as doc_id",
+      "'floor probe doc one two three four five six' as text")
+      .write.mode("append").parquet(s"$data/documents.parquet")
+    val r7 = timed("inc_1doc_floor") { DedupMaintenance.update(spark, data, art) }
+    // UPDATE leg: rewrite the LARGEST base part file (by size, not the
+    // UUID-random name order) with ~2% of its texts edited —
+    // retract-then-reapply at touched-file cost, the 60%-update CDC
+    // shape (demo_users.py:17-19)
+    val updTarget = docParts().maxBy(_.length)
     val updRows = spark.read.parquet(updTarget.toString).count()
     rewriteFile(updTarget, spark.read.parquet(updTarget.toString)
       .withColumn("text", expr(
         "case when doc_id % 50 = 0 then concat(text, ' upd probe') " +
           "else text end")))
     val r5 = timed("upd_one_file") { DedupMaintenance.update(spark, data, art) }
-    // DELETE leg: drop ~1% of another file's docs, copy-on-write
-    val delTarget = docParts().last
+    // DELETE leg: drop ~1% of the SECOND-largest file's docs
+    val delTarget = docParts().sortBy(-_.length).tail.head
+    val delRows = spark.read.parquet(delTarget.toString).count()
     rewriteFile(delTarget, spark.read.parquet(delTarget.toString)
       .filter("doc_id % 97 != 0"))
     val r6 = timed("del_rows_one_file") { DedupMaintenance.update(spark, data, art) }
@@ -128,8 +137,8 @@ object IncProbe {
       if (TextDedup.writeDedupArtifacts(spark, data, artFull,
           embNLists = l.toInt)) "full" else "skip"
     }
-    require(r1._3 == "full" && Seq(r2, r3, r5, r6).forall(_._3 == "incremental"),
-      s"probe took the wrong paths: ${Seq(r1, r2, r3, r5, r6).map(_._3)}")
+    require(r1._3 == "full" && Seq(r2, r3, r7, r5, r6).forall(_._3 == "incremental"),
+      s"probe took the wrong paths: ${Seq(r1, r2, r3, r7, r5, r6).map(_._3)}")
     // divergence guard: the maintained artifacts and the fresh rebuild
     // must agree on LIVE graph sizes (tombstone-resolved views)
     def live(artDir: String, t: String): Long = t match {
@@ -145,11 +154,11 @@ object IncProbe {
     }
     def f2(v: Double) =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val runs = Seq(r1, r2, r3, r5, r6, r4)
+    val runs = Seq(r1, r2, r3, r7, r5, r6, r4)
       .map { case (l0, s, m) => s""""$l0":{"sec":${f2(s)},"mode":"$m"}""" }
       .mkString(",")
     val cj = counts.map { case (t, c) => s""""$t":$c""" }.mkString(",")
-    println(s"""{"probe":"inc","sf":"$sfDir","n_docs":$nDocs,"n_emb":$nEmb,"upd_file_rows":$updRows,$runs,"counts":{$cj}}""")
+    println(s"""{"probe":"inc","sf":"$sfDir","n_docs":$nDocs,"n_emb":$nEmb,"upd_file_rows":$updRows,"del_file_rows":$delRows,$runs,"counts":{$cj}}""")
     spark.stop()
   }
 }
