@@ -160,6 +160,11 @@ object Bench {
         if (err.isDefined) cold
         else if (cold >= 1.0) math.min(cold, time(fn)._1)
         else cold
+      // per-query progress to stderr: a long sweep (sf100 ≈ hours) must
+      // be observable AND salvageable mid-run — the JSON artifacts only
+      // land at the end
+      System.err.println(f"[bench] $name cold=$cold%.2f best=$best%.2f" +
+        err.map(e => s" ERR=$e").getOrElse(""))
       (name, cold, best, err)
     }
     val errors = timed.collect { case (n, _, _, Some(msg)) =>
@@ -200,8 +205,10 @@ object Bench {
       try {
         val txt = new String(
           java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+        // tolerate the driver's wrapper files, where the bench JSON
+        // sits escaped inside a "tail" string (\"value\":139.88)
         def field(k: String): Option[Double] =
-          ("\"" + k + "\":([0-9.]+)").r.findFirstMatchIn(txt)
+          ("\\\\?\"" + k + "\\\\?\":([0-9.]+)").r.findFirstMatchIn(txt)
             .map(_.group(1).toDouble)
         for (pv <- field("value"); pc <- field("calibration"); if pc > 0 && pv > 0)
           yield perCal / (pv / pc)
