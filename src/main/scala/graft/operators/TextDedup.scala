@@ -959,10 +959,15 @@ object TextDedup {
       .withColumn("ub_c", col("c_rare") + least(col("ca"), col("cb")))
       .filter(col("ub_c") * 1.0 / (col("na") + col("nb") - col("ub_c")) >= minJaccard)
     val commonShingles = dfIn.filter(col("dfb") > maxDf).select("shingle")
+    // using-joins put the key column FIRST — normalize to (doc_id,
+    // shingle) before the positional rename (same order contract as
+    // the rare-side joins above), else ids and hashes swap.
     val corr = ub.select("in_doc", "base_doc")
       .join(inSh.join(commonShingles, "shingle")
+        .select("doc_id", "shingle")
         .toDF("in_doc", "shingle"), Seq("in_doc"))
       .join(baseIdx.join(commonShingles, "shingle")
+        .select("doc_id", "shingle")
         .toDF("base_doc", "shingle"), Seq("base_doc", "shingle"))
       .groupBy("in_doc", "base_doc").agg(count(lit(1)).as("c_common"))
     val best = ub.join(corr, Seq("in_doc", "base_doc"), "left")

@@ -241,6 +241,57 @@ class DedupArtifactsSpec extends SparkSpec {
         s"self-match leaked: $r")
   }
 
+  test("screenDocsAgainstArtifacts: common shingles (stored df > maxDf) are " +
+      "counted by the exact correction, not dropped") {
+    // boilerplate regime: 10 staged docs share a 22-word preamble, so
+    // with maxDf=3 its internal shingles are all COMMON (df=10 > 3).
+    // An edited copy of doc 1 overlaps doc 1 mostly THROUGH those
+    // common shingles; the rare-only count alone sits far below the
+    // 0.5 threshold, so the verdict near_dup/novel — and the exact
+    // jaccard value — hinge on the correction join counting them
+    // (round-11 advisory: a using-join put the key first and the
+    // positional rename swapped ids with hashes → c_common was 0).
+    val boiler = (0 until 22).map(i => s"b$i").mkString(" ")
+    def uniq(tag: String) = (0 until 12).map(j => s"${tag}_$j").mkString(" ")
+    val texts = (1 to 10).map(i => i.toLong -> s"$boiler ${uniq(s"u$i")}")
+    val in = java.nio.file.Files.createTempDirectory("screen_common_in").toString
+    val out = java.nio.file.Files.createTempDirectory("screen_common_art").toString
+    import spark.implicits._
+    texts.map { case (id, t) => (id, t, "en", "synthetic", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$in/documents.parquet")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/embeddings.parquet"),
+      java.nio.file.Paths.get(s"$in/embeddings.parquet"))
+    assert(TextDedup.writeDedupArtifacts(spark, in, out, maxDf = 3))
+    // incoming = doc 1 with its last two words replaced
+    val w = texts.head._2.split(" ")
+    val editedText = (w.dropRight(2) :+ "zz1" :+ "zz2").mkString(" ")
+    val incoming = Seq((999L, editedText, "en", "synthetic", editedText.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextDedup.screenDocsAgainstArtifacts(spark, incoming, out, maxDf = 3)
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    // ground truth from plain-Scala shingling (same word-3-gram rule)
+    def sh(t: String): Set[String] = {
+      val ws = t.split(" "); (0 to ws.length - 3)
+        .map(i => s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}").toSet
+    }
+    val (a, b) = (sh(editedText), sh(texts.head._2))
+    val trueJ = (a & b).size.toDouble / (a | b).size
+    assert(trueJ >= 0.5, s"fixture broke: true jaccard $trueJ")
+    // rare-only overlap must NOT clear the threshold on its own —
+    // otherwise this test would pass with the correction broken
+    val commonCount = sh(boiler).size
+    val rareOnly = ((a & b).size - commonCount).toDouble / (a | b).size
+    assert(rareOnly < 0.5, s"fixture broke: rare-only jaccard $rareOnly")
+    assert(r.getAs[String]("verdict") == "near_dup", r.toString)
+    assert(r.getAs[Long]("matched_doc") == 1L, r.toString)
+    assert(r.getAs[Double]("jaccard") == math.floor(trueJ * 1e4 + 0.5) / 1e4,
+      r.toString)
+  }
+
   test("explicit embNLists differing from the staged _GEOMETRY rebuilds " +
       "instead of skipping") {
     val d = java.nio.file.Files.createTempDirectory("geom_art").toString
