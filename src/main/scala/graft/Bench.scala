@@ -120,8 +120,12 @@ object Bench {
     try SparkEntry.queries("ref_latest_flight_info")(spark, sfDir).count()
     catch { case _: Throwable => () }
     // box-speed calibration, AFTER warmup and BEFORE any timed query:
-    // the number future rounds divide totals by before reading deltas
+    // the number future rounds divide totals by before reading deltas.
+    // Printed to stderr IMMEDIATELY (round-11 lesson: a killed sweep
+    // loses the end-of-sweep JSON, and without the probe its salvaged
+    // per-query progress lines cannot be normalized across boxes)
     val calibration = Bench.calibrationProbe(spark)
+    System.err.println(f"[bench] calibration=$calibration%.2f sf=$sfDir")
     // Noise discipline (round 6): single cold runs made three rounds of
     // bench deltas ambiguous (neighbor noise / JIT warmup read as
     // regressions). Any query whose cold run costs >= 1 s is re-run once
@@ -154,7 +158,25 @@ object Bench {
         }
       ((System.nanoTime() - t0) / 1e9, err)
     }
-    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SEGMENTED sweeps (SPARK_GRAFT_BENCH_SEGMENT="i/k", 1-based): run
+    // the i-th contiguous alphabetical slice of the registry in its own
+    // JVM. Big-SF full gates are bounded by SESSION-ACCUMULATED shuffle
+    // spill, not by any single query (the round-11 sf100 sweep died at
+    // 84% disk on spill that no one query needed) — k segments, each
+    // with session recycle + scratch cleanup between, keep peak disk at
+    // the worst SEGMENT's footprint. Each segment emits the normal JSON
+    // (own calibration, own errors); totals merge by addition.
+    val allQueries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val segment = sys.env.get("SPARK_GRAFT_BENCH_SEGMENT")
+    val picked = segment match {
+      case Some(s) =>
+        val Array(i, k) = s.split("/").map(_.trim.toInt)
+        require(k > 0 && i >= 1 && i <= k, s"bad segment spec: $s")
+        val per = math.ceil(allQueries.size.toDouble / k).toInt
+        allQueries.slice((i - 1) * per, math.min(i * per, allQueries.size))
+      case None => allQueries
+    }
+    val timed = picked.map { case (name, fn) =>
       val (cold, err) = time(fn)
       val best =
         if (err.isDefined) cold
@@ -216,8 +238,9 @@ object Bench {
     }
     val prevField = prevRatio.map(r => s""","normalized_vs_prev":${f2(r)}""").getOrElse("")
     val calFields = s""""calibration":${f2(calibration)},"value_per_calibration":${f2(perCal)}$prevField"""
-    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec",$calFields,"n_queries":${results.size},"n_errors":${errors.size},"errors":$errNames,"queries":${toJson(slowest)},"sf":"$sfDir"}"""
-    val full = s"""{"metric":"total","value":${f2(total)},"unit":"sec",$calFields,"n_queries":${results.size},"n_errors":${errors.size},"errors":$errNames,"error_messages":$errFull,"queries":${toJson(results.toSeq.sortBy(_._1))},"cold":${toJson(colds.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
+    val segField = segment.map(s => s""""segment":${jstr(s)},""").getOrElse("")
+    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec",$calFields,$segField"n_queries":${results.size},"n_errors":${errors.size},"errors":$errNames,"queries":${toJson(slowest)},"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${f2(total)},"unit":"sec",$calFields,$segField"n_queries":${results.size},"n_errors":${errors.size},"errors":$errNames,"error_messages":$errFull,"queries":${toJson(results.toSeq.sortBy(_._1))},"cold":${toJson(colds.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
     println(line)
     System.out.flush()
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

@@ -98,7 +98,8 @@ object SparkEntry {
     "docs_profile"          -> ((s, d) => operators.Profile.docsProfile(s, d)),
     "docs_pipeline_funnel"  -> ((s, d) => operators.Profile.pipelineFunnel(s, d)),
     "docs_dsir_weights"     -> ((s, d) => operators.TrainingMix.dsirWeights(s, d)),
-    "docs_pagerank"         -> ((s, d) => operators.TextDedup.dupGraphPagerank(s, d)),
+    "docs_pagerank"         -> ((s, d) =>
+      operators.TextDedup.dupGraphPagerankAuto(s, d, dedupArtifactsDir(d))),
     "events_value_quantiles" -> (CdcPipes.eventsValueQuantiles _),
     "events_hourly_anomalies" -> ((s, d) => CdcPipes.eventsHourlyAnomalies(s, d)),
     "events_value_histogram" -> (CdcPipes.eventsValueHistogram _),
@@ -167,8 +168,12 @@ object SparkEntry {
     "docs_tfidf_neighbors"  -> ((s, d) => operators.TextAnalysis.tfidfNeighbors(s, d)),
     "docs_topic_clusters"   -> ((s, d) => operators.TextAnalysis.topicClusters(s, d)),
     "docs_source_divergence" -> ((s, d) => operators.TextAnalysis.sourceDivergence(s, d)),
-    "docs_split_leakage"    -> ((s, d) => operators.TextDedup.splitLeakageAudit(s, d)),
-    "docs_dedup_canonical"  -> ((s, d) => operators.TextDedup.canonicalSelect(s, d)),
+    // auto-routed through the staged pair graph when the artifact set
+    // is current (same result, staged speedup) — see dupClustersAuto
+    "docs_split_leakage"    -> ((s, d) =>
+      operators.TextDedup.splitLeakageAuto(s, d, dedupArtifactsDir(d))),
+    "docs_dedup_canonical"  -> ((s, d) =>
+      operators.TextDedup.canonicalSelectAuto(s, d, dedupArtifactsDir(d))),
     "docs_repetition_filters" -> ((s, d) => operators.TextAnalysis.repetitionFilters(s, d)),
     "docs_lm_score"         -> (operators.TextAnalysis.lmScore _),
     "docs_lm_buckets"       -> (operators.TextAnalysis.lmBuckets _),
@@ -189,7 +194,8 @@ object SparkEntry {
     // training-data pipeline: dedup suite
     "docs_exact_dedup"      -> (operators.TextDedup.exactDedup _),
     "docs_near_dup_pairs"   -> ((s, d) => operators.TextDedup.nearDupPairs(s, d)),
-    "docs_dup_clusters"     -> ((s, d) => operators.TextDedup.dupClusters(s, d)),
+    "docs_dup_clusters"     -> ((s, d) =>
+      operators.TextDedup.dupClustersAuto(s, d, dedupArtifactsDir(d))),
     "docs_dedup_artifacts"  -> ((s, d) => {
       val art = dedupArtifactsDir(d)
       operators.TextDedup.writeDedupArtifacts(s, d, art)

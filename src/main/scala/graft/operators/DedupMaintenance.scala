@@ -54,19 +54,24 @@ import graft.functions.ChFunctions._
   *     swap-the-whole-label-table step — the measured ~33 s fixed
   *     floor — is gone).
   *
-  * EMBEDDINGS — the layout's persisted `_GEOMETRY` pins the anchor
-  * set (an index never re-derives k from n on insert), so unchanged
+  * EMBEDDINGS — the layout's persisted `_GEOMETRY` pins the LIST COUNT
+  * (an index never re-derives k from n on insert), so unchanged
   * assignments are byte-stable; changed vectors retract their probe
-  * rows via tombstones and re-probe the SAME anchors; new pairs come
-  * from delta-probes × surviving layout ([[VectorOps.pairsBetweenProbes]]).
+  * rows via tombstones and re-probe; new pairs come from delta-probes
+  * × surviving layout ([[VectorOps.pairsBetweenProbes]]). ANCHOR CHURN
+  * (a changed/deleted/new vector with vec_id < nLists — round 12,
+  * previously a full-rebuild guard) is absorbed incrementally: the
+  * exact affected set is (owners of stored rows on a changed list) ∪
+  * (vectors a new anchor can displace, found by comparing each
+  * vector's stored nprobe-th-best sim against the new anchors — two
+  * LINEAR passes), and those vectors ride the same
+  * retract-and-reapply path under the new anchor frame.
   *
   * REMAINING GUARDS (any failure → full rebuild, correctness never
   * bent):
   *  - an id collision between an upserted row and a live row whose
   *    file was NOT touched (two live versions of one id — incoherent
   *    under any rebuild), or within the upsert batch itself;
-  *  - a changed/deleted/new vector in the anchor range
-  *    (vec_id < nLists) — the anchor set is the index definition;
   *  - a different requested embedding geometry;
   *  - missing maintenance state (pre-v4 dirs, absent `_GEOMETRY`),
   *    or a crashed-increment journal.
@@ -88,10 +93,27 @@ object DedupMaintenance {
 
   /** Bring the staged artifacts up to date with `dir`. Returns the
     * path taken: "skip" (already current), "incremental" (delta-only
-    * maintenance), or "full" (first build, or a guard fired). */
+    * maintenance — possibly followed by an automatic compaction, see
+    * below), or "full" (first build, or a guard fired).
+    *
+    * AUTO-COMPACTION: a long CDC increment chain accumulates
+    * generations and tombstones without bound — read amplification
+    * (and eventually the tombstone resolve join itself) grows until
+    * an operator intervenes, which nothing in a deployment loop ever
+    * does. So update() itself triggers [[compact]] after a successful
+    * increment when either cheap read-amplification signal crosses its
+    * threshold: the generation count (`_GEN`, one tiny file read)
+    * reaches `autoCompactMaxGen`, or the tombstone table's raw bytes
+    * exceed `autoCompactDeadFrac` of the live id-map surfaces'
+    * (filesystem metadata only). The compaction is identity-preserving
+    * (it writes the live views), so callers observe only bounded read
+    * paths; `_LAST_INC` records `"compacted":true` for the control
+    * plane. Thresholds ≤ 0 disable the trigger (manual-only, the
+    * pre-round-12 behavior). */
   def update(spark: SparkSession, dir: String, out: String,
              minJaccard: Double = 0.5, maxDf: Int = 100,
-             embNLists: Int = 0): String =
+             embNLists: Int = 0, autoCompactMaxGen: Int = 8,
+             autoCompactDeadFrac: Double = 0.25): String =
     TextDedup.artifactLock(out).synchronized {
       TextDedup.withArtifactFileLock(out) {
         // copy-on-write rewrites the files under `dir` IN PLACE — a
@@ -111,10 +133,28 @@ object DedupMaintenance {
               writeLastInc(out, s"""{"mode":"full","gen":0}""")
               "full"
           }
+          if (mode == "incremental" &&
+              shouldCompact(out, autoCompactMaxGen, autoCompactDeadFrac)) {
+            compactLocked(spark, out)
+            for (j <- lastIncrement(out))
+              writeLastInc(out, j.stripSuffix("}") + ""","compacted":true}""")
+          }
           mode
         }
       }
     }
+
+  /** The read-amplification trigger: generation count, or dead bytes
+    * as a fraction of the live id-map surfaces. Both are pure
+    * filesystem metadata — no Spark job. */
+  private def shouldCompact(out: String, maxGen: Int,
+                            deadFrac: Double): Boolean =
+    (maxGen > 0 && TextDedup.readGen(out) >= maxGen) ||
+      (deadFrac > 0 && {
+        val live = Seq("doc_files", "vec_files", "doc_stats")
+          .map(TextDedup.surfaceDataBytes(out, _)).sum
+        live > 0 && TextDedup.tombstoneRawBytes(out) > deadFrac * live
+      })
 
   /** The last update()'s outcome, for the control-plane status
     * surface ([[graft.sources.ApiServer]]): one JSON object. */
@@ -211,7 +251,10 @@ object DedupMaintenance {
       aStats: DataFrame, newPairs: DataFrame,
       clusterNodes: DataFrame, clusterNew: DataFrame)
   private final case class EmbPlan(
-      retractIds: DataFrame, upserts: DataFrame, aProbes: DataFrame,
+      retractIds: DataFrame, // file-map retractions (vec_files)
+      cIds: DataFrame,       // layout/pair retractions (⊇ retractIds:
+                             // adds anchor-churn re-probed vectors)
+      upserts: DataFrame, aProbes: DataFrame,
       newPairs: DataFrame, clusterNodes: DataFrame, clusterNew: DataFrame)
 
   /** Run the guarded increment. Returns false — having written NOTHING
@@ -236,6 +279,11 @@ object DedupMaintenance {
     // ---- write phase (journaled; every frame above is eager) ----
     java.nio.file.Files.write(TextDedup.incJournal(out),
       fpNew.getBytes("UTF-8"))
+    // the clean marker dies BEFORE the first tombstone append: a crash
+    // in between leaves readers on the (correct) emptiness probe
+    val wasClean = java.nio.file.Files.exists(
+      TextDedup.tombstonesCleanMarker(out))
+    TextDedup.clearTombstonesClean(out)
 
     def tomb(surface: String, ids: DataFrame, idCol: String): DataFrame =
       ids.select(lit(surface).as("surface"), col(idCol).as("id"),
@@ -260,9 +308,9 @@ object DedupMaintenance {
     }
 
     for (e <- embPlan.flatten) phase("write_emb") {
-      tomb("emb_probe_layout", e.retractIds, "vec_id")
+      tomb("emb_probe_layout", e.cIds, "vec_id")
         .unionByName(tomb("vec_files", e.retractIds, "vec_id"))
-        .unionByName(tomb("emb_pairs", e.retractIds, "vec_id"))
+        .unionByName(tomb("emb_pairs", e.cIds, "vec_id"))
         .unionByName(tomb("emb_clusters", e.clusterNodes, "vec_id"))
         .write.mode("append").parquet(s"$out/tombstones")
       withGen(e.aProbes).write.partitionBy("list_id").mode("append")
@@ -272,6 +320,18 @@ object DedupMaintenance {
       withGen(e.newPairs).write.mode("append").parquet(s"$out/emb_pairs")
       withGen(e.clusterNew).write.mode("append").parquet(s"$out/emb_clusters")
     }
+
+    // a PURE-APPEND increment (no retractions, no crossings, no
+    // cluster relabels) appended only empty tombstone frames: if the
+    // table was clean going in it is still clean, and append-heavy CDC
+    // chains keep the probe-free read path. The id frames are eager
+    // checkpoints, so the emptiness checks are driver-cheap.
+    val wroteTombstones =
+      textPlan.flatten.exists(t => !t.retractIds.isEmpty ||
+        !t.cIds.isEmpty || !t.clusterNodes.isEmpty) ||
+      embPlan.flatten.exists(e => !e.cIds.isEmpty ||
+        !e.clusterNodes.isEmpty)
+    if (wasClean && !wroteTombstones) TextDedup.markTombstonesClean(out)
 
     // stage markers advance to the new fingerprint (so a subsequent
     // full-build call sees every stage current), then the generation,
@@ -295,6 +355,7 @@ object DedupMaintenance {
       s""""new_pairs":${p.newPairs.count()}""").getOrElse("")
     val ej = e.map(p => s""","vecs_retracted":${p.retractIds.count()},""" +
       s""""vecs_upserted":${p.upserts.count()},""" +
+      s""""vecs_reanchored":${p.cIds.count() - p.retractIds.count()},""" +
       s""""new_emb_pairs":${p.newPairs.count()}""").getOrElse("")
     s"""{"mode":"incremental","gen":$g$tj$ej}"""
   }
@@ -445,10 +506,6 @@ object DedupMaintenance {
       else spark.read.parquet(upsertFiles.map(_.toString): _*)
         .select(col("vec_id"), col("embedding"),
           TextDedup.relFileCol.as("src_file")))
-    // anchors are the index definition — touching one invalidates
-    // every stored assignment
-    if (!retractIds.filter(col("vec_id") < nLists).isEmpty) return None
-    if (!upserts.filter(col("vec_id") < nLists).isEmpty) return None
     if (!upserts.groupBy("vec_id").count().filter(col("count") > 1).isEmpty)
       return None
     if (!upserts.select("vec_id")
@@ -461,31 +518,106 @@ object DedupMaintenance {
     val live = TextDedup.liveRows(spark, out, "emb_probe_layout", "vec_id")
       .select(col("vec_id"), col("embedding"),
         col("list_id").cast("long").as("list_id"))
-    val anchors = live.filter(col("vec_id") < nLists)
+    val liveAnch = live.filter(col("vec_id") < nLists)
       .groupBy("vec_id").agg(first(col("embedding")).as("anchor"))
+
+    // ---- ANCHOR CHURN (round-12; was a full-rebuild guard) ----
+    // A changed/deleted/new vector in the anchor range moves the index
+    // definition, but only a BOUNDED set of assignments with it. With
+    // changed lists C (retracted ∪ upserted anchor ids), the vectors
+    // whose top-nprobe can differ under the new anchor frame are
+    // EXACTLY:
+    //   A1: owners of a stored probe row on some c ∈ C (their ranking
+    //       involved a moved/removed anchor), and
+    //   A2: vectors where some NEW anchor's sim ≥ their stored
+    //       nprobe-th-best sim (the displacement condition; ≥ also
+    //       covers the 6dp-tie + smaller-list_id win, making this a
+    //       tight superset). Every other vector's stored rows reference
+    //       only unchanged anchors that it provably still prefers.
+    // Both sets cost LINEAR scans (one layout pass re-scoring stored
+    // rows against unchanged anchors, one |C|-anchor broadcast pass),
+    // never the full N×nLists re-assignment — the affected vectors
+    // then ride the normal retract-and-reapply path (rows + pairs
+    // retract via tombstones, re-probe against the new anchors, delta
+    // pair kernel, subgraph relabel), so incremental ≡ full rebuild
+    // stays exact (DedupMaintenanceSpec pins it per churn shape).
+    val anchorChangedIds = ckpt(
+      retractIds.filter(col("vec_id") < nLists)
+        .unionByName(upserts.filter(col("vec_id") < nLists).select("vec_id"))
+        .distinct())
+    val anchorChurn = !anchorChangedIds.isEmpty
+    val anchors = (
+      if (!anchorChurn) liveAnch
+      else liveAnch.join(anchorChangedIds, Seq("vec_id"), "left_anti")
+        .unionByName(upserts.filter(col("vec_id") < nLists)
+          .select(col("vec_id"), col("embedding").as("anchor"))))
       .select(col("vec_id").as("list_id"), col("anchor"))
+    val rIdsE = // existing non-delta vectors whose probe set may move
+      if (!anchorChurn) emptyIds(spark, "vec_id")
+      else phase("e_reanchor") {
+        val cLists = anchorChangedIds.toDF("list_id")
+        val a1 = live.join(broadcast(cLists), Seq("list_id"), "left_semi")
+          .select("vec_id")
+        val exclude = a1.unionByName(retractIds)
+          .unionByName(upserts.select("vec_id")).distinct()
+        val restRows = live.join(exclude, Seq("vec_id"), "left_anti")
+        // stored rows of the rest reference only UNCHANGED anchors (a
+        // row on a changed list puts its owner in A1), so re-scoring
+        // them against the new frame reproduces the stored ranking
+        val unchangedAnchors = anchors
+          .join(broadcast(cLists), Seq("list_id"), "left_anti")
+        val worstStored = restRows
+          .join(broadcast(unchangedAnchors), Seq("list_id"))
+          .select(col("vec_id"),
+            VectorOps.probeSim(col("embedding"), col("anchor")).as("sim"))
+          .groupBy("vec_id").agg(min(col("sim")).as("m"))
+        val newInC = anchors.join(broadcast(cLists), Seq("list_id"), "left_semi")
+        val bestNew = restRows
+          .groupBy("vec_id").agg(first(col("embedding")).as("embedding"))
+          .join(broadcast(newInC))
+          .select(col("vec_id"),
+            VectorOps.probeSim(col("embedding"), col("anchor")).as("sim"))
+          .groupBy("vec_id").agg(max(col("sim")).as("mx"))
+        val a2 = worstStored.join(bestNew, Seq("vec_id"))
+          .filter(col("mx") >= col("m")).select("vec_id")
+        ckpt(a1.unionByName(a2).distinct()
+          .join(retractIds, Seq("vec_id"), "left_anti")
+          .join(upserts.select("vec_id"), Seq("vec_id"), "left_anti"))
+      }
+    val haveReanchor = anchorChurn && !rIdsE.isEmpty
+    // the APPLY frame: upserted vectors fresh, re-anchored vectors with
+    // their embeddings read back from the layout (never the corpus)
+    val applyFrame =
+      if (!haveReanchor) upserts.select("vec_id", "embedding")
+      else upserts.select("vec_id", "embedding").unionByName(
+        live.join(rIdsE, Seq("vec_id"), "left_semi")
+          .groupBy("vec_id").agg(first(col("embedding")).as("embedding")))
     val aProbes = phase("e_probes") { ckpt(VectorOps.probeAssignmentsFrom(
-      upserts.select("vec_id", "embedding"), anchors, nprobe)) }
+      applyFrame, anchors, nprobe)) }
+    // cIds = every id whose stored layout rows and pairs retract
+    val cIds = ckpt(
+      if (!haveReanchor) retractIds
+      else retractIds.unionByName(rIdsE).distinct())
     // append-shaped deltas skip the retraction anti-joins (no-ops that
     // would still re-shape the layout and pair scans)
-    val haveRetract = !retractIds.isEmpty
+    val haveRetract = !cIds.isEmpty
     val base =
-      if (haveRetract) live.join(retractIds, Seq("vec_id"), "left_anti")
+      if (haveRetract) live.join(cIds, Seq("vec_id"), "left_anti")
       else live
     val newPairs = phase("e_new_pairs") { ckpt(VectorOps.pairsBetweenProbes(aProbes, base, 0.4)) }
     val surviving =
       if (!haveRetract) TextDedup.stagedEmbPairs(spark, out)
         .select("vec_a", "vec_b")
       else TextDedup.stagedEmbPairs(spark, out)
-        .join(retractIds.toDF("vec_a"), Seq("vec_a"), "left_anti")
-        .join(retractIds.toDF("vec_b"), Seq("vec_b"), "left_anti")
+        .join(cIds.toDF("vec_a"), Seq("vec_a"), "left_anti")
+        .join(cIds.toDF("vec_b"), Seq("vec_b"), "left_anti")
         .select("vec_a", "vec_b")
     val (nodes, relabeled) = phase("e_relabel") { relabel(spark,
       TextDedup.stagedEmbClusters(spark, out)
         .toDF("id", "cluster_id", "cluster_size"),
-      surviving.toDF("a", "b"), retractIds.toDF("id"),
+      surviving.toDF("a", "b"), cIds.toDF("id"),
       newPairs.select(col("vec_a").as("a"), col("vec_b").as("b"))) }
-    Some(Some(EmbPlan(retractIds, upserts, aProbes, newPairs,
+    Some(Some(EmbPlan(retractIds, cIds, upserts, aProbes, newPairs,
       nodes.toDF("vec_id"),
       relabeled.toDF("vec_id", "cluster_id", "cluster_size"))))
   }
@@ -681,6 +813,14 @@ object DedupMaintenance {
   def compact(spark: SparkSession, out: String): Unit =
     TextDedup.artifactLock(out).synchronized {
       TextDedup.withArtifactFileLock(out) {
+        compactLocked(spark, out)
+      }
+    }
+
+  /** [[compact]]'s body, for callers ALREADY holding the artifact
+    * locks (the OS file lock is not reentrant — [[update]]'s
+    * auto-compaction would deadlock-or-throw re-acquiring it). */
+  private def compactLocked(spark: SparkSession, out: String): Unit = {
         val fp = new java.io.File(out, "_FINGERPRINT").toPath
         require(java.nio.file.Files.exists(fp) &&
           !java.nio.file.Files.exists(TextDedup.incJournal(out)),
@@ -719,13 +859,13 @@ object DedupMaintenance {
             new java.io.File(layout, "_GEOMETRY").toPath,
             s"nLists=$l\nnprobe=$p".getBytes("UTF-8"))
         swapIn(spark, s"$out/tombstones", TextDedup.emptyTombstones(spark))
+        TextDedup.markTombstonesClean(out)
         TextDedup.writeGen(out, 0)
         java.nio.file.Files.deleteIfExists(TextDedup.incJournal(out))
         // every table was physically replaced under the same paths —
         // drop any cached listings before a reader sees them
         spark.catalog.refreshByPath(out)
-      }
-    }
+  }
 
   /** Replace a staged table with a new frame: write beside, delete,
     * rename. NOT atomic — the caller's journal covers the window (a

@@ -35,6 +35,13 @@ object VectorOps {
   private def dot(a: Column, b: Column): Column =
     call_function("vector_dot", a, b)
 
+  /** The probe-assignment score EXACTLY as [[probeAssignmentsFrom]]
+    * ranks it (6dp-rounded dot) — exposed so the anchor-churn
+    * displacement test in [[DedupMaintenance]] compares stored
+    * rankings under the identical rounding. */
+  private[operators] def probeSim(emb: Column, anchor: Column): Column =
+    floorRound(dot(emb, anchor), 6)
+
   /** L2 norms — plumbing validation for the vector column. */
   def norms(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)

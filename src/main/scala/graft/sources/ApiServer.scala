@@ -476,22 +476,58 @@ final class ApiServer(spark: SparkSession, sfDir: String,
     * Read-only and cheap (file metadata, no Spark job), so any
     * authorized token may ask; 401 without one. */
   private def handleDedupArtifacts(ex: HttpExchange): Unit = guarded(ex) {
+    val art = graft.SparkEntry.dedupArtifactsDir(sfDir)
+    // currency is judged under the artifact's OWN staging params (the
+    // stored fingerprint header) — an artifact maintained under
+    // non-default minJaccard/maxDf must not read as perpetually stale
+    // against the defaults. No stored params (fresh workspace) →
+    // defaults, which is also what a first update() will build with.
+    def params: (Double, Int) =
+      graft.operators.TextDedup.storedParams(art).getOrElse((0.5, 100))
+    def statusJson: String = {
+      val (mj, df) = params
+      val current = graft.operators.TextDedup.artifactsCurrent(
+        sfDir, art, mj, df)
+      val journal = java.nio.file.Files.exists(
+        new java.io.File(art, "_INC_JOURNAL").toPath)
+      val gen = graft.operators.TextDedup.readGen(art)
+      val last = graft.operators.DedupMaintenance.lastIncrement(art)
+        .getOrElse("null")
+      s"""{"path":${Endpoints.q(art)},"current":$current,""" +
+        s""""min_jaccard":$mj,"max_df":$df,""" +
+        s""""generation":$gen,"journal_pending":$journal,""" +
+        s""""last_update":$last}"""
+    }
+    val tail = ex.getRequestURI.getPath.stripPrefix("/v0/dedup_artifacts")
+      .stripPrefix("/")
     authorized(ex) match {
       case None => respond(ex, 401, """{"error":"invalid or missing token"}""")
-      case Some(_) if ex.getRequestMethod != "GET" =>
-        respond(ex, 405, """{"error":"dedup_artifacts supports GET"}""")
-      case Some(_) =>
-        val art = graft.SparkEntry.dedupArtifactsDir(sfDir)
-        val current = graft.operators.TextDedup.artifactsCurrent(sfDir, art)
-        val journal = java.nio.file.Files.exists(
-          new java.io.File(art, "_INC_JOURNAL").toPath)
-        val gen = graft.operators.TextDedup.readGen(art)
-        val last = graft.operators.DedupMaintenance.lastIncrement(art)
-          .getOrElse("null")
-        respond(ex, 200,
-          s"""{"path":${Endpoints.q(art)},"current":$current,""" +
-            s""""generation":$gen,"journal_pending":$journal,""" +
-            s""""last_update":$last}""")
+      case Some(_) if ex.getRequestMethod == "GET" && tail.isEmpty =>
+        respond(ex, 200, statusJson)
+      // maintenance ACTUATORS — provisioning-over-HTTP like the
+      // reference's push/truncate surfaces (tb_functions.py:225-252),
+      // so an operator brings artifacts current or bounds read
+      // amplification without touching the JVM. Mutating → workspace
+      // admin only (same gate as datasource truncate).
+      case Some(grants) if ex.getRequestMethod == "POST" &&
+          (tail == "update" || tail == "compact") =>
+        if (!grants("*"))
+          respond(ex, 403,
+            """{"error":"dedup maintenance requires a workspace admin token"}""")
+        else if (tail == "update") {
+          val (mj, df) = params
+          val mode = graft.operators.DedupMaintenance.update(
+            spark, sfDir, art, mj, df)
+          respond(ex, 200,
+            s"""{"action":"update","mode":${Endpoints.q(mode)},""" +
+              statusJson.stripPrefix("{"))
+        } else {
+          graft.operators.DedupMaintenance.compact(spark, art)
+          respond(ex, 200,
+            s"""{"action":"compact",""" + statusJson.stripPrefix("{"))
+        }
+      case Some(_) => respond(ex, 405,
+        """{"error":"dedup_artifacts supports GET and POST update|compact"}""")
     }
   }
 

@@ -126,8 +126,12 @@ object IncProbe {
         "case when doc_id % 50 = 0 then concat(text, ' upd probe') " +
           "else text end")))
     val r5 = timed("upd_one_file") { DedupMaintenance.update(spark, data, art) }
-    // DELETE leg: drop ~1% of the SECOND-largest file's docs
-    val delTarget = docParts().sortBy(-_.length).tail.head
+    // DELETE leg: drop ~1% of the largest file the UPDATE leg did NOT
+    // touch — its repartition(1) rewrite can demote the update target
+    // in the size order, so a plain second-largest pick could re-hit
+    // the same (just-rewritten) file and the two legs would stop
+    // measuring independent costs
+    val delTarget = docParts().filterNot(_ == updTarget).maxBy(_.length)
     val delRows = spark.read.parquet(delTarget.toString).count()
     rewriteFile(delTarget, spark.read.parquet(delTarget.toString)
       .filter("doc_id % 97 != 0"))

@@ -681,4 +681,59 @@ class ApiServerSpec extends SparkSpec {
         inc.contains("\"docs_upserted\""), inc)
     } finally srv.stop()
   }
+
+  test("dedup-artifact maintenance actuators: stale → POST update → current " +
+      "and POST compact bounds the generation, all over HTTP; admin-gated; " +
+      "status honors the artifact's own staging params") {
+    import spark.implicits._
+    val data = java.nio.file.Files.createTempDirectory("api_dmx_data").toString
+    Tables.documents(spark, sf).filter("doc_id < 300")
+      .write.parquet(s"$data/documents.parquet")
+    Tables.embeddings(spark, sf).filter("vec_id < 300")
+      .write.parquet(s"$data/embeddings.parquet")
+    val art = SparkEntry.dedupArtifactsDir(data)
+    val srv = new ApiServer(spark, data,
+      Map("boss" -> Set("*"), "reader" -> Set("docs_dup_clusters")))
+    val p = srv.start()
+    def call(method: String, path: String, tok: Option[String]) = {
+      val b = HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$p/v0/dedup_artifacts$path"))
+      tok.foreach(t => b.header("Authorization", s"Bearer $t"))
+      val req = if (method == "POST")
+        b.POST(HttpRequest.BodyPublishers.noBody()).build() else b.GET().build()
+      http.send(req, HttpResponse.BodyHandlers.ofString())
+    }
+    try {
+      // NON-DEFAULT staging params, built JVM-side: status must judge
+      // currency under the STORED params, not the defaults
+      assert(graft.operators.DedupMaintenance.update(
+        spark, data, art, minJaccard = 0.4, maxDf = 50) == "full")
+      val s0 = call("GET", "", Some("reader")).body()
+      assert(s0.contains("\"current\":true") &&
+        s0.contains("\"min_jaccard\":0.4") && s0.contains("\"max_df\":50"), s0)
+      // an input append flips it stale; bringing it current is one POST
+      // — no JVM access — and the update keeps the stored params
+      Tables.documents(spark, sf).filter("doc_id >= 300")
+        .write.mode("append").parquet(s"$data/documents.parquet")
+      assert(call("GET", "", Some("reader")).body().contains("\"current\":false"))
+      // mutating actions are admin-only
+      assert(call("POST", "/update", Some("reader")).statusCode() == 403)
+      assert(call("POST", "/update", None).statusCode() == 401)
+      val upd = call("POST", "/update", Some("boss"))
+      assert(upd.statusCode() == 200 &&
+        upd.body().contains("\"mode\":\"incremental\"") &&
+        upd.body().contains("\"current\":true"), upd.body())
+      assert(graft.operators.TextDedup.storedParams(art) == Some((0.4, 50)))
+      // compact folds the increment chain back to generation 0
+      assert(call("GET", "", Some("reader")).body().contains("\"generation\":1"))
+      val cmp = call("POST", "/compact", Some("reader"))
+      assert(cmp.statusCode() == 403)
+      val cmpOk = call("POST", "/compact", Some("boss"))
+      assert(cmpOk.statusCode() == 200 &&
+        cmpOk.body().contains("\"generation\":0") &&
+        cmpOk.body().contains("\"current\":true"), cmpOk.body())
+      // unknown action → 405 contract line
+      assert(call("POST", "/frobnicate", Some("boss")).statusCode() == 405)
+    } finally srv.stop()
+  }
 }

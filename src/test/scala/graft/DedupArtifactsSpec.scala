@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import graft.operators.{TextDedup, TrainingMix, VectorOps}
 
 /** The staged pair-graph topology (TextDedup.writeDedupArtifacts): every
@@ -88,6 +89,56 @@ class DedupArtifactsSpec extends SparkSpec {
     val fallback = VectorOps.nearDupPairsAuto(spark, sf, none)
     assert(!fallback.inputFiles.exists(_.contains("emb_probe_layout")))
     assert(rows(fallback) == rows(routed))
+  }
+
+  test("auto-route: the four text-side consumers read the STAGED pair graph " +
+      "when the artifact is current, fall back self-contained when not") {
+    def stagedInputs(df: DataFrame, table: String): Boolean =
+      df.inputFiles.exists(_.contains(s"/$table/"))
+    // current artifact → every consumer's plan reads the staged parquet
+    val clusters = TextDedup.dupClustersAuto(spark, sf, art)
+    assert(stagedInputs(clusters, "clusters"),
+      s"clusters must route: ${clusters.inputFiles.take(3).mkString(",")}")
+    assert(rows(clusters) == rows(TextDedup.dupClusters(spark, sf)))
+    // pagerank's edge frame is localCheckpoint'd (lineage gone), so the
+    // route is proven behaviorally: doctor a staged pairs table so
+    // staged ≠ self-contained — a CURRENT artifact must serve the
+    // doctored graph, a stale one must fall back to the corpus truth
+    val dArt = java.nio.file.Files.createTempDirectory("pr_route_art").toString
+    assert(TextDedup.writeDedupArtifacts(spark, sf, dArt))
+    import spark.implicits._
+    Seq((888888L, 888889L, 0.9, 0))
+      .toDF("doc_a", "doc_b", "jaccard", "gen")
+      .write.mode("append").parquet(s"$dArt/pairs")
+    val prRouted = TextDedup.dupGraphPagerankAuto(spark, sf, dArt)
+    assert(prRouted.filter(col("doc_id") === 888888L).count() == 1,
+      "current artifact must serve the staged pair graph")
+    assert(new java.io.File(dArt, "_FINGERPRINT").delete())
+    val prFallback = TextDedup.dupGraphPagerankAuto(spark, sf, dArt)
+    assert(prFallback.filter(col("doc_id") === 888888L).count() == 0,
+      "stale artifact must fall back to the self-contained graph")
+    assert(rows(prFallback) == rows(TextDedup.dupGraphPagerank(spark, sf)))
+    assert(rows(TextDedup.dupGraphPagerankAuto(spark, sf, art)) ==
+      rows(TextDedup.dupGraphPagerank(spark, sf)))
+    val canon = TextDedup.canonicalSelectAuto(spark, sf, art)
+    assert(stagedInputs(canon, "clusters"))
+    assert(rows(canon) == rows(TextDedup.canonicalSelect(spark, sf)))
+    val leak = TextDedup.splitLeakageAuto(spark, sf, art)
+    assert(stagedInputs(leak, "pairs"))
+    assert(rows(leak) == rows(TextDedup.splitLeakageAudit(spark, sf)))
+    // non-default staging params → fingerprint mismatch → self-contained
+    assert(!stagedInputs(
+      TextDedup.dupClustersAuto(spark, sf, art, minJaccard = 0.4), "clusters"))
+    assert(!stagedInputs(
+      TextDedup.splitLeakageAuto(spark, sf, art, maxDf = 50), "pairs"))
+    // non-default maxRounds wants possibly-unconverged CC semantics
+    assert(!stagedInputs(
+      TextDedup.dupClustersAuto(spark, sf, art, maxRounds = 1), "clusters"))
+    // no artifact at all → self-contained fallback, same result
+    val none = java.nio.file.Files.createTempDirectory("no_text_art").toString
+    val fb = TextDedup.dupClustersAuto(spark, sf, none)
+    assert(!stagedInputs(fb, "clusters"))
+    assert(rows(fb) == rows(clusters))
   }
 
   test("increment screen: verdicts agree with the pair-graph truth") {

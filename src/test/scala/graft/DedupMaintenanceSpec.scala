@@ -317,7 +317,10 @@ class DedupMaintenanceSpec extends SparkSpec {
     rewriteFile(docA.get, baseDocs.take(20).map {
       case (6L, _) => 6L -> words("solo6"); case o => o
     }.toDF("doc_id", "text"))
-    assert(DedupMaintenance.update(spark, data, art) == "incremental")
+    // auto-compaction OFF: this test exercises the MANUAL compact()
+    // path, so the increment must leave its tombstones behind
+    assert(DedupMaintenance.update(spark, data, art,
+      autoCompactMaxGen = 0, autoCompactDeadFrac = 0) == "incremental")
     assert(TextDedup.readGen(art) == 1)
     assert(spark.read.parquet(s"$art/tombstones").count() > 0)
     val before = Seq(
@@ -338,6 +341,80 @@ class DedupMaintenanceSpec extends SparkSpec {
       rows(TextDedup.stagedEmbPairs(spark, art)))
     assert(before == after, "compaction changed a live view")
     assert(DedupMaintenance.update(spark, data, art) == "skip")
+  }
+
+  test("auto-compaction: a long increment chain keeps the read-path " +
+      "generation count bounded; _LAST_INC records it; identity preserved") {
+    val data = tmp("dm_ac_data"); val art = tmp("dm_ac_art")
+    val (docA, _) = writeSlice(data, baseDocs.take(20), baseEmbFixed.take(20))
+    writeSlice(data, baseDocs.drop(20), baseEmbFixed.drop(20))
+    // bytes-ratio signal off: at toy scale parquet overhead makes it
+    // meaningless — this test pins the GENERATION-count signal
+    def upd() = DedupMaintenance.update(spark, data, art,
+      autoCompactMaxGen = 2, autoCompactDeadFrac = 0)
+    assert(upd() == "full")
+    val target = docA.get
+    for (round <- 1 to 4) {
+      rewriteFile(target, baseDocs.take(20).map {
+        case (6L, _) => 6L -> words(s"solo6_r$round"); case o => o
+      }.toDF("doc_id", "text"))
+      assert(upd() == "incremental")
+      assert(TextDedup.readGen(art) <= 2,
+        s"round $round: generation count unbounded (${TextDedup.readGen(art)})")
+    }
+    // 4 increments at maxGen=2 → at least one compaction happened and
+    // the latest one is on record
+    assert(TextDedup.readGen(art) < 4)
+    assert(DedupMaintenance.lastIncrement(art).exists(_.contains(
+      """"compacted":true""")), DedupMaintenance.lastIncrement(art).toString)
+    // compacted state is current, serves the right rows, and skips
+    assert(TextDedup.artifactsCurrent(data, art))
+    assertEqualsFreshRebuild(data, art)
+    assert(upd() == "skip")
+  }
+
+  test("_TOMBSTONES_CLEAN marker: present after build/compact (readers skip " +
+      "the probe entirely), absent the moment an increment journals") {
+    val data = tmp("dm_cl_data"); val art = tmp("dm_cl_art")
+    val (docA, _) = writeSlice(data, baseDocs.take(20), baseEmbFixed.take(20))
+    writeSlice(data, baseDocs.drop(20), baseEmbFixed.drop(20))
+    assert(DedupMaintenance.update(spark, data, art) == "full")
+    val marker = TextDedup.tombstonesCleanMarker(art)
+    assert(java.nio.file.Files.exists(marker), "fresh build must mark clean")
+    // the marker short-circuits BEFORE any tombstone read: with the
+    // table directory gone, a probing reader would throw PATH_NOT_FOUND
+    val saved = tmp("dm_cl_saved")
+    val tombDir = new java.io.File(art, "tombstones")
+    java.nio.file.Files.move(tombDir.toPath,
+      new java.io.File(saved, "tombstones").toPath)
+    val viaMarker = rows(TextDedup.stagedPairs(spark, art))
+    java.nio.file.Files.move(new java.io.File(saved, "tombstones").toPath,
+      tombDir.toPath)
+    assert(viaMarker == rows(TextDedup.stagedPairs(spark, art)))
+    // a PURE append (unique docs, fresh-seed random unit vectors — the
+    // fixture's no-pair convention: no new pairs, no crossings, no
+    // relabels) writes zero tombstone rows — the marker survives and
+    // append-heavy chains stay probe-free
+    writeSlice(data,
+      (200L to 205L).map(i => i -> words(s"app$i")),
+      (200L to 205L).map(i => (i, vec(i + 700), 0)))
+    assert(DedupMaintenance.update(spark, data, art,
+      autoCompactMaxGen = 0, autoCompactDeadFrac = 0) == "incremental")
+    assert(java.nio.file.Files.exists(marker),
+      "a tombstone-free append must keep the probe-free read path")
+    assertEqualsFreshRebuild(data, art)
+    // an increment kills the marker (it writes tombstones)...
+    rewriteFile(docA.get, baseDocs.take(20).map {
+      case (6L, _) => 6L -> words("solo6"); case o => o
+    }.toDF("doc_id", "text"))
+    assert(DedupMaintenance.update(spark, data, art,
+      autoCompactMaxGen = 0, autoCompactDeadFrac = 0) == "incremental")
+    assert(!java.nio.file.Files.exists(marker),
+      "live tombstones behind a clean marker would serve dead rows")
+    // ...and compaction restores it
+    DedupMaintenance.compact(spark, art)
+    assert(java.nio.file.Files.exists(marker))
+    assertEqualsFreshRebuild(data, art)
   }
 
   test("a crashed increment (journal present) forces the full-rebuild path " +
@@ -366,17 +443,50 @@ class DedupMaintenanceSpec extends SparkSpec {
     assert(DedupMaintenance.update(spark, data, art) == "full")
   }
 
-  test("an update touching an ANCHOR vector (vec_id < nLists) invalidates " +
-      "the index definition: full rebuild") {
+  test("an update MOVING an anchor vector (vec_id < nLists) is absorbed " +
+      "incrementally: affected assignments re-probe, pairs follow the new " +
+      "anchor, ≡ full rebuild") {
     val data = tmp("dm_a_data"); val art = tmp("dm_a_art")
     val (_, embA) = writeSlice(data, baseDocs.take(20), baseEmbFixed.take(20))
     writeSlice(data, baseDocs.drop(20), baseEmbFixed.drop(20))
-    assert(DedupMaintenance.update(spark, data, art) == "full")
-    // vec 3 sits in the anchor range (nLists >= 8 by the schedule)
+    assert(DedupMaintenance.update(spark, data, art,
+      autoCompactMaxGen = 0, autoCompactDeadFrac = 0) == "full")
+    // vec 3 sits in the anchor range (nLists >= 8 by the schedule):
+    // move it right next to vec 20 — under the new anchor frame the
+    // (20, 39) near-pair's neighborhood must re-probe into list 3 and
+    // the NEW pairs (3,20) and (3,39) must appear, found without any
+    // full re-assignment
     rewriteFile(embA.get, baseEmbFixed.take(20).map {
-      case (3L, _, l) => (3L, vec(888), l); case o => o
+      case (3L, _, l) => (3L, near(vec(20), 999L), l); case o => o
     }.toDF("vec_id", "embedding", "label"))
-    assert(DedupMaintenance.update(spark, data, art) == "full")
+    assert(DedupMaintenance.update(spark, data, art,
+      autoCompactMaxGen = 0, autoCompactDeadFrac = 0) == "incremental")
+    val epairs = TextDedup.stagedEmbPairs(spark, art)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(epairs.contains((3L, 20L)) && epairs.contains((3L, 39L)),
+      s"anchor-churn pairs missing: $epairs")
+    assert(DedupMaintenance.lastIncrement(art).exists(_.contains(
+      """"vecs_reanchored":""")), DedupMaintenance.lastIncrement(art).toString)
+    assertEqualsFreshRebuild(data, art)
+    assert(DedupMaintenance.update(spark, data, art) == "skip")
+  }
+
+  test("a DELETED anchor vector is absorbed incrementally: its list's " +
+      "members re-probe among the remaining anchors, ≡ full rebuild") {
+    val data = tmp("dm_ad_data"); val art = tmp("dm_ad_art")
+    val (_, embA) = writeSlice(data, baseDocs.take(20), baseEmbFixed.take(20))
+    writeSlice(data, baseDocs.drop(20), baseEmbFixed.drop(20))
+    assert(DedupMaintenance.update(spark, data, art,
+      autoCompactMaxGen = 0, autoCompactDeadFrac = 0) == "full")
+    rewriteFile(embA.get,
+      baseEmbFixed.take(20).filterNot(_._1 == 3L)
+        .toDF("vec_id", "embedding", "label"))
+    assert(DedupMaintenance.update(spark, data, art,
+      autoCompactMaxGen = 0, autoCompactDeadFrac = 0) == "incremental")
+    // the deleted anchor's rows (own id and any member of list 3) are
+    // gone from the live layout
+    assert(TextDedup.liveRows(spark, art, "emb_probe_layout", "vec_id")
+      .filter(col("vec_id") === 3L).isEmpty)
     assertEqualsFreshRebuild(data, art)
   }
 

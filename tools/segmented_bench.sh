@@ -1,0 +1,59 @@
+#!/bin/bash
+# Segmented full-registry bench for big SFs whose SESSION-ACCUMULATED
+# shuffle spill exceeds the box's disk (the round-11 sf100 sweep died
+# at 84% disk on spill no single query needed). Runs Bench in K
+# segments (SPARK_GRAFT_BENCH_SEGMENT=i/K), one JVM per segment, with
+# scratch cleanup between; each segment emits its own JSON (own
+# calibration). Merge totals by addition; normalize each segment by
+# ITS calibration.
+#
+# Usage: tools/segmented_bench.sh <sfDir> <K> <outPrefix>
+#   e.g. tools/segmented_bench.sh /tmp/sf100 6 /tmp/bench_sf100_seg
+set -u
+SF_DIR=$1; K=$2; PREFIX=$3
+for i in $(seq 1 "$K"); do
+  # dead spill dirs from the previous segment's JVM
+  rm -rf /tmp/blockmgr-* /tmp/spark-* 2>/dev/null
+  rm -f  /root/repo/target/graft-run.lock
+  echo "=== segment $i/$K ($(date -u +%H:%M:%S), disk: $(df -h / | awk 'NR==2{print $5}')) ==="
+  SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-100g}" \
+  SPARK_GRAFT_SF_DIR="$SF_DIR" \
+  SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
+  SPARK_GRAFT_SHUFFLE="${SPARK_GRAFT_SHUFFLE:-auto}" \
+  SPARK_GRAFT_JAVA_OPTS="${SPARK_GRAFT_JAVA_OPTS:--Dspark.io.compression.codec=zstd}" \
+  SPARK_GRAFT_BENCH_SEGMENT="$i/$K" \
+  SPARK_GRAFT_BENCH_OUT="${PREFIX}_${i}of${K}.json" \
+  sbt -batch "runMain graft.Bench" 2>&1 | tee "${PREFIX}_${i}of${K}.log" \
+    | grep -E '"metric"|\[bench\]' || true
+done
+echo "=== merge ==="
+python3 - "$PREFIX" "$K" <<'EOF'
+import json, sys
+prefix, k = sys.argv[1], int(sys.argv[2])
+segs = []
+for i in range(1, k + 1):
+    with open(f"{prefix}_{i}of{k}.json") as f:
+        segs.append(json.load(f))
+queries = {}
+for s in segs:
+    queries.update(s["queries"])
+total = sum(s["value"] for s in segs)
+norm = sum(s["value"] / s["calibration"] for s in segs)
+merged = {
+    "metric": "total", "value": round(total, 2), "unit": "sec",
+    "segments": [{"segment": s.get("segment"), "value": s["value"],
+                  "calibration": s["calibration"],
+                  "n_errors": s["n_errors"]} for s in segs],
+    "sum_value_per_calibration": round(norm, 2),
+    "n_queries": sum(s["n_queries"] for s in segs),
+    "n_errors": sum(s["n_errors"] for s in segs),
+    "errors": sum((s["errors"] for s in segs), []),
+    "queries": dict(sorted(queries.items())),
+    "sf": segs[0]["sf"],
+}
+out = f"{prefix}_merged.json"
+with open(out, "w") as f:
+    json.dump(merged, f)
+print(out, "->", merged["value"], "sec over", merged["n_queries"],
+      "queries,", merged["n_errors"], "errors")
+EOF
