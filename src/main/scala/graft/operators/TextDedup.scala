@@ -527,6 +527,12 @@ object TextDedup {
       val marker = new java.io.File(out, "_FINGERPRINT").toPath
       if (artifactsCurrent(dir, out, minJaccard, maxDf) &&
           stagedGeometryOk(out, embNLists)) {
+        // one-time marker upgrade for artifacts staged before the
+        // clean-marker existed: pay the emptiness probe ONCE here (a
+        // write-path call) so every read stops paying it
+        if (!java.nio.file.Files.exists(tombstonesCleanMarker(out)) &&
+            spark.read.parquet(s"$out/tombstones").isEmpty)
+          markTombstonesClean(out)
         false
       } else {
         java.nio.file.Files.deleteIfExists(marker)
