@@ -193,7 +193,8 @@ object SparkEntry {
     "docs_training_corpus_v2" -> ((s, d) => operators.TrainingMix.buildCorpusV2(s, d)),
     // training-data pipeline: dedup suite
     "docs_exact_dedup"      -> (operators.TextDedup.exactDedup _),
-    "docs_near_dup_pairs"   -> ((s, d) => operators.TextDedup.nearDupPairs(s, d)),
+    "docs_near_dup_pairs"   -> ((s, d) =>
+      operators.TextDedup.nearDupPairsAuto(s, d, dedupArtifactsDir(d))),
     "docs_dup_clusters"     -> ((s, d) =>
       operators.TextDedup.dupClustersAuto(s, d, dedupArtifactsDir(d))),
     "docs_dedup_artifacts"  -> ((s, d) => {
@@ -204,7 +205,8 @@ object SparkEntry {
     "docs_substring_spans"  -> ((s, d) => operators.TextDedup.substringSpans(s, d)),
     "docs_span_doc_stats"   -> ((s, d) => operators.TextDedup.spanDocStats(s, d)),
     "docs_dedup_rewrite"    -> ((s, d) => operators.TextDedup.dedupRewrite(s, d)),
-    "docs_near_dup_edit_distance" -> ((s, d) => operators.TextDedup.nearDupEditDistance(s, d)),
+    "docs_near_dup_edit_distance" -> ((s, d) =>
+      operators.TextDedup.nearDupEditDistanceAuto(s, d, dedupArtifactsDir(d))),
     "docs_minhash_bands"    -> (operators.TextDedup.minhashBands _),
     "docs_minhash_lsh_pairs" -> ((s, d) => operators.TextDedup.minhashLshPairs(s, d)),
     "docs_screen_increment" -> ((s, d) => operators.TextDedup.screenIncrement(s, d)),
@@ -244,7 +246,8 @@ object SparkEntry {
     "emb_source_outliers"   -> ((s, d) => operators.VectorOps.sourceOutliers(s, d)),
     "emb_hard_negatives"    -> ((s, d) => operators.VectorOps.hardNegatives(s, d)),
     "emb_kmeans"            -> ((s, d) => operators.VectorOps.kmeans(s, d)),
-    "emb_dup_clusters"      -> ((s, d) => operators.VectorOps.dupClusters(s, d)),
+    "emb_dup_clusters"      -> ((s, d) =>
+      operators.VectorOps.dupClustersAuto(s, d, dedupArtifactsDir(d))),
     "emb_knn_ivf"           -> ((s, d) => operators.VectorOps.knnIvf(s, d)),
     "emb_quantize"          -> (operators.VectorOps.quantize _),
     // training-data pipeline: multimodal binary columns

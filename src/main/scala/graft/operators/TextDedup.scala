@@ -823,6 +823,31 @@ object TextDedup {
       splitLeakageStaged(spark, dir, art)
     else splitLeakageAudit(spark, dir, minJaccard, maxDf)
 
+  /** Auto-routed [[nearDupPairs]]: the staged pair table IS this
+    * query's output (the artifact build runs the identical pipeline
+    * and stores its result), so a current artifact serves it as a
+    * presentation sort over a parquet read — the text twin of
+    * [[VectorOps.nearDupPairsAuto]], which has routed the embedding
+    * endpoint since round 11. minJaccard/maxDf gate through the
+    * fingerprint like every text route. */
+  def nearDupPairsAuto(spark: SparkSession, dir: String, art: String,
+                       minJaccard: Double = 0.5, maxDf: Int = 100): DataFrame =
+    if (artifactsCurrent(dir, art, minJaccard, maxDf))
+      stagedPairs(spark, art).orderBy("doc_a", "doc_b")
+    else nearDupPairs(spark, dir, minJaccard, maxDf)
+
+  /** Auto-routed [[nearDupEditDistance]]: the pair frame comes from
+    * the staged graph when current (the levenshtein kernel itself
+    * always runs — it is the query's own semantics, pair-bounded and
+    * cheap relative to rebuilding the pair graph), else the
+    * self-contained pipeline. The endpoint calls [[nearDupPairs]]
+    * under the DEFAULT maxDf, so the route gates on it too. */
+  def nearDupEditDistanceAuto(spark: SparkSession, dir: String, art: String,
+                              minJaccard: Double = 0.5): DataFrame =
+    if (artifactsCurrent(dir, art, minJaccard, 100))
+      nearDupEditDistanceFrom(spark, dir, stagedPairs(spark, art))
+    else nearDupEditDistance(spark, dir, minJaccard)
+
   /** Per-cluster summary OVER the staged artifacts — the registered
     * face of the staged topology (the one query that both writes and
     * consumes the artifact, so the driver's oracle gate covers the
@@ -1306,13 +1331,20 @@ object TextDedup {
     * scale it rides on the candidate pipeline's output (tiny), never
     * the corpus. */
   def nearDupEditDistance(spark: SparkSession, dir: String,
-                          minJaccard: Double = 0.5): DataFrame = {
+                          minJaccard: Double = 0.5): DataFrame =
+    nearDupEditDistanceFrom(spark, dir, nearDupPairs(spark, dir, minJaccard))
+
+  /** The edit-distance kernel over any (doc_a, doc_b, jaccard) pair
+    * frame — shared by the self-contained and staged forms so they
+    * cannot drift. */
+  private[operators] def nearDupEditDistanceFrom(spark: SparkSession, dir: String,
+                                                 pairs: DataFrame): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     // the O(len²) kernel runs ONCE per pair: distance materializes in an
     // inner projection and the ratio derives from the column — writing
     // levenshtein twice relies on codegen CSE that the 17 s bench tail
     // suggested was not happening
-    nearDupPairs(spark, dir, minJaccard)
+    pairs
       .join(docs.toDF("doc_a", "text_a"), Seq("doc_a"))
       .join(docs.toDF("doc_b", "text_b"), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("jaccard"),

@@ -586,6 +586,23 @@ object VectorOps {
   def dupClustersStaged(spark: SparkSession, art: String): DataFrame =
     TextDedup.stagedEmbClusters(spark, art).orderBy("cluster_id", "vec_id")
 
+  /** Auto-routed [[dupClusters]]: serves the STAGED embedding clusters
+    * when the artifact set is current — the CC iteration already ran
+    * at stage time over the layout-derived pair graph, so the route
+    * needs the same geometry gate as [[nearDupPairsAuto]] (the staged
+    * graph was built under the layout's anchors; an outgrown pinned
+    * geometry would quietly diverge from the self-contained
+    * re-derivation). Non-default `maxRounds` wants possibly-
+    * unconverged CC semantics, not a converged cache — same gate as
+    * [[TextDedup.dupClustersAuto]]. */
+  def dupClustersAuto(spark: SparkSession, dir: String, art: String,
+                      maxRounds: Int = 64): DataFrame =
+    if (maxRounds == 64 && TextDedup.artifactsCurrent(dir, art) &&
+        readLayoutGeometry(s"$art/emb_probe_layout").exists { case (l, p) =>
+          p == 3 && l == resolveLists(Tables.embeddings(spark, dir), 0) })
+      dupClustersStaged(spark, art)
+    else dupClusters(spark, dir, maxRounds)
+
   /** The all-pairs truth (spec-only; NOT a registered endpoint): the
     * triangular cross join is O(n²) dots — unrunnable at scale, kept to
     * verify the IVF/LSH candidate paths at small SF. */

@@ -141,6 +141,49 @@ class DedupArtifactsSpec extends SparkSpec {
     assert(rows(fb) == rows(clusters))
   }
 
+  test("auto-route: docs_near_dup_pairs / edit_distance / emb_dup_clusters " +
+      "read the staged graph when current, fall back self-contained when not") {
+    def stagedInputs(df: DataFrame, table: String): Boolean =
+      df.inputFiles.exists(_.contains(s"/$table/"))
+    // the pair endpoint itself: a current artifact serves the staged
+    // pair table directly (it IS the query's output)
+    val pairs = TextDedup.nearDupPairsAuto(spark, sf, art)
+    assert(stagedInputs(pairs, "pairs"),
+      s"pairs must route: ${pairs.inputFiles.take(3).mkString(",")}")
+    assert(rows(pairs) == rows(TextDedup.nearDupPairs(spark, sf)))
+    // edit distance: staged pair frame + the always-run levenshtein
+    // kernel; the text join keeps the corpus in the plan, so the route
+    // shows as the staged pairs table AMONG the inputs
+    val ed = TextDedup.nearDupEditDistanceAuto(spark, sf, art)
+    assert(stagedInputs(ed, "pairs"),
+      s"edit distance must route: ${ed.inputFiles.take(3).mkString(",")}")
+    assert(rows(ed) == rows(TextDedup.nearDupEditDistance(spark, sf)))
+    // embedding clusters: staged CC result, geometry-gated like the
+    // emb pair route
+    val ec = VectorOps.dupClustersAuto(spark, sf, art)
+    assert(stagedInputs(ec, "emb_clusters"),
+      s"emb clusters must route: ${ec.inputFiles.take(3).mkString(",")}")
+    assert(rows(ec) == rows(VectorOps.dupClusters(spark, sf)))
+    // non-default params must NOT route
+    assert(!stagedInputs(
+      TextDedup.nearDupPairsAuto(spark, sf, art, minJaccard = 0.4), "pairs"))
+    assert(!stagedInputs(
+      TextDedup.nearDupPairsAuto(spark, sf, art, maxDf = 50), "pairs"))
+    assert(!stagedInputs(
+      TextDedup.nearDupEditDistanceAuto(spark, sf, art, minJaccard = 0.4), "pairs"))
+    // non-default maxRounds must not route; 63 (vs 1 in the text twin)
+    // because the self-contained fallback RUNS its CC eagerly and the
+    // emb graph needs more than one round to converge
+    assert(!stagedInputs(
+      VectorOps.dupClustersAuto(spark, sf, art, maxRounds = 63), "emb_clusters"))
+    // no artifact → self-contained fallback, same result
+    val none = java.nio.file.Files.createTempDirectory("no_art3").toString
+    assert(!stagedInputs(TextDedup.nearDupPairsAuto(spark, sf, none), "pairs"))
+    assert(rows(TextDedup.nearDupPairsAuto(spark, sf, none)) == rows(pairs))
+    assert(!stagedInputs(VectorOps.dupClustersAuto(spark, sf, none), "emb_clusters"))
+    assert(rows(VectorOps.dupClustersAuto(spark, sf, none)) == rows(ec))
+  }
+
   test("increment screen: verdicts agree with the pair-graph truth") {
     val screen = VectorOps.screenIncrementOverLayout(
         spark, sf, s"$art/emb_probe_layout").collect()
