@@ -189,7 +189,8 @@ object SparkEntry {
     "docs_budget_select"    -> ((s, d) => operators.TrainingMix.budgetSelect(s, d)),
     "docs_sample_weighted_stats" -> (operators.TrainingMix.sampleWeightedStats _),
     "docs_pack_sequences"   -> ((s, d) => operators.TrainingMix.packSequences(s, d)),
-    "docs_training_corpus"  -> ((s, d) => operators.TrainingMix.buildCorpus(s, d)),
+    "docs_training_corpus"  -> ((s, d) =>
+      operators.TrainingMix.buildCorpusAuto(s, d, dedupArtifactsDir(d))),
     "docs_training_corpus_v2" -> ((s, d) => operators.TrainingMix.buildCorpusV2(s, d)),
     // training-data pipeline: dedup suite
     "docs_exact_dedup"      -> (operators.TextDedup.exactDedup _),

@@ -115,6 +115,21 @@ object TrainingMix {
     buildCorpusFrom(spark, dir, TextDedup.dupClustersStaged(spark, art),
       budget, nShards, minStopwordRatio)
 
+  /** Auto-routed [[buildCorpus]]: the cluster frame comes from the
+    * staged artifact when current ([[TextDedup.dupClustersAuto]]'s
+    * gate — the build stages clusters under the default maxRounds this
+    * endpoint asks for), else re-derived self-contained. Only the
+    * cluster INPUT routes: budget/nShards/minStopwordRatio parameterize
+    * the always-run corpus tail, which consumes either frame
+    * identically (staged ≡ self-contained is asserted in
+    * DedupArtifactsSpec), so they do not gate. */
+  def buildCorpusAuto(spark: SparkSession, dir: String, art: String,
+                      budget: Int = 256, nShards: Int = 4,
+                      minStopwordRatio: Double = 0.03): DataFrame =
+    if (TextDedup.artifactsCurrent(dir, art))
+      buildCorpusStaged(spark, dir, art, budget, nShards, minStopwordRatio)
+    else buildCorpus(spark, dir, budget, nShards, minStopwordRatio)
+
   private def buildCorpusFrom(spark: SparkSession, dir: String,
                               clustersFull: DataFrame, budget: Int,
                               nShards: Int, minStopwordRatio: Double): DataFrame = {

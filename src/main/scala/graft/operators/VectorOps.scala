@@ -422,7 +422,19 @@ object VectorOps {
     if (nLists == 0 && nprobe == 3 && TextDedup.artifactsCurrent(dir, art) &&
         readLayoutGeometry(s"$art/emb_probe_layout").exists { case (l, p) =>
           p == 3 && l == resolveLists(Tables.embeddings(spark, dir), 0) })
-      nearDupPairsOverLayout(spark, s"$art/emb_probe_layout", minCosine)
+      // the staged emb_pairs table stores this endpoint's OUTPUT at the
+      // build threshold (0.4): any minCosine >= 0.4 is a pure
+      // post-filter over it — a parquet read instead of re-running the
+      // per-list candidate join (165 s -> sub-second at sf100). A
+      // LOWER threshold needs pairs the staged table never kept, so it
+      // recomputes over the layout, where minCosine applies during the
+      // join (valid at any value, same geometry).
+      if (minCosine >= 0.4)
+        TextDedup.stagedEmbPairs(spark, art)
+          .filter(col("cosine") >= minCosine)
+          .orderBy("vec_a", "vec_b")
+      else
+        nearDupPairsOverLayout(spark, s"$art/emb_probe_layout", minCosine)
     else
       nearDupPairs(spark, dir, minCosine, nLists, nprobe)
 

@@ -73,13 +73,22 @@ class DedupArtifactsSpec extends SparkSpec {
 
   test("auto-route: the registered emb_near_dup_pairs reads the LAYOUT when " +
       "the artifact is current, falls back self-contained when it is not") {
-    // staged + current → the plan scans the probe layout, not the
-    // embeddings table (the layout is strictly faster wherever it
-    // exists: 2.4× cold at sf100)
+    // staged + current + default threshold → the plan reads the staged
+    // emb_pairs table (the endpoint's stored output — a parquet read)
     val routed = VectorOps.nearDupPairsAuto(spark, sf, art)
-    assert(routed.inputFiles.exists(_.contains("emb_probe_layout")),
-      s"current artifact must route to the layout: ${routed.inputFiles.take(3).mkString(",")}")
+    assert(routed.inputFiles.exists(_.contains("/emb_pairs/")),
+      s"current artifact must serve staged pairs: ${routed.inputFiles.take(3).mkString(",")}")
     assert(rows(routed) == rows(VectorOps.nearDupPairs(spark, sf)))
+    // a HIGHER threshold post-filters the staged table; a LOWER one
+    // needs pairs it never kept → recompute over the probe layout
+    val hi = VectorOps.nearDupPairsAuto(spark, sf, art, minCosine = 0.6)
+    assert(hi.inputFiles.exists(_.contains("/emb_pairs/")))
+    assert(rows(hi) == rows(VectorOps.nearDupPairs(spark, sf, minCosine = 0.6)))
+    val lo = VectorOps.nearDupPairsAuto(spark, sf, art, minCosine = 0.3)
+    assert(lo.inputFiles.exists(_.contains("emb_probe_layout")) &&
+      !lo.inputFiles.exists(_.contains("/emb_pairs/")),
+      s"sub-threshold must recompute over the layout: ${lo.inputFiles.take(3).mkString(",")}")
+    assert(rows(lo) == rows(VectorOps.nearDupPairs(spark, sf, minCosine = 0.3)))
     // a non-default geometry must NOT route (the staged assignment was
     // built under nprobe=3)
     val np2 = VectorOps.nearDupPairsAuto(spark, sf, art, nprobe = 2)
@@ -182,6 +191,13 @@ class DedupArtifactsSpec extends SparkSpec {
     assert(rows(TextDedup.nearDupPairsAuto(spark, sf, none)) == rows(pairs))
     assert(!stagedInputs(VectorOps.dupClustersAuto(spark, sf, none), "emb_clusters"))
     assert(rows(VectorOps.dupClustersAuto(spark, sf, none)) == rows(ec))
+    // corpus build: the cluster input routes, the corpus tail always runs
+    val corpus = TrainingMix.buildCorpusAuto(spark, sf, art)
+    assert(stagedInputs(corpus, "clusters"),
+      s"corpus build must route: ${corpus.inputFiles.take(3).mkString(",")}")
+    assert(rows(corpus) == rows(TrainingMix.buildCorpus(spark, sf)))
+    assert(!stagedInputs(TrainingMix.buildCorpusAuto(spark, sf, none), "clusters"))
+    assert(rows(TrainingMix.buildCorpusAuto(spark, sf, none)) == rows(corpus))
   }
 
   test("increment screen: verdicts agree with the pair-graph truth") {

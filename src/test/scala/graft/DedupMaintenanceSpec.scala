@@ -516,8 +516,9 @@ class DedupMaintenanceSpec extends SparkSpec {
       Tables.embeddings(spark, data).count().toDouble) / 2).toLong)
     assert(derived != l, s"fixture no longer drifts: pinned=$l derived=$derived")
     val auto = VectorOps.nearDupPairsAuto(spark, data, art)
-    assert(!auto.inputFiles.exists(_.contains("emb_probe_layout")),
-      "drifted geometry must not route through the layout")
+    assert(!auto.inputFiles.exists(f =>
+        f.contains("emb_probe_layout") || f.contains("/emb_pairs/")),
+      "drifted geometry must not serve any staged surface")
   }
 
   test("real corpus (sf0.001): a copy-on-write update of a corpus slice " +

@@ -127,9 +127,16 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin".r.findAllIn(emb).size == wantNlj,
       s"emb near-dup (routed=$routed): only the anchor-scoring " +
         "broadcasts may nest-loop")
-    assert(emb.contains("SortMergeJoin") || emb.contains("ShuffledHashJoin") ||
-      emb.contains("BroadcastHashJoin"),
-      "emb near-dup: the candidate pair join must be an equi-join")
+    if (routed)
+      // staged + default threshold: the endpoint's stored output is a
+      // parquet read — no join anywhere in the plan
+      assert(SparkEntry.queries("emb_near_dup_pairs")(spark, sf)
+        .inputFiles.exists(_.contains("/emb_pairs/")),
+        "routed emb near-dup must serve the staged pair table")
+    else
+      assert(emb.contains("SortMergeJoin") || emb.contains("ShuffledHashJoin") ||
+        emb.contains("BroadcastHashJoin"),
+        "emb near-dup: the candidate pair join must be an equi-join")
   }
 
   test("top terms: no forced broadcast of the vocabulary; AQE broadcasts it when small") {
