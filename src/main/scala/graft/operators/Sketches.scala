@@ -126,22 +126,42 @@ object Sketches {
         expr(s"shiftleft(CAST(1 AS BIGINT), CAST(p % $BitsPerWord AS INT))").as("w"))
       .groupBy("word_idx").agg(bit_or(col("w")).as("bits"))
 
-  /** Probe `df` (rows must be DISTINCT — they are grouped back to
-    * themselves) against a [[bloomWords]] bitmap: appends `maybe` = 1
+  /** Probe `df` against a [[bloomWords]] bitmap: appends `maybe` = 1
     * iff all k of the key's bits are set. The bitmap is parameter-
-    * bounded and joined as an explicit broadcast — probing N rows is a
-    * scan, never a shuffle. */
+    * bounded (≤ mWords rows), so it folds into a ONE-ROW word_idx →
+    * bits map attached as a 1-row broadcast; the probe itself is then
+    * a pure row-local expression (`forall` over the k positions) — no
+    * per-position explode, no join per word, and no corpus-sized
+    * groupBy to reassemble the k verdicts. The earlier explode +
+    * broadcast-equi-join + groupBy(df.columns) shape re-shuffled the
+    * whole probed frame once per call — the dominant cost of
+    * `docs_bloom_contamination` at sf100 (5.85× for 3.4× data, the
+    * worst scale ratio of the round-12 sweep); map-only probing
+    * removes that shuffle entirely. Row-preserving (a duplicate input
+    * row now stays duplicated; the previous form collapsed them —
+    * callers already fed DISTINCT frames, as the old contract
+    * required). */
   def bloomProbe(df: DataFrame, key: Column, bitmap: DataFrame,
                  mWords: Int = 1024, kHashes: Int = 4): DataFrame = {
     val keep = df.columns.map(col)
-    df.withColumn("__p", explode(bloomPositions(key, mWords, kHashes)))
-      .withColumn("__word_idx", expr(s"__p div $BitsPerWord"))
-      .withColumn("__bit", expr(s"CAST(__p % $BitsPerWord AS INT)"))
-      .join(broadcast(bitmap), col("__word_idx") === bitmap("word_idx"), "left")
-      .withColumn("__hit", when(col("bits").isNotNull &&
-        expr("(shiftright(bits, __bit) & 1) = 1"), 1).otherwise(0))
-      .groupBy(keep: _*)
-      .agg(min(col("__hit")).as("maybe"))
+    // scatter the (word_idx, bits) rows into a POSITIONAL array once:
+    // Spark's element_at on a MAP is a linear scan (ArrayBasedMapData
+    // carries no hash index), which would cost k·mWords comparisons
+    // per probed row — measured as a multi-minute blowup at sf100.
+    // Array indexing is O(1); the mWords² scatter below runs once on
+    // one row.
+    val bm = bitmap.agg(map_from_entries(
+        collect_list(struct(col("word_idx"), col("bits")))).as("__m"))
+      .select(transform(sequence(lit(0L), lit(mWords.toLong - 1)),
+        i => coalesce(element_at(col("__m"), i), lit(0L))).as("__bm"))
+    val allSet = forall(bloomPositions(key, mWords, kHashes), p =>
+      call_function("shiftright",
+          element_at(col("__bm"),
+            (call_function("div", p, lit(BitsPerWord.toLong)) + lit(1L)).cast("int")),
+          pmod(p, lit(BitsPerWord.toLong)).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L))
+    df.join(broadcast(bm))
+      .select(keep :+ when(allSet, 1).otherwise(0).as("maybe"): _*)
   }
 
   def bloomContamination(spark: SparkSession, dir: String,
@@ -160,16 +180,18 @@ object Sketches {
 
     val trainGrams = grams.filter(col("split") === "train")
       .select("doc_id", "gram").distinct()
+    // probe is row-local (map-only); the exact-hit join on the DISTINCT
+    // test-gram set cannot fan out (one row per train gram survives),
+    // so both verdicts ride ONE frame into the final doc_id rollup —
+    // the earlier shape re-grouped (doc_id, gram) and joined the two
+    // corpus-sized verdict frames back together, two extra full
+    // shuffles that existed only to undo the probe's explode
     val probed = bloomProbe(trainGrams, col("gram"), bitmap, mWords, kHashes)
-    val exact = trainGrams
-      .join(testGrams.withColumn("present", lit(1)), Seq("gram"), "left")
-      .groupBy("doc_id", "gram")
-      .agg(max(coalesce(col("present"), lit(0))).as("exact_hit"))
-    probed.join(exact, Seq("doc_id", "gram"))
+    probed.join(testGrams.withColumn("present", lit(1)), Seq("gram"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(col("maybe")).as("n_bloom_hits"),
-        sum(col("exact_hit")).as("n_exact_hits"))
+        sum(coalesce(col("present"), lit(0))).as("n_exact_hits"))
       .filter(col("n_bloom_hits") > 0)
       .orderBy("doc_id")
   }
