@@ -191,7 +191,8 @@ object SparkEntry {
     "docs_pack_sequences"   -> ((s, d) => operators.TrainingMix.packSequences(s, d)),
     "docs_training_corpus"  -> ((s, d) =>
       operators.TrainingMix.buildCorpusAuto(s, d, dedupArtifactsDir(d))),
-    "docs_training_corpus_v2" -> ((s, d) => operators.TrainingMix.buildCorpusV2(s, d)),
+    "docs_training_corpus_v2" -> ((s, d) =>
+      operators.TrainingMix.buildCorpusV2Auto(s, d, dedupArtifactsDir(d))),
     // training-data pipeline: dedup suite
     "docs_exact_dedup"      -> (operators.TextDedup.exactDedup _),
     "docs_near_dup_pairs"   -> ((s, d) =>
@@ -203,14 +204,20 @@ object SparkEntry {
       operators.TextDedup.writeDedupArtifacts(s, d, art)
       operators.TextDedup.dedupArtifactSummary(s, d, art)
     }),
-    "docs_substring_spans"  -> ((s, d) => operators.TextDedup.substringSpans(s, d)),
-    "docs_span_doc_stats"   -> ((s, d) => operators.TextDedup.spanDocStats(s, d)),
-    "docs_dedup_rewrite"    -> ((s, d) => operators.TextDedup.dedupRewrite(s, d)),
+    // auto-routed through the staged span table (round-13): same
+    // result, the winnow+join pipeline runs at stage time not read time
+    "docs_substring_spans"  -> ((s, d) =>
+      operators.TextDedup.substringSpansAuto(s, d, dedupArtifactsDir(d))),
+    "docs_span_doc_stats"   -> ((s, d) =>
+      operators.TextDedup.spanDocStatsAuto(s, d, dedupArtifactsDir(d))),
+    "docs_dedup_rewrite"    -> ((s, d) =>
+      operators.TextDedup.dedupRewriteAuto(s, d, dedupArtifactsDir(d))),
     "docs_near_dup_edit_distance" -> ((s, d) =>
       operators.TextDedup.nearDupEditDistanceAuto(s, d, dedupArtifactsDir(d))),
     "docs_minhash_bands"    -> (operators.TextDedup.minhashBands _),
     "docs_minhash_lsh_pairs" -> ((s, d) => operators.TextDedup.minhashLshPairs(s, d)),
-    "docs_screen_increment" -> ((s, d) => operators.TextDedup.screenIncrement(s, d)),
+    "docs_screen_increment" -> ((s, d) =>
+      operators.TextDedup.screenIncrementAuto(s, d, dedupArtifactsDir(d))),
     "docs_simhash"          -> (operators.TextDedup.simhash _),
     // training-data pipeline: similarity search
     "emb_norms"             -> (operators.VectorOps.norms _),

@@ -111,7 +111,7 @@ object DedupMaintenance {
     * plane. Thresholds ≤ 0 disable the trigger (manual-only, the
     * pre-round-12 behavior). */
   def update(spark: SparkSession, dir: String, out: String,
-             minJaccard: Double = 0.5, maxDf: Int = 100,
+             minJaccard: Double = 0.5, maxDf: Int = TextDedup.DefaultMaxDf,
              embNLists: Int = 0, autoCompactMaxGen: Int = 8,
              autoCompactDeadFrac: Double = 0.25): String =
     TextDedup.artifactLock(out).synchronized {
@@ -249,7 +249,14 @@ object DedupMaintenance {
       retractIds: DataFrame, upserts: DataFrame, deltaSh: DataFrame,
       dfNet: DataFrame, rIds: DataFrame, cIds: DataFrame,
       aStats: DataFrame, newPairs: DataFrame,
-      clusterNodes: DataFrame, clusterNew: DataFrame)
+      clusterNodes: DataFrame, clusterNew: DataFrame,
+      // span surface (winnowed fingerprints) — same retract-and-
+      // reapply shape over its own index/df/pair tables
+      deltaSpan: DataFrame, spanDfNet: DataFrame, cSpanIds: DataFrame,
+      newSpans: DataFrame,
+      // screening index (digests + minhash bands) — per-doc pure
+      // functions, plain retract-and-reapply
+      deltaDig: DataFrame, deltaBands: DataFrame)
   private final case class EmbPlan(
       retractIds: DataFrame, // file-map retractions (vec_files)
       cIds: DataFrame,       // layout/pair retractions (⊇ retractIds:
@@ -296,6 +303,10 @@ object DedupMaintenance {
         .unionByName(tomb("doc_stats", t.cIds, "doc_id"))
         .unionByName(tomb("pairs", t.cIds, "doc_id"))
         .unionByName(tomb("clusters", t.clusterNodes, "doc_id"))
+        .unionByName(tomb("span_index", t.retractIds, "doc_id"))
+        .unionByName(tomb("spans", t.cSpanIds, "doc_id"))
+        .unionByName(tomb("doc_digests", t.retractIds, "doc_id"))
+        .unionByName(tomb("band_index", t.retractIds, "doc_id"))
         .write.mode("append").parquet(s"$out/tombstones")
       withGen(t.deltaSh).write.mode("append").parquet(s"$out/shingle_index")
       t.dfNet.select(col("shingle"), col("net").as("df"))
@@ -305,6 +316,12 @@ object DedupMaintenance {
         .write.mode("append").parquet(s"$out/doc_files")
       withGen(t.newPairs).write.mode("append").parquet(s"$out/pairs")
       withGen(t.clusterNew).write.mode("append").parquet(s"$out/clusters")
+      withGen(t.deltaSpan).write.mode("append").parquet(s"$out/span_index")
+      t.spanDfNet.select(col("fp"), col("net").as("df"))
+        .write.mode("append").parquet(s"$out/span_df")
+      withGen(t.newSpans).write.mode("append").parquet(s"$out/spans")
+      withGen(t.deltaDig).write.mode("append").parquet(s"$out/doc_digests")
+      withGen(t.deltaBands).write.mode("append").parquet(s"$out/band_index")
     }
 
     for (e <- embPlan.flatten) phase("write_emb") {
@@ -328,7 +345,8 @@ object DedupMaintenance {
     // checkpoints, so the emptiness checks are driver-cheap.
     val wroteTombstones =
       textPlan.flatten.exists(t => !t.retractIds.isEmpty ||
-        !t.cIds.isEmpty || !t.clusterNodes.isEmpty) ||
+        !t.cIds.isEmpty || !t.clusterNodes.isEmpty ||
+        !t.cSpanIds.isEmpty) ||
       embPlan.flatten.exists(e => !e.cIds.isEmpty ||
         !e.clusterNodes.isEmpty)
     if (wasClean && !wroteTombstones) TextDedup.markTombstonesClean(out)
@@ -352,7 +370,8 @@ object DedupMaintenance {
     val tj = t.map(p => s""","docs_retracted":${p.retractIds.count()},""" +
       s""""docs_upserted":${p.upserts.count()},""" +
       s""""docs_reclassified":${p.rIds.count()},""" +
-      s""""new_pairs":${p.newPairs.count()}""").getOrElse("")
+      s""""new_pairs":${p.newPairs.count()},""" +
+      s""""new_spans":${p.newSpans.count()}""").getOrElse("")
     val ej = e.map(p => s""","vecs_retracted":${p.retractIds.count()},""" +
       s""""vecs_upserted":${p.upserts.count()},""" +
       s""""vecs_reanchored":${p.cIds.count() - p.retractIds.count()},""" +
@@ -478,10 +497,125 @@ object DedupMaintenance {
         .toDF("id", "cluster_id", "cluster_size"),
       surviving.toDF("a", "b"), cIds.toDF("id"),
       newPairs.select(col("doc_a").as("a"), col("doc_b").as("b"))) }
+
+    // ---- SPAN surface: the winnowed-fingerprint index rides the
+    // identical retract-and-reapply discipline as the shingle side —
+    // its own df partials, its own SpanMaxDf crossing set (winnow
+    // fingerprints and shingles tokenize differently, so the two
+    // reclassification sets are independent), its own delta pair
+    // kernel. The crossing bound is the same: a span-df crossing
+    // starts-or-ends ≤ SpanMaxDf ROWS, which bounds the affected
+    // docs at SpanMaxDf per crossing fingerprint. ----
+    val liveSpanIdx = TextDedup.readSpanIndex(spark, out)
+    val deltaSpan = phase("t_delta_spans") { ckpt(
+      TextDedup.spanIndexFrame(upserts)) }
+    val spanDfNet = ckpt(
+      if (!haveRetract)
+        deltaSpan.groupBy("fp").agg(count(lit(1)).as("net"))
+      else
+        deltaSpan.groupBy("fp").agg(count(lit(1)).as("dfp"))
+          .join(liveSpanIdx.join(retractIds, Seq("doc_id"), "left_semi")
+            .groupBy("fp").agg((-count(lit(1))).as("dfn")), Seq("fp"), "full")
+          .select(col("fp"),
+            (coalesce(col("dfp"), lit(0L)) + coalesce(col("dfn"), lit(0L)))
+              .as("net"))
+          .filter(col("net") =!= 0L))
+    val spanDfBaseTouched = ckpt(
+      spark.read.parquet(s"$out/span_df")
+        .join(spanDfNet.select("fp"), Seq("fp"), "left_semi")
+        .groupBy("fp").agg(sum(col("df")).as("dfb"))
+        .filter(col("dfb") > 0))
+    val spanCrossing = ckpt(spanDfNet
+      .join(spanDfBaseTouched, Seq("fp"), "left")
+      .select(col("fp"), coalesce(col("dfb"), lit(0L)).as("dfb"),
+        (coalesce(col("dfb"), lit(0L)) + col("net")).as("dfn2"))
+      .filter((col("dfb") <= TextDedup.SpanMaxDf) =!=
+        (col("dfn2") <= TextDedup.SpanMaxDf))
+      .select("fp"))
+    val rSpanIds = ckpt(
+      if (spanCrossing.isEmpty) emptyIds(spark, "doc_id")
+      else liveSpanIdx.join(spanCrossing, Seq("fp"), "left_semi")
+        .select("doc_id").distinct()
+        .join(retractIds, Seq("doc_id"), "left_anti")
+        .join(upserts.select("doc_id"), Seq("doc_id"), "left_anti"))
+    val haveRSpan = !rSpanIds.isEmpty
+    val cSpanIds = ckpt(
+      if (!haveRSpan) retractIds
+      else retractIds.unionByName(rSpanIds).distinct())
+    val aSpan =
+      if (!haveRSpan) deltaSpan
+      else ckpt(deltaSpan.unionByName(
+        liveSpanIdx.join(rSpanIds, Seq("doc_id"), "left_semi")
+          .select("doc_id", "pos", "fp")))
+    val spanDfAStored =
+      if (!haveRSpan) spanDfBaseTouched
+      else spark.read.parquet(s"$out/span_df")
+        .join(aSpan.select("fp").distinct(), Seq("fp"), "left_semi")
+        .groupBy("fp").agg(sum(col("df")).as("dfb"))
+        .filter(col("dfb") > 0)
+    val spanDfA = ckpt(aSpan.select("fp").distinct()
+      .join(spanDfAStored, Seq("fp"), "left")
+      .join(spanDfNet, Seq("fp"), "left")
+      .select(col("fp"),
+        (coalesce(col("dfb"), lit(0L)) + coalesce(col("net"), lit(0L)))
+          .as("df_new")))
+    val newSpans = phase("t_new_spans") { ckpt(
+      deltaSpans(spark, out, aSpan, spanDfA, cSpanIds)) }
+
+    // screening index: per-doc digests and band rows of the upserts
+    val deltaDig = ckpt(upserts
+      .select(col("doc_id"), md5(col("text")).as("digest")))
+    val deltaBands = ckpt(
+      TextDedup.bandsOf(TextDedup.minhashSignatures(upserts)))
+
     Some(Some(TextPlan(retractIds, upserts, deltaSh, dfNet, rIds, cIds,
       aStats, newPairs,
       nodes.toDF("doc_id"),
-      relabeled.toDF("doc_id", "cluster_id", "cluster_size"))))
+      relabeled.toDF("doc_id", "cluster_id", "cluster_size"),
+      deltaSpan, spanDfNet, cSpanIds, newSpans, deltaDig, deltaBands)))
+  }
+
+  /** Every span TOUCHING the apply set, exact — the span twin of
+    * [[deltaTextPairs]]. `aSpan` holds the apply docs' (doc_id, pos,
+    * fp) rows (fresh for upserts, staged for SpanMaxDf-crossing-
+    * reclassified docs), `spanDfA` their fingerprints' FINAL dfs,
+    * `cSpanIds` the docs whose old span rows are being retracted
+    * (excluded from the base side). A new span group shares every one
+    * of its fingerprints with an apply doc, and each doc's rows are
+    * wholly in one side, so groups assembled from apply × (apply ∪
+    * base) joins are COMPLETE — counts, min and max positions equal
+    * the full rebuild's. */
+  private def deltaSpans(spark: SparkSession, out: String, aSpan: DataFrame,
+                         spanDfA: DataFrame, cSpanIds: DataFrame): DataFrame = {
+    val haveC = !cSpanIds.isEmpty
+    def minusC(df: DataFrame): DataFrame =
+      if (haveC) df.join(cSpanIds, Seq("doc_id"), "left_anti") else df
+    val baseIdx = minusC(TextDedup.readSpanIndex(spark, out))
+    val cappedFps = spanDfA
+      .filter(col("df_new") <= TextDedup.SpanMaxDf).select("fp")
+    val aCapped = aSpan.join(cappedFps, "fp").select("doc_id", "pos", "fp")
+    // base rows restricted to the apply frame's (capped) fingerprint
+    // set: any fp shared with an apply doc is in that set, so no new
+    // group loses rows; fps outside it cannot join anyway
+    val baseCapped = baseIdx.join(cappedFps, "fp")
+      .select("doc_id", "pos", "fp")
+    def side(df: DataFrame) = df.select(col("fp"),
+      struct(col("doc_id").as("d"), col("pos").as("p")).as("s"))
+    val cross = side(aCapped).toDF("fp", "x")
+      .join(side(baseCapped).toDF("fp", "y"), Seq("fp"))
+      .select(
+        when(col("x.d") < col("y.d"), col("x")).otherwise(col("y")).as("lo"),
+        when(col("x.d") < col("y.d"), col("y")).otherwise(col("x")).as("hi"))
+    val within = side(aCapped).toDF("fp", "x")
+      .join(side(aCapped).toDF("fp", "y"), Seq("fp"))
+      .filter(col("x.d") < col("y.d"))
+      .select(col("x").as("lo"), col("y").as("hi"))
+    TextDedup.spanGroups(
+      cross.unionByName(within)
+        .select(col("lo.d").as("doc_a"), col("hi.d").as("doc_b"),
+          (col("lo.p") - col("hi.p")).as("offset_delta"),
+          col("lo.p").as("pos_a")),
+      TextDedup.SpanK, TextDedup.SpanMinRun)
   }
 
   /** Plan the embedding-side increment (same Option contract). */
@@ -604,7 +738,8 @@ object DedupMaintenance {
     val base =
       if (haveRetract) live.join(cIds, Seq("vec_id"), "left_anti")
       else live
-    val newPairs = phase("e_new_pairs") { ckpt(VectorOps.pairsBetweenProbes(aProbes, base, 0.4)) }
+    val newPairs = phase("e_new_pairs") { ckpt(VectorOps.pairsBetweenProbes(
+      aProbes, base, VectorOps.EmbPairBuildMinCosine)) }
     val surviving =
       if (!haveRetract) TextDedup.stagedEmbPairs(spark, out)
         .select("vec_a", "vec_b")
@@ -841,6 +976,16 @@ object DedupMaintenance {
           zeroGen(TextDedup.stagedPairs(spark, out)))
         swapIn(spark, s"$out/clusters",
           zeroGen(TextDedup.stagedClusters(spark, out)))
+        swapIn(spark, s"$out/span_index",
+          zeroGen(TextDedup.readSpanIndex(spark, out)))
+        swapIn(spark, s"$out/span_df",
+          TextDedup.readSpanDf(spark, out))
+        swapIn(spark, s"$out/spans",
+          zeroGen(TextDedup.stagedSpans(spark, out)))
+        swapIn(spark, s"$out/doc_digests",
+          zeroGen(TextDedup.readDocDigests(spark, out)))
+        swapIn(spark, s"$out/band_index",
+          zeroGen(TextDedup.readBandIndex(spark, out)))
         swapIn(spark, s"$out/vec_files",
           zeroGen(TextDedup.readVecFiles(spark, out)))
         swapIn(spark, s"$out/emb_pairs",

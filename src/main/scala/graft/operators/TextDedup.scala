@@ -104,8 +104,16 @@ object TextDedup {
     * bit-identical to [[nearDupPairsExact]] (asserted in
     * OperatorsSpec).
     */
+  /** The near-dup suite's default df cap — ONE definition consumed by
+    * every signature default AND the [[nearDupEditDistanceAuto]] route
+    * gate (which must mirror [[nearDupPairs]]' default exactly: the
+    * endpoint it routes calls nearDupPairs with no maxDf argument, so
+    * a retune of the default silently diverging from the gate would
+    * serve a staged graph built under the old cap). */
+  val DefaultMaxDf = 100
+
   def nearDupPairs(spark: SparkSession, dir: String, minJaccard: Double = 0.5,
-                   maxDf: Int = 100): DataFrame =
+                   maxDf: Int = DefaultMaxDf): DataFrame =
     // no .cache(): identical scan subtrees reuse the shuffle exchange,
     // and a pinned cache would outlive the query in a shared session
     nearDupFrom(shingles(Tables.documents(spark, dir)), minJaccard, maxDf)
@@ -217,7 +225,7 @@ object TextDedup {
   /** [[nearDupPairs]] over a staged shingle table (result-identical to
     * the self-contained form; asserted in OperatorsSpec). */
   def nearDupPairsStaged(spark: SparkSession, stagedPath: String,
-                         minJaccard: Double = 0.5, maxDf: Int = 100): DataFrame =
+                         minJaccard: Double = 0.5, maxDf: Int = DefaultMaxDf): DataFrame =
     nearDupFrom(spark.read.parquet(stagedPath), minJaccard, maxDf)
 
   /** Write the dedup PAIR-GRAPH artifacts once — the corpus-build
@@ -274,8 +282,9 @@ object TextDedup {
     * exactly the raw fresh tables. */
   private[operators] val artifactStages =
     Seq("tombstones", "shingle_index", "shingle_df", "doc_stats", "doc_files",
-      "pairs", "clusters", "emb_probe_layout", "vec_files",
-      "emb_pairs", "emb_clusters")
+      "pairs", "clusters", "span_index", "span_df", "spans",
+      "doc_digests", "band_index",
+      "emb_probe_layout", "vec_files", "emb_pairs", "emb_clusters")
   private[operators] def stageComplete(out: String, name: String): Boolean =
     new java.io.File(new java.io.File(out, name), "_SUCCESS").exists()
 
@@ -323,6 +332,19 @@ object TextDedup {
   private[graft] def readVecFiles(spark: SparkSession, out: String): DataFrame =
     liveRows(spark, out, "vec_files", "vec_id")
       .select("vec_id", "src_file")
+  private[graft] def readSpanIndex(spark: SparkSession, out: String): DataFrame =
+    liveRows(spark, out, "span_index", "doc_id")
+      .select("doc_id", "pos", "fp")
+  private[graft] def readSpanDf(spark: SparkSession, out: String): DataFrame =
+    spark.read.parquet(s"$out/span_df")
+      .groupBy("fp").agg(sum(col("df")).as("df"))
+      .filter(col("df") > 0)
+  private[graft] def readDocDigests(spark: SparkSession, out: String): DataFrame =
+    liveRows(spark, out, "doc_digests", "doc_id")
+      .select("doc_id", "digest")
+  private[graft] def readBandIndex(spark: SparkSession, out: String): DataFrame =
+    liveRows(spark, out, "band_index", "doc_id")
+      .select("doc_id", "band", "band_hash")
 
   /** `_TOMBSTONES_CLEAN` marker: present ⇒ the tombstones table is
     * EMPTY, so every staged reader keeps the raw scan without even
@@ -454,7 +476,7 @@ object TextDedup {
     * to the self-contained form — same result, just without the staged
     * speedup). */
   def artifactsCurrent(dir: String, out: String, minJaccard: Double = 0.5,
-                       maxDf: Int = 100): Boolean = {
+                       maxDf: Int = DefaultMaxDf): Boolean = {
     val marker = new java.io.File(out, "_FINGERPRINT").toPath
     // a present increment journal means a crashed mid-increment: the
     // artifacts may hold partial appends, so they are NOT current even
@@ -482,7 +504,7 @@ object TextDedup {
     else {
       val header = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
         .linesIterator.toSeq.headOption.getOrElse("")
-      val re = """v4 minJaccard=(\S+) maxDf=(\d+)""".r
+      val re = """v5 minJaccard=(\S+) maxDf=(\d+) span=\S+""".r
       header match {
         case re(mj, df) => Some((mj.toDouble, df.toInt))
         case _ => None
@@ -506,7 +528,7 @@ object TextDedup {
         .exists(_._1 == embNLists.toLong)
 
   def writeDedupArtifacts(spark: SparkSession, dir: String, out: String,
-                          minJaccard: Double = 0.5, maxDf: Int = 100,
+                          minJaccard: Double = 0.5, maxDf: Int = DefaultMaxDf,
                           embNLists: Int = 0): Boolean =
     artifactLock(out).synchronized { withArtifactFileLock(out) {
       // the inputs may have been rewritten in place (copy-on-write
@@ -630,6 +652,46 @@ object TextDedup {
             .withColumn("gen", lit(0))
             .write.mode("overwrite").parquet(s"$out/clusters")
         }
+        // the winnowed-fingerprint SPAN surface (round-13): the same
+        // stage discipline as the shingle side — a per-doc fingerprint
+        // index (maintenance state), its summed-on-read df partials,
+        // and the materialized pair-span table the four span consumers
+        // (substring spans, span doc stats, dedup rewrite, corpus v2)
+        // then serve as a parquet read instead of re-winnowing the
+        // corpus per call (~183 s of the round-12 sf100 tail)
+        stage("span_index") {
+          graft.functions.GraftFunctions.register(spark)
+          spanIndexFrame(graft.Tables.documents(spark, dir))
+            .withColumn("gen", lit(0))
+            .write.mode("overwrite").parquet(s"$out/span_index")
+        }
+        stage("span_df") {
+          readSpanIndex(spark, out)
+            .groupBy("fp").agg(count(lit(1)).as("df"))
+            .write.mode("overwrite").parquet(s"$out/span_df")
+        }
+        stage("spans") {
+          spansFromIndex(readSpanIndex(spark, out), readSpanDf(spark, out),
+              SpanK, SpanMinRun, SpanMaxDf)
+            .withColumn("gen", lit(0))
+            .write.mode("overwrite").parquet(s"$out/spans")
+        }
+        // the SCREENING index (round-13): content digests + MinHash
+        // band buckets — the persisted index the incremental-screening
+        // endpoint and the streaming screen MV probe. Both are pure
+        // per-doc functions (no cross-doc coupling like dfs), so
+        // maintenance is plain retract-and-reapply.
+        stage("doc_digests") {
+          graft.Tables.documents(spark, dir)
+            .select(col("doc_id"), md5(col("text")).as("digest"),
+              lit(0).as("gen"))
+            .write.mode("overwrite").parquet(s"$out/doc_digests")
+        }
+        stage("band_index") {
+          bandsOf(minhashSignatures(graft.Tables.documents(spark, dir)))
+            .withColumn("gen", lit(0))
+            .write.mode("overwrite").parquet(s"$out/band_index")
+        }
         // the embedding pair graph derives FROM the just-staged probe
         // layout (read back, not the in-memory plan) — the corpus-sized
         // anchor assignment runs exactly once per staging, and every
@@ -725,7 +787,8 @@ object TextDedup {
   }
 
   private[graft] def fingerprintHeader(minJaccard: Double, maxDf: Int): String =
-    s"v4 minJaccard=$minJaccard maxDf=$maxDf"
+    s"v5 minJaccard=$minJaccard maxDf=$maxDf " +
+      s"span=$SpanK/$SpanW/$SpanMinRun/$SpanMaxDf"
 
   private[graft] def inputFingerprint(dir: String, minJaccard: Double,
                                       maxDf: Int): String =
@@ -741,6 +804,14 @@ object TextDedup {
   def stagedClusters(spark: SparkSession, art: String): DataFrame =
     liveRows(spark, art, "clusters", "doc_id")
       .select("doc_id", "cluster_id", "cluster_size")
+
+  /** Tombstone-resolved view of the staged span table — column-for-
+    * column the output schema of [[substringSpans]] (modulo the
+    * presentation sort). */
+  def stagedSpans(spark: SparkSession, art: String): DataFrame =
+    livePairRows(spark, art, "spans", "doc_a", "doc_b")
+      .select("doc_a", "doc_b", "offset_delta", "shared_fps",
+        "span_start_a", "span_start_b", "span_chars")
 
   private[graft] def stagedEmbPairs(spark: SparkSession, art: String): DataFrame =
     livePairRows(spark, art, "emb_pairs", "vec_a", "vec_b")
@@ -789,7 +860,7 @@ object TextDedup {
     * and a caller asking for FEWER rounds wants the (possibly
     * unconverged) self-contained semantics, not a converged cache. */
   def dupClustersAuto(spark: SparkSession, dir: String, art: String,
-                      minJaccard: Double = 0.5, maxDf: Int = 100,
+                      minJaccard: Double = 0.5, maxDf: Int = DefaultMaxDf,
                       maxRounds: Int = 64): DataFrame =
     if (maxRounds == 64 && artifactsCurrent(dir, art, minJaccard, maxDf))
       dupClustersStaged(spark, art)
@@ -801,7 +872,7 @@ object TextDedup {
     * rebuilding the graph), so `iters` does not gate the route. */
   def dupGraphPagerankAuto(spark: SparkSession, dir: String, art: String,
                            iters: Int = 3, minJaccard: Double = 0.5,
-                           maxDf: Int = 100): DataFrame =
+                           maxDf: Int = DefaultMaxDf): DataFrame =
     if (artifactsCurrent(dir, art, minJaccard, maxDf))
       dupGraphPagerankStaged(spark, art, iters)
     else dupGraphPagerank(spark, dir, iters)
@@ -818,7 +889,7 @@ object TextDedup {
   /** Auto-routed [[splitLeakageAudit]]: staged pairs when current,
     * else the self-contained pipeline. */
   def splitLeakageAuto(spark: SparkSession, dir: String, art: String,
-                       minJaccard: Double = 0.5, maxDf: Int = 100): DataFrame =
+                       minJaccard: Double = 0.5, maxDf: Int = DefaultMaxDf): DataFrame =
     if (artifactsCurrent(dir, art, minJaccard, maxDf))
       splitLeakageStaged(spark, dir, art)
     else splitLeakageAudit(spark, dir, minJaccard, maxDf)
@@ -831,7 +902,7 @@ object TextDedup {
     * endpoint since round 11. minJaccard/maxDf gate through the
     * fingerprint like every text route. */
   def nearDupPairsAuto(spark: SparkSession, dir: String, art: String,
-                       minJaccard: Double = 0.5, maxDf: Int = 100): DataFrame =
+                       minJaccard: Double = 0.5, maxDf: Int = DefaultMaxDf): DataFrame =
     if (artifactsCurrent(dir, art, minJaccard, maxDf))
       stagedPairs(spark, art).orderBy("doc_a", "doc_b")
     else nearDupPairs(spark, dir, minJaccard, maxDf)
@@ -844,9 +915,44 @@ object TextDedup {
     * under the DEFAULT maxDf, so the route gates on it too. */
   def nearDupEditDistanceAuto(spark: SparkSession, dir: String, art: String,
                               minJaccard: Double = 0.5): DataFrame =
-    if (artifactsCurrent(dir, art, minJaccard, 100))
+    if (artifactsCurrent(dir, art, minJaccard, DefaultMaxDf))
       nearDupEditDistanceFrom(spark, dir, stagedPairs(spark, art))
     else nearDupEditDistance(spark, dir, minJaccard)
+
+  /** Auto-routed [[substringSpans]]: the staged span table IS this
+    * query's output (the artifact build runs the identical winnow →
+    * df-cap → fingerprint-join pipeline and stores its result), so a
+    * current artifact serves it as a presentation sort over a parquet
+    * read. The route gates on the build-time span params — a caller
+    * asking for a different k/w/minRun/maxDf wants a pipeline the
+    * staged table was not built under, and falls back. */
+  def substringSpansAuto(spark: SparkSession, dir: String, art: String,
+                         k: Int = SpanK, w: Int = SpanW,
+                         minRun: Int = SpanMinRun,
+                         maxDf: Int = SpanMaxDf): DataFrame =
+    if (k == SpanK && w == SpanW && minRun == SpanMinRun &&
+        maxDf == SpanMaxDf && artifactsCurrent(dir, art))
+      stagedSpans(spark, art).orderBy("doc_a", "doc_b", "offset_delta")
+    else substringSpans(spark, dir, k, w, minRun, maxDf)
+
+  /** Auto-routed [[spanDocStats]]: the span frame comes from the
+    * staged table when current; the per-doc rollup itself always runs
+    * (it is parameterized by `longSpanChars` and tiny relative to the
+    * span pipeline, so the threshold does not gate the route). */
+  def spanDocStatsAuto(spark: SparkSession, dir: String, art: String,
+                       longSpanChars: Int = 40): DataFrame =
+    if (artifactsCurrent(dir, art))
+      spanDocStatsFrom(stagedSpans(spark, art), longSpanChars)
+        .orderBy("doc_id")
+    else spanDocStats(spark, dir, longSpanChars)
+
+  /** Auto-routed [[dedupRewrite]] — same contract: staged span frame
+    * when current, always-run surgery tail. */
+  def dedupRewriteAuto(spark: SparkSession, dir: String, art: String,
+                       longSpanChars: Int = 40): DataFrame =
+    if (artifactsCurrent(dir, art))
+      dedupRewriteFrom(spark, dir, stagedSpans(spark, art), longSpanChars)
+    else dedupRewrite(spark, dir, longSpanChars)
 
   /** Per-cluster summary OVER the staged artifacts — the registered
     * face of the staged topology (the one query that both writes and
@@ -932,7 +1038,7 @@ object TextDedup {
 
   /** LSH banding of a signature frame: (doc_id, band, band_hash) — docs
     * agreeing on all rows of any band land in the same bucket. */
-  private def bandsOf(sig: DataFrame): DataFrame = {
+  private[operators] def bandsOf(sig: DataFrame): DataFrame = {
     val rowsPerBand = NumHashes / Bands
     val bandCols = (0 until Bands).map { b =>
       val hs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
@@ -1036,9 +1142,51 @@ object TextDedup {
         col("x.band_hash") === col("y.band_hash"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // best verified match per incoming doc: highest (rounded) jaccard,
-    // lowest existing id on ties — the canonical attribution
-    val near = verifyJaccard(cand, shingles(docs), minJaccard)
+    screenVerdict(exact, verifyJaccard(cand, shingles(docs), minJaccard))
+  }
+
+  /** [[screenIncrement]] served ENTIRELY from the staged artifact set
+    * — zero corpus scans: digests and band buckets come from the
+    * staged screening index, and the exact-Jaccard verification runs
+    * over the staged shingle index (hashed shingles — value-identical
+    * to the string form, the same equivalence the staged pair table
+    * already rests on). Result-identical to the self-contained form:
+    * same digest rule, same band candidates, same verification. */
+  def screenIncrementStaged(spark: SparkSession, art: String,
+                            minJaccard: Double = 0.5): DataFrame = {
+    val dig = readDocDigests(spark, art)
+    val exIdx = dig.filter(col("doc_id") % 10 =!= 0)
+      .groupBy("digest").agg(min(col("doc_id")).as("exact_match"))
+    val exact = dig.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("digest"))
+      .join(exIdx, Seq("digest"), "left")
+      .select(col("doc_id"), col("exact_match"))
+    val bands = readBandIndex(spark, art)
+    val cand = bands.filter(col("doc_id") % 10 === 0).as("x")
+      .join(bands.filter(col("doc_id") % 10 =!= 0).as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.band_hash") === col("y.band_hash"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    screenVerdict(exact,
+      verifyJaccard(cand, readShingleIndex(spark, art), minJaccard))
+  }
+
+  /** Auto-routed [[screenIncrement]]: staged screening index when the
+    * artifact set is current, self-contained otherwise. minJaccard is
+    * a verification threshold applied at read over either frame, so it
+    * does not gate the route. */
+  def screenIncrementAuto(spark: SparkSession, dir: String, art: String,
+                          minJaccard: Double = 0.5): DataFrame =
+    if (artifactsCurrent(dir, art)) screenIncrementStaged(spark, art, minJaccard)
+    else screenIncrement(spark, dir, minJaccard)
+
+  /** The shared verdict tail of the two screening forms: best verified
+    * match per incoming doc (highest rounded jaccard, lowest existing
+    * id on ties — the canonical attribution), exact-dup precedence. */
+  private def screenVerdict(exact: DataFrame, verified: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val near = verified
       .withColumn("__rn", row_number().over(
         Window.partitionBy("doc_a").orderBy(col("jaccard").desc, col("doc_b"))))
       .filter(col("__rn") === 1)
@@ -1081,7 +1229,7 @@ object TextDedup {
     * corpus × corpus, and the incoming side is a micro-batch. */
   def screenDocsAgainstArtifacts(spark: SparkSession, incoming: DataFrame,
                                  art: String, minJaccard: Double = 0.5,
-                                 maxDf: Int = 100): DataFrame = {
+                                 maxDf: Int = DefaultMaxDf): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val inSh = shingles(incoming)
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
@@ -1213,23 +1361,52 @@ object TextDedup {
       spark: SparkSession, dir: String, k: Int = SpanK, w: Int = SpanW,
       minRun: Int = SpanMinRun, maxDf: Int = SpanMaxDf): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val sp = Tables.documents(spark, dir)
+    val sp = spanIndexFrame(Tables.documents(spark, dir), k, w)
+    val dfPerFp = sp.groupBy("fp").agg(count(lit(1)).as("df"))
+    spansFromIndex(sp, dfPerFp, k, minRun, maxDf)
+  }
+
+  /** The winnowed fingerprint index of a document frame — one row per
+    * selected (doc, position, fingerprint). This is the per-document
+    * HALF of the span pipeline (embarrassingly parallel, no shuffle),
+    * factored out so the artifact build stages it once and increments
+    * re-run it over delta rows only. Caller registers GraftFunctions. */
+  private[operators] def spanIndexFrame(docs: DataFrame, k: Int = SpanK,
+                                        w: Int = SpanW): DataFrame =
+    docs
       .select(col("doc_id"),
         explode(call_function("winnow_spans", col("text"), lit(k), lit(w))).as("s"))
       .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
-    // df-cap via aggregate + join-back, not count-over-window — same
-    // no-sort-on-the-wide-frame rule as nearDupFrom. Column order pinned
-    // by the select: the USING join puts the key first, and the
-    // positional toDF renames below must see (doc_id, pos, fp).
-    val dfPerFp = sp.groupBy("fp").agg(count(lit(1)).as("__df"))
-    val capped = sp.join(dfPerFp, "fp")
-      .filter(col("__df") <= maxDf)
+
+  /** The pair half of the span pipeline, over ANY (doc_id, pos, fp)
+    * index and its (fp, df) frequency table — consumed by the
+    * self-contained form above, the artifact build's `spans` stage,
+    * and (restricted to the delta) the incremental maintenance kernel.
+    * df-cap via aggregate + join-back, not count-over-window — same
+    * no-sort-on-the-wide-frame rule as nearDupFrom. Column order pinned
+    * by the select: the USING join puts the key first, and the
+    * positional toDF renames below must see (doc_id, pos, fp). */
+  private[operators] def spansFromIndex(sp: DataFrame, dfPerFp: DataFrame,
+                                        k: Int, minRun: Int,
+                                        maxDf: Int): DataFrame = {
+    val capped = sp.join(dfPerFp.filter(col("df") <= maxDf).select("fp"), "fp")
       .select("doc_id", "pos", "fp")
     val a = capped.toDF("doc_a", "pos_a", "fp")
     val b = capped.toDF("doc_b", "pos_b", "fp")
-    a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"),
-        (col("pos_a") - col("pos_b")).as("offset_delta"))
+    spanGroups(a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("pos_a") - col("pos_b")).as("offset_delta"), col("pos_a")),
+      k, minRun)
+  }
+
+  /** The span-group aggregation shared by the full kernel and the
+    * incremental one: input rows are (doc_a < doc_b, offset_delta,
+    * pos_a) fingerprint matches; groups of >= minRun matches at one
+    * offset delta are reported as spans. */
+  private[operators] def spanGroups(matches: DataFrame, k: Int,
+                                    minRun: Int): DataFrame =
+    matches
+      .groupBy(col("doc_a"), col("doc_b"), col("offset_delta"))
       .agg(count(lit(1)).as("shared_fps"),
         min(col("pos_a")).as("span_start_a"),
         max(col("pos_a")).as("span_last_a"))
@@ -1238,7 +1415,6 @@ object TextDedup {
         col("span_start_a"),
         (col("span_start_a") - col("offset_delta")).as("span_start_b"),
         (col("span_last_a") - col("span_start_a") + k).as("span_chars"))
-  }
 
   /** Per-document rollup of [[substringSpans]]: how much of each doc
     * is duplicated elsewhere — span count, distinct partner docs, the
@@ -1252,11 +1428,17 @@ object TextDedup {
 
   /** [[spanDocStats]] without the presentation sort (composite form). */
   private[graft] def spanDocStatsFrame(
-      spark: SparkSession, dir: String, longSpanChars: Int = 40): DataFrame = {
+      spark: SparkSession, dir: String, longSpanChars: Int = 40): DataFrame =
+    spanDocStatsFrom(substringSpansFrame(spark, dir), longSpanChars)
+
+  /** The per-doc rollup over ANY span frame — self-contained or
+    * staged; the routing seam. */
+  private[graft] def spanDocStatsFrom(spans: DataFrame,
+                                      longSpanChars: Int): DataFrame = {
     // both directions from ONE pass over the span table (explode, not
     // a self-union: a union of two projections of the same subtree
     // re-runs the whole span pipeline twice)
-    val u = substringSpansFrame(spark, dir)
+    val u = spans
       .select(explode(array(
         struct(col("doc_a").as("doc_id"), col("doc_b").as("partner"),
           col("span_chars")),
@@ -1298,9 +1480,16 @@ object TextDedup {
     * only (≪ corpus), and the surgery is a codegen'd projection under
     * a broadcast-size join back to the corpus. */
   def dedupRewrite(spark: SparkSession, dir: String,
-                   longSpanChars: Int = 40): DataFrame = {
+                   longSpanChars: Int = 40): DataFrame =
+    dedupRewriteFrom(spark, dir, substringSpansFrame(spark, dir),
+      longSpanChars)
+
+  /** The rewrite surgery over ANY span frame — the routing seam. */
+  private[graft] def dedupRewriteFrom(spark: SparkSession, dir: String,
+                                      spans: DataFrame,
+                                      longSpanChars: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val losing = substringSpansFrame(spark, dir)
+    val losing = spans
       .filter(col("span_chars") >= longSpanChars)
       .select(col("doc_b").as("doc_id"),
         col("span_start_b").as("cut_start"), col("span_chars"))
@@ -1400,7 +1589,7 @@ object TextDedup {
   }
 
   def splitLeakageAudit(spark: SparkSession, dir: String,
-                        minJaccard: Double = 0.5, maxDf: Int = 100): DataFrame =
+                        minJaccard: Double = 0.5, maxDf: Int = DefaultMaxDf): DataFrame =
     splitLeakageFrom(spark, dir, nearDupPairs(spark, dir, minJaccard, maxDf))
 
   /** The leakage-audit kernel over any (doc_a, doc_b, jaccard) pair

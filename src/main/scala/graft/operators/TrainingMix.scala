@@ -203,10 +203,31 @@ object TrainingMix {
     * each stage's semantics stay individually verified by its own
     * oracled endpoint. */
   def buildCorpusV2(spark: SparkSession, dir: String,
-                    budget: Int = 256, nShards: Int = 4): DataFrame = {
+                    budget: Int = 256, nShards: Int = 4): DataFrame =
+    buildCorpusV2From(spark, dir,
+      TextDedup.spanDocStatsFrame(spark, dir), budget, nShards)
+
+  /** Auto-routed [[buildCorpusV2]]: the substring-dedup verdict comes
+    * from the STAGED span table when the artifact set is current (the
+    * span pipeline — the build's dominant cost — then ran once at
+    * stage time), else re-derived self-contained. Only the span INPUT
+    * routes: the repetition verdict is a single stateless corpus pass
+    * and budget/nShards parameterize the always-run tail, so none of
+    * them gate — the same seam discipline as [[buildCorpusAuto]]. */
+  def buildCorpusV2Auto(spark: SparkSession, dir: String, art: String,
+                        budget: Int = 256, nShards: Int = 4): DataFrame =
+    if (TextDedup.artifactsCurrent(dir, art))
+      buildCorpusV2From(spark, dir,
+        TextDedup.spanDocStatsFrom(TextDedup.stagedSpans(spark, art), 40),
+        budget, nShards)
+    else buildCorpusV2(spark, dir, budget, nShards)
+
+  private def buildCorpusV2From(spark: SparkSession, dir: String,
+                                spanStats: DataFrame, budget: Int,
+                                nShards: Int): DataFrame = {
     val rep = TextAnalysis.repetitionFrame(spark, dir)
       .select(col("doc_id"), col("keep"))
-    val spans = TextDedup.spanDocStatsFrame(spark, dir)
+    val spans = spanStats
       .select(col("doc_id"), col("has_long_dup"))
     val quality = slimDocs(spark, dir).drop("__quality")
       .join(rep, "doc_id").filter(col("keep")).drop("keep")

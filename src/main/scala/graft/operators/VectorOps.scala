@@ -27,6 +27,16 @@ import graft.functions.ChFunctions._
   */
 object VectorOps {
 
+  /** The embedding pair graph's BUILD threshold — the one cosine the
+    * staged `emb_pairs` table is materialized at. Shared by the build
+    * stage ([[TextDedup.writeDedupArtifacts]] via
+    * [[nearDupPairsOverLayout]]'s default), the maintenance delta
+    * kernel ([[DedupMaintenance]]'s `pairsBetweenProbes` call), the
+    * endpoint default, and the [[nearDupPairsAuto]] routing gate — a
+    * single definition so a retune can never leave the gate serving a
+    * staged table built under a different (incomplete) threshold. */
+  val EmbPairBuildMinCosine = 0.4
+
   /** dot(a, b) with double accumulation, left-to-right — the native
     * codegen'd expression (graft.functions.VectorDot, registered as
     * `vector_dot` per session); semantically identical to the HOF chain
@@ -198,7 +208,7 @@ object VectorOps {
     * [[nearDupPairsExact]]; the threshold is data-relative (uniform-
     * random corpus, so "near" is the top of the cosine distribution).
     */
-  def nearDupPairs(spark: SparkSession, dir: String, minCosine: Double = 0.4,
+  def nearDupPairs(spark: SparkSession, dir: String, minCosine: Double = EmbPairBuildMinCosine,
                    nLists: Int = 0, nprobe: Int = 3): DataFrame =
     pairsFromProbes(probeAssignments(spark, dir, nLists, nprobe), minCosine)
 
@@ -352,7 +362,7 @@ object VectorOps {
     * parquet read and each list's self-join is co-located with its
     * partition. This is the form that holds past ~10 M vectors. */
   def nearDupPairsOverLayout(spark: SparkSession, layout: String,
-                             minCosine: Double = 0.4): DataFrame = {
+                             minCosine: Double = EmbPairBuildMinCosine): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     pairsFromProbes(readNearDupLayout(spark, layout), minCosine)
   }
@@ -416,20 +426,30 @@ object VectorOps {
     * always the oracle's semantics — and the index-pinned serving
     * shape remains explicitly available as [[nearDupPairsOverLayout]]
     * (the `emb_near_dup_pairs_ivf` endpoint, which restages first). */
+  /** The [[nearDupPairsAuto]] routing predicate, factored out so the
+    * plan-shape tests assert against EXACTLY the gate the endpoint
+    * uses (a current-but-geometry-drifted artifact must read as
+    * unrouted in both places): artifact current for `dir` AND the
+    * persisted layout geometry equals the schedule's derivation over
+    * the current corpus at the default nprobe. */
+  private[graft] def embPairsRoutable(spark: SparkSession, dir: String,
+                                      art: String): Boolean =
+    TextDedup.artifactsCurrent(dir, art) &&
+      readLayoutGeometry(s"$art/emb_probe_layout").exists { case (l, p) =>
+        p == 3 && l == resolveLists(Tables.embeddings(spark, dir), 0) }
+
   def nearDupPairsAuto(spark: SparkSession, dir: String, art: String,
-                       minCosine: Double = 0.4, nLists: Int = 0,
+                       minCosine: Double = EmbPairBuildMinCosine, nLists: Int = 0,
                        nprobe: Int = 3): DataFrame =
-    if (nLists == 0 && nprobe == 3 && TextDedup.artifactsCurrent(dir, art) &&
-        readLayoutGeometry(s"$art/emb_probe_layout").exists { case (l, p) =>
-          p == 3 && l == resolveLists(Tables.embeddings(spark, dir), 0) })
+    if (nLists == 0 && nprobe == 3 && embPairsRoutable(spark, dir, art))
       // the staged emb_pairs table stores this endpoint's OUTPUT at the
-      // build threshold (0.4): any minCosine >= 0.4 is a pure
+      // build threshold: any minCosine >= it is a pure
       // post-filter over it — a parquet read instead of re-running the
       // per-list candidate join (165 s -> sub-second at sf100). A
       // LOWER threshold needs pairs the staged table never kept, so it
       // recomputes over the layout, where minCosine applies during the
       // join (valid at any value, same geometry).
-      if (minCosine >= 0.4)
+      if (minCosine >= EmbPairBuildMinCosine)
         TextDedup.stagedEmbPairs(spark, art)
           .filter(col("cosine") >= minCosine)
           .orderBy("vec_a", "vec_b")
@@ -470,7 +490,7 @@ object VectorOps {
     * broadcast ceiling at any dim: ~4 M probe rows at 64 dims,
     * ~650 k at 768. */
   def screenIncrementOverLayout(spark: SparkSession, dir: String,
-                                layout: String, minCosine: Double = 0.4,
+                                layout: String, minCosine: Double = EmbPairBuildMinCosine,
                                 nLists: Int = 0, nprobe: Int = 3,
                                 broadcastProbeBytes: Long = 2L << 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -552,7 +572,7 @@ object VectorOps {
     * MV-at-ingest pattern (kits/users/pg/pipes/users_mv.pipe:19-20)
     * applied to the dedup artifact. */
   def screenAgainstLayout(spark: SparkSession, incoming: DataFrame,
-                          layout: String, minCosine: Double = 0.4,
+                          layout: String, minCosine: Double = EmbPairBuildMinCosine,
                           broadcastProbeBytes: Long = 2L << 30): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val (nLists, nprobe) = readLayoutGeometry(layout).getOrElse(
@@ -619,7 +639,7 @@ object VectorOps {
     * triangular cross join is O(n²) dots — unrunnable at scale, kept to
     * verify the IVF/LSH candidate paths at small SF. */
   def nearDupPairsExact(spark: SparkSession, dir: String,
-                        minCosine: Double = 0.4): DataFrame = {
+                        minCosine: Double = EmbPairBuildMinCosine): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, dir)
     val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))

@@ -204,7 +204,7 @@ object CdcStream {
   def startDocScreenMv(spark: SparkSession, srcDir: String, art: String,
                        outDir: String, checkpointDir: String,
                        minJaccard: Double = 0.5,
-                       maxDf: Int = 100): StreamingQuery = {
+                       maxDf: Int = graft.operators.TextDedup.DefaultMaxDf): StreamingQuery = {
     graft.functions.GraftFunctions.register(spark)
     spark.readStream.schema(docSchema).parquet(srcDir)
       .writeStream

@@ -736,4 +736,71 @@ class ApiServerSpec extends SparkSpec {
       assert(call("POST", "/frobnicate", Some("boss")).statusCode() == 405)
     } finally srv.stop()
   }
+
+
+  test("auto-compaction soak: a 10-increment CDC chain through the HTTP " +
+      "actuators keeps the generation bounded (compaction fires inside " +
+      "update), stays current, and ends identical to a fresh rebuild") {
+    import spark.implicits._
+    val data = java.nio.file.Files.createTempDirectory("api_soak_data").toString
+    Tables.documents(spark, sf).filter("doc_id < 200")
+      .write.parquet(s"$data/documents.parquet")
+    Tables.embeddings(spark, sf).filter("vec_id < 200")
+      .write.parquet(s"$data/embeddings.parquet")
+    val art = SparkEntry.dedupArtifactsDir(data)
+    val srv = new ApiServer(spark, data, Map("boss" -> Set("*")))
+    val p = srv.start()
+    def call(method: String, path: String) = {
+      val b = HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$p/v0/dedup_artifacts$path"))
+        .header("Authorization", "Bearer boss")
+      val req = if (method == "POST")
+        b.POST(HttpRequest.BodyPublishers.noBody()).build() else b.GET().build()
+      http.send(req, HttpResponse.BodyHandlers.ofString())
+    }
+    def gen(body: String): Int =
+      """"generation":(\d+)""".r.findFirstMatchIn(body).get.group(1).toInt
+    try {
+      assert(call("POST", "/update").body().contains("\"mode\":\"full\""))
+      var maxGen = 0
+      var compactions = 0
+      for (i <- 1 to 10) {
+        // a realistic CDC batch: append a fresh slice of the corpus
+        Tables.documents(spark, sf)
+          .filter(s"doc_id >= ${200 + i * 20} and doc_id < ${220 + i * 20}")
+          .write.mode("append").parquet(s"$data/documents.parquet")
+        val r = call("POST", "/update")
+        assert(r.statusCode() == 200 &&
+          r.body().contains("\"mode\":\"incremental\"") &&
+          r.body().contains("\"current\":true"), r.body())
+        val g = gen(r.body())
+        maxGen = math.max(maxGen, g)
+        if (graft.operators.DedupMaintenance.lastIncrement(art)
+            .exists(_.contains("\"compacted\":true"))) compactions += 1
+      }
+      // the policy (autoCompactMaxGen = 8) bounds the chain: the
+      // generation observed over 10 increments never exceeds the
+      // threshold, because update() compacts back to 0 when it hits it
+      assert(maxGen <= 8, s"generation unbounded: $maxGen")
+      assert(compactions >= 1, "the chain must have auto-compacted")
+      assert(gen(call("GET", "").body()) < 8)
+      // end-state identity: the maintained artifacts equal a fresh
+      // rebuild of the final corpus (the soak's correctness gate)
+      val art2 = java.nio.file.Files.createTempDirectory("api_soak_fresh").toString
+      val l = graft.operators.VectorOps
+        .readLayoutGeometry(s"$art/emb_probe_layout").get._1
+      graft.operators.TextDedup.writeDedupArtifacts(spark, data, art2,
+        embNLists = l.toInt)
+      def rws(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toString).sorted.toSeq
+      assert(rws(graft.operators.TextDedup.stagedPairs(spark, art)) ==
+        rws(graft.operators.TextDedup.stagedPairs(spark, art2)))
+      assert(rws(graft.operators.TextDedup.stagedClusters(spark, art)) ==
+        rws(graft.operators.TextDedup.stagedClusters(spark, art2)))
+      assert(rws(graft.operators.TextDedup.stagedSpans(spark, art)) ==
+        rws(graft.operators.TextDedup.stagedSpans(spark, art2)))
+      assert(rws(graft.operators.TextDedup.readDocDigests(spark, art)) ==
+        rws(graft.operators.TextDedup.readDocDigests(spark, art2)))
+    } finally srv.stop()
+  }
 }

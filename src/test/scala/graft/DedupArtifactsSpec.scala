@@ -15,8 +15,11 @@ class DedupArtifactsSpec extends SparkSpec {
     d
   }
 
+  // sorted: several self-contained frames end in .distinct()/CC output
+  // with no orderBy, so collect() order is incidental — identity with
+  // the orderBy'd staged route must not hinge on it
   private def rows(df: DataFrame): Seq[String] =
-    df.collect().map(_.toString).toSeq
+    df.collect().map(_.toString).toSeq.sorted
 
   test("staged artifacts exist and are non-trivial") {
     assert(TextDedup.stagedPairs(spark, art).count() > 0)
@@ -198,6 +201,69 @@ class DedupArtifactsSpec extends SparkSpec {
     assert(rows(corpus) == rows(TrainingMix.buildCorpus(spark, sf)))
     assert(!stagedInputs(TrainingMix.buildCorpusAuto(spark, sf, none), "clusters"))
     assert(rows(TrainingMix.buildCorpusAuto(spark, sf, none)) == rows(corpus))
+  }
+
+  test("staged == self-contained: the span family (substring spans, span " +
+      "doc stats, dedup rewrite, corpus v2) routes when current, falls " +
+      "back when not") {
+    def stagedInputs(df: DataFrame, table: String): Boolean =
+      df.inputFiles.exists(_.contains(s"/$table/"))
+    assert(TextDedup.stagedSpans(spark, art).count() > 0)
+    // current artifact → each consumer's plan reads the staged span table
+    val spans = TextDedup.substringSpansAuto(spark, sf, art)
+    assert(stagedInputs(spans, "spans"),
+      s"spans must route: ${spans.inputFiles.take(3).mkString(",")}")
+    assert(rows(spans) == rows(TextDedup.substringSpans(spark, sf)))
+    val stats = TextDedup.spanDocStatsAuto(spark, sf, art)
+    assert(stagedInputs(stats, "spans"))
+    assert(rows(stats) == rows(TextDedup.spanDocStats(spark, sf)))
+    val rewrite = TextDedup.dedupRewriteAuto(spark, sf, art)
+    assert(stagedInputs(rewrite, "spans"))
+    assert(rows(rewrite) == rows(TextDedup.dedupRewrite(spark, sf)))
+    val v2 = TrainingMix.buildCorpusV2Auto(spark, sf, art)
+    assert(stagedInputs(v2, "spans"),
+      s"corpus v2 must route: ${v2.inputFiles.take(3).mkString(",")}")
+    assert(rows(v2) == rows(TrainingMix.buildCorpusV2(spark, sf)))
+    // a non-default longSpanChars is a post-threshold — it still routes
+    val stats60 = TextDedup.spanDocStatsAuto(spark, sf, art, longSpanChars = 60)
+    assert(stagedInputs(stats60, "spans"))
+    assert(rows(stats60) == rows(TextDedup.spanDocStats(spark, sf, 60)))
+    // non-default span-pipeline params want a DIFFERENT pipeline → no route
+    assert(!stagedInputs(
+      TextDedup.substringSpansAuto(spark, sf, art, k = 9), "spans"))
+    assert(!stagedInputs(
+      TextDedup.substringSpansAuto(spark, sf, art, maxDf = 50), "spans"))
+    // no artifact → self-contained fallback, same result
+    val none = java.nio.file.Files.createTempDirectory("no_span_art").toString
+    val fb = TextDedup.substringSpansAuto(spark, sf, none)
+    assert(!stagedInputs(fb, "spans"))
+    assert(rows(fb) == rows(spans))
+    assert(!stagedInputs(TrainingMix.buildCorpusV2Auto(spark, sf, none), "spans"))
+    assert(rows(TrainingMix.buildCorpusV2Auto(spark, sf, none)) == rows(v2))
+  }
+
+  test("staged == self-contained: text increment screening routes through " +
+      "the staged digests/bands/shingle-index, falls back when stale") {
+    def stagedInputs(df: DataFrame, table: String): Boolean =
+      df.inputFiles.exists(_.contains(s"/$table/"))
+    val routed = TextDedup.screenIncrementAuto(spark, sf, art)
+    assert(stagedInputs(routed, "band_index") &&
+      stagedInputs(routed, "doc_digests") &&
+      stagedInputs(routed, "shingle_index"),
+      s"screen must route: ${routed.inputFiles.take(3).mkString(",")}")
+    // zero corpus scans on the routed plan
+    assert(!routed.inputFiles.exists(_.contains("documents.parquet")),
+      "routed screen must not scan the corpus")
+    assert(rows(routed) == rows(TextDedup.screenIncrement(spark, sf)))
+    // a non-default threshold post-filters either frame — still routes
+    val hi = TextDedup.screenIncrementAuto(spark, sf, art, minJaccard = 0.7)
+    assert(stagedInputs(hi, "band_index"))
+    assert(rows(hi) == rows(TextDedup.screenIncrement(spark, sf, 0.7)))
+    // no artifact → self-contained fallback, same result
+    val none = java.nio.file.Files.createTempDirectory("no_screen_art").toString
+    val fb = TextDedup.screenIncrementAuto(spark, sf, none)
+    assert(!stagedInputs(fb, "band_index"))
+    assert(rows(fb) == rows(routed))
   }
 
   test("increment screen: verdicts agree with the pair-graph truth") {

@@ -133,6 +133,16 @@ class DedupMaintenanceSpec extends SparkSpec {
       rows(TextDedup.readDocFiles(spark, b)), "doc_files differs")
     assert(rows(TextDedup.readVecFiles(spark, a)) ==
       rows(TextDedup.readVecFiles(spark, b)), "vec_files differs")
+    assert(rows(TextDedup.stagedSpans(spark, a)) ==
+      rows(TextDedup.stagedSpans(spark, b)), "spans differ")
+    assert(rows(TextDedup.readSpanDf(spark, a)) ==
+      rows(TextDedup.readSpanDf(spark, b)), "summed span_df differs")
+    assert(rows(TextDedup.readSpanIndex(spark, a)) ==
+      rows(TextDedup.readSpanIndex(spark, b)), "span_index differs")
+    assert(rows(TextDedup.readDocDigests(spark, a)) ==
+      rows(TextDedup.readDocDigests(spark, b)), "doc_digests differs")
+    assert(rows(TextDedup.readBandIndex(spark, a)) ==
+      rows(TextDedup.readBandIndex(spark, b)), "band_index differs")
   }
 
   /** Full rebuild of the CURRENT data dir into a fresh artifact dir at
@@ -306,6 +316,48 @@ class DedupMaintenanceSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 1L)), s"downward crossing missed the pair: $pairs")
     assertEqualsFreshRebuild(data, art, maxDf = 2)
+  }
+
+  test("a SPAN-df crossing (SpanMaxDf is a constant, so 100+ copies of one " +
+      "boilerplate) reclassifies span groups in BOTH directions, ≡ full " +
+      "rebuild") {
+    val data = tmp("dm_sx_data"); val art = tmp("dm_sx_art")
+    // 99 docs share boilerplate prefix B (same offset → one span group
+    // per pair, offset_delta 0): every winnowed fp of B has df = 99
+    // ≤ SpanMaxDf = 100 → capped → C(99,2) span groups. Appending two
+    // more B-docs pushes df to 101 > SpanMaxDf: an UPWARD crossing —
+    // every B-doc's span rows must retract incrementally (the tails
+    // are unique, so nothing replaces them). Deleting that delta file
+    // drops df back to 99: the DOWNWARD crossing must resurrect the
+    // groups purely from the staged span_index rows (text never
+    // re-read). The word tails keep the SHINGLE side quiet (pair
+    // jaccard ≈ 0.25 < 0.5), so this exercises the span
+    // reclassification set independently of the shingle one.
+    val boiler = "alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliet kilo lima mike november oscar papa"
+    def spanDoc(i: Long) = i -> (boiler + " " + words(s"t$i"))
+    writeSlice(data, (0L until 99L).map(spanDoc), baseEmbFixed)
+    assert(DedupMaintenance.update(spark, data, art) == "full")
+    val nBase = TextDedup.stagedSpans(spark, art).count()
+    assert(nBase == 99L * 98 / 2,
+      s"expected C(99,2) base span groups, got $nBase")
+    val (delta, _) =
+      writeSlice(data, Seq(spanDoc(200L), spanDoc(201L)), Seq.empty)
+    assert(DedupMaintenance.update(spark, data, art) == "incremental")
+    // every base-pair span is gone; the ONE survivor is (200, 201) —
+    // their 3-digit-id tails legitimately share ~45 boundary
+    // fingerprints at delta 0 (df = 2, rare), a span a full rebuild
+    // finds too, discovered here by the within-apply leg of the kernel
+    val after = TextDedup.stagedSpans(spark, art)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(after.toSeq == Seq((200L, 201L)),
+      s"upward crossing must keep only the new-pair span: ${after.mkString(",")}")
+    assertEqualsFreshRebuild(data, art)
+    assert(delta.get.delete())
+    assert(DedupMaintenance.update(spark, data, art) == "incremental")
+    assert(TextDedup.stagedSpans(spark, art).count() == nBase,
+      "downward crossing must resurrect the span groups from the staged index")
+    assertEqualsFreshRebuild(data, art)
   }
 
   test("compaction folds tombstones away: live views identical, gen reset, " +

@@ -128,8 +128,11 @@ class PlanSpec extends SparkSpec {
     // broadcast anchor frame (bounded build side — constant at any
     // corpus size), once per side of the candidate self-join. Either
     // way the pair join itself must be a hash/merge equi-join.
-    val routed = graft.operators.TextDedup.artifactsCurrent(
-      sf, SparkEntry.dedupArtifactsDir(sf))
+    // the endpoint's OWN routing predicate (artifact currency AND
+    // layout-geometry match) — a current-but-drifted artifact must
+    // read as unrouted here exactly as the endpoint treats it
+    val routed = graft.operators.VectorOps.embPairsRoutable(
+      spark, sf, SparkEntry.dedupArtifactsDir(sf))
     val wantNlj = if (routed) 0 else 2
     assert("BroadcastNestedLoopJoin".r.findAllIn(emb).size == wantNlj,
       s"emb near-dup (routed=$routed): only the anchor-scoring " +
