@@ -124,8 +124,17 @@ object Bench {
     // Printed to stderr IMMEDIATELY (round-11 lesson: a killed sweep
     // loses the end-of-sweep JSON, and without the probe its salvaged
     // per-query progress lines cannot be normalized across boxes)
-    val calibration = Bench.calibrationProbe(spark)
-    System.err.println(f"[bench] calibration=$calibration%.2f sf=$sfDir")
+    // Round-13 (verdict #5): single probes ranged 4.26-27.75 across one
+    // night of sf100 segments (host CPU steal), making them the dominant
+    // uncertainty in every cross-round claim. The headline `calibration`
+    // is now the MEDIAN of three probes; the raw probes land in the JSON
+    // as `cal_probes`, and a CLOSING probe (`cal_end`) bounds how much
+    // the box drifted DURING the sweep — a per-query ratio whose segment
+    // shows cal_end far from cal_start is noise until re-measured.
+    val calProbes = Seq.fill(3)(Bench.calibrationProbe(spark))
+    val calibration = calProbes.sorted.apply(1)
+    System.err.println(f"[bench] calibration=$calibration%.2f " +
+      s"probes=${calProbes.map(p => f"$p%.2f").mkString(",")} sf=$sfDir")
     // Noise discipline (round 6): single cold runs made three rounds of
     // bench deltas ambiguous (neighbor noise / JIT warmup read as
     // regressions). Any query whose cold run costs >= 1 s is re-run once
@@ -222,8 +231,26 @@ object Bench {
     // round's bench JSON is supplied (SPARK_GRAFT_BENCH_PREV), the
     // normalized ratio vs THAT run — ~1.0 means "same speed through
     // the calibration lens", independent of box state
+    // closing probe AFTER the last timed query (see cal_probes note)
+    val calEnd = Bench.calibrationProbe(spark)
+    System.err.println(f"[bench] cal_end=$calEnd%.2f sf=$sfDir")
     val perCal = if (calibration > 0) total / calibration else 0.0
-    val prevRatio = sys.env.get("SPARK_GRAFT_BENCH_PREV").flatMap { p =>
+    // SPARK_GRAFT_BENCH_PREV names the prior round's bench JSON; when
+    // unset (the round driver's final run never sets it — BENCH_r12
+    // shipped without normalized_vs_prev), auto-discover the
+    // highest-numbered BENCH_r*.json in the working directory so the
+    // field is always present when a prior artifact exists
+    val prevPath = sys.env.get("SPARK_GRAFT_BENCH_PREV").orElse {
+      val re = """BENCH_r(\d+)\.json""".r
+      Option(new java.io.File(".").listFiles)
+        .getOrElse(Array.empty[java.io.File])
+        .flatMap(f => f.getName match {
+          case re(n) => Some((n.toInt, f.getPath)); case _ => None
+        })
+        .sortBy(-_._1).headOption.map(_._2)
+    }
+    prevPath.foreach(p => System.err.println(s"[bench] prev=$p"))
+    val prevRatio = prevPath.flatMap { p =>
       try {
         val txt = new String(
           java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
@@ -237,7 +264,10 @@ object Bench {
       } catch { case _: Throwable => None }
     }
     val prevField = prevRatio.map(r => s""","normalized_vs_prev":${f2(r)}""").getOrElse("")
-    val calFields = s""""calibration":${f2(calibration)},"value_per_calibration":${f2(perCal)}$prevField"""
+    val calProbesJson = calProbes.map(f2).mkString("[", ",", "]")
+    val calFields = s""""calibration":${f2(calibration)},""" +
+      s""""cal_probes":$calProbesJson,"cal_end":${f2(calEnd)},""" +
+      s""""value_per_calibration":${f2(perCal)}$prevField"""
     val segField = segment.map(s => s""""segment":${jstr(s)},""").getOrElse("")
     val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec",$calFields,$segField"n_queries":${results.size},"n_errors":${errors.size},"errors":$errNames,"queries":${toJson(slowest)},"sf":"$sfDir"}"""
     val full = s"""{"metric":"total","value":${f2(total)},"unit":"sec",$calFields,$segField"n_queries":${results.size},"n_errors":${errors.size},"errors":$errNames,"error_messages":$errFull,"queries":${toJson(results.toSeq.sortBy(_._1))},"cold":${toJson(colds.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""

@@ -43,7 +43,18 @@ merged = {
     "metric": "total", "value": round(total, 2), "unit": "sec",
     "segments": [{"segment": s.get("segment"), "value": s["value"],
                   "calibration": s["calibration"],
+                  "cal_probes": s.get("cal_probes"),
+                  "cal_end": s.get("cal_end"),
                   "n_errors": s["n_errors"]} for s in segs],
+    # the drift BAND every cross-round per-query ratio must be read
+    # through: min/max over all probes (opening triple + closing) of
+    # every segment — ratios inside the band are noise, not signal
+    "cal_band": [round(min(min(s.get("cal_probes", [s["calibration"]]) +
+                               [s.get("cal_end", s["calibration"])])
+                          for s in segs), 2),
+                 round(max(max(s.get("cal_probes", [s["calibration"]]) +
+                               [s.get("cal_end", s["calibration"])])
+                          for s in segs), 2)],
     "sum_value_per_calibration": round(norm, 2),
     "n_queries": sum(s["n_queries"] for s in segs),
     "n_errors": sum(s["n_errors"] for s in segs),
