@@ -128,40 +128,40 @@ object Sketches {
 
   /** Probe `df` against a [[bloomWords]] bitmap: appends `maybe` = 1
     * iff all k of the key's bits are set. The bitmap is parameter-
-    * bounded (≤ mWords rows), so it folds into a ONE-ROW word_idx →
-    * bits map attached as a 1-row broadcast; the probe itself is then
-    * a pure row-local expression (`forall` over the k positions) — no
-    * per-position explode, no join per word, and no corpus-sized
-    * groupBy to reassemble the k verdicts. The earlier explode +
-    * broadcast-equi-join + groupBy(df.columns) shape re-shuffled the
-    * whole probed frame once per call — the dominant cost of
-    * `docs_bloom_contamination` at sf100 (5.85× for 3.4× data, the
-    * worst scale ratio of the round-12 sweep); map-only probing
-    * removes that shuffle entirely. Row-preserving (a duplicate input
-    * row now stays duplicated; the previous form collapsed them —
-    * callers already fed DISTINCT frames, as the old contract
-    * required). */
+    * bounded (≤ mWords longs — 8 KB at the default), so it is
+    * materialized ONCE on the driver and embedded in the plan as a
+    * LITERAL positional array: the probe is then a pure codegen'd
+    * projection — no join of any kind, no lambda. Two prior shapes
+    * were measured and rejected at sf100: the explode + equi-join +
+    * regroup (round ≤ 11) re-shuffled the probed corpus per call
+    * (193 s), and the round-12 one-row-broadcast BNLJ made every
+    * join OUTPUT row copy the 8 KB array column — ~100 M train grams
+    * × 8 KB of memcpy, 276 s, WORSE than the shuffle it replaced.
+    * The driver collect here is the same bounded-summary
+    * materialization class as the 1-row dimension probes (≤ mWords
+    * rows by construction, corpus-size-independent). Row-preserving
+    * (a duplicate input row stays duplicated). */
   def bloomProbe(df: DataFrame, key: Column, bitmap: DataFrame,
                  mWords: Int = 1024, kHashes: Int = 4): DataFrame = {
-    val keep = df.columns.map(col)
-    // scatter the (word_idx, bits) rows into a POSITIONAL array once:
-    // Spark's element_at on a MAP is a linear scan (ArrayBasedMapData
-    // carries no hash index), which would cost k·mWords comparisons
-    // per probed row — measured as a multi-minute blowup at sf100.
-    // Array indexing is O(1); the mWords² scatter below runs once on
-    // one row.
-    val bm = bitmap.agg(map_from_entries(
-        collect_list(struct(col("word_idx"), col("bits")))).as("__m"))
-      .select(transform(sequence(lit(0L), lit(mWords.toLong - 1)),
-        i => coalesce(element_at(col("__m"), i), lit(0L))).as("__bm"))
-    val allSet = forall(bloomPositions(key, mWords, kHashes), p =>
-      call_function("shiftright",
-          element_at(col("__bm"),
-            (call_function("div", p, lit(BitsPerWord.toLong)) + lit(1L)).cast("int")),
-          pmod(p, lit(BitsPerWord.toLong)).cast("int"))
-        .bitwiseAND(lit(1L)) === lit(1L))
-    df.join(broadcast(bm))
-      .select(keep :+ when(allSet, 1).otherwise(0).as("maybe"): _*)
+    val mBits = mWords.toLong * BitsPerWord
+    val words = new Array[Long](mWords)
+    for (r <- bitmap.select(col("word_idx").cast("int"), col("bits"))
+        .collect())
+      words(r.getInt(0)) = r.getLong(1)
+    val bmLit = lit(words)
+    // k statically-unrolled bit tests (no higher-order function: HOF
+    // lambdas are interpreted per element; these stay inside
+    // whole-stage codegen), each O(1) into the literal array
+    val allSet = (0 until kHashes).map { j =>
+        val p = pmod(OracleHash.seeded32(j, key), lit(mBits))
+        call_function("shiftright",
+            element_at(bmLit,
+              (call_function("div", p, lit(BitsPerWord.toLong)) + lit(1L))
+                .cast("int")),
+            pmod(p, lit(BitsPerWord.toLong)).cast("int"))
+          .bitwiseAND(lit(1L)) === lit(1L)
+      }.reduce(_ && _)
+    df.withColumn("maybe", when(allSet, 1).otherwise(0))
   }
 
   def bloomContamination(spark: SparkSession, dir: String,

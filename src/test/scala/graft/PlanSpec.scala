@@ -50,14 +50,16 @@ class PlanSpec extends SparkSpec {
     // probe joins must broadcast them, never shuffle the corpus side
     val cms = plan("docs_cms_top_terms")
     assert(cms.contains("BroadcastHashJoin"), cms.take(2000))
-    // the Bloom bitmap folds to a ONE-ROW map attached as a 1-row
-    // broadcast (nest-loop over a single build row — constant); the
-    // probe itself is row-local, so the only remaining joins must be
-    // broadcast/equi — the corpus side never shuffles to meet the
-    // parameter-bounded summary
+    // the Bloom bitmap is embedded as a plan LITERAL (driver-side
+    // fold of the parameter-bounded summary): the probe is a pure
+    // projection — NO nested-loop join anywhere (the round-12 1-row
+    // broadcast made every BNLJ output row copy the 8 KB array), and
+    // the only remaining join is the exact-hit equi-join
     val bloom = plan("docs_bloom_contamination")
-    assert(bloom.contains("BroadcastNestedLoopJoin") ||
-      bloom.contains("BroadcastHashJoin"), bloom.take(2000))
+    assert(!bloom.contains("BroadcastNestedLoopJoin"), bloom.take(2000))
+    assert(bloom.contains("BroadcastHashJoin") ||
+      bloom.contains("ShuffledHashJoin") || bloom.contains("SortMergeJoin"),
+      bloom.take(2000))
     assert(!bloom.contains("CartesianProduct"), bloom.take(2000))
   }
 
