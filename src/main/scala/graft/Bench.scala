@@ -43,6 +43,36 @@ object Bench {
     math.min(leg(), leg())
   }
 
+  /** Codec-throughput calibration probe (round-14, verdict #4): the
+    * shuffle/hash probe above does not track raw-CPU codec throughput
+    * under host steal — `docs_audio_features` moved 399→537 s across
+    * boxes with identical code and the probe family admitted it could
+    * not adjudicate codec-bound rows. This leg decodes a fixed
+    * in-memory WAV (the suite's REAL audio codec kernel,
+    * [[graft.operators.Multimodal.decodeAudioRow]]) N times on the
+    * driver — byte-linear single-thread CPU, zero Spark involvement —
+    * so codec-bound rows (audio/video/image features) are read through
+    * THIS denominator. Like [[calibrationProbe]], the definition must
+    * never change: comparability across rounds is its entire value.
+    * Reported as min of two runs of 64 decodes over a ~1.6 MB buffer. */
+  def calCodecProbe(): Double = {
+    import graft.operators.Multimodal
+    val wav = Multimodal.synthWav(16000, 2, 400000, 1000)
+    def leg(): Double = {
+      val t0 = System.nanoTime()
+      var i = 0
+      var sink = 0L
+      while (i < 64) {
+        sink += Multimodal.decodeAudioRow(
+          Multimodal.MediaRow(i.toLong, wav)).energy_sum
+        i += 1
+      }
+      require(sink != 0L, "codec probe decoded nothing")
+      (System.nanoTime() - t0) / 1e9
+    }
+    math.min(leg(), leg())
+  }
+
   /** `SPARK_GRAFT_SHUFFLE=auto` — partitions sized from the INPUT, the
     * way a cluster operator sizes them: total bytes under the sf dir /
     * a 128 MB per-partition target, clamped to [cores, 2048]. At the
@@ -133,8 +163,12 @@ object Bench {
     // shows cal_end far from cal_start is noise until re-measured.
     val calProbes = Seq.fill(3)(Bench.calibrationProbe(spark))
     val calibration = calProbes.sorted.apply(1)
+    // codec-throughput leg alongside (round-14): codec-bound rows
+    // (audio/video/image features) are adjudicated through THIS number
+    val calCodec = Bench.calCodecProbe()
     System.err.println(f"[bench] calibration=$calibration%.2f " +
-      s"probes=${calProbes.map(p => f"$p%.2f").mkString(",")} sf=$sfDir")
+      s"probes=${calProbes.map(p => f"$p%.2f").mkString(",")} " +
+      f"cal_codec=$calCodec%.3f sf=$sfDir")
     // Noise discipline (round 6): single cold runs made three rounds of
     // bench deltas ambiguous (neighbor noise / JIT warmup read as
     // regressions). Any query whose cold run costs >= 1 s is re-run once
@@ -239,11 +273,20 @@ object Bench {
     // unset (the round driver's final run never sets it — BENCH_r12
     // shipped without normalized_vs_prev), auto-discover the
     // highest-numbered BENCH_r*.json in the working directory so the
-    // field is always present when a prior artifact exists
+    // field is always present when a prior artifact exists.
+    // Round-14 (advisory): files modified after THIS JVM started are
+    // excluded — once BENCH_r{N}.json exists in the tree, a re-run
+    // would otherwise normalize against the current round's own file
+    // (or a half-written `bench > BENCH_rN.json` redirect target); the
+    // resolved path is recorded in the JSON as `prev` so every
+    // normalized_vs_prev is attributable.
+    val jvmStart =
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime
     val prevPath = sys.env.get("SPARK_GRAFT_BENCH_PREV").orElse {
       val re = """BENCH_r(\d+)\.json""".r
       Option(new java.io.File(".").listFiles)
         .getOrElse(Array.empty[java.io.File])
+        .filter(_.lastModified < jvmStart)
         .flatMap(f => f.getName match {
           case re(n) => Some((n.toInt, f.getPath)); case _ => None
         })
@@ -263,12 +306,22 @@ object Bench {
           yield perCal / (pv / pc)
       } catch { case _: Throwable => None }
     }
-    val prevField = prevRatio.map(r => s""","normalized_vs_prev":${f2(r)}""").getOrElse("")
+    val prevField = prevRatio.map(r => s""","normalized_vs_prev":${f2(r)}""").getOrElse("") +
+      prevPath.map(p => s""","prev":${jstr(p)}""").getOrElse("")
     val calProbesJson = calProbes.map(f2).mkString("[", ",", "]")
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val calFields = s""""calibration":${f2(calibration)},""" +
       s""""cal_probes":$calProbesJson,"cal_end":${f2(calEnd)},""" +
+      s""""cal_codec":${f3(calCodec)},""" +
       s""""value_per_calibration":${f2(perCal)}$prevField"""
-    val segField = segment.map(s => s""""segment":${jstr(s)},""").getOrElse("")
+    // the git SHA the sweep runner stamped (tools/segmented_bench.sh):
+    // a merged sf100 artifact can then prove each segment ran the
+    // committed code — stale-sweep rows shipped in r12 AND r13
+    val shaField = sys.env.get("SPARK_GRAFT_BENCH_SHA")
+      .map(s => s""""sha":${jstr(s)},""").getOrElse("")
+    val segField = segment.map(s => s""""segment":${jstr(s)},""").getOrElse("") +
+      shaField
     val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec",$calFields,$segField"n_queries":${results.size},"n_errors":${errors.size},"errors":$errNames,"queries":${toJson(slowest)},"sf":"$sfDir"}"""
     val full = s"""{"metric":"total","value":${f2(total)},"unit":"sec",$calFields,$segField"n_queries":${results.size},"n_errors":${errors.size},"errors":$errNames,"error_messages":$errFull,"queries":${toJson(results.toSeq.sortBy(_._1))},"cold":${toJson(colds.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
     println(line)

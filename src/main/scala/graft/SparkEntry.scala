@@ -231,21 +231,18 @@ object SparkEntry {
     "emb_near_dup_pairs"    -> ((s, d) =>
       operators.VectorOps.nearDupPairsAuto(s, d, dedupArtifactsDir(d))),
     // the same pair graph served from the persisted multi-probe IVF
-    // layout (staged by the fingerprint-gated artifact build) — the
-    // form that holds past ~10M vectors: assignment is a parquet read,
-    // each list's candidate join is co-located with its partition
-    "emb_near_dup_pairs_ivf" -> ((s, d) => {
-      val art = dedupArtifactsDir(d)
-      operators.TextDedup.writeDedupArtifacts(s, d, art)
-      operators.VectorOps.nearDupPairsOverLayout(s, s"$art/emb_probe_layout")
-    }),
-    // incremental screening over the layout: the incoming probe frame
-    // broadcasts, so the probed cells prune the layout scan at runtime
-    "emb_screen_increment"  -> ((s, d) => {
-      val art = dedupArtifactsDir(d)
-      operators.TextDedup.writeDedupArtifacts(s, d, art)
-      operators.VectorOps.screenIncrementOverLayout(s, d, s"$art/emb_probe_layout")
-    }),
+    // layout — currency-gated (round-14): when the staged artifact is
+    // current, the staged emb_pairs table IS this output (the build
+    // stored exactly this join's result) and it serves as a parquet
+    // read; on miss the endpoint keeps its restage-and-join shape
+    "emb_near_dup_pairs_ivf" -> ((s, d) =>
+      operators.VectorOps.nearDupPairsIvfAuto(s, d, dedupArtifactsDir(d))),
+    // incremental screening over the layout — currency-gated (round-14):
+    // when current, incoming probes AND existing cells both read from
+    // the staged layout (zero corpus scans, no per-call full-corpus
+    // anchor assignment); on miss, build-then-screen as before
+    "emb_screen_increment"  -> ((s, d) =>
+      operators.VectorOps.screenIncrementLayoutAuto(s, d, dedupArtifactsDir(d))),
     "emb_ivf_assign"        -> ((s, d) => operators.VectorOps.ivfAssign(s, d)),
     "emb_pq_codes"          -> ((s, d) => operators.VectorOps.pqCodes(s, d)),
     "emb_knn_pq"            -> ((s, d) => operators.VectorOps.knnPq(s, d)),

@@ -256,7 +256,9 @@ object DedupMaintenance {
       newSpans: DataFrame,
       // screening index (digests + minhash bands) — per-doc pure
       // functions, plain retract-and-reapply
-      deltaDig: DataFrame, deltaBands: DataFrame)
+      deltaDig: DataFrame, deltaBands: DataFrame,
+      // per-doc verdict surface (corpus-build inputs) — same class
+      deltaVerd: DataFrame)
   private final case class EmbPlan(
       retractIds: DataFrame, // file-map retractions (vec_files)
       cIds: DataFrame,       // layout/pair retractions (⊇ retractIds:
@@ -307,6 +309,7 @@ object DedupMaintenance {
         .unionByName(tomb("spans", t.cSpanIds, "doc_id"))
         .unionByName(tomb("doc_digests", t.retractIds, "doc_id"))
         .unionByName(tomb("band_index", t.retractIds, "doc_id"))
+        .unionByName(tomb("doc_verdicts", t.retractIds, "doc_id"))
         .write.mode("append").parquet(s"$out/tombstones")
       withGen(t.deltaSh).write.mode("append").parquet(s"$out/shingle_index")
       t.dfNet.select(col("shingle"), col("net").as("df"))
@@ -322,6 +325,7 @@ object DedupMaintenance {
       withGen(t.newSpans).write.mode("append").parquet(s"$out/spans")
       withGen(t.deltaDig).write.mode("append").parquet(s"$out/doc_digests")
       withGen(t.deltaBands).write.mode("append").parquet(s"$out/band_index")
+      withGen(t.deltaVerd).write.mode("append").parquet(s"$out/doc_verdicts")
     }
 
     for (e <- embPlan.flatten) phase("write_emb") {
@@ -394,10 +398,18 @@ object DedupMaintenance {
     val upserts = ckpt(
       if (upsertFiles.isEmpty)
         spark.range(0).select(col("id").as("doc_id"), lit("").as("text"),
-          lit("").as("src_file"))
-      else spark.read.parquet(upsertFiles.map(_.toString): _*)
-        .select(col("doc_id"), col("text"),
-          TextDedup.relFileCol.as("src_file")))
+          lit("").as("lang"), lit("").as("src_file"))
+      else {
+        val raw = spark.read.parquet(upsertFiles.map(_.toString): _*)
+        // same lang tolerance as the verdict stage: a lang-less corpus
+        // keeps its dedup maintenance (docVerdictsFrame mirrors this
+        // default, so increment ≡ rebuild holds on such data too)
+        val withLang =
+          if (raw.columns.contains("lang")) raw
+          else raw.withColumn("lang", lit(""))
+        withLang.select(col("doc_id"), col("text"), col("lang"),
+          TextDedup.relFileCol.as("src_file"))
+      })
     // two live versions of one id would make any rebuild incoherent
     if (!upserts.groupBy("doc_id").count().filter(col("count") > 1).isEmpty)
       return None
@@ -567,12 +579,15 @@ object DedupMaintenance {
       .select(col("doc_id"), md5(col("text")).as("digest")))
     val deltaBands = ckpt(
       TextDedup.bandsOf(TextDedup.minhashSignatures(upserts)))
+    // verdict surface: pure per-doc corpus-build inputs of the upserts
+    val deltaVerd = ckpt(TextAnalysis.docVerdictsFrame(upserts))
 
     Some(Some(TextPlan(retractIds, upserts, deltaSh, dfNet, rIds, cIds,
       aStats, newPairs,
       nodes.toDF("doc_id"),
       relabeled.toDF("doc_id", "cluster_id", "cluster_size"),
-      deltaSpan, spanDfNet, cSpanIds, newSpans, deltaDig, deltaBands)))
+      deltaSpan, spanDfNet, cSpanIds, newSpans, deltaDig, deltaBands,
+      deltaVerd)))
   }
 
   /** Every span TOUCHING the apply set, exact — the span twin of
@@ -986,6 +1001,8 @@ object DedupMaintenance {
           zeroGen(TextDedup.readDocDigests(spark, out)))
         swapIn(spark, s"$out/band_index",
           zeroGen(TextDedup.readBandIndex(spark, out)))
+        swapIn(spark, s"$out/doc_verdicts",
+          zeroGen(TextDedup.readDocVerdicts(spark, out)))
         swapIn(spark, s"$out/vec_files",
           zeroGen(TextDedup.readVecFiles(spark, out)))
         swapIn(spark, s"$out/emb_pairs",

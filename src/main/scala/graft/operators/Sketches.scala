@@ -146,8 +146,18 @@ object Sketches {
     val mBits = mWords.toLong * BitsPerWord
     val words = new Array[Long](mWords)
     for (r <- bitmap.select(col("word_idx").cast("int"), col("bits"))
-        .collect())
-      words(r.getInt(0)) = r.getLong(1)
+        .collect()) {
+      val i = r.getInt(0)
+      // a word_idx outside [0, mWords) means the bitmap was built
+      // under a LARGER mWords than this probe's — the k bit positions
+      // would then disagree with the build's anyway, so failing with
+      // the mismatch named beats the old join shape's silent
+      // null/0 degradation (round-13 advisory)
+      require(i >= 0 && i < mWords,
+        s"bloomProbe: bitmap word_idx $i outside [0, $mWords) — the " +
+          s"bitmap was built with a larger mWords than this probe's")
+      words(i) = r.getLong(1)
+    }
     val bmLit = lit(words)
     // k statically-unrolled bit tests (no higher-order function: HOF
     // lambdas are interpreted per element; these stay inside

@@ -254,8 +254,18 @@ object TextAnalysis {
   private[graft] def repetitionFrame(
       spark: SparkSession, dir: String,
       maxTopUnigramFrac: Double = MaxTopUnigramFrac,
+      maxDupTrigramFrac: Double = MaxDupTrigramFrac): DataFrame =
+    repetitionFrameFrom(Tables.documents(spark, dir),
+      maxTopUnigramFrac, maxDupTrigramFrac)
+
+  /** [[repetitionFrame]] over an ARBITRARY (doc_id, text) frame — the
+    * kernel the staged `doc_verdicts` surface builds from (full corpus
+    * at stage time, the upsert delta during maintenance). */
+  private[graft] def repetitionFrameFrom(
+      docs0: DataFrame,
+      maxTopUnigramFrac: Double = MaxTopUnigramFrac,
       maxDupTrigramFrac: Double = MaxDupTrigramFrac): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = docs0
       .select(col("doc_id"), split(col("text"), " ").as("t"))
     // distinct-token ratio + top-unigram fraction from one token explode
     val tokStats = docs
@@ -285,6 +295,41 @@ object TextAnalysis {
       .select("doc_id", "n_tokens", "distinct_ratio", "dup_trigram_frac",
         "top_unigram_frac", "keep")
   }
+
+  /** The per-document VERDICT projection the corpus builds consume —
+    * one row per doc carrying every text-derived signal
+    * [[graft.operators.TrainingMix]]'s two pipelines need: content
+    * digest (exact-dedup canonical + split bucket), token count
+    * (packing), stopword quality (v1's filter), and the three
+    * repetition metrics (v2's Gopher verdict). All are PURE per-doc
+    * functions of text — no corpus-level coupling like dfs — so the
+    * staged `doc_verdicts` surface maintains by plain
+    * retract-and-reapply, and THRESHOLDS stay read-time parameters:
+    * the surface stores the metrics, never a keep flag, so an artifact
+    * built once serves any quality/repetition threshold. Metrics are
+    * 4dp-floored doubles ([[graft.functions.ChFunctions.floorRound]])
+    * — deterministic, parquet-round-trip-exact, so the staged read is
+    * value-identical to recomputing from text. Repetition metrics join
+    * LEFT so the surface covers EVERY doc (v1 reads docs the
+    * repetition explode might not emit); a doc with null metrics fails
+    * v2's keep comparison exactly as the self-contained inner join
+    * drops it. */
+  private[graft] def docVerdictsFrame(docs: DataFrame): DataFrame =
+    docs
+      // a corpus without `lang` could always stage dedup artifacts —
+      // the verdict stage must not add that requirement (the corpus
+      // BUILDS need lang and fail on such data either way, staged or
+      // self-contained; the dedup surfaces never did)
+      .select(col("doc_id"),
+        (if (docs.columns.contains("lang")) col("lang")
+         else lit("")).as("lang"),
+        md5(col("text")).as("digest"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        stopwordRatio(col("text")).as("stopword_ratio"))
+      .join(repetitionFrameFrom(docs)
+          .select("doc_id", "distinct_ratio", "dup_trigram_frac",
+            "top_unigram_frac"),
+        Seq("doc_id"), "left")
 
   /** Per-document boilerplate coverage: the fraction of a document's
     * distinct 3-gram shingles that are corpus-wide boilerplate

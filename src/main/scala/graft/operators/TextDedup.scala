@@ -283,7 +283,7 @@ object TextDedup {
   private[operators] val artifactStages =
     Seq("tombstones", "shingle_index", "shingle_df", "doc_stats", "doc_files",
       "pairs", "clusters", "span_index", "span_df", "spans",
-      "doc_digests", "band_index",
+      "doc_digests", "band_index", "doc_verdicts",
       "emb_probe_layout", "vec_files", "emb_pairs", "emb_clusters")
   private[operators] def stageComplete(out: String, name: String): Boolean =
     new java.io.File(new java.io.File(out, name), "_SUCCESS").exists()
@@ -345,6 +345,10 @@ object TextDedup {
   private[graft] def readBandIndex(spark: SparkSession, out: String): DataFrame =
     liveRows(spark, out, "band_index", "doc_id")
       .select("doc_id", "band", "band_hash")
+  private[graft] def readDocVerdicts(spark: SparkSession, out: String): DataFrame =
+    liveRows(spark, out, "doc_verdicts", "doc_id")
+      .select("doc_id", "lang", "digest", "n_tokens", "stopword_ratio",
+        "distinct_ratio", "dup_trigram_frac", "top_unigram_frac")
 
   /** `_TOMBSTONES_CLEAN` marker: present ⇒ the tombstones table is
     * EMPTY, so every staged reader keeps the raw scan without even
@@ -491,6 +495,34 @@ object TextDedup {
 
   private[operators] def incJournal(out: String): java.nio.file.Path =
     new java.io.File(out, "_INC_JOURNAL").toPath
+
+  /** Currency of the PARAM-FREE artifact segment (round-13 advisory):
+    * the span tables (fixed `span=` constants), the screening index
+    * (digests + bands), and the verdict surface are all independent of
+    * the `minJaccard`/`maxDf` staging params — an artifact built under
+    * ANY params serves them validly. This gate checks what those
+    * consumers actually need: no crashed increment, a complete build
+    * (`_FINGERPRINT` is written last), the same format version and
+    * span constants, the same input bytes — but the params line is
+    * matched by SHAPE, not value. `stages` names the surfaces the
+    * route reads (each must still have its `_SUCCESS`), so a route
+    * over the span family keeps serving even while a NEWER stage is
+    * still being staged onto the set. */
+  private[graft] def paramFreeCurrent(dir: String, out: String,
+                                      stages: Seq[String]): Boolean = {
+    val marker = new java.io.File(out, "_FINGERPRINT").toPath
+    if (java.nio.file.Files.exists(incJournal(out)) ||
+        !java.nio.file.Files.exists(marker)) return false
+    val stored = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
+      .linesIterator.toSeq
+    val headerRe =
+      ("""v5 minJaccard=\S+ maxDf=\d+ """ +
+        s"span=$SpanK/$SpanW/$SpanMinRun/$SpanMaxDf").r
+    stored.headOption.exists(headerRe.pattern.matcher(_).matches()) &&
+      stored.drop(1) == inputDataFiles(dir).map { case (rel, f) =>
+        s"$rel:${f.length}:${f.lastModified}" } &&
+      stages.forall(stageComplete(out, _))
+  }
 
   /** The staging params the artifact set under `out` was built with,
     * parsed from the stored fingerprint header — None when no complete
@@ -691,6 +723,23 @@ object TextDedup {
           bandsOf(minhashSignatures(graft.Tables.documents(spark, dir)))
             .withColumn("gen", lit(0))
             .write.mode("overwrite").parquet(s"$out/band_index")
+        }
+        // the per-doc VERDICT surface (round-14): digest, token count,
+        // stopword quality, repetition metrics — everything the two
+        // training-corpus builds read from text, staged once so the
+        // registered corpus endpoints run corpus-scan-free. Pure
+        // per-doc functions → plain retract-and-reapply maintenance.
+        // NOTE stage-set EXTENSION: adding a stage does not change
+        // the input fingerprint, so an artifact set staged before this
+        // surface existed extends IN PLACE — every existing stage's
+        // marker still matches and skips; only this stage runs. At
+        // 100 TB that is the difference between one verdict pass and
+        // re-shingling the corpus because the format grew a column.
+        stage("doc_verdicts") {
+          graft.operators.TextAnalysis
+            .docVerdictsFrame(graft.Tables.documents(spark, dir))
+            .withColumn("gen", lit(0))
+            .write.mode("overwrite").parquet(s"$out/doc_verdicts")
         }
         // the embedding pair graph derives FROM the just-staged probe
         // layout (read back, not the in-memory plan) — the corpus-sized
@@ -925,13 +974,17 @@ object TextDedup {
     * current artifact serves it as a presentation sort over a parquet
     * read. The route gates on the build-time span params — a caller
     * asking for a different k/w/minRun/maxDf wants a pipeline the
-    * staged table was not built under, and falls back. */
+    * staged table was not built under, and falls back. The artifact
+    * gate is [[paramFreeCurrent]]: the span tables don't depend on the
+    * minJaccard/maxDf STAGING params, so a set built under non-default
+    * ones serves spans all the same (round-13 advisory). */
   def substringSpansAuto(spark: SparkSession, dir: String, art: String,
                          k: Int = SpanK, w: Int = SpanW,
                          minRun: Int = SpanMinRun,
                          maxDf: Int = SpanMaxDf): DataFrame =
     if (k == SpanK && w == SpanW && minRun == SpanMinRun &&
-        maxDf == SpanMaxDf && artifactsCurrent(dir, art))
+        maxDf == SpanMaxDf &&
+        paramFreeCurrent(dir, art, Seq("tombstones", "spans")))
       stagedSpans(spark, art).orderBy("doc_a", "doc_b", "offset_delta")
     else substringSpans(spark, dir, k, w, minRun, maxDf)
 
@@ -941,7 +994,7 @@ object TextDedup {
     * span pipeline, so the threshold does not gate the route). */
   def spanDocStatsAuto(spark: SparkSession, dir: String, art: String,
                        longSpanChars: Int = 40): DataFrame =
-    if (artifactsCurrent(dir, art))
+    if (paramFreeCurrent(dir, art, Seq("tombstones", "spans")))
       spanDocStatsFrom(stagedSpans(spark, art), longSpanChars)
         .orderBy("doc_id")
     else spanDocStats(spark, dir, longSpanChars)
@@ -950,7 +1003,7 @@ object TextDedup {
     * when current, always-run surgery tail. */
   def dedupRewriteAuto(spark: SparkSession, dir: String, art: String,
                        longSpanChars: Int = 40): DataFrame =
-    if (artifactsCurrent(dir, art))
+    if (paramFreeCurrent(dir, art, Seq("tombstones", "spans")))
       dedupRewriteFrom(spark, dir, stagedSpans(spark, art), longSpanChars)
     else dedupRewrite(spark, dir, longSpanChars)
 
@@ -1095,11 +1148,45 @@ object TextDedup {
   /** MinHash+LSH candidate pairs with exact-Jaccard verification — the
     * scale path: bucket-join on (band, band_hash), then verify only the
     * candidates. Same output shape as nearDupPairs; recall is
-    * probabilistic (property-tested against the exact path). */
-  def minhashLshPairs(spark: SparkSession, dir: String, minJaccard: Double = 0.5): DataFrame = {
+    * probabilistic (property-tested against the exact path).
+    *
+    * `maxBucket` is the HOT-BUCKET guard for adversarial corpora
+    * (round-13 verdict #7): mass-duplicated boilerplate puts thousands
+    * of docs into ONE (band, band_hash) bucket and the self-join goes
+    * quadratic in it. With a cap, only the bucket's `maxBucket` LOWEST
+    * doc_ids act as join ANCHORS (left side); every bucket member
+    * still pairs with the bucket's minimum id, so the bucket stays one
+    * connected component and downstream CLUSTER MEMBERSHIP is
+    * preserved (property-tested on a pathological fixture) — what the
+    * cap drops is anchor-to-anchor edges beyond the star, i.e. PAIR
+    * recall inside a bucket, never cluster reachability (caveat: a
+    * star edge individually below `minJaccard` can still cut
+    * verified-graph connectivity; on boilerplate floods — the case the
+    * cap exists for — members are near-identical and every star edge
+    * verifies). The dropped candidate count is logged so a capped run
+    * is never silent truncation. The registered endpoint runs
+    * UNCAPPED — the cap is the explicit 100 TB dial. */
+  def minhashLshPairs(spark: SparkSession, dir: String,
+                      minJaccard: Double = 0.5,
+                      maxBucket: Int = Int.MaxValue): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val bands = bandsOf(minhashSignatures(docs))
-    val cand = bands.as("x").join(bands.as("y"),
+    val anchors =
+      if (maxBucket == Int.MaxValue) bands
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val dropped = bands
+          .groupBy("band", "band_hash").agg(count(lit(1)).as("n"))
+          .filter(col("n") > maxBucket)
+          .agg(count(lit(1)), sum(col("n") - maxBucket)).collect()(0)
+        System.err.println(s"[lsh] maxBucket=$maxBucket: " +
+          s"${dropped.getLong(0)} hot buckets, " +
+          s"${Option(dropped.get(1)).getOrElse(0L)} anchor rows dropped")
+        bands.withColumn("__rk", row_number().over(
+            Window.partitionBy("band", "band_hash").orderBy("doc_id")))
+          .filter(col("__rk") <= maxBucket).drop("__rk")
+      }
+    val cand = anchors.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") &&
         col("x.band_hash") === col("y.band_hash") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -1136,7 +1223,16 @@ object TextDedup {
     val exact = incoming.select(col("doc_id"), md5(col("text")).as("digest"))
       .join(exIdx, Seq("digest"), "left")
       .select(col("doc_id"), col("exact_match"))
-    val cand = bandsOf(minhashSignatures(incoming)).as("x")
+    // exact dups never reach the output's near-dup columns (verdict
+    // precedence nulls their jaccard and exact_match wins the
+    // coalesce), so their band candidates are verification work with
+    // no observable result — prune them BEFORE the Jaccard kernel.
+    // At sf100 the exact-dup fraction of the increment is the direct
+    // saving on the 42.6 s verification residual (round-13 verdict #5).
+    val exactIds = exact.filter(col("exact_match").isNotNull)
+      .select("doc_id")
+    val cand = bandsOf(minhashSignatures(incoming))
+      .join(exactIds, Seq("doc_id"), "left_anti").as("x")
       .join(bandsOf(minhashSignatures(existing)).as("y"),
         col("x.band") === col("y.band") &&
         col("x.band_hash") === col("y.band_hash"))
@@ -1162,7 +1258,13 @@ object TextDedup {
       .join(exIdx, Seq("digest"), "left")
       .select(col("doc_id"), col("exact_match"))
     val bands = readBandIndex(spark, art)
-    val cand = bands.filter(col("doc_id") % 10 === 0).as("x")
+    // same exact-dup candidate prune as the self-contained form (their
+    // jaccard is nulled by the verdict tail — verification would be
+    // unobservable work)
+    val exactIds = exact.filter(col("exact_match").isNotNull)
+      .select("doc_id")
+    val cand = bands.filter(col("doc_id") % 10 === 0)
+      .join(exactIds, Seq("doc_id"), "left_anti").as("x")
       .join(bands.filter(col("doc_id") % 10 =!= 0).as("y"),
         col("x.band") === col("y.band") &&
         col("x.band_hash") === col("y.band_hash"))
@@ -1178,7 +1280,9 @@ object TextDedup {
     * does not gate the route. */
   def screenIncrementAuto(spark: SparkSession, dir: String, art: String,
                           minJaccard: Double = 0.5): DataFrame =
-    if (artifactsCurrent(dir, art)) screenIncrementStaged(spark, art, minJaccard)
+    if (paramFreeCurrent(dir, art,
+        Seq("tombstones", "doc_digests", "band_index", "shingle_index")))
+      screenIncrementStaged(spark, art, minJaccard)
     else screenIncrement(spark, dir, minJaccard)
 
   /** The shared verdict tail of the two screening forms: best verified

@@ -105,15 +105,33 @@ object TrainingMix {
     buildCorpusFrom(spark, dir, TextDedup.dupClusters(spark, dir),
       budget, nShards, minStopwordRatio)
 
-  /** [[buildCorpus]] with the near-dup clusters served from a staged
-    * artifact ([[TextDedup.writeDedupArtifacts]]) instead of re-derived
-    * — the corpus build then pays ONE corpus scan (the slim projection)
-    * plus joins against the compact staged table. */
+  /** [[buildCorpus]] served ENTIRELY from the staged artifact set —
+    * zero corpus scans (round-14): the quality/digest/token slim frame
+    * comes from the staged `doc_verdicts` surface (the thresholdable
+    * per-doc metrics — [[TextAnalysis.docVerdictsFrame]]) and the
+    * near-dup clusters from the staged cluster table. The corpus build
+    * is then windows + joins over two compact staged parquet reads;
+    * `minStopwordRatio` stays a read-time parameter because the
+    * surface stores the RATIO, not a keep flag. */
   def buildCorpusStaged(spark: SparkSession, dir: String, art: String,
                         budget: Int = 256, nShards: Int = 4,
                         minStopwordRatio: Double = 0.03): DataFrame =
-    buildCorpusFrom(spark, dir, TextDedup.dupClustersStaged(spark, art),
-      budget, nShards, minStopwordRatio)
+    corpusV1Tail(
+      slimFromVerdicts(TextDedup.readDocVerdicts(spark, art), minStopwordRatio),
+      TextDedup.dupClustersStaged(spark, art), budget, nShards)
+
+  /** The staged verdict surface reduced to the slim frame both corpus
+    * tails consume: the stored metrics ARE [[slimDocs]]' values (same
+    * expressions at stage time, 4dp-floored doubles, md5 strings), so
+    * filtering them at read is value-identical to recomputing from
+    * text. */
+  private def slimFromVerdicts(verdicts: DataFrame,
+                               minStopwordRatio: Double): DataFrame =
+    verdicts
+      .filter(col("stopword_ratio") >= minStopwordRatio)
+      .select(col("doc_id"), col("lang"), col("digest").as("__digest"),
+        col("n_tokens"),
+        TextAnalysis.splitOfDigest(col("digest")).as("split"))
 
   /** Auto-routed [[buildCorpus]]: the cluster frame comes from the
     * staged artifact when current ([[TextDedup.dupClustersAuto]]'s
@@ -132,11 +150,21 @@ object TrainingMix {
 
   private def buildCorpusFrom(spark: SparkSession, dir: String,
                               clustersFull: DataFrame, budget: Int,
-                              nShards: Int, minStopwordRatio: Double): DataFrame = {
-    val quality = slimDocs(spark, dir)
-      .filter(col("__quality") >= minStopwordRatio).drop("__quality")
+                              nShards: Int, minStopwordRatio: Double): DataFrame =
+    corpusV1Tail(
+      slimDocs(spark, dir)
+        .filter(col("__quality") >= minStopwordRatio).drop("__quality"),
+      clustersFull, budget, nShards)
+
+  /** The shared v1 tail: exact-dedup canonical, near-dup cluster drop,
+    * split + pack — ONE definition so the self-contained and
+    * verdict-staged forms cannot drift. `slimQ` is the
+    * quality-surviving slim frame (doc_id, lang, __digest, n_tokens,
+    * split). */
+  private def corpusV1Tail(slimQ: DataFrame, clustersFull: DataFrame,
+                           budget: Int, nShards: Int): DataFrame = {
     val clusters = clustersFull.select("doc_id", "cluster_id")
-    val kept = exactCanon(quality).join(clusters, Seq("doc_id"), "left")
+    val kept = exactCanon(slimQ).join(clusters, Seq("doc_id"), "left")
       .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
     splitAndPack(kept, budget, nShards)
   }
@@ -207,30 +235,60 @@ object TrainingMix {
     buildCorpusV2From(spark, dir,
       TextDedup.spanDocStatsFrame(spark, dir), budget, nShards)
 
-  /** Auto-routed [[buildCorpusV2]]: the substring-dedup verdict comes
-    * from the STAGED span table when the artifact set is current (the
-    * span pipeline — the build's dominant cost — then ran once at
-    * stage time), else re-derived self-contained. Only the span INPUT
-    * routes: the repetition verdict is a single stateless corpus pass
-    * and budget/nShards parameterize the always-run tail, so none of
-    * them gate — the same seam discipline as [[buildCorpusAuto]]. */
+  /** Auto-routed [[buildCorpusV2]] — fully corpus-scan-free when the
+    * staged artifact serves (round-14, verdict #2): the substring-dedup
+    * verdict comes from the STAGED span table AND the
+    * repetition/digest/token slim frame from the STAGED `doc_verdicts`
+    * surface, so the routed plan reads ONLY compact staged parquet —
+    * the sf100 decomposition found the fused plan's unaccounted ~65 s
+    * was exactly the two corpus re-reads (repetition explode + slim
+    * projection) this surface staged away. Every input is param-free
+    * (span constants pinned by the gate, repetition thresholds applied
+    * at read over stored metrics), so the route gates on the
+    * PARAM-FREE fingerprint segment — an artifact built under
+    * non-default minJaccard/maxDf serves it all the same.
+    * budget/nShards parameterize the always-run tail and do not gate. */
   def buildCorpusV2Auto(spark: SparkSession, dir: String, art: String,
                         budget: Int = 256, nShards: Int = 4): DataFrame =
-    if (TextDedup.artifactsCurrent(dir, art))
-      buildCorpusV2From(spark, dir,
+    if (TextDedup.paramFreeCurrent(dir, art,
+        Seq("tombstones", "spans", "doc_verdicts")))
+      corpusV2Tail(
+        slimRepFromVerdicts(TextDedup.readDocVerdicts(spark, art)),
         TextDedup.spanDocStatsFrom(TextDedup.stagedSpans(spark, art), 40),
         budget, nShards)
     else buildCorpusV2(spark, dir, budget, nShards)
+
+  /** The staged verdict surface reduced to v2's repetition-surviving
+    * slim frame: the keep rule re-evaluates [[TextAnalysis]]'s
+    * thresholds over the STORED 4dp metrics — identical comparisons on
+    * identical values, and a doc with null metrics (none in practice —
+    * the surface left-joins) fails the comparison exactly as the
+    * self-contained inner join drops it. */
+  private def slimRepFromVerdicts(verdicts: DataFrame): DataFrame =
+    verdicts
+      .filter(col("top_unigram_frac") <= TextAnalysis.MaxTopUnigramFrac &&
+        col("dup_trigram_frac") <= TextAnalysis.MaxDupTrigramFrac)
+      .select(col("doc_id"), col("lang"), col("digest").as("__digest"),
+        col("n_tokens"),
+        TextAnalysis.splitOfDigest(col("digest")).as("split"))
 
   private def buildCorpusV2From(spark: SparkSession, dir: String,
                                 spanStats: DataFrame, budget: Int,
                                 nShards: Int): DataFrame = {
     val rep = TextAnalysis.repetitionFrame(spark, dir)
       .select(col("doc_id"), col("keep"))
-    val spans = spanStats
-      .select(col("doc_id"), col("has_long_dup"))
-    val quality = slimDocs(spark, dir).drop("__quality")
+    val slimRep = slimDocs(spark, dir).drop("__quality")
       .join(rep, "doc_id").filter(col("keep")).drop("keep")
+    corpusV2Tail(slimRep, spanStats, budget, nShards)
+  }
+
+  /** The shared v2 tail: substring-dedup drop, exact-dedup canonical,
+    * split + pack — ONE definition for the self-contained and staged
+    * forms. `slimRep` is the repetition-surviving slim frame. */
+  private def corpusV2Tail(slimRep: DataFrame, spanStats: DataFrame,
+                           budget: Int, nShards: Int): DataFrame = {
+    val spans = spanStats.select(col("doc_id"), col("has_long_dup"))
+    val quality = slimRep
       .join(spans, Seq("doc_id"), "left")
       .filter(col("has_long_dup").isNull || !col("has_long_dup"))
       .drop("has_long_dup")

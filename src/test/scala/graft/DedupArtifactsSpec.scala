@@ -468,6 +468,107 @@ class DedupArtifactsSpec extends SparkSpec {
       r.toString)
   }
 
+  test("round-14: corpus builds v1+v2 route through the staged doc_verdicts " +
+      "surface — zero corpus scans — and match the self-contained forms") {
+    def stagedInputs(df: DataFrame, table: String): Boolean =
+      df.inputFiles.exists(_.contains(s"/$table/"))
+    val v1 = TrainingMix.buildCorpusAuto(spark, sf, art)
+    assert(stagedInputs(v1, "doc_verdicts") && stagedInputs(v1, "clusters"),
+      s"v1 must read verdicts+clusters: ${v1.inputFiles.take(3).mkString(",")}")
+    assert(!v1.inputFiles.exists(_.contains("documents.parquet")),
+      "routed v1 corpus build must not scan the corpus")
+    assert(rows(v1) == rows(TrainingMix.buildCorpus(spark, sf)))
+    val v2 = TrainingMix.buildCorpusV2Auto(spark, sf, art)
+    assert(stagedInputs(v2, "doc_verdicts") && stagedInputs(v2, "spans"),
+      s"v2 must read verdicts+spans: ${v2.inputFiles.take(3).mkString(",")}")
+    assert(!v2.inputFiles.exists(_.contains("documents.parquet")),
+      "routed v2 corpus build must not scan the corpus")
+    assert(rows(v2) == rows(TrainingMix.buildCorpusV2(spark, sf)))
+    // quality threshold stays a read-time parameter: the surface stores
+    // the RATIO, so a non-default threshold routes and still matches
+    val v1t = TrainingMix.buildCorpusAuto(spark, sf, art,
+      minStopwordRatio = 0.05)
+    assert(stagedInputs(v1t, "doc_verdicts"))
+    assert(rows(v1t) ==
+      rows(TrainingMix.buildCorpus(spark, sf, minStopwordRatio = 0.05)))
+  }
+
+  test("round-14: an artifact built under NON-DEFAULT staging params still " +
+      "serves the param-free families (spans, screening, corpus v2), " +
+      "never the param-coupled ones") {
+    def stagedInputs(df: DataFrame, table: String): Boolean =
+      df.inputFiles.exists(_.contains(s"/$table/"))
+    val art2 = java.nio.file.Files.createTempDirectory("paramfree_art").toString
+    assert(TextDedup.writeDedupArtifacts(spark, sf, art2,
+      minJaccard = 0.6, maxDf = 50))
+    val spans = TextDedup.substringSpansAuto(spark, sf, art2)
+    assert(stagedInputs(spans, "spans"),
+      s"span tables are param-free: ${spans.inputFiles.take(3).mkString(",")}")
+    assert(rows(spans) == rows(TextDedup.substringSpans(spark, sf)))
+    val stats = TextDedup.spanDocStatsAuto(spark, sf, art2)
+    assert(stagedInputs(stats, "spans"))
+    assert(rows(stats) == rows(TextDedup.spanDocStats(spark, sf)))
+    val screen = TextDedup.screenIncrementAuto(spark, sf, art2)
+    assert(stagedInputs(screen, "band_index"))
+    assert(rows(screen) == rows(TextDedup.screenIncrement(spark, sf)))
+    val v2 = TrainingMix.buildCorpusV2Auto(spark, sf, art2)
+    assert(stagedInputs(v2, "doc_verdicts"))
+    assert(rows(v2) == rows(TrainingMix.buildCorpusV2(spark, sf)))
+    // param-COUPLED consumers (pair graph, clusters) must not serve a
+    // set staged under different minJaccard/maxDf
+    assert(!stagedInputs(TextDedup.dupClustersAuto(spark, sf, art2), "clusters"))
+    assert(!stagedInputs(TextDedup.nearDupPairsAuto(spark, sf, art2), "pairs"))
+  }
+
+  test("round-14: emb_near_dup_pairs_ivf serves the staged pair table when " +
+      "current; emb_screen_increment runs entirely off the staged layout") {
+    def stagedInputs(df: DataFrame, table: String): Boolean =
+      df.inputFiles.exists(_.contains(s"/$table/"))
+    val ivf = VectorOps.nearDupPairsIvfAuto(spark, sf, art)
+    assert(stagedInputs(ivf, "emb_pairs"),
+      s"ivf endpoint must serve staged pairs: ${ivf.inputFiles.take(3).mkString(",")}")
+    assert(rows(ivf) ==
+      rows(VectorOps.nearDupPairsOverLayout(spark, s"$art/emb_probe_layout")))
+    val scr = VectorOps.screenIncrementLayoutAuto(spark, sf, art)
+    assert(stagedInputs(scr, "emb_probe_layout"))
+    assert(!scr.inputFiles.exists(_.contains("embeddings.parquet")),
+      "routed emb screen must not scan the corpus")
+    assert(rows(scr) == rows(
+      VectorOps.screenIncrementOverLayout(spark, sf, s"$art/emb_probe_layout")))
+    // no artifact → the explicit restage-and-join fallback, same result
+    val none = java.nio.file.Files.createTempDirectory("no_ivf_art").toString
+    val fb = VectorOps.nearDupPairsIvfAuto(spark, sf, none)
+    assert(rows(fb) == rows(ivf))
+    val fbScr = VectorOps.screenIncrementLayoutAuto(spark, sf, none)
+    assert(rows(fbScr) == rows(scr))
+  }
+
+  test("round-14: staged routes keep their presentation-sort contracts " +
+      "(collect order, not just value sets)") {
+    val pairs = TextDedup.nearDupPairsAuto(spark, sf, art)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == pairs.sorted, "pairs must present (doc_a, doc_b)-sorted")
+    val clusters = TextDedup.dupClustersAuto(spark, sf, art)
+      .select("cluster_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(clusters == clusters.sorted,
+      "clusters must present (cluster_id, doc_id)-sorted")
+    val spans = TextDedup.substringSpansAuto(spark, sf, art)
+      .select("doc_a", "doc_b", "offset_delta").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number]("offset_delta").longValue)).toSeq
+    assert(spans == spans.sorted,
+      "spans must present (doc_a, doc_b, offset_delta)-sorted")
+    val corpus = TrainingMix.buildCorpusAuto(spark, sf, art)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(corpus == corpus.sorted, "corpus build must present doc_id-sorted")
+    val ivf = VectorOps.nearDupPairsIvfAuto(spark, sf, art)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ivf == ivf.sorted, "ivf pairs must present (vec_a, vec_b)-sorted")
+  }
+
   test("explicit embNLists differing from the staged _GEOMETRY rebuilds " +
       "instead of skipping") {
     val d = java.nio.file.Files.createTempDirectory("geom_art").toString

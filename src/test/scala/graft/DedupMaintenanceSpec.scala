@@ -71,7 +71,9 @@ class DedupMaintenanceSpec extends SparkSpec {
     val d0 = partFiles(dir, "documents.parquet").toSet
     val e0 = partFiles(dir, "embeddings.parquet").toSet
     if (docs.nonEmpty)
-      docs.toDF("doc_id", "text").repartition(1)
+      docs.toDF("doc_id", "text")
+        .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+        .repartition(1)
         .write.mode("append").parquet(s"$dir/documents.parquet")
     if (emb.nonEmpty)
       emb.toDF("vec_id", "embedding", "label").repartition(1)
@@ -87,8 +89,14 @@ class DedupMaintenanceSpec extends SparkSpec {
   /** Copy-on-write: REPLACE one existing part file's content in place
     * (same path, new bytes) — the lakehouse update/delete shape the
     * increment resolves through the staged file maps. */
-  private def rewriteFile(target: java.io.File, df: DataFrame): Unit = {
+  private def rewriteFile(target: java.io.File, df0: DataFrame): Unit = {
     val t = tmp("cow")
+    // doc frames get the fixture lang the appends carry (the verdict
+    // surface reads it); emb frames pass through untouched
+    val df =
+      if (df0.columns.contains("text") && !df0.columns.contains("lang"))
+        df0.withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      else df0
     df.repartition(1).write.mode("overwrite").parquet(t)
     val part = new java.io.File(t).listFiles()
       .filter(_.getName.endsWith(".parquet")).head
@@ -143,6 +151,8 @@ class DedupMaintenanceSpec extends SparkSpec {
       rows(TextDedup.readDocDigests(spark, b)), "doc_digests differs")
     assert(rows(TextDedup.readBandIndex(spark, a)) ==
       rows(TextDedup.readBandIndex(spark, b)), "band_index differs")
+    assert(rows(TextDedup.readDocVerdicts(spark, a)) ==
+      rows(TextDedup.readDocVerdicts(spark, b)), "doc_verdicts differs")
   }
 
   /** Full rebuild of the CURRENT data dir into a fresh artifact dir at

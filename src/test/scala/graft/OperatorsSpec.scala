@@ -18,6 +18,44 @@ class OperatorsSpec extends SparkSpec {
         s"LSH recall ${lsh.size}/${exact.size}")
   }
 
+  test("LSH hot-bucket cap: cluster membership preserved on a boilerplate " +
+      "flood while the quadratic bucket join is cut") {
+    import spark.implicits._
+    // pathological corpus: 40 byte-identical boilerplate docs put ~40
+    // rows in ONE (band, band_hash) bucket per band — the adversarial
+    // shape that makes the uncapped self-join quadratic at 100 TB
+    val dir = java.nio.file.Files.createTempDirectory("lsh_cap").toString
+    val boiler = Seq.fill(3)(
+      "the same boilerplate sentence repeated across the flood of pages")
+      .mkString(" ")
+    val uniqueA = "a genuinely unique document about owls and rivers flowing east"
+    val uniqueB = "another distinct text mentioning quasars pulsing in deep space"
+    val docs = (0L until 40L).map(i => (i, "en", "web", boiler)) ++
+      Seq((100L, "en", "web", uniqueA), (101L, "en", "web", uniqueB),
+        (102L, "en", "web", uniqueA)) // exact twin of 100
+    docs.map { case (id, l, s, t) => (id, l, s, t, t.length.toLong) }
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val uncapped = TextDedup.minhashLshPairs(spark, dir)
+    val capped = TextDedup.minhashLshPairs(spark, dir, maxBucket = 4)
+    def parts(pairs: org.apache.spark.sql.DataFrame): Set[Set[Long]] =
+      graft.operators.ConnectedComponents
+        .clusters(spark, pairs.select("doc_a", "doc_b"))
+        .toDF("doc_id", "cluster_id", "cluster_size")
+        .collect().groupBy(_.getLong(1))
+        .values.map(_.map(_.getLong(0)).toSet).toSet
+    // the cap drops anchor-to-anchor edges beyond the per-bucket star...
+    assert(capped.count() < uncapped.count(),
+      "cap must actually drop candidate pairs on the flood")
+    // ...but every bucket member still reaches the bucket minimum, so
+    // downstream CLUSTER MEMBERSHIP is identical
+    assert(parts(capped) == parts(uncapped))
+    assert(parts(capped).contains((0L until 40L).toSet),
+      "the flood must cluster together under the cap")
+    assert(parts(capped).contains(Set(100L, 102L)),
+      "the genuine twin pair must survive the cap")
+  }
+
   test("df-capped near-dup pairs are bit-identical to the exact path at test SF") {
     // max shingle df < maxDf here, so candidate generation loses nothing
     // and verification reports the same exact jaccards

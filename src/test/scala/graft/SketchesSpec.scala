@@ -42,6 +42,22 @@ class SketchesSpec extends SparkSpec {
     assert(flagged > 0, "synthetic corpus should have cross-split duplicates")
   }
 
+  test("bloomProbe: probing with a smaller mWords than the bitmap was " +
+      "built with fails loudly, naming the mismatch") {
+    import spark.implicits._
+    val keys = Seq("a b", "c d", "e f").toDF("k")
+    val bitmap = Sketches.bloomWords(keys, col("k"), mWords = 1024)
+    val e = intercept[IllegalArgumentException] {
+      Sketches.bloomProbe(keys, col("k"), bitmap, mWords = 8)
+    }
+    assert(e.getMessage.contains("word_idx") && e.getMessage.contains("8"),
+      e.getMessage)
+    // matching mWords still probes cleanly
+    val ok = Sketches.bloomProbe(keys, col("k"), bitmap, mWords = 1024)
+      .collect()
+    assert(ok.forall(_.getAs[Int]("maybe") == 1))
+  }
+
   test("KMV overlap estimates are error-bounded against exact Jaccard") {
     val est = Sketches.kmvTypeOverlap(spark, sf, k = 128)
     val e = Tables.events(spark, sf)
