@@ -215,7 +215,11 @@ object SparkEntry {
     "docs_near_dup_edit_distance" -> ((s, d) =>
       operators.TextDedup.nearDupEditDistanceAuto(s, d, dedupArtifactsDir(d))),
     "docs_minhash_bands"    -> (operators.TextDedup.minhashBands _),
-    "docs_minhash_lsh_pairs" -> ((s, d) => operators.TextDedup.minhashLshPairs(s, d)),
+    // auto-routed (round-14): the staged band/shingle index IS this
+    // query's input — serving from it removes the per-call corpus
+    // re-shingle + 16-lane minhash recompute (162 s at sf100)
+    "docs_minhash_lsh_pairs" -> ((s, d) =>
+      operators.TextDedup.minhashLshPairsAuto(s, d, dedupArtifactsDir(d))),
     "docs_screen_increment" -> ((s, d) =>
       operators.TextDedup.screenIncrementAuto(s, d, dedupArtifactsDir(d))),
     "docs_simhash"          -> (operators.TextDedup.simhash _),

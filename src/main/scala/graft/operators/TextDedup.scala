@@ -1195,6 +1195,41 @@ object TextDedup {
     verifyJaccard(cand, shingles(docs), minJaccard)
   }
 
+  /** [[minhashLshPairs]] served from the staged screening index — zero
+    * corpus scans: the band table IS `bandsOf(minhashSignatures(docs))`
+    * (the build stages exactly that frame) and verification runs over
+    * the staged hashed shingle index (value-identical to the string
+    * form — the equivalence the staged pair table and the screening
+    * route already rest on). What this removes at scale is the
+    * dominant CPU of the self-contained form: re-shingling the corpus
+    * and recomputing 16 minhash lanes over every shingle, per call. */
+  def minhashLshPairsStaged(spark: SparkSession, art: String,
+                            minJaccard: Double = 0.5): DataFrame = {
+    val bands = readBandIndex(spark, art)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.band_hash") === col("y.band_hash") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, readShingleIndex(spark, art), minJaccard)
+  }
+
+  /** Auto-routed [[minhashLshPairs]]: staged band/shingle index when
+    * the param-free artifact segment is current (`minJaccard` is a
+    * read-time verification threshold over either frame; the band and
+    * shingle tables don't depend on the staging params), else the
+    * self-contained form. A non-default `maxBucket` shapes candidate
+    * GENERATION, which the staged table never saw — it always computes
+    * self-contained. */
+  def minhashLshPairsAuto(spark: SparkSession, dir: String, art: String,
+                          minJaccard: Double = 0.5,
+                          maxBucket: Int = Int.MaxValue): DataFrame =
+    if (maxBucket == Int.MaxValue && paramFreeCurrent(dir, art,
+        Seq("tombstones", "band_index", "shingle_index")))
+      minhashLshPairsStaged(spark, art, minJaccard)
+    else minhashLshPairs(spark, dir, minJaccard, maxBucket)
+
   /** Incremental screening dedup — the PRODUCTION shape of dedup at
     * 100 TB: an append never re-dedups the corpus against itself; a
     * persisted index of the EXISTING corpus (content digests +

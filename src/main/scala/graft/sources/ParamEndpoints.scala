@@ -24,11 +24,16 @@ object ParamEndpoints {
     TextDedup.nearDupPairs(spark, dir, double(params, "min_jaccard", 0.5))
   }
 
-  /** MinHash+LSH near-dup pairs; `min_jaccard` (default 0.5). */
+  /** MinHash+LSH near-dup pairs; `min_jaccard` (default 0.5).
+    * Auto-routes through the staged band/shingle index when the
+    * param-free artifact segment is current (min_jaccard is a
+    * read-time verification threshold — any value routes). */
   def docsMinhashLshPairs(spark: SparkSession, dir: String,
                           params: Map[String, String]): DataFrame = {
     validate(params, Set("min_jaccard"))
-    TextDedup.minhashLshPairs(spark, dir, double(params, "min_jaccard", 0.5))
+    TextDedup.minhashLshPairsAuto(spark, dir,
+      graft.SparkEntry.dedupArtifactsDir(dir),
+      double(params, "min_jaccard", 0.5))
   }
 
   /** Embedding near-dup pairs; `min_cosine` (default 0.4) and `nprobe`

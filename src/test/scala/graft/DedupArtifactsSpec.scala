@@ -543,6 +543,33 @@ class DedupArtifactsSpec extends SparkSpec {
     assert(rows(fbScr) == rows(scr))
   }
 
+  test("round-14: minhash LSH pairs route through the staged band/shingle " +
+      "index — zero corpus scans — at any threshold; a custom bucket cap " +
+      "computes self-contained") {
+    def stagedInputs(df: DataFrame, table: String): Boolean =
+      df.inputFiles.exists(_.contains(s"/$table/"))
+    val routed = TextDedup.minhashLshPairsAuto(spark, sf, art)
+    assert(stagedInputs(routed, "band_index") &&
+      stagedInputs(routed, "shingle_index"),
+      s"lsh must route: ${routed.inputFiles.take(3).mkString(",")}")
+    assert(!routed.inputFiles.exists(_.contains("documents.parquet")),
+      "routed lsh pairs must not scan the corpus")
+    assert(rows(routed) == rows(TextDedup.minhashLshPairs(spark, sf)))
+    // verification threshold is read-time — a non-default one routes
+    val hi = TextDedup.minhashLshPairsAuto(spark, sf, art, minJaccard = 0.7)
+    assert(stagedInputs(hi, "band_index"))
+    assert(rows(hi) == rows(TextDedup.minhashLshPairs(spark, sf, 0.7)))
+    // a bucket cap shapes candidate GENERATION → self-contained
+    assert(!stagedInputs(
+      TextDedup.minhashLshPairsAuto(spark, sf, art, maxBucket = 4),
+      "band_index"))
+    // no artifact → self-contained fallback, same result
+    val none = java.nio.file.Files.createTempDirectory("no_lsh_art").toString
+    val fb = TextDedup.minhashLshPairsAuto(spark, sf, none)
+    assert(!stagedInputs(fb, "band_index"))
+    assert(rows(fb) == rows(routed))
+  }
+
   test("round-14: staged routes keep their presentation-sort contracts " +
       "(collect order, not just value sets)") {
     val pairs = TextDedup.nearDupPairsAuto(spark, sf, art)
