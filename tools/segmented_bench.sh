@@ -52,25 +52,37 @@ for i in $(seq 1 "$K"); do
     | grep -E '"metric"|\[bench\]' || true
 done
 echo "=== merge ==="
-HEAD_SHA=$(git -C "$REPO" rev-parse HEAD) \
+HEAD_SHA=$(git -C "$REPO" rev-parse HEAD) REPO="$REPO" \
 python3 - "$PREFIX" "$K" <<'EOF'
-import json, os, sys
+import json, os, subprocess, sys
 prefix, k = sys.argv[1], int(sys.argv[2])
 head = os.environ.get("HEAD_SHA", "")
+repo = os.environ.get("REPO", ".")
 segs = []
 for i in range(1, k + 1):
     with open(f"{prefix}_{i}of{k}.json") as f:
         segs.append(json.load(f))
 # SHA validation: every segment must have run the same committed code,
-# and that code must still be HEAD at merge time — else the merged
-# artifact would describe plans that no longer exist (r12/r13 defect)
+# and that CODE must still be what HEAD builds at merge time — else the
+# merged artifact would describe plans that no longer exist (r12/r13
+# defect). Doc-only commits between sweep and merge are fine: the check
+# compares the SOURCE TREE (src/ + build), not the commit id — but any
+# sha drift is still recorded in the artifact for the audit trail.
 shas = {s.get("sha") for s in segs}
 if len(shas) != 1 or None in shas:
     sys.exit(f"FATAL: segments ran different/unknown SHAs: {shas}")
 sha = shas.pop()
 if sha != head:
-    sys.exit(f"FATAL: segments ran {sha} but HEAD is {head} — "
-             "re-run the stale segments before merging")
+    if sha.endswith("-dirty"):
+        sys.exit(f"FATAL: segments ran dirty tree {sha}; cannot verify "
+                 "against HEAD — re-run the sweep on committed code")
+    drift = subprocess.run(
+        ["git", "-C", repo, "diff", "--stat", sha, head,
+         "--", "src", "build.sbt", "project"],
+        capture_output=True, text=True)
+    if drift.returncode != 0 or drift.stdout.strip():
+        sys.exit(f"FATAL: source changed between segment sha {sha} and "
+                 f"HEAD {head} — re-run the stale segments:\n{drift.stdout}")
 queries = {}
 for s in segs:
     queries.update(s["queries"])
