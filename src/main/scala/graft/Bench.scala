@@ -73,6 +73,18 @@ object Bench {
     math.min(leg(), leg())
   }
 
+  /** The registered queries whose cost is the raw-CPU codec kernel
+    * (JVM decode in mapPartitions), not the shuffle/hash path: their
+    * cross-round deltas are adjudicated through [[calCodecProbe]]
+    * (round-15, verdict #4 — `cal_codec` was recorded but nothing
+    * normalized the rows through it, leaving "399→537 s" swings to
+    * manual prose). Bench emits `queries_per_cal_codec` = best /
+    * cal_codec for exactly these rows; two boxes whose raw seconds
+    * differ by host steal should land near-equal normalized figures. */
+  val codecBoundQueries: Set[String] = Set(
+    "docs_audio_features", "docs_video_frames",
+    "docs_decode_features", "docs_frame_sample")
+
   /** `SPARK_GRAFT_SHUFFLE=auto` — partitions sized from the INPUT, the
     * way a cluster operator sizes them: total bytes under the sf dir /
     * a 128 MB per-partition target, clamped to [cores, 2048]. At the
@@ -280,16 +292,25 @@ object Bench {
     // (or a half-written `bench > BENCH_rN.json` redirect target); the
     // resolved path is recorded in the JSON as `prev` so every
     // normalized_vs_prev is attributable.
+    // Round-15 (advisory): a same-round artifact written by an EARLIER
+    // JVM (e.g. a sweep run that morning) still passed the mtime guard
+    // and self-normalized to ~1.0 — when SPARK_GRAFT_BENCH_OUT names a
+    // BENCH_r{N}.json, that round number is THIS run's own and is
+    // excluded from the candidates too.
     val jvmStart =
       java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime
+    val re = """BENCH_r(\d+)\.json""".r
+    val selfRound = new java.io.File(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+      .getName match { case re(n) => Some(n.toInt); case _ => None }
     val prevPath = sys.env.get("SPARK_GRAFT_BENCH_PREV").orElse {
-      val re = """BENCH_r(\d+)\.json""".r
       Option(new java.io.File(".").listFiles)
         .getOrElse(Array.empty[java.io.File])
         .filter(_.lastModified < jvmStart)
         .flatMap(f => f.getName match {
           case re(n) => Some((n.toInt, f.getPath)); case _ => None
         })
+        .filterNot(c => selfRound.contains(c._1))
         .sortBy(-_._1).headOption.map(_._2)
     }
     prevPath.foreach(p => System.err.println(s"[bench] prev=$p"))
@@ -311,10 +332,20 @@ object Bench {
     val calProbesJson = calProbes.map(f2).mkString("[", ",", "]")
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // codec-bound rows, normalized through the codec probe — the field
+    // cross-round readers compare instead of the raw seconds (see
+    // codecBoundQueries); ~4 entries, so it fits the stdout budget too
+    val perCodec = results.toSeq
+      .filter { case (n, _) => Bench.codecBoundQueries.contains(n) }
+      .map { case (n, v) => n -> (if (calCodec > 0) v / calCodec else 0.0) }
+      .sortBy(_._1)
+    val perCodecField =
+      if (perCodec.isEmpty) ""
+      else s""","queries_per_cal_codec":${toJson(perCodec)}"""
     val calFields = s""""calibration":${f2(calibration)},""" +
       s""""cal_probes":$calProbesJson,"cal_end":${f2(calEnd)},""" +
       s""""cal_codec":${f3(calCodec)},""" +
-      s""""value_per_calibration":${f2(perCal)}$prevField"""
+      s""""value_per_calibration":${f2(perCal)}$perCodecField$prevField"""
     // the git SHA the sweep runner stamped (tools/segmented_bench.sh):
     // a merged sf100 artifact can then prove each segment ran the
     // committed code — stale-sweep rows shipped in r12 AND r13

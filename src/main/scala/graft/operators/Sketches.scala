@@ -114,17 +114,30 @@ object Sketches {
   }
 
   /** OR-partial Bloom words over `df`'s `key` expression: (word_idx,
-    * bits) — ≤ mWords rows regardless of input size, mergeable across
+    * bits) — ≤ mWords+1 rows regardless of input size, mergeable across
     * partials/shards by word-wise OR (and therefore duplicate-
     * idempotent: re-adding a key re-ORs the same bits). Shared by
     * [[bloomContamination]] and the streaming MV
-    * ([[graft.streaming.CdcStream.startBloomMv]]). */
+    * ([[graft.streaming.CdcStream.startBloomMv]]).
+    *
+    * One METADATA row (word_idx = -1, bits = mWords) rides along so
+    * [[bloomProbe]] can reject a geometry mismatch in BOTH directions
+    * (round-14 advisory: the probe's bounds check alone caught only a
+    * larger-build bitmap; a smaller-build one silently yielded false
+    * negatives). The row survives the word-wise-OR merge discipline:
+    * same-geometry partials OR to the same value (m|m = m); a
+    * mixed-geometry merge corrupts it into a value the probe's
+    * equality check then rejects (OR is a weak checksum — e.g. 1024 |
+    * 1536 = 1536 — but every power-of-two-vs-power-of-two mix, the
+    * realistic misconfiguration, is caught). */
   def bloomWords(df: DataFrame, key: Column,
                  mWords: Int = 1024, kHashes: Int = 4): DataFrame =
     df.select(explode(bloomPositions(key, mWords, kHashes)).as("p"))
       .select(expr(s"p div $BitsPerWord").as("word_idx"),
         expr(s"shiftleft(CAST(1 AS BIGINT), CAST(p % $BitsPerWord AS INT))").as("w"))
       .groupBy("word_idx").agg(bit_or(col("w")).as("bits"))
+      .unionByName(df.sparkSession.range(1).select(
+        lit(-1L).as("word_idx"), lit(mWords.toLong).as("bits")))
 
   /** Probe `df` against a [[bloomWords]] bitmap: appends `maybe` = 1
     * iff all k of the key's bits are set. The bitmap is parameter-
@@ -145,19 +158,35 @@ object Sketches {
                  mWords: Int = 1024, kHashes: Int = 4): DataFrame = {
     val mBits = mWords.toLong * BitsPerWord
     val words = new Array[Long](mWords)
+    var builtWords = -1L
     for (r <- bitmap.select(col("word_idx").cast("int"), col("bits"))
         .collect()) {
       val i = r.getInt(0)
-      // a word_idx outside [0, mWords) means the bitmap was built
-      // under a LARGER mWords than this probe's — the k bit positions
-      // would then disagree with the build's anyway, so failing with
-      // the mismatch named beats the old join shape's silent
-      // null/0 degradation (round-13 advisory)
-      require(i >= 0 && i < mWords,
-        s"bloomProbe: bitmap word_idx $i outside [0, $mWords) — the " +
-          s"bitmap was built with a larger mWords than this probe's")
-      words(i) = r.getLong(1)
+      if (i == -1) {
+        // the build-geometry metadata row (see bloomWords): equality
+        // in BOTH directions — a smaller-build bitmap used to pass
+        // the bounds check below and yield silent false negatives
+        // (round-14 advisory)
+        builtWords = r.getLong(1)
+        require(builtWords == mWords.toLong,
+          s"bloomProbe: bitmap was built with mWords=$builtWords but " +
+            s"this probe uses mWords=$mWords — the word_idx space and " +
+            s"bit positions disagree")
+      } else {
+        // a word_idx outside [0, mWords) means the bitmap was built
+        // under a LARGER mWords than this probe's — the k bit positions
+        // would then disagree with the build's anyway, so failing with
+        // the mismatch named beats the old join shape's silent
+        // null/0 degradation (round-13 advisory)
+        require(i >= 0 && i < mWords,
+          s"bloomProbe: bitmap word_idx $i outside [0, $mWords) — the " +
+            s"bitmap was built with a larger mWords than this probe's")
+        words(i) = r.getLong(1)
+      }
     }
+    require(builtWords >= 0L,
+      s"bloomProbe: bitmap carries no geometry metadata row " +
+        s"(word_idx -1) — rebuild it with bloomWords")
     val bmLit = lit(words)
     // k statically-unrolled bit tests (no higher-order function: HOF
     // lambdas are interpreted per element; these stay inside

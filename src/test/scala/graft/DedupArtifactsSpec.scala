@@ -559,10 +559,13 @@ class DedupArtifactsSpec extends SparkSpec {
     val hi = TextDedup.minhashLshPairsAuto(spark, sf, art, minJaccard = 0.7)
     assert(stagedInputs(hi, "band_index"))
     assert(rows(hi) == rows(TextDedup.minhashLshPairs(spark, sf, 0.7)))
-    // a bucket cap shapes candidate GENERATION → self-contained
-    assert(!stagedInputs(
-      TextDedup.minhashLshPairsAuto(spark, sf, art, maxBucket = 4),
-      "band_index"))
+    // a bucket cap is a read-time anchor dial over the staged band
+    // table (round-15: the DEFAULT serve carries the adversarial-corpus
+    // guard too) — it still routes and equals the capped self-contained
+    val cappedAuto = TextDedup.minhashLshPairsAuto(spark, sf, art, maxBucket = 4)
+    assert(stagedInputs(cappedAuto, "band_index"))
+    assert(rows(cappedAuto) ==
+      rows(TextDedup.minhashLshPairs(spark, sf, maxBucket = 4)))
     // no artifact → self-contained fallback, same result
     val none = java.nio.file.Files.createTempDirectory("no_lsh_art").toString
     val fb = TextDedup.minhashLshPairsAuto(spark, sf, none)

@@ -56,6 +56,68 @@ class OperatorsSpec extends SparkSpec {
       "the genuine twin pair must survive the cap")
   }
 
+  test("round-15: the hot-bucket cap reaches the STAGED band self-join " +
+      "(the default serve) — capped staged == capped self-contained on " +
+      "the boilerplate flood, still routed") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lsh_cap_staged").toString
+    val boiler = Seq.fill(3)(
+      "the same boilerplate sentence repeated across the flood of pages")
+      .mkString(" ")
+    // NEAR-dup flood (unique tail token per doc): unlike the exact
+    // flood, these docs are NOT exact duplicates, so the screening
+    // form's band join sees them too (exact dups are digest-pruned
+    // before candidate generation)
+    val docs = (0L until 40L).map(i =>
+      (i, "en", "web", s"$boiler uniq$i")) ++
+      Seq((100L, "en", "web",
+        "a genuinely unique document about owls and rivers flowing east"))
+    docs.map { case (id, l, s, t) => (id, l, s, t, t.length.toLong) }
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    (0L until 4L).map { i =>
+      val r = new scala.util.Random(i)
+      val v = Array.fill(16)(r.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      (i, v.map(_ / n), 0)
+    }.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val art = java.nio.file.Files.createTempDirectory("lsh_cap_art").toString
+    assert(TextDedup.writeDedupArtifacts(spark, dir, art))
+    def stagedInputs(df: org.apache.spark.sql.DataFrame, t: String): Boolean =
+      df.inputFiles.exists(_.contains(s"/$t/"))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    // LSH pairs: a non-default cap still ROUTES (it is a read-time
+    // anchor dial over the staged band table) and is value-identical
+    // to the capped self-contained form
+    val cappedStaged = TextDedup.minhashLshPairsAuto(spark, dir, art, maxBucket = 4)
+    assert(stagedInputs(cappedStaged, "band_index") &&
+      !cappedStaged.inputFiles.exists(_.contains("documents.parquet")),
+      "capped LSH must still serve from the staged index")
+    assert(rows(cappedStaged) ==
+      rows(TextDedup.minhashLshPairs(spark, dir, maxBucket = 4)))
+    // the cap really cuts candidates on the staged route too
+    assert(cappedStaged.count() <
+      TextDedup.minhashLshPairsAuto(spark, dir, art).count())
+    // screening: capped staged == capped self-contained, and every
+    // incoming doc keeps its UNCAPPED verdict category (the cap prunes
+    // which existing docs are probed, never whether a flooded incoming
+    // doc is recognized as a near-dup)
+    val scrStaged = TextDedup.screenIncrementAuto(spark, dir, art, maxBucket = 4)
+    assert(stagedInputs(scrStaged, "band_index") &&
+      !scrStaged.inputFiles.exists(_.contains("documents.parquet")),
+      "capped screening must still serve from the staged index")
+    assert(rows(scrStaged) ==
+      rows(TextDedup.screenIncrement(spark, dir, maxBucket = 4)))
+    def verdicts(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      df.select("doc_id", "verdict").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(verdicts(scrStaged) ==
+      verdicts(TextDedup.screenIncrementAuto(spark, dir, art)),
+      "the cap must not change any incoming doc's verdict on the flood")
+  }
+
   test("df-capped near-dup pairs are bit-identical to the exact path at test SF") {
     // max shingle df < maxDf here, so candidate generation loses nothing
     // and verification reports the same exact jaccards

@@ -58,6 +58,36 @@ class SketchesSpec extends SparkSpec {
     assert(ok.forall(_.getAs[Int]("maybe") == 1))
   }
 
+  test("bloomProbe: probing with a LARGER mWords than the build's fails " +
+      "loudly too — the round-14 silent-false-negative direction") {
+    import spark.implicits._
+    val keys = Seq("a b", "c d", "e f").toDF("k")
+    // a small-geometry build passes every bounds check under a larger
+    // probe; only the metadata row can catch it
+    val bitmap = Sketches.bloomWords(keys, col("k"), mWords = 8)
+    val e = intercept[IllegalArgumentException] {
+      Sketches.bloomProbe(keys, col("k"), bitmap, mWords = 1024)
+    }
+    assert(e.getMessage.contains("mWords=8") &&
+      e.getMessage.contains("mWords=1024"), e.getMessage)
+    // a bitmap stripped of its metadata row is rejected outright
+    // rather than probed under assumed geometry
+    val stripped = bitmap.filter(col("word_idx") =!= -1L)
+    val e2 = intercept[IllegalArgumentException] {
+      Sketches.bloomProbe(keys, col("k"), stripped, mWords = 8)
+    }
+    assert(e2.getMessage.contains("metadata"), e2.getMessage)
+    // OR-merging two same-geometry partials keeps the metadata row
+    // intact and probes cleanly (the streaming-MV merge discipline)
+    val merged = Sketches.bloomWords(Seq("a b").toDF("k"), col("k"), mWords = 8)
+      .unionByName(Sketches.bloomWords(Seq("c d").toDF("k"), col("k"), mWords = 8))
+      .groupBy("word_idx")
+      .agg(org.apache.spark.sql.functions.bit_or(col("bits")).as("bits"))
+    val ok = Sketches.bloomProbe(Seq("a b", "c d").toDF("k"), col("k"),
+      merged, mWords = 8).collect()
+    assert(ok.forall(_.getAs[Int]("maybe") == 1))
+  }
+
   test("KMV overlap estimates are error-bounded against exact Jaccard") {
     val est = Sketches.kmvTypeOverlap(spark, sf, k = 128)
     val e = Tables.events(spark, sf)

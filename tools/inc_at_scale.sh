@@ -10,11 +10,14 @@
 # in place (appends create new files; swaps replace links), so they
 # stay hardlinked.
 #
-# Usage: tools/inc_at_scale.sh <srcData> <srcArt> <workDir> [permille]
+# Usage: tools/inc_at_scale.sh <srcData> <srcArt> <workDir> [permille] [rounds] [maxGen]
 #   e.g. tools/inc_at_scale.sh /tmp/sf100 \
-#          /tmp/graft_dedup_artifacts__tmp_sf100 /tmp/inc100 1
+#          /tmp/graft_dedup_artifacts__tmp_sf100 /tmp/inc100 1 5 4
+# rounds > 1 runs a steady-state increment CHAIN (round-15 verdict #3);
+# maxGen is update()'s autoCompactMaxGen — rounds >= maxGen forces the
+# auto-compaction trigger to fire inside the measured chain.
 set -eu
-SRC_DATA=$1; SRC_ART=$2; WORK=$3; PERMILLE=${4:-1}
+SRC_DATA=$1; SRC_ART=$2; WORK=$3; PERMILLE=${4:-1}; ROUNDS=${5:-1}; MAXGEN=${6:-8}
 DATA="$WORK/data"; ART="$WORK/art"
 rm -rf "$WORK"; mkdir -p "$DATA" "$ART"
 for t in documents.parquet embeddings.parquet; do
@@ -37,4 +40,4 @@ SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-100g}" \
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
 SPARK_GRAFT_SHUFFLE="${SPARK_GRAFT_SHUFFLE:-auto}" \
 SPARK_GRAFT_INC_DEBUG=1 \
-sbt -batch "runMain graft.tools.IncAtScale $DATA $ART $PERMILLE"
+sbt -batch "runMain graft.tools.IncAtScale $DATA $ART $PERMILLE $ROUNDS $MAXGEN"

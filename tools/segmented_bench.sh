@@ -84,8 +84,10 @@ if sha != head:
         sys.exit(f"FATAL: source changed between segment sha {sha} and "
                  f"HEAD {head} — re-run the stale segments:\n{drift.stdout}")
 queries = {}
+per_codec = {}
 for s in segs:
     queries.update(s["queries"])
+    per_codec.update(s.get("queries_per_cal_codec", {}))
 total = sum(s["value"] for s in segs)
 norm = sum(s["value"] / s["calibration"] for s in segs)
 merged = {
@@ -112,6 +114,11 @@ merged = {
     "cal_codec_band": [round(min(s.get("cal_codec", 0) for s in segs), 3),
                        round(max(s.get("cal_codec", 0) for s in segs), 3)],
     "sum_value_per_calibration": round(norm, 2),
+    # codec-bound rows normalized by the segment's OWN cal_codec
+    # (computed in Bench, merged here): the machine-readable figure a
+    # cross-round audio/video delta is judged by — raw-second swings
+    # that normalize flat are host steal, not a plan change
+    "queries_per_cal_codec": dict(sorted(per_codec.items())),
     "n_queries": sum(s["n_queries"] for s in segs),
     "n_errors": sum(s["n_errors"] for s in segs),
     "errors": sum((s["errors"] for s in segs), []),
