@@ -48,13 +48,13 @@ object OracleHash {
   private val RotBy = Seq(13, 17, 23)
 
   /** Signed big-endian int64 of md5(c)'s last 8 bytes (Spark side).
-    * Two 32-bit `conv` halves recombined with shift/or — bitwise ops
-    * carry no ANSI overflow check and reconstruct the exact bit
-    * pattern, negative range included. */
+    * Round-15: computed by the native [[Md5Low64]] kernel — same value
+    * as the original `conv(substring(md5(c), …))` formulation (pinned
+    * in ChFunctionsSpec), without the per-row hex-string allocation and
+    * base-16 string parses. */
   def low64(c: Column): Column = {
-    val h = md5(c)
-    shiftleft(conv(substring(h, 17, 8), 16, 10).cast("long"), 32)
-      .bitwiseOR(conv(substring(h, 25, 8), 16, 10).cast("long"))
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(Md5Low64(expression(c)))
   }
 
   /** 32-bit seeded member `j` of the 16-lane family — a non-negative
@@ -63,33 +63,40 @@ object OracleHash {
   def seeded32(j: Int, c: Column): Column =
     lane32(digests32(c)(j / LanesPerDigest), j)
 
-  /** The shared hex digest(s) behind the 16 [[seeded32]] lanes —
-    * project these once when feeding an aggregate, so the md5 sharing
-    * doesn't depend on codegen CSE reaching across the explode/
-    * aggregate boundary. The "m|" prefix domain-separates the MinHash
-    * family from [[low64]] digests of the same strings (fingerprints,
-    * band hashes), which would otherwise share words 2-3. */
-  def digests32(c: Column): IndexedSeq[Column] =
-    IndexedSeq(md5(concat(lit("m|"), c)))
+  /** The shared digest(s) behind the 16 [[seeded32]] lanes — project
+    * these once when feeding an aggregate, so the md5 sharing doesn't
+    * depend on codegen CSE reaching across the explode/aggregate
+    * boundary. The "m|" prefix domain-separates the MinHash family
+    * from [[low64]] digests of the same strings (fingerprints, band
+    * hashes), which would otherwise share words 2-3.
+    * Round-15: the digest is now the native [[Md5Words32]] kernel's
+    * array<long> of the four 32-bit words (value-identical to the old
+    * `conv(substring(md5('m|'||c), g*8+1, 8), 16, 10)` reads — pinned
+    * in ChFunctionsSpec), so deriving the 16 lanes costs four array
+    * reads + bitwise ops instead of 20 hex substring/base-16 parses. */
+  def digests32(c: Column): IndexedSeq[Column] = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    IndexedSeq(column(Md5Words32(expression(c))))
+  }
 
-  /** 32-bit word `g` (8 hex chars, big-endian) of a hex digest. */
-  private def word32(digestHex: Column, g: Int): Column =
-    conv(substring(digestHex, g * 8 + 1, 8), 16, 10).cast("long")
+  /** 32-bit word `g` (big-endian) of a [[digests32]] words array. */
+  private def word32(digestWords: Column, g: Int): Column =
+    get(digestWords, lit(g))
 
-  /** Lane `j` out of a [[digests32]] hex digest: round j/4, word j%4.
+  /** Lane `j` out of a [[digests32]] words array: round j/4, word j%4.
     * Round 0 is the word itself; round r>=1 xors in a rotation of a
     * different word. Bitwise ops only — no ANSI overflow risk (operands
     * stay < 2^32; the widest intermediate, w << 31, is < 2^63). */
-  def lane32(digestHex: Column, j: Int): Column = {
+  def lane32(digestWords: Column, j: Int): Column = {
     val r = j / 4
     val g = j % 4
-    if (r == 0) word32(digestHex, g)
+    if (r == 0) word32(digestWords, g)
     else {
       val s = RotBy(r - 1)
-      val o = word32(digestHex, (g + r) % 4)
+      val o = word32(digestWords, (g + r) % 4)
       val rot = shiftleft(o, s).bitwiseOR(shiftright(o, 32 - s))
         .bitwiseAND(lit(0xffffffffL))
-      word32(digestHex, g).bitwiseXOR(rot)
+      word32(digestWords, g).bitwiseXOR(rot)
     }
   }
 

@@ -87,8 +87,17 @@ object Search {
     val postings = docs
       .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
       .filter(col("term").isin(qTerms: _*))
+    // tf feeds TWO consumers (the scored join and the df aggregate);
+    // without materialization Catalyst expands the postings scan +
+    // explode subtree once PER consumer — the plan carried the corpus
+    // text scan twice (round-15 before-plan: ops (1)-(9) and (10)-(18)
+    // are the same tf computation). localCheckpoint pins the
+    // query-bounded frame (only matching postings — the inverted-index
+    // slice a search engine materializes anyway) so the corpus is
+    // scanned once for it at any scale.
     val tf = postings.groupBy("doc_id", "dl", "term")
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     // df per query term — ≤ |query| rows; un-hinted join (AQE
     // broadcasts a frame this small on its own)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -135,31 +144,57 @@ object Search {
   def bm25Rerank(spark: SparkSession, dir: String,
                  query: String = DefaultQuery,
                  kCandidates: Int = 50, k: Int = 10): DataFrame = {
-    import spark.implicits._
-    import graft.functions.ChFunctions.floorRound
     val qTerms = query.trim.split("\\s+").toSeq.filter(_.nonEmpty).distinct
     require(qTerms.nonEmpty, "bm25Rerank: empty query")
+    // the recall pool is ≤ kCandidates rows — materialize it so the
+    // whole BM25 subtree (3 corpus scans) appears ONCE in the rerank
+    // plan instead of once per downstream reference (round-15
+    // before-plan: 84 scan nodes / 2448 plan lines, because cands,
+    // dvec and the final join each re-expanded it)
     val cands = bm25Search(spark, dir, query, kCandidates)
       .select(col("doc_id"), col("lang"), col("source"), col("score_micros"))
+      .localCheckpoint(false)
+    rerankCore(spark, dir, cands, qTerms, k)
+  }
+
+  /** The exact-TF-IDF-cosine rerank over a PRE-MATERIALIZED candidate
+    * frame (doc_id, lang, source, score_micros) — shared by
+    * [[bm25Rerank]] and [[rrfFusion]] so the fusion computes the recall
+    * pool once, not once per ranker. `cands` must be a materialized
+    * (checkpointed) ≤ kCandidates-row frame: every reference here
+    * re-expands its plan otherwise. */
+  private def rerankCore(spark: SparkSession, dir: String,
+                         cands: DataFrame, qTerms: Seq[String],
+                         k: Int): DataFrame = {
+    import spark.implicits._
+    import graft.functions.ChFunctions.floorRound
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    // candidate term vectors: ≤ |cands| docs' tokens survive the
+    // broadcast semi-join. Materialized — ctf feeds THREE consumers
+    // (termSet, dvec via the dfr join, and na2), each of which would
+    // otherwise re-expand the corpus explode scan.
     val ctf = toks.join(broadcast(cands.select("doc_id")), "doc_id")
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val termSet = ctf.select("term").union(qTerms.toDF("term")).distinct()
     // broadcast term-set join BEFORE the distinct: the distinct is an
     // aggregate Catalyst cannot push a join below, so the other order
     // would shuffle the whole corpus (doc_id, term) stream — this way
-    // only the candidate∪query terms' postings reach the aggregate
+    // only the candidate∪query terms' postings reach the aggregate.
+    // Materialized: dfr feeds dvec AND qvec.
     val dfr = toks.join(broadcast(termSet), "term")
       .select("doc_id", "term").distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
+      .localCheckpoint(false)
     def idfUnits = least(
       floor((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)) * 100 + 0.5)
         .cast("long"), lit(100000L))
     val dvec = ctf.join(dfr, "term").crossJoin(broadcast(nDocs))
       .withColumn("wu", least(col("tf"), lit(255L)) * idfUnits)
       .select("doc_id", "term", "wu")
+      .localCheckpoint(false)
     val qvec = dfr.filter(col("term").isin(qTerms: _*))
       .crossJoin(broadcast(nDocs))
       .select(col("term"), idfUnits.as("qu"))
@@ -274,9 +309,18 @@ object Search {
   def rrfFusion(spark: SparkSession, dir: String,
                 query: String = DefaultQuery,
                 kPool: Int = 50, k: Int = 10): DataFrame = {
-    val a = bm25Search(spark, dir, query, kPool)
-      .select(col("doc_id"), col("rank").as("rank_bm25"))
-    val b = bm25Rerank(spark, dir, query, kPool, kPool)
+    val qTerms = query.trim.split("\\s+").toSeq.filter(_.nonEmpty).distinct
+    require(qTerms.nonEmpty, "rrfFusion: empty query")
+    // BOTH rankers rank the same ≤ kPool recall pool — compute it once
+    // (the pre-round-15 shape called bm25Search twice: once for the
+    // BM25 ranking, once inside bm25Rerank for the candidate pool,
+    // doubling the corpus scans and the plan)
+    val pool = bm25Search(spark, dir, query, kPool).localCheckpoint(false)
+    val a = pool.select(col("doc_id"), col("rank").as("rank_bm25"))
+    val b = rerankCore(spark, dir,
+        pool.select(col("doc_id"), col("lang"), col("source"),
+          col("score_micros")),
+        qTerms, kPool)
       .select(col("doc_id"), col("rank").as("rank_cos"))
     a.join(b, Seq("doc_id"), "full")
       .withColumn("rrf_units",
