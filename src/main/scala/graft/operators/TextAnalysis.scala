@@ -404,8 +404,13 @@ object TextAnalysis {
         "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"))
         .as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // uni feeds TWO consumers (the score join and the vocab count);
+    // unmaterialized, each re-expands the corpus token scan — the
+    // vocab count alone cost a full explode pass (round-15). The
+    // checkpointed frame is VOCABULARY-bounded, not corpus-bounded.
     val uni = docs.select(explode(col("t")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c1"))
+      .localCheckpoint(false)
     val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val vocab = uni.agg(count(lit(1)).as("v"))
     // SHUFFLE_HASH on the count sides. Un-hinted, the planner

@@ -392,10 +392,15 @@ object TrainingMix {
         TextAnalysis.tokenCount(col("text")).cast("long").as("__ntok"),
         TextAnalysis.stopwordRatio(col("text")).as("quality"))
       .withColumn("bucket", expr("CAST((__nstop * 100) div __ntok AS INT)"))
+    // ≤ 101 rows (percentage buckets), but consumed via the broadcast
+    // join by BOTH the bulk and boundary branches — unmaterialized,
+    // each branch re-expanded the corpus-scoring scan under the bucket
+    // aggregate (round-15: one of the plan's three corpus scans)
     val buckets = scored.groupBy("bucket").agg(sum("n_tokens").as("btok"))
       .withColumn("tokens_above", coalesce(sum("btok").over(
         Window.orderBy(col("bucket").desc)
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .localCheckpoint(false)
     val tagged = scored
       .join(broadcast(buckets.select("bucket", "btok", "tokens_above")), "bucket")
     val bulk = tagged

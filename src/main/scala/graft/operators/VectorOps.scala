@@ -953,10 +953,17 @@ object VectorOps {
                 lit(2.0) * dot(col("embedding"), col("anchor")), 6).as("__dist")),
         1, Seq(col("vec_id")), Seq(col("__dist").asc, col("list_id")))
       centroids = integerUnitCentroids(assigned)
+      // truncate the lineage each iteration (round-15): anchors is
+      // nLists tiny rows, but lazily it drags every PRIOR iteration's
+      // assign→centroid subtree into the next plan — iters-deep nested
+      // plans that Catalyst re-analyzes per iteration and the broadcast
+      // build re-executes. Checkpointed, each iteration's plan is one
+      // scan + assign + aggregate against a materialized anchor leaf.
       anchors = centroids.groupBy("list_id")
         .agg(array_sort(collect_list(struct(col("dim"), col("centroid")))).as("dc"))
         .select(col("list_id"),
           expr("transform(dc, s -> cast(s.centroid as float))").as("anchor"))
+        .localCheckpoint(false)
     }
     centroids.orderBy("list_id", "dim")
   }

@@ -535,14 +535,22 @@ object TpchPipes {
           .filter(col("o_orderstatus") === "F").select("o_orderkey"),
         col("l_orderkey") === col("o_orderkey"))
       .select("l_orderkey", "l_suppkey")
-    val l2 = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
-    val l3 = li.filter(col("l_returnflag") === "R")
-      .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+    // the semi/anti self-joins decorrelate to ONE per-order distinct-
+    // supplier aggregate (round-15; guide: aggregate before you
+    // shuffle): "∃ another supplier on the order" ⟺ n_supp ≥ 2, and
+    // "no OTHER supplier returned" ⟺ the order has exactly one distinct
+    // R-supplier (the candidate row is itself an R line, so it is that
+    // one). The old shape scanned lineitem three times and shuffled the
+    // instance stream through a semi AND an anti join; this shape scans
+    // it twice and joins l1 against an order-keyed aggregate.
+    val ord = li.groupBy("l_orderkey")
+      .agg(countDistinct(col("l_suppkey")).as("__n_supp"),
+        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+          .as("__n_r_supp"))
+      .filter(col("__n_supp") >= 2 && col("__n_r_supp") === 1)
+      .select(col("l_orderkey").as("o2"))
     l1
-      .join(l2, col("l_orderkey") === col("o2") &&
-        col("s2") =!= col("l_suppkey"), "left_semi")
-      .join(l3, col("l_orderkey") === col("o3") &&
-        col("s3") =!= col("l_suppkey"), "left_anti")
+      .join(ord, col("l_orderkey") === col("o2"), "left_semi")
       .join(Tables.supplier(spark, dir),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
@@ -803,9 +811,15 @@ object TpchPipes {
     val sp = Tables.lineitem(spark, dir)
       .groupBy("l_partkey", "l_suppkey")
       .agg(sum(col("l_quantity")).as("supp_qty"))
-    val pt = sp.groupBy("l_partkey")
-      .agg(sum(col("supp_qty")).as("part_qty"))
-    sp.join(pt, "l_partkey")
+    // part totals as a WINDOW over the (part, supplier) aggregate, not
+    // a regroup + self-join: the join form re-expanded the sp subtree,
+    // scanning + aggregating lineitem twice (round-15 before-plan: two
+    // full scan→HashAggregate chains). The window re-partitions only
+    // the partsupp-sized aggregate. Quantities are integral doubles,
+    // so the window sum equals the regrouped sum exactly (each ≤ 50,
+    // totals far under 2^53 — the q18 argument).
+    val pt = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+    sp.withColumn("part_qty", sum(col("supp_qty")).over(pt))
       .filter(col("supp_qty") > lit(share) * col("part_qty"))
       .groupBy("l_suppkey")
       .agg(count(lit(1)).as("n_parts_dominated"),
