@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -19,8 +19,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * Same device as [[SimHash64]], which already embeds this exact
   * low64 byte read.
   *
-  * CodegenFallback: the per-row work IS the digest; the surrounding
-  * stage stays inside whole-stage codegen.
+  * Round-16 (advisory): the kernels now implement real `doGenCode` —
+  * a typed call into the same per-thread-digest helpers — because
+  * `CollapseCodegenStages` rejects any operator whose expressions
+  * contain a `CodegenFallback`, so the old fallback forms silently
+  * dropped every containing projection/aggregate out of whole-stage
+  * codegen (the opposite of what the original comment claimed).
   */
 object Md5Hash {
   /** MessageDigest is stateful and not thread-safe; getInstance per row
@@ -29,13 +33,48 @@ object Md5Hash {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
+
+  /** The MinHash-family domain separator ("m|"), as bytes. */
+  private val Prefix: Array[Byte] = "m|".getBytes("UTF-8")
+
+  /** md5(utf8)'s last 8 bytes big-endian as a signed long — the JVM
+    * kernel behind [[Md5Low64]], called from both interpreted eval and
+    * generated code. */
+  def low64(input: UTF8String): Long = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(input.getBytes)
+    var h = 0L
+    var k = 8
+    while (k < 16) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+    h
+  }
+
+  /** The four 32-bit big-endian words of md5("m|" ++ utf8) as
+    * ArrayData — the JVM kernel behind [[Md5Words32]]. */
+  def words32(input: UTF8String): GenericArrayData = {
+    val md = digest.get()
+    md.reset()
+    md.update(Prefix)
+    val d = md.digest(input.getBytes)
+    val words = new Array[Long](4)
+    var g = 0
+    while (g < 4) {
+      var w = 0L
+      var k = 4 * g
+      while (k < 4 * g + 4) { w = (w << 8) | (d(k) & 0xffL); k += 1 }
+      words(g) = w
+      g += 1
+    }
+    new GenericArrayData(words)
+  }
 }
 
 /** `OracleHash.low64` as one compiled kernel: the last 8 bytes of
   * md5(utf8(s)) read big-endian as a signed long. Null-intolerant like
   * the Column form (md5/conv propagate null). */
 case class Md5Low64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -47,15 +86,13 @@ case class Md5Low64(child: Expression)
       s"md5_low64 expects string, got ${t.simpleString}")
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val md = Md5Hash.digest.get()
-    md.reset()
-    val d = md.digest(input.asInstanceOf[UTF8String].getBytes)
-    var h = 0L
-    var k = 8
-    while (k < 16) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
-    h
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    Md5Hash.low64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // static-forwarder call: Md5Hash is a companion-class-free object,
+    // so `graft.functions.Md5Hash.low64` exists as a true Java static
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Hash.low64($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Md5Low64 =
     copy(child = newChild)
@@ -69,7 +106,7 @@ case class Md5Low64(child: Expression)
   * `conv(substring(md5('m|' || s), g*8+1, 8), 16, 10)` exactly —
   * non-negative, < 2^32. */
 case class Md5Words32(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -81,28 +118,12 @@ case class Md5Words32(child: Expression)
       s"md5_words32 expects string, got ${t.simpleString}")
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val md = Md5Hash.digest.get()
-    md.reset()
-    md.update(Md5Words32.Prefix)
-    val d = md.digest(input.asInstanceOf[UTF8String].getBytes)
-    val words = new Array[Long](4)
-    var g = 0
-    while (g < 4) {
-      var w = 0L
-      var k = 4 * g
-      while (k < 4 * g + 4) { w = (w << 8) | (d(k) & 0xffL); k += 1 }
-      words(g) = w
-      g += 1
-    }
-    new GenericArrayData(words)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    Md5Hash.words32(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Hash.words32($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Md5Words32 =
     copy(child = newChild)
-}
-
-object Md5Words32 {
-  /** The MinHash-family domain separator ("m|"), as bytes. */
-  private val Prefix: Array[Byte] = "m|".getBytes("UTF-8")
 }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -22,11 +22,12 @@ import org.apache.spark.sql.types._
   * string round-trip like the Column form). Tokens from split() are
   * never null; the expression rejects nulls loudly instead of guessing.
   *
-  * CodegenFallback: the per-row work IS the loop; the surrounding
-  * stage stays inside whole-stage codegen.
+  * Round-16 (advisory): real `doGenCode` (typed static call) so the
+  * containing stage stays in whole-stage codegen — CodegenFallback
+  * excluded the whole operator from WSCG, not just this expression.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -38,9 +39,21 @@ case class SimHash64(child: Expression)
       s"simhash64 expects array<string>, got ${t.simpleString}")
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val md = SimHash64.digest.get()
-    val arr = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashKernel.simhash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashKernel.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** The JVM kernel behind [[SimHash64]] — a companion-class-free object
+  * so the method exists as a true Java static for generated code. */
+object SimHashKernel {
+  def simhash64(arr: ArrayData): Long = {
+    val md = Md5Hash.digest.get()
     val n = arr.numElements()
     val votes = new Array[Int](64)
     var i = 0
@@ -67,17 +80,5 @@ case class SimHash64(child: Expression)
       b += 1
     }
     out
-  }
-
-  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
-    copy(child = newChild)
-}
-
-object SimHash64 {
-  /** MessageDigest is stateful and not thread-safe; getInstance per row
-    * would dominate the loop. One instance per executor thread. */
-  private val digest = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
   }
 }

@@ -25,6 +25,18 @@ import graft.Tables
   *    total, where a raw double sum would be order-dependent in the
   *    last ulp.
   *
+  * Materialization note (round-15 advisory): the `localCheckpoint`
+  * calls here pin their candidate/vocabulary-bounded frames in
+  * executor storage until the consuming DataFrame is GC'd, and a
+  * non-reliable checkpoint is not recomputable on executor loss. Both
+  * are deliberate single-process trade-offs (this engine's contract is
+  * `local[n]`; the driver IS the executor): the pinned frames are
+  * KB-scale by construction (≤ kCandidates rows / query-bounded
+  * postings), and there is no executor to lose. A multi-executor
+  * deployment of the long-lived API server would swap these for
+  * `persist(MEMORY_AND_DISK)` + explicit unpersist after the serving
+  * action, or a reliable checkpoint dir.
+  *
   * Scale: the inverted-index probe without materializing the index —
   * postings are filtered to the query's terms AT THE SCAN (the filter
   * sits directly on the exploded token stream, before any exchange),
@@ -77,9 +89,17 @@ object Search {
       .select(col("doc_id"), col("lang"), col("source"),
         size(col("t")).cast("long").as("dl"), col("t"))
     // 1-row corpus stats: N and avgdl (long sum / long count, divided
-    // as doubles — exactly one IEEE division in both engines)
-    val stats = docs.agg(
-      count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // as doubles — exactly one IEEE division in both engines).
+    // Round-16: dl without tokenizing — size(split(text, ' ')) equals
+    // spaces + 1 EXACTLY (split keeps empty tokens, so every space is
+    // a boundary; '' → 1 either way), and this scan needs only the
+    // count, so two length() calls replace the per-doc token-array
+    // allocation the old docs.agg paid.
+    val stats = Tables.documents(spark, dir)
+      .select((length(col("text")) -
+        length(replace(col("text"), lit(" "), lit(""))) + 1)
+        .cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .select(col("n_docs"),
         (col("sum_dl").cast("double") / col("n_docs").cast("double")).as("avgdl"))
     // postings restricted to the query BEFORE any exchange: the only
@@ -168,24 +188,32 @@ object Search {
                          k: Int): DataFrame = {
     import spark.implicits._
     import graft.functions.ChFunctions.floorRound
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
-    // candidate term vectors: ≤ |cands| docs' tokens survive the
-    // broadcast semi-join. Materialized — ctf feeds THREE consumers
-    // (termSet, dvec via the dfr join, and na2), each of which would
-    // otherwise re-expand the corpus explode scan.
-    val ctf = toks.join(broadcast(cands.select("doc_id")), "doc_id")
+    // candidate term vectors. Round-16: join BEFORE the explode — the
+    // old shape exploded the WHOLE corpus token stream and then
+    // broadcast-semi-joined it down to the candidates, paying a full
+    // corpus tokenize for ≤ kCandidates docs' vectors; a generator
+    // cannot be join-pushed by Catalyst, so the order is fixed by hand.
+    // Materialized — ctf feeds THREE consumers (termSet, dvec via the
+    // dfr join, and na2).
+    val ctf = Tables.documents(spark, dir)
+      .join(broadcast(cands.select("doc_id")), "doc_id")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .localCheckpoint(false)
     val termSet = ctf.select("term").union(qTerms.toDF("term")).distinct()
-    // broadcast term-set join BEFORE the distinct: the distinct is an
-    // aggregate Catalyst cannot push a join below, so the other order
-    // would shuffle the whole corpus (doc_id, term) stream — this way
-    // only the candidate∪query terms' postings reach the aggregate.
+    // df = docs containing the term. Round-16: per-doc array_distinct
+    // BEFORE the explode — distinct-within-doc is row-local, so the
+    // corpus-wide (doc_id, term) DISTINCT shuffle the old shape paid
+    // (the one aggregate Catalyst cannot push the term-set join below)
+    // disappears; only the broadcast-filtered per-doc term memberships
+    // reach the map-side-combinable count. Same df exactly: distinct
+    // per doc then count ≡ count of distinct (doc, term) pairs.
     // Materialized: dfr feeds dvec AND qvec.
-    val dfr = toks.join(broadcast(termSet), "term")
-      .select("doc_id", "term").distinct()
+    val dfr = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+      .join(broadcast(termSet), "term")
       .groupBy("term").agg(count(lit(1)).as("df"))
       .localCheckpoint(false)
     def idfUnits = least(

@@ -543,10 +543,17 @@ object TpchPipes {
     // one). The old shape scanned lineitem three times and shuffled the
     // instance stream through a semi AND an anti join; this shape scans
     // it twice and joins l1 against an order-keyed aggregate.
-    val ord = li.groupBy("l_orderkey")
-      .agg(countDistinct(col("l_suppkey")).as("__n_supp"),
-        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
-          .as("__n_r_supp"))
+    // Round-16: the two countDistincts planned as ONE distinct-agg with
+    // an Expand (every lineitem row duplicated through the shuffle, one
+    // copy per distinct group). The two-level form aggregates to the
+    // distinct (orderkey, suppkey) grain FIRST — map-side combinable,
+    // no Expand, half the shuffled rows — then counts suppliers per
+    // order on the already-tiny frame: count(*) == countDistinct(supp)
+    // and sum(has_r) == countDistinct(case R then supp) by construction.
+    val ord = li.groupBy("l_orderkey", "l_suppkey")
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("__r"))
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("__n_supp"), sum(col("__r")).as("__n_r_supp"))
       .filter(col("__n_supp") >= 2 && col("__n_r_supp") === 1)
       .select(col("l_orderkey").as("o2"))
     l1

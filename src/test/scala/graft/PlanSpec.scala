@@ -254,9 +254,16 @@ class PlanSpec extends SparkSpec {
 
   test("kmeans: anchors broadcast every round, no driver-side collect in the plan") {
     val p = plan("emb_kmeans")
-    // 3 rounds × corpus-vs-anchors scoring: every round's anchor side
-    // must arrive by broadcast, never by shuffling the corpus
-    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 3, p.take(3000))
+    // Round-15 truncates each iteration's lineage with a localCheckpoint
+    // of the nLists-row anchor frame, so the FINAL plan shows ONE
+    // broadcast scoring round against a materialized anchor leaf (the
+    // prior rounds ran at their own checkpoints instead of being
+    // re-expanded as nested subtrees — the pre-r15 plan re-analyzed and
+    // re-broadcast every earlier iteration inside the last one's plan).
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1, p.take(3000))
+    assert(p.contains("LogicalRDD") || p.contains("Scan ExistingRDD"),
+      "anchor side must be the checkpointed leaf, not a re-expanded subtree:\n" +
+        p.take(3000))
     assert(!p.contains("CartesianProduct"))
   }
 
@@ -292,13 +299,19 @@ class PlanSpec extends SparkSpec {
       "top-k merges must be top-k, not a global sort")
   }
 
-  test("q21: double correlation is ONE semi + ONE anti join, no distinct") {
+  test("q21: decorrelates to ONE semi join on an Expand-free order aggregate") {
+    // Round-15 replaced the semi+anti self-join pair with one per-order
+    // distinct-supplier aggregate; round-16 made that aggregate
+    // Expand-free (the double countDistinct planned as an Expand that
+    // duplicated every lineitem row through the shuffle — the two-level
+    // groupBy aggregates to the (orderkey, suppkey) grain map-side
+    // first).
     val p = plan("q21_waiting_suppliers")
     assert(p.contains("LeftSemi"), p.take(2000))
-    assert(p.contains("LeftAnti"), p.take(2000))
-    // the semi/anti joins themselves dedup matches — a distinct or a
-    // window over the fact table would mean the correlation was
-    // re-derived the slow way
+    assert(!p.contains("Expand"),
+      "the order aggregate must not plan countDistincts via Expand:\n" +
+        p.take(3000))
+    // no window over the fact table — the correlation is the aggregate
     assert(!p.contains("Window"), p.take(2000))
     assert(!p.contains("CartesianProduct"))
   }
